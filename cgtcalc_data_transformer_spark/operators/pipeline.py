@@ -1,0 +1,90 @@
+"""Merge / chronological-sort / sink pipeline.
+
+The reference's end-of-run behavior (`/root/reference/index.js:108-122`):
+read previous ``data.txt``, append the newly parsed lines (UNION ALL —
+despite the "Set for exact deduplication" comment at `index.js:110`,
+no dedup happens and re-runs double lines), sort ascending by the
+date embedded in each line, rewrite the file. JS ``Array.sort`` is
+stable, so equal-date lines keep insertion order: existing-file lines
+before new ones, each in source order (`index.js:12-36,115,118`).
+
+Spark's sort is not stable → we carry explicit tiebreakers:
+``source_rank`` (0 = existing, 1 = new) and a per-source monotonic
+sequence. At scale the ``orderBy`` range-partitions on the date key,
+so the output is globally ordered across part files without a single-
+node bottleneck; ``coalesce(1)`` is only for the byte-identical
+single-file mode.
+
+``dedup=True`` implements the intent the reference comments but never
+ships: exact line-level dedup before the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cgtcalc_data_transformer_spark.functions.dates import date_key_from_ddmmyyyy
+from cgtcalc_data_transformer_spark.functions.validation import require
+
+
+def merge_sorted(
+    existing: DataFrame | None,
+    new: DataFrame,
+    dedup: bool = False,
+) -> DataFrame:
+    """existing ∪ new lines, chronologically sorted, stably tied.
+
+    Input DataFrames have a single ``line`` column. Output: a single
+    ``line`` column, globally ordered by (date, source, sequence).
+    """
+    tagged_new = new.select(
+        "line",
+        F.lit(1).alias("source_rank"),
+        F.monotonically_increasing_id().alias("seq"),
+    )
+    if existing is not None:
+        tagged_existing = existing.select(
+            "line",
+            F.lit(0).alias("source_rank"),
+            F.monotonically_increasing_id().alias("seq"),
+        )
+        merged = tagged_existing.unionByName(tagged_new)
+    else:
+        merged = tagged_new
+
+    if dedup:
+        # The `index.js:110` comment's stated intent: exact dedup.
+        # Keep the earliest (existing-first) occurrence of each line.
+        merged = (
+            merged.groupBy("line")
+            .agg(
+                F.min(F.struct("source_rank", "seq")).alias("first_seen")
+            )
+            .select(
+                "line",
+                F.col("first_seen.source_rank").alias("source_rank"),
+                F.col("first_seen.seq").alias("seq"),
+            )
+        )
+
+    date_str = F.split(F.col("line"), " ").getItem(1)
+    date_key = date_key_from_ddmmyyyy(date_str)
+    date_key = require(
+        date_key.isNotNull(),
+        date_key,
+        F.concat(F.lit("Invalid date in line: "), F.col("line")),
+    )
+    return (
+        merged.withColumn("_date_key", date_key)
+        .orderBy("_date_key", "source_rank", "seq")
+        .select("line")
+    )
+
+
+def report(df: DataFrame, new_count: int | None = None, sample: int = 5) -> dict:
+    """Count + first-N sample, the reference's console summary
+    (`/root/reference/index.js:124-130`). One job: limit is a
+    CollectLimitExec, count an aggregate."""
+    total = df.count()
+    head = [r["line"] for r in df.limit(sample).collect()]
+    return {"total": total, "new": new_count, "sample": head}

@@ -1,0 +1,70 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference is a single-threaded Node.js process that materializes
+whole files in memory (`/root/reference/index.js:84-101`). Here every
+pipeline is a lazy DataFrame plan; these defaults are tuned so the
+same code runs on local[N] for tests and on a large cluster:
+
+- AQE on (runtime coalescing / skew-join splitting) — at 100 TB the
+  static shuffle-partition count is always wrong for some stage.
+- session timeZone pinned to UTC: the reference's date extraction is
+  local-TZ-dependent (`/root/reference/freetrade.js:184-186`); UTC
+  reproduces its golden outputs and matches the DuckDB oracle.
+- Arrow enabled for the few pandas-UDF operators (similarity search,
+  multimodal decode) — batched columnar transfer, never per-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs we need even on sessions we did not build
+# (the correctness driver hands us its own SparkSession).
+RUNTIME_CONFS = {
+    # events.parquet is written with nanosecond timestamps, which the
+    # Spark 4 parquet reader rejects; read them as raw int64 nanos and
+    # convert explicitly (sources/tpch.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable on some builds; loaders degrade gracefully
+    return spark
+
+
+def get_spark(
+    app_name: str = "cgtcalc-data-transformer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    # Local mode: shuffle partitions ≈ cores. On a real cluster AQE
+    # coalesces from a deliberately high initial number instead.
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,63 @@
+"""Loaders for the driver's TPC-H-ish parquet testdata (TESTDATA.md).
+
+Plain ``spark.read.parquet`` for everything except ``events``, whose
+``ts`` column is written as parquet INT64 TIMESTAMP(NANOS) — a type
+the Spark 4 vectorized reader rejects outright. We flip the
+``nanosAsLong`` legacy conf (runtime-settable) so the column arrives
+as raw int64 nanoseconds, and expose both the raw nanos and a proper
+TIMESTAMP column derived from them.
+
+Column pruning & predicate pushdown are preserved: these are thin
+wrappers over the parquet scan, no materialization, no driver-side
+reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as int64 nanos plus a derived ``ts_ts`` timestamp.
+
+    ``ts_ts`` is microsecond-truncated (Spark's native resolution).
+    Bucketing arithmetic in the event queries uses the raw nanos so
+    results are engine-exact regardless of session timezone.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    else:  # future-proof: data regenerated with micros
+        df = df.withColumn("ts_ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
