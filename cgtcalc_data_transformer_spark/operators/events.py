@@ -1,0 +1,259 @@
+"""Event-stream operators, batch form (the streaming variants live in
+``streaming/events.py``; these batch versions define the semantics and
+are what the DuckDB oracle checks — SURVEY.md §2.2 "batch-expressible
+versions first").
+
+``events.ts`` is int64 *nanoseconds* (see sources/tpch.py). All window
+bucketing uses integer nano arithmetic (``div``), never float division:
+epoch nanos exceed 2^53, so a double round-trip would corrupt buckets.
+Bucket keys are emitted as epoch *seconds* (bigint) — engine-neutral,
+timezone-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_events, load_table
+
+NS_PER_SEC = 1_000_000_000
+HOUR_NS = 3600 * NS_PER_SEC
+HALF_HOUR_NS = 1800 * NS_PER_SEC
+SESSION_GAP_NS = 1800 * NS_PER_SEC
+DAY_NS = 86400 * NS_PER_SEC
+
+
+def _dec(col):
+    return col.cast("decimal(28,6)")
+
+
+# ------------------------------------------------------ tumbling window
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + value sum.
+
+    Map-side combinable groupBy; the bucket key is a pure projection,
+    so the only shuffle is the aggregation itself.
+    """
+    ev = load_events(spark, sf_dir)
+    bucket = (F.expr(f"ts div {HOUR_NS}") * F.lit(3600)).alias("window_start_epoch")
+    return (
+        ev.groupBy(bucket, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("value_sum"),
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT (epoch_ns(ts) // {HOUR_NS}) * 3600 AS window_start_epoch,
+       event_type,
+       COUNT(*) AS event_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_epoch, event_type
+"""
+
+
+# ------------------------------------------------------- sliding window
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min.
+
+    Each event belongs to exactly 2 windows → explode a literal
+    2-element offset array (the standard shuffle-free expansion; the
+    streaming engine does the same internally for window()).
+    """
+    ev = load_events(spark, sf_dir)
+    half_bucket = F.expr(f"ts div {HALF_HOUR_NS}")
+    expanded = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+        half_bucket.alias("hb"),
+    ).select(
+        ((F.col("hb") - F.col("k")) * F.lit(1800)).alias("window_start_epoch"),
+        "event_type",
+        "value",
+    ).filter(F.col("window_start_epoch") >= 0)
+    return (
+        expanded.groupBy("window_start_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("value_sum"),
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT ((epoch_ns(ts) // {HALF_HOUR_NS}) - k) * 1800 AS window_start_epoch,
+       event_type,
+       COUNT(*) AS event_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM events, unnest([0, 1]) AS t(k)
+WHERE ((epoch_ns(ts) // {HALF_HOUR_NS}) - k) * 1800 >= 0
+GROUP BY 1, 2
+ORDER BY window_start_epoch, event_type
+"""
+
+
+# ------------------------------------------------------- sessionization
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-min inactivity gap.
+
+    lag → gap flag → running sum = session index (the batch analog of
+    ``session_window``; the streaming variant uses the native
+    session_window operator). One shuffle on user_id.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_NS, 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.withColumn("new_sess", gap).withColumn(
+        "session_idx", F.sum("new_sess").over(wsum)
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min(F.expr(f"ts div {NS_PER_SEC}"))).alias("session_start_epoch"),
+            # integer div, not /: float division + cast truncates in
+            # Spark but rounds in DuckDB's BIGINT cast
+            F.expr(f"(max(ts) - min(ts)) div {NS_PER_SEC}").alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+EVENTS_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(epoch_ns(ts) // {NS_PER_SEC}) AS session_start_epoch,
+       (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // {NS_PER_SEC} AS duration_sec
+FROM numbered
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+# ------------------------------------------------------ JSON extraction
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props JSON column, grouped stats."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ----------------------------------------------------------- as-of join
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event ↔ the user's latest order on or before
+    the event day (Spark has no native as-of join — SURVEY.md §2.2).
+
+    Scalable union trick: tag order-rows and event-rows, sort within
+    each key partition by (day, tag), and carry the last seen order
+    forward with last_value(ignoreNulls). One shuffle on the key —
+    same cost as a regular sort-merge join, no per-group pandas.
+    Day-granularity keys are exact integers in both engines.
+    """
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.expr(f"ts div {DAY_NS}").alias("day"),
+        F.col("event_id"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey_in"),
+    )
+    # one representative order per (custkey, day): max orderkey
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day"),
+            "o_orderkey",
+        )
+        .groupBy("key", "day")
+        .agg(F.max("o_orderkey").alias("o_orderkey_in"))
+        .select(
+            "key",
+            "day",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("is_event"),
+            "o_orderkey_in",
+        )
+    )
+    unioned = orders.unionByName(ev)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day", "is_event", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "matched_orderkey", F.last("o_orderkey_in", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("day").alias("event_day"),
+            "matched_orderkey",
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ns(ts) // {DAY_NS} AS event_day FROM events
+), od AS (
+  SELECT o_custkey AS key,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         MAX(o_orderkey) AS o_orderkey_in
+  FROM orders GROUP BY 1, 2
+)
+SELECT ev.event_id, ev.user_id, ev.event_day,
+       (SELECT od.o_orderkey_in FROM od
+        WHERE od.key = ev.user_id AND od.day <= ev.event_day
+        ORDER BY od.day DESC LIMIT 1) AS matched_orderkey
+FROM ev
+ORDER BY event_id
+"""

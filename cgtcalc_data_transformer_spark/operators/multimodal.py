@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+The container has no image/audio/video libraries, so the *decode*
+kernels are deterministic stubs behind ``DECODE_BACKEND`` (clearly
+marked; swap in PIL/ffmpeg on a real cluster). Everything Spark-side
+is real and tested: BinaryType columns, explicit schemas, Arrow-
+batched ``mapInPandas`` with bounded batch sizes, per-frame explode.
+
+Assets are synthesized from ``documents`` (text bytes as payload,
+modality round-robin by doc_id) so the pipeline runs on the driver
+testdata without external fixtures.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+# 'stub' = deterministic fake decode (metadata derived from payload
+# bytes). A real deployment registers 'pil'/'ffmpeg' backends here.
+DECODE_BACKEND = "stub"
+
+MODALITIES = ["image", "audio", "video"]
+
+DECODED_SCHEMA = (
+    "asset_id long, modality string, byte_len long, "
+    "width int, height int, duration_ms int, feature_hash string"
+)
+
+
+def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (asset_id, modality, payload BINARY, byte_len, format_tag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.concat(F.lit("fake/"), modality).alias("format_tag"),
+    )
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads — pure column ops (no
+    decode): sizes + per-modality distribution."""
+    assets = synthesize_assets(spark, sf_dir)
+    return (
+        assets.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.min("byte_len").alias("min_bytes"),
+            F.max("byte_len").alias("max_bytes"),
+        )
+        .orderBy("modality")
+    )
+
+
+MULTIMODAL_METADATA_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+         octet_length(encode(text)) AS byte_len
+  FROM documents
+)
+SELECT modality, COUNT(*) AS n_assets,
+       SUM(byte_len) AS total_bytes,
+       MIN(byte_len) AS min_bytes,
+       MAX(byte_len) AS max_bytes
+FROM assets
+GROUP BY modality
+ORDER BY modality
+"""
+
+
+def _decode_stub(payload: bytes, modality: str) -> dict:
+    """Deterministic fake decode. REPLACE with a real backend
+    (PIL / torchaudio / ffmpeg) outside this container."""
+    if DECODE_BACKEND != "stub":  # pragma: no cover
+        raise NotImplementedError(f"decode backend {DECODE_BACKEND!r} not wired")
+    n = len(payload)
+    h = 0
+    for b in payload[:64]:  # bounded: metadata lives in the header bytes
+        h = (h * 131 + b) % (1 << 32)
+    return {
+        "width": (h % 512) + 16 if modality == "image" else 0,
+        "height": ((h >> 9) % 512) + 16 if modality == "image" else 0,
+        "duration_ms": (n * 7) % 600_000 if modality in ("audio", "video") else 0,
+        "feature_hash": f"{h:08x}",
+    }
+
+
+def decode_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Arrow-batched decode via mapInPandas.
+
+    Batch shape is the scale knob: payloads can be MBs each, so the
+    iterator re-chunks to ``batch_rows`` to bound executor memory —
+    the pattern a real image decode needs at 100 TB.
+    """
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                meta = [
+                    _decode_stub(p if p is not None else b"", m)
+                    for p, m in zip(chunk["payload"], chunk["modality"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"].values,
+                        "modality": chunk["modality"].values,
+                        "byte_len": chunk["byte_len"].values,
+                        "width": [m["width"] for m in meta],
+                        "height": [m["height"] for m in meta],
+                        "duration_ms": [m["duration_ms"] for m in meta],
+                        "feature_hash": [m["feature_hash"] for m in meta],
+                    }
+                )
+
+    return assets.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode all assets (stub backend), ordered for determinism."""
+    return decode_assets(synthesize_assets(spark, sf_dir)).orderBy("asset_id")
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, every_ms: int = 40_000) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame index.
+
+    explode(sequence(...)) — the real decoder would seek to
+    frame_ms; the Spark-side fan-out (row-per-frame with bounded
+    partition width) is the part that must scale.
+    """
+    decoded = decode_assets(synthesize_assets(spark, sf_dir))
+    videos = decoded.filter(F.col("modality") == "video")
+    frames = videos.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor(F.col("duration_ms") / every_ms).cast("int"))
+        ).alias("frame_idx"),
+        "feature_hash",
+    ).withColumn("frame_ms", F.col("frame_idx") * every_ms)
+    return frames.orderBy("asset_id", "frame_idx")

