@@ -541,3 +541,102 @@ JOIN (VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
 GROUP BY band
 ORDER BY band
 """
+
+
+# ------------------------------------------------ grouping sets (SQL)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (rollup/cube's general
+    form): totals by status, by priority, and grand total in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY orderstatus, orderpriority
+"""
+
+
+# ------------------------------------------- exact moment statistics
+def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance per group from exact decimal moments.
+
+    stddev/variance built-ins accumulate doubles in partition order →
+    not reproducible across engines. Sum and sum-of-squares in
+    DECIMAL are exact; the final mean/variance division happens once
+    in double on identical inputs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_dec = _dec(F.col("l_quantity"))
+    qty_sq = _dec(F.col("l_quantity") * F.col("l_quantity"), scale=6)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qty_dec).cast("double").alias("qty_sum"),
+            F.sum(qty_sq).cast("double").alias("qty_sumsq"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "qty_sum",
+            "qty_sumsq",
+            F.round(F.col("qty_sum") / F.col("n"), 6).alias("qty_mean"),
+            F.round(
+                F.col("qty_sumsq") / F.col("n")
+                - (F.col("qty_sum") / F.col("n")) * (F.col("qty_sum") / F.col("n")),
+                6,
+            ).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATS_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty_sum,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty_sumsq
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, qty_sum, qty_sumsq,
+       ROUND(qty_sum / n, 6) AS qty_mean,
+       ROUND(qty_sumsq / n - (qty_sum / n) * (qty_sum / n), 6) AS qty_var
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+# ------------------------------------------------ approximate aggs
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct + quantile sketch per priority.
+
+    Approximate by design → no cross-engine oracle (rows-only check);
+    the exact counterparts (agg_distinct, agg_stats) are oracled.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+                "price_quantiles"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -116,6 +116,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_distinct": (relational.agg_distinct_counts, relational.AGG_DISTINCT_SQL),
     "agg_rollup": (relational.agg_rollup_lineitem, relational.AGG_ROLLUP_SQL),
     "agg_cube": (relational.agg_cube_orders, relational.AGG_CUBE_SQL),
+    "agg_grouping_sets": (relational.grouping_sets_orders, relational.GROUPING_SETS_SQL),
+    "agg_stats": (relational.agg_stats_lineitem, relational.AGG_STATS_SQL),
+    "agg_approx": (relational.agg_approx_sketches, None),
     "window_running_total": (relational.window_running_total, relational.WINDOW_RUNNING_SQL),
     "window_topk": (relational.window_topk_orders_per_customer, relational.WINDOW_TOPK_SQL),
     "window_lag_gap": (relational.window_lag_order_gap, relational.WINDOW_LAG_SQL),
@@ -154,9 +157,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
     from cgtcalc_data_transformer_spark.streaming import events as sev
 
+    from cgtcalc_data_transformer_spark.streaming import stateful as sst
+
     return {
         "streaming_tumbling": (sev.streaming_tumbling, None),
         "streaming_session": (sev.streaming_session, None),
+        "streaming_stateful": (sst.streaming_stateful_totals, None),
     }
 
 

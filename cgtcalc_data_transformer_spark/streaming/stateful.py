@@ -1,0 +1,117 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Per-user running aggregates that survive across micro-batches — the
+arbitrary-state shape (GroupState) that windowed aggs can't express:
+state = (event count, value sum, last seen ts); emits one update row
+per user per batch.
+
+Timeout semantics: for an unbounded production stream pass
+``timeout="ProcessingTimeTimeout"`` and a positive ``evict_after_ms``
+so idle users' state is evicted. For bounded local runs the default is
+``NoTimeout`` — with a processing-time timeout the engine keeps
+scheduling micro-batches to fire timers, so ``processAllAvailable()``
+on a finite input never reaches a quiescent state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("val", DoubleType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def _make_update_fn(evict_after_ms: int):
+    def _update_user_state(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cnt, val, last_ts = state.get
+        else:
+            cnt, val, last_ts = 0, 0.0, 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+            val += float(pdf["value"].sum())
+            if len(pdf):
+                last_ts = max(last_ts, int(pdf["ts"].max()))
+        state.update((cnt, val, last_ts))
+        if evict_after_ms > 0:
+            state.setTimeoutDuration(evict_after_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "total_events": [cnt],
+                "total_value": [round(val, 6)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return _update_user_state
+
+
+def running_user_totals(
+    events_stream: DataFrame,
+    timeout: str = GroupStateTimeout.NoTimeout,
+    evict_after_ms: int = 0,
+) -> DataFrame:
+    """events stream (with int64 nano ``ts``) → per-user running totals."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(evict_after_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
+    """Driver-facing: run the stateful query over the bounded events
+    stream, return the final per-user totals (last update per user)."""
+    from pyspark.sql import Window, functions as F
+
+    from cgtcalc_data_transformer_spark.streaming.events import (
+        _event_stream,
+        run_stream_to_batch,
+    )
+
+    stream = _event_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    out = run_stream_to_batch(
+        running_user_totals(stream), "stateful_out", output_mode="update"
+    )
+    # updates accumulate per micro-batch; keep each user's final state
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "total_events", "total_value", "last_ts")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,48 @@
+"""Streaming semantics vs their batch counterparts on bounded input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cgtcalc_data_transformer_spark.operators import events as batch_events
+from cgtcalc_data_transformer_spark.sources.tpch import load_events
+from cgtcalc_data_transformer_spark.streaming import events as sev
+from cgtcalc_data_transformer_spark.streaming.stateful import streaming_stateful_totals
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_tumbling_subset_of_batch(spark):
+    stream_rows = {
+        (r.window_start_epoch, r.event_type, r.event_cnt)
+        for r in sev.streaming_tumbling(spark, SF).collect()
+    }
+    batch_rows = {
+        (r.window_start_epoch, r.event_type, r.event_cnt)
+        for r in batch_events.events_tumbling_hourly(spark, SF).collect()
+    }
+    # append mode + watermark: only closed windows are emitted, and
+    # every emitted window must match the batch result exactly
+    assert stream_rows <= batch_rows
+    assert len(stream_rows) >= len(batch_rows) - 50  # only the tail stays open
+
+
+def test_streaming_stateful_matches_batch_totals(spark):
+    got = {
+        r.user_id: (r.total_events, r.total_value)
+        for r in streaming_stateful_totals(spark, SF).collect()
+    }
+    want = {
+        r.user_id: (r.cnt, r.val)
+        for r in load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias("val"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (cnt, _val) in want.items():
+        assert got[uid][0] == cnt
+        assert abs(got[uid][1] - _val) < 1e-6
