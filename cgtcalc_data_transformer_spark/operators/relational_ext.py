@@ -1,0 +1,229 @@
+"""Second wave of relational operators: reshaping, advanced window
+frames, skew-aware joins, and subquery patterns.
+
+The reference has none of these (SURVEY.md §2.2 — it has no joins or
+aggregations at all); they round out the engine's relational surface
+so a warehouse-style workload ports cleanly. Scale notes per operator
+in the docstrings; every result is deterministic and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+
+def _dec(col, prec: int = 28, scale: int = 6):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# ------------------------------------------------------------ unpivot
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): per-priority status counts as rows.
+
+    ``DataFrame.unpivot`` is a zero-shuffle Expand node — the wide
+    aggregate (one shuffle) is the only exchange in the plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("F"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("O"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("P"),
+        )
+    )
+    return (
+        wide.unpivot("o_orderpriority", ["F", "O", "P"], "status", "cnt")
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, cnt FROM (
+  SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'O' AS status, o_cnt AS cnt FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'P' AS status, p_cnt AS cnt FROM wide
+)
+ORDER BY o_orderpriority, status
+"""
+
+
+# ------------------------------------------------- range-frame window
+def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, order value accumulated over the
+    trailing 30 days (inclusive), ordered by day.
+
+    RANGE (value-based) frames differ from ROWS frames when several
+    orders share a day — all same-day rows enter the frame together.
+    The frame key is epoch-days (integer) so both engines evaluate an
+    identical numeric RANGE; one shuffle, partitioned by customer.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            day.alias("order_day"),
+            F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("trailing_30d_value"),
+        )
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_value
+FROM orders
+ORDER BY o_custkey, order_day, o_orderkey
+"""
+
+
+# -------------------------------------------- distribution window fns
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank + cume_dist per priority, deterministic
+    tiebreak on orderkey so ranks are engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+# ---------------------------------------------------- salted skew join
+SALT_BUCKETS = 8
+
+
+def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: per-orderstatus lineitem revenue.
+
+    The salting pattern for a hot-key fact⋈fact join: the big side
+    gets a salt derived from a non-join column (here l_linenumber, so
+    one order's rows spread over SALT_BUCKETS reducers), the smaller
+    side is replicated SALT_BUCKETS× via explode, and the join key
+    becomes (key, salt). Deterministic salt keeps the result
+    oracle-checkable; production salting with rand() has the same
+    plan shape. AQE's skew-join split handles moderate skew without
+    this; explicit salting is for the pathological keys AQE can't
+    split (a single key bigger than an executor).
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    orders_rep = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i).cast("int") for i in range(SALT_BUCKETS)])),
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders_rep,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == orders_rep["salt"]),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT o_orderstatus, COUNT(*) AS line_cnt,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------- correlated scalar subquery
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with balance above their nation's average.
+
+    The correlated scalar subquery decorrelates to agg + equi-join;
+    we declare that shape directly (nation aggregate is 25 rows →
+    broadcast, zero shuffle on the customer side). The average is
+    computed as exact-decimal sum / count in both engines so the
+    comparison boundary is bit-identical.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias(
+                "nation_avg"
+            )
+        )
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round("nation_avg", 6).alias("nation_avg"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SUBQUERY_SCALAR_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ROUND(nation_avg, 6) AS nation_avg
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+  FROM customer c
+)
+WHERE c_acctbal > nation_avg
+ORDER BY c_custkey
+"""

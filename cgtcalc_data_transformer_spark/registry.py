@@ -25,6 +25,7 @@ from cgtcalc_data_transformer_spark.operators import (
     ii,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     textops,
 )
@@ -126,7 +127,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "setop_intersect": (relational.setop_intersect_customers, relational.SETOP_INTERSECT_SQL),
     "setop_except": (relational.setop_except_parts, relational.SETOP_EXCEPT_SQL),
     "pivot_status": (relational.pivot_order_status_by_priority, relational.PIVOT_SQL),
+    "unpivot_status": (relational_ext.unpivot_status_counts, relational_ext.UNPIVOT_SQL),
     "range_join_bands": (relational.range_join_price_bands, relational.RANGE_JOIN_SQL),
+    "window_range_frame": (relational_ext.window_range_30d, relational_ext.WINDOW_RANGE_SQL),
+    "window_ntile": (relational_ext.window_ntile_quartiles, relational_ext.WINDOW_NTILE_SQL),
+    "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
+    "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
     # dedup
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
