@@ -109,6 +109,96 @@ def _table_bucket_expr(v: Column, table_planes: list[list[float]]) -> Column:
     return bucket
 
 
+IVF_NLIST = 16         # inverted lists (coarse cells)
+IVF_NPROBE = 4         # cells probed per query
+IVF_SEED = 7
+
+
+def _ivf_centroids(dim: int = 64) -> list[list[float]]:
+    """NLIST × dim deterministic coarse centroids.
+
+    Random directions (seeded) instead of trained k-means: assignment
+    balance on isotropic data is equivalent, everything stays a plan
+    literal, and the oracle-facing pipeline has no fit step. On real
+    clustered data you'd swap in `pyspark.ml.clustering.KMeans`
+    centers — only this list changes, the plan shape doesn't.
+    """
+    rng = np.random.default_rng(IVF_SEED)
+    return rng.standard_normal((IVF_NLIST, dim)).round(6).tolist()
+
+
+def _centroid_scores(v: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<c: double, i: int>> of cosine-vs-centroid, ascending
+    sortable (struct compares field-by-field)."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    dot_expr(v, F.array(*[F.lit(x) for x in c]))
+                    / F.sqrt(F.lit(sum(x * x for x in c)))
+                ).alias("c"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF: coarse-quantize every vector to its
+    nearest of NLIST centroid cells; each query probes its NPROBE
+    nearest cells and scores only those cells' vectors.
+
+    The scale shape of FAISS-style IVF on Spark: cell assignment is a
+    pure per-row expression (no shuffle), the probe⋈cell match is an
+    equality join on the cell id, and ~NPROBE/NLIST of the corpus is
+    scored per query. The inverted "lists" are just a partitioning of
+    the candidate side — at 100 TB you'd write the corpus partitioned
+    by cell so probes prune at the scan.
+    """
+    centroids = _ivf_centroids()
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    scores = _centroid_scores(F.col("v"), centroids)
+    # nearest cell = last element after ascending struct sort
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        F.element_at(F.array_sort(scores), -1)["i"].alias("cell"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.slice(F.reverse(F.array_sort(scores)), 1, IVF_NPROBE).alias("probes"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.transform("probes", lambda s: s["i"])).alias("cell"),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: multi-table random-hyperplane LSH
     (L=8 tables × k=4 bits, seed 42).

@@ -142,6 +142,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # similarity
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "ann_lsh": (similarity.ann_lsh, None),
+    "ann_ivf": (similarity.ann_ivf, None),
     # text analysis
     "text_token_stats": (textops.text_token_stats, textops.TEXT_TOKEN_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),

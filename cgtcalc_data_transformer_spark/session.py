@@ -17,6 +17,7 @@ same code runs on local[N] for tests and on a large cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,9 +52,16 @@ def get_spark(
     # Local mode: shuffle partitions ≈ cores. On a real cluster AQE
     # coalesces from a deliberately high initial number instead.
     shuffle_partitions = shuffle_partitions or int(cpus)
+    # warehouse + metastore in a per-process temp dir: bucketed-table
+    # writes (sources/bucketed.py) must not litter the caller's cwd
+    wh = os.path.join(tempfile.gettempdir(), f"spark_wh_{os.getpid()}")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.sql.warehouse.dir", wh)
+        .config(
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={wh}"
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,83 @@
+"""Bucketed-table write + co-located joins (the zero-shuffle path).
+
+At 100 TB the dominant cost of a fact⋈fact join (orders⋈lineitem) is
+shuffling both sides on the key. Bucketing pays that shuffle ONCE at
+write time: both tables hash-partitioned into the same number of
+buckets on the join key, optionally sorted within buckets. Every
+subsequent join or aggregation on that key is exchange-free — the
+planner sees matching ``HashPartitioning`` output from the scans and
+elides both Exchanges (and, with sorted buckets, both Sorts).
+
+The reference has no table concept at all (one flat ``data.txt``,
+`/root/reference/index.js:109-122`); this is pure engine extension.
+
+Bucketed writes need a table catalog (``saveAsTable``); sessions
+created by :func:`cgtcalc_data_transformer_spark.session.get_spark`
+point the warehouse + Derby metastore at a per-process temp dir so
+nothing leaks into the caller's cwd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and bucket-sorted)
+    by ``key``. One full shuffle now; zero shuffles for every future
+    join/agg on ``key``."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def cobucket_orders_lineitem(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> tuple[str, str]:
+    """Bucket orders and lineitem by order key into ``buckets`` buckets
+    each; returns the two table names."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_b", "o_orderkey", buckets
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(li, "lineitem_b", "o_orderkey", buckets)
+    return "orders_b", "lineitem_b"
+
+
+def bucketed_join_revenue(spark: SparkSession) -> DataFrame:
+    """orders_b⋈lineitem_b on the bucket key → per-status revenue.
+
+    With co-bucketed inputs the plan is Scan→Sort?→SortMergeJoin with
+    NO Exchange on either side; the groupBy keys include the bucket
+    key's partitioning lineage so the aggregation shuffle is the only
+    exchange (and it moves |groups| rows, not |lineitem|).
+    """
+    from pyspark.sql import functions as F
+
+    orders = spark.table("orders_b").select("o_orderkey", "o_orderstatus")
+    li = spark.table("lineitem_b").select(
+        "o_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,6)")
+        .alias("rev"),
+    )
+    # merge hint: at 100 TB neither side broadcasts; pinning SMJ here
+    # keeps the exchange-free bucketed plan observable at test scale
+    # (otherwise the tiny side broadcasts and the demo is vacuous)
+    return (
+        li.join(orders.hint("merge"), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy("o_orderstatus")
+    )

@@ -89,6 +89,26 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert len(exact & approx) >= len(exact) // 2
 
 
+def test_ann_ivf_shape_and_recall(spark):
+    rows = similarity.ann_ivf(spark, SF).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= similarity.TOP_K
+        cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.knn_bruteforce(spark, SF).collect()
+        if r.rank == 1
+    }
+    approx = {(r.query_id, r.cand_id) for r in rows}
+    # 4/16 cells probed on random data → recall is probabilistic; the
+    # rank-1 neighbor of at least some queries must surface
+    assert len(exact & approx) >= 1
+
+
 def test_langid_beats_chance(spark):
     df = textops.text_langid(spark, SF)
     stats = df.select(
