@@ -136,6 +136,77 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(synthesize_assets(spark, sf_dir)).orderBy("asset_id")
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, width int, height int, "
+    "target_w int, target_h int, payload binary, resize_note string"
+)
+
+
+def resize_images(
+    decoded_assets: DataFrame,
+    assets: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Image resize plumbing over mapInPandas.
+
+    Spark-side contract is real: binary payload in, binary payload
+    out, Arrow batches, output dims pinned to (target_w, target_h).
+    The pixel transform itself is a STUB — this container has no
+    imaging library; a real deployment replaces ``_resize_stub`` with
+    PIL/torchvision and nothing else changes.
+    """
+    images = (
+        decoded_assets.filter(F.col("modality") == "image")
+        .select("asset_id", "width", "height")
+        .join(assets.select("asset_id", "payload"), "asset_id")
+    )
+
+    def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+        # deterministic fake: a real backend decodes, resamples to
+        # (target_w, target_h), re-encodes. We truncate/pad so output
+        # size tracks the target area — keeps batch-memory accounting
+        # honest in tests.
+        want = max(1, (target_w * target_h) // 64)
+        return (payload * (want // max(1, len(payload)) + 1))[:want]
+
+    def _run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "target_w": [target_w] * len(pdf),
+                    "target_h": [target_h] * len(pdf),
+                    "payload": [
+                        _resize_stub(p if p is not None else b"", w, h)
+                        for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+                    ],
+                    "resize_note": ["stub-backend"] * len(pdf),
+                }
+            )
+
+    return images.mapInPandas(_run, schema=RESIZED_SCHEMA)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: decode → resize all image assets to 224×224."""
+    assets = synthesize_assets(spark, sf_dir)
+    out = resize_images(decode_assets(assets), assets)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.octet_length("payload").cast("long").alias("resized_bytes"),
+        "resize_note",
+    ).orderBy("asset_id")
+
+
 def frame_sample(spark: SparkSession, sf_dir: str, every_ms: int = 40_000) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame index.
 
