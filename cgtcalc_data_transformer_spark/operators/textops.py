@@ -170,6 +170,79 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- rolling hash
+# polynomial fingerprint h = Σ tok_hash_i · B^(n-1-i)  (mod P) over the
+# first MAX_FP_TOKENS tokens — order-SENSITIVE (unlike fp_token_bag)
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+MAX_FP_TOKENS = 4096
+
+_POWERS: list[int] = [1] * MAX_FP_TOKENS
+for _i in range(1, MAX_FP_TOKENS):
+    _POWERS[_i] = (_POWERS[_i - 1] * FP_BASE) % FP_MOD
+
+
+def rolling_hash_df(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, rolling_hash).
+
+    Stays in whole-stage codegen: posexplode the (capped) token array,
+    per-row term = tok_hash · B^(n-1-pos) mod P with the power table
+    as a plan literal, then one groupBy-sum per doc — the classic
+    "rolling hash as a distributed aggregation" shape. An F.aggregate
+    fold would be the natural spelling but HOF lambdas are interpreted
+    per element (≈40 µs each — minutes at sf0.1); this plan is pure
+    codegen + one doc_id shuffle.
+    """
+    capped = F.slice(tokens_col(F.col("text")), 1, MAX_FP_TOKENS)
+    exploded = docs.select(
+        "doc_id",
+        F.size(capped).alias("n"),
+        F.posexplode_outer(capped).alias("pos", "tok"),
+    )
+    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    pow_arr = F.array(*[F.lit(p).cast("long") for p in _POWERS])
+    term = F.pmod(tok_hash, F.lit(FP_MOD)) * F.element_at(
+        pow_arr, (F.col("n") - F.col("pos")).cast("int")
+    ) % F.lit(FP_MOD)
+    return exploded.groupBy("doc_id").agg(
+        F.coalesce(F.pmod(F.sum(term), F.lit(FP_MOD)), F.lit(0)).alias("rolling_hash")
+    )
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial (Rabin-Karp-style) document hash."""
+    return rolling_hash_df(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TEXT_ROLLING_SQL = rf"""
+WITH RECURSIVE pows AS (
+  SELECT 0 AS k, 1::BIGINT AS p
+  UNION ALL
+  SELECT k + 1, (p * {FP_BASE}) % {FP_MOD} FROM pows WHERE k < {MAX_FP_TOKENS - 1}
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '')[1:{MAX_FP_TOKENS}] AS t
+  FROM documents
+), exploded AS (
+  SELECT doc_id, len(t) AS n, unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) AS pos
+  FROM toks
+), terms AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT % {FP_MOD})
+           * pows.p) % {FP_MOD} AS term
+  FROM exploded JOIN pows ON pows.k = n - pos
+)
+SELECT d.doc_id,
+       COALESCE(s.h, 0) AS rolling_hash
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(term) % {FP_MOD} AS h FROM terms GROUP BY doc_id) s
+  ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ----------------------------------------------------- fingerprinting
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two md5 fingerprints: normalized text, and the sorted distinct

@@ -148,6 +148,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
     "text_langid": (textops.text_langid, textops.TEXT_LANGID_SQL),
     "text_fingerprint": (textops.text_fingerprint, textops.TEXT_FINGERPRINT_SQL),
+    "text_rolling_hash": (textops.text_rolling_hash, textops.TEXT_ROLLING_SQL),
     # events (batch semantics)
     "events_tumbling": (events.events_tumbling_hourly, events.EVENTS_TUMBLING_SQL),
     "events_sliding": (events.events_sliding_hourly, events.EVENTS_SLIDING_SQL),
@@ -169,6 +170,7 @@ def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     return {
         "streaming_tumbling": (sev.streaming_tumbling, None),
+        "streaming_sliding": (sev.streaming_sliding, None),
         "streaming_session": (sev.streaming_session, None),
         "streaming_stateful": (sst.streaming_stateful_totals, None),
     }

@@ -76,34 +76,21 @@ def read_preamble_csv(
 ) -> DataFrame:
     """Fixed-column CSV skipping a per-file preamble (Fidelity shape).
 
-    Reads each file as lines, numbers them per file inside the task
-    (no driver materialization, no shuffle), drops the first
-    ``skip_lines``, then splits positionally. Repeated header lines
-    inside the body are tolerated downstream (the parser's whitelist
-    filter drops them, matching the golden case at
-    `/root/reference/__tests__/data/fidelity.json:17-22`).
+    ``wholetext`` read (one row per file, parallel across files) →
+    split to lines with per-file positions via ``posexplode`` — line
+    numbers are correct by construction no matter how the scan is
+    partitioned (a plain line read + per-task counter miscounts when
+    one file spans partitions). The per-file memory bound is the file
+    size; broker exports are MBs, and at scale the corpus is many
+    files, which is exactly the axis this parallelizes over.
+    Repeated header lines inside the body are tolerated downstream
+    (the parser's whitelist filter drops them, matching the golden
+    case at `/root/reference/__tests__/data/fidelity.json:17-22`).
     """
     columns = columns or FIDELITY_COLUMNS
-    lines = spark.read.text(path).select(
-        F.col("value"), F.input_file_name().alias("_file")
-    )
-
-    def _number(iterator):
-        import pandas as pd  # noqa: F401
-
-        counters: dict[str, int] = {}
-        for pdf in iterator:
-            idx = []
-            for f in pdf["_file"]:
-                n = counters.get(f, 0)
-                counters[f] = n + 1
-                idx.append(n)
-            pdf = pdf.assign(_line_no=idx)
-            yield pdf
-
-    numbered = lines.mapInPandas(
-        _number,
-        schema="value string, _file string, _line_no long",
+    files = spark.read.text(path, wholetext=True)
+    numbered = files.select(
+        F.posexplode(F.split(F.col("value"), r"\r?\n")).alias("_line_no", "value")
     )
     body = numbered.filter(
         (F.col("_line_no") >= skip_lines) & (F.trim("value") != "")

@@ -86,6 +86,22 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min, 2-hour watermark — each
+    event lands in 2 overlapping windows (window duration / slide)."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts_ts", "2 hours")
+        .groupBy(F.window("ts_ts", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "event_cnt",
+        )
+    )
+
+
 def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) per user with watermark."""
     ev = _event_stream(spark, sf_dir)
@@ -133,6 +149,14 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_batch(
         tumbling_counts_stream(spark, f"{sf_dir}/events.parquet"),
         "tumbling_out",
+    )
+    return out.orderBy("window_start_epoch", "event_type")
+
+
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_batch(
+        sliding_counts_stream(spark, f"{sf_dir}/events.parquet"),
+        "sliding_out",
     )
     return out.orderBy("window_start_epoch", "event_type")
 

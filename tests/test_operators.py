@@ -109,6 +109,24 @@ def test_ann_ivf_shape_and_recall(spark):
     assert len(exact & approx) >= 1
 
 
+def test_rolling_hash_order_sensitive(spark):
+    """The polynomial hash distinguishes token order; the token-bag
+    fingerprint (by construction) does not. Empty docs hash to 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),
+            (3, "alpha beta gamma"),
+            (4, "..."),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.rolling_hash for r in textops.rolling_hash_df(docs).collect()}
+    assert h[1] == h[3]
+    assert h[1] != h[2]
+    assert h[4] == 0
+
+
 def test_langid_beats_chance(spark):
     df = textops.text_langid(spark, SF)
     stats = df.select(

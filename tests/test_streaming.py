@@ -27,6 +27,19 @@ def test_streaming_tumbling_subset_of_batch(spark):
     assert len(stream_rows) >= len(batch_rows) - 50  # only the tail stays open
 
 
+def test_streaming_sliding_subset_of_batch(spark):
+    stream_rows = {
+        (r.window_start_epoch, r.event_type, r.event_cnt)
+        for r in sev.streaming_sliding(spark, SF).collect()
+    }
+    batch_rows = {
+        (r.window_start_epoch, r.event_type, r.event_cnt)
+        for r in batch_events.events_sliding_hourly(spark, SF).collect()
+    }
+    assert stream_rows <= batch_rows
+    assert len(stream_rows) > 0
+
+
 def test_streaming_stateful_matches_batch_totals(spark):
     got = {
         r.user_id: (r.total_events, r.total_value)
