@@ -183,6 +183,83 @@ ORDER BY o_orderstatus
 """
 
 
+# ------------------------------------------------------------ TPC-H Q6
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-scan-agg, zero joins.
+
+    The benchmark's pushdown probe: all three predicates reach the
+    parquet scan (min/max row-group pruning at scale), the agg is a
+    single partial+final sum — the cheapest possible plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))), 0) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------ full outer join
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates (orders placed vs
+    lineitems shipped per day) — unmatched days survive from both
+    sides with explicit null handling."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("orders_placed"))
+    shipped = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("lines_shipped"))
+    return (
+        placed.join(shipped, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("orders_placed", F.lit(0)).alias("orders_placed"),
+            F.coalesce("lines_shipped", F.lit(0)).alias("lines_shipped"),
+        )
+        .orderBy("day")
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(p.day, s.day) AS day,
+       COALESCE(orders_placed, 0) AS orders_placed,
+       COALESCE(lines_shipped, 0) AS lines_shipped
+FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS orders_placed
+      FROM orders GROUP BY 1) p
+FULL OUTER JOIN
+     (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, COUNT(*) AS lines_shipped
+      FROM lineitem GROUP BY 1) s
+  ON p.day = s.day
+ORDER BY day
+"""
+
+
 # --------------------------------------------- correlated scalar subquery
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with balance above their nation's average.

@@ -111,6 +111,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q1_pricing_summary": (relational.q1_pricing_summary, relational.Q1_SQL),
     "q3_shipping_priority": (relational.q3_shipping_priority, relational.Q3_SQL),
     "q5_local_supplier": (relational.q5_local_supplier_volume, relational.Q5_SQL),
+    "q6_forecast_revenue": (relational_ext.q6_forecast_revenue, relational_ext.Q6_SQL),
+    "join_full_outer": (relational_ext.join_full_outer_daily, relational_ext.JOIN_FULL_OUTER_SQL),
     "join_semi": (relational.join_semi_customers_with_orders, relational.JOIN_SEMI_SQL),
     "join_anti": (relational.join_anti_customers_without_orders, relational.JOIN_ANTI_SQL),
     "join_broadcast_geo": (relational.join_broadcast_order_geography, relational.JOIN_BROADCAST_SQL),
