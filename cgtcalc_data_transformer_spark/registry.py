@@ -22,6 +22,7 @@ from cgtcalc_data_transformer_spark.operators import (
     events,
     fidelity,
     freetrade,
+    grouped_pandas,
     ii,
     multimodal,
     relational,
@@ -135,6 +136,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_ntile": (relational_ext.window_ntile_quartiles, relational_ext.WINDOW_NTILE_SQL),
     "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
     "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
+    "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
     # dedup
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),

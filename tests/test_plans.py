@@ -30,6 +30,16 @@ def test_q1_column_pruning(spark):
     assert "l_quantity" in cols
 
 
+def test_q6_all_predicates_pushed(spark):
+    from cgtcalc_data_transformer_spark.operators import relational_ext
+
+    df = relational_ext.q6_forecast_revenue(spark, SF)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filters(df, frag), frag
+    cols = scan_read_schema(df, "lineitem")
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
 def test_q3_broadcasts_customer(spark):
     assert has_broadcast_join(relational.q3_shipping_priority(spark, SF))
 

@@ -75,6 +75,26 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_grouped_zscore_moments(spark):
+    """Per-group z-scores have ~0 mean and ~1 std within each segment."""
+    from cgtcalc_data_transformer_spark.operators.grouped_pandas import grouped_zscore
+
+    df = grouped_zscore(spark, SF)
+    stats = (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.avg("zscore").alias("m"),
+            F.stddev_pop("zscore").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.m) < 1e-4
+        if r.n > 1:
+            assert abs(r.s - 1.0) < 1e-3
+
+
 def test_subquery_scalar_strictly_above_avg(spark):
     df = relational_ext.subquery_above_nation_avg(spark, SF)
     assert df.filter(F.col("c_acctbal") <= F.col("nation_avg")).count() == 0
