@@ -168,15 +168,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 
 def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
-    from cgtcalc_data_transformer_spark.streaming import events as sev
-
-    from cgtcalc_data_transformer_spark.streaming import stateful as sst
+    from cgtcalc_data_transformer_spark.streaming import (
+        events as sev,
+        joins as sjoin,
+        stateful as sst,
+    )
 
     return {
         "streaming_tumbling": (sev.streaming_tumbling, None),
         "streaming_sliding": (sev.streaming_sliding, None),
         "streaming_session": (sev.streaming_session, None),
         "streaming_stateful": (sst.streaming_stateful_totals, None),
+        "streaming_join": (sjoin.streaming_click_attribution, None),
+        "events_attribution": (sjoin.attribution_batch, sjoin.ATTRIBUTION_SQL),
     }
 
 

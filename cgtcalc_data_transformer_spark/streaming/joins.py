@@ -1,0 +1,94 @@
+"""Stream-stream join: click→purchase attribution within a time bound.
+
+The canonical Structured Streaming interval join: both sides
+watermarked, the join condition carries an event-time range so the
+engine can bound state retention on both sides (without the interval,
+state grows forever). Semantics are defined by the batch twin
+(``attribution_batch``) which the tests compare against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def _typed(stream: DataFrame, etype: str, prefix: str) -> DataFrame:
+    return (
+        stream.filter(F.col("event_type") == etype)
+        .select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts_ts").alias(f"{prefix}_ts"),
+        )
+        .withWatermark(f"{prefix}_ts", "2 hours")
+    )
+
+
+def click_purchase_join(events_stream: DataFrame) -> DataFrame:
+    """clicks ⋈ purchases of the same user with
+    click_ts ≤ purchase_ts ≤ click_ts + 1 h.
+
+    Both inputs watermarked 2 h → the engine evicts click state once
+    no qualifying purchase can still arrive (watermark past
+    click_ts + 1 h) and vice versa — bounded state at any scale.
+    """
+    clicks = _typed(events_stream, "click", "click")
+    purchases = _typed(events_stream, "purchase", "purchase")
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: run the stream-stream join over the bounded
+    events stream and return the attributed pairs."""
+    from cgtcalc_data_transformer_spark.streaming.events import (
+        _event_stream,
+        run_stream_to_batch,
+    )
+
+    stream = _event_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_batch(
+        click_purchase_join(stream), "attribution_out", output_mode="append"
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
+def attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: the SAME join code over the batch events table
+    (withWatermark is a no-op on batch input), so streaming and batch
+    results are comparable row-for-row."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    ev = load_events(spark, sf_dir)
+    return click_purchase_join(ev).orderBy("click_id", "purchase_id")
+
+
+# timestamps compared at Spark's native microsecond resolution
+# (ts_ts = timestamp_micros(ts div 1000)); epochs are floor-seconds
+ATTRIBUTION_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, purchase_id, c.user_id AS user_id,
+       c_us // 1000000 AS click_epoch,
+       p_us // 1000000 AS purchase_epoch
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p_us >= c_us AND p_us <= c_us + 3600000000
+ORDER BY click_id, purchase_id
+"""

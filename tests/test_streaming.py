@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from cgtcalc_data_transformer_spark.operators import events as batch_events
 from cgtcalc_data_transformer_spark.sources.tpch import load_events
-from cgtcalc_data_transformer_spark.streaming import events as sev
+from cgtcalc_data_transformer_spark.streaming import events as sev, joins as sjoin
 from cgtcalc_data_transformer_spark.streaming.stateful import streaming_stateful_totals
 
 SF = "/root/testdata/sf0.001"
@@ -38,6 +38,17 @@ def test_streaming_sliding_subset_of_batch(spark):
     }
     assert stream_rows <= batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Inner interval join on bounded input: streaming result equals
+    the batch twin exactly (inner joins emit only definite matches, and
+    processAllAvailable drains every pair within the interval bound)."""
+    key = lambda r: (r.click_id, r.purchase_id, r.user_id, r.click_epoch, r.purchase_epoch)
+    stream_rows = {key(r) for r in sjoin.streaming_click_attribution(spark, SF).collect()}
+    batch_rows = {key(r) for r in sjoin.attribution_batch(spark, SF).collect()}
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 0
 
 
 def test_streaming_stateful_matches_batch_totals(spark):
