@@ -179,6 +179,7 @@ def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
         "streaming_sliding": (sev.streaming_sliding, None),
         "streaming_session": (sev.streaming_session, None),
         "streaming_stateful": (sst.streaming_stateful_totals, None),
+        "streaming_dedup": (sev.streaming_dedup, None),
         "streaming_join": (sjoin.streaming_click_attribution, None),
         "events_attribution": (sjoin.attribution_batch, sjoin.ATTRIBUTION_SQL),
     }

@@ -169,6 +169,47 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("session_start_epoch", "user_id")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the
+    event id, demonstrated against a deliberately doubled source (the
+    same parquet staged twice → every event arrives in two different
+    micro-batches; the second arrival is inside the 2-hour watermark
+    and must be suppressed).
+
+    State holds one key per event inside the watermark horizon and is
+    evicted as the watermark advances — bounded memory at any rate,
+    which plain dropDuplicates (keep-all-keys-forever) is not.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    d = tempfile.mkdtemp(prefix="events_dup_")
+    for name in ("copy1.parquet", "copy2.parquet"):
+        dst = os.path.join(d, name)
+        try:
+            os.symlink(os.path.abspath(src), dst)
+        except OSError:
+            shutil.copy(src, dst)
+
+    deduped = (
+        _event_stream(spark, d)
+        .withWatermark("ts_ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    out = run_stream_to_batch(deduped, "dedup_stream_out")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def dedup_sink_foreachbatch(
     stream_df: DataFrame, out_path: str, checkpoint: str
 ) -> "object":

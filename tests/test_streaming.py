@@ -40,6 +40,25 @@ def test_streaming_sliding_subset_of_batch(spark):
     assert len(stream_rows) > 0
 
 
+def test_streaming_dedup_suppresses_double_delivery(spark):
+    """Same file staged twice → every event arrives twice; the
+    watermarked dedup must keep each event exactly once."""
+    got = {
+        r.event_type: (r.n_rows, r.n_distinct)
+        for r in sev.streaming_dedup(spark, SF).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_events(spark, SF)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for etype, n in want.items():
+        assert got[etype] == (n, n)
+
+
 def test_stream_stream_join_matches_batch(spark):
     """Inner interval join on bounded input: streaming result equals
     the batch twin exactly (inner joins emit only definite matches, and
