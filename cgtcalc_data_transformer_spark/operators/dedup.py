@@ -320,6 +320,87 @@ ORDER BY doc_a, doc_b
 )
 
 
+# --------------------------------------------- dedup cluster resolution
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_a, doc_b) undirected pairs → (doc_id, cluster_id) where
+    cluster_id = min doc_id of the connected component.
+
+    Iterative min-label propagation (the GraphX/large-star shape as
+    plain DataFrame ops): each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(diameter)
+    rounds. The driver loop checks a scalar convergence count per
+    round — the standard pattern for iterative algorithms on Spark
+    (the data never visits the driver). Near-dup components are tiny,
+    so this converges in 2-3 rounds at any corpus size.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash-LSH pairs (jaccard ≥ 0.5)
+    → connected components → one representative (min doc_id) per
+    cluster; singletons keep themselves.
+
+    Iterative (driver-looped label propagation) → genuinely non-SQL-
+    expressible, rows-only driver check; invariants are pinned in
+    tests against the exact-Jaccard pair set instead.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_representative", (F.col("doc_id") == F.col("cluster_id")))
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------ SimHash
 def simhash_col(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash from md5 nibbles of each distinct token.

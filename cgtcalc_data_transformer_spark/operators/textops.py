@@ -170,6 +170,79 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ tf-idf
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Classic two-aggregate shape: term counts per doc (one shuffle on
+    (doc, term)) ⋈ document frequency per term (shuffle on term,
+    broadcast back — |vocab| rows) ⋈ doc sizes; idf = ln(N/df) in
+    double on identical inputs. Ranking window partitions by doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: one cheap count, folded as literal
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    term_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    doc_freq = (
+        term_counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        term_counts.join(doc_sizes, "doc_id")
+        .join(F.broadcast(doc_freq), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("cnt") / F.col("total"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+           x -> x <> '')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS total FROM toks GROUP BY doc_id
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+  SELECT tc.doc_id, tc.tok,
+         ROUND((tc.cnt / sizes.total) * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tc JOIN sizes USING (doc_id) JOIN dfreq USING (tok), n
+), ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tfidf, rank FROM ranked
+WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
 # ------------------------------------------------- rolling hash
 # polynomial fingerprint h = Σ tok_hash_i · B^(n-1-i)  (mod P) over the
 # first MAX_FP_TOKENS tokens — order-SENSITIVE (unlike fp_token_bag)

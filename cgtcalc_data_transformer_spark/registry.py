@@ -142,6 +142,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup.dedup_simhash, None),
+    "dedup_clusters": (dedup.dedup_clusters, None),
     "dedup_embedding_cosine": (dedup.dedup_embedding_cosine, dedup.DEDUP_EMBEDDING_SQL),
     # similarity
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
@@ -153,6 +154,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_langid": (textops.text_langid, textops.TEXT_LANGID_SQL),
     "text_fingerprint": (textops.text_fingerprint, textops.TEXT_FINGERPRINT_SQL),
     "text_rolling_hash": (textops.text_rolling_hash, textops.TEXT_ROLLING_SQL),
+    "text_tfidf": (textops.text_tfidf_top_terms, textops.TEXT_TFIDF_SQL),
     # events (batch semantics)
     "events_tumbling": (events.events_tumbling_hourly, events.EVENTS_TUMBLING_SQL),
     "events_sliding": (events.events_sliding_hourly, events.EVENTS_SLIDING_SQL),

@@ -53,6 +53,39 @@ def test_minhash_candidates_cover_high_jaccard(spark):
     assert exact <= lsh
 
 
+def test_connected_components_basic(spark):
+    """Two chains and a singleton: labels converge to component minima."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every ≥-threshold pair ends up in one cluster; representatives
+    are the cluster minima; every doc is assigned exactly once."""
+    rows = dedup.dedup_clusters(spark, SF).collect()
+    label = {r.doc_id: r.cluster_id for r in rows}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    pairs = (
+        dedup.dedup_minhash_lsh(spark, SF)
+        .filter(F.col("jaccard") >= dedup.JACCARD_THRESHOLD)
+        .collect()
+    )
+    for p in pairs:
+        assert label[p.doc_a] == label[p.doc_b]
+    # representative = min member of its cluster
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+
+
 def test_simhash_identical_texts_collide(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words entirely here")],
