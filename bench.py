@@ -24,16 +24,22 @@ HEADLINE: dict[str, str] = {
     "q1_pricing_summary": "collect",
     "q3_shipping_priority": "collect",
     "q5_local_supplier": "collect",
+    "q6_forecast_revenue": "collect",
     "join_broadcast_geo": "collect",
+    "join_salted": "collect",
     "agg_rollup": "collect",
     "window_topk": "count",
+    "window_range_frame": "count",
     "topk_orders": "collect",
     "canonical_orders": "count",
+    "grouped_zscore": "count",
     "dedup_exact": "count",
     "dedup_minhash_lsh": "count",
     "knn_bruteforce": "collect",
+    "ann_ivf": "collect",
     "text_quality": "count",
     "text_fingerprint": "count",
+    "text_tfidf": "count",
     "events_tumbling": "count",
     "events_session": "count",
     "asof_join": "count",
