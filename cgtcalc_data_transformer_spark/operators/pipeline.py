@@ -81,6 +81,22 @@ def merge_sorted(
     )
 
 
+def violations(existing: DataFrame | None, new: DataFrame) -> DataFrame:
+    """Collect-violations debug mode (SURVEY.md §4.3): instead of
+    aborting on the first malformed line like ``merge_sorted``, return
+    EVERY line whose embedded date fails to parse, tagged with its
+    source — run this when a fail-fast job died to see the full
+    damage in one pass instead of fix-rerun-fix."""
+    frames = [new.select("line", F.lit("new").alias("source"))]
+    if existing is not None:
+        frames.insert(0, existing.select("line", F.lit("existing").alias("source")))
+    merged = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+    date_str = F.split(F.col("line"), " ").getItem(1)
+    return merged.filter(date_key_from_ddmmyyyy(date_str).isNull()).select(
+        "source", "line"
+    )
+
+
 def report(df: DataFrame, new_count: int | None = None, sample: int = 5) -> dict:
     """Count + first-N sample, the reference's console summary
     (`/root/reference/index.js:124-130`). One job: limit is a

@@ -55,6 +55,28 @@ def test_topk_does_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_asof_join_is_join_free(spark):
+    """The as-of 'join' is a union + window carry-forward — the plan
+    must contain no join operator at all (one shuffle on the key)."""
+    from cgtcalc_data_transformer_spark.operators import events
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    plan = formatted_plan(events.asof_join_latest_order(spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH banding must keep candidate generation an equality join —
+    never a cartesian/nested-loop product."""
+    from cgtcalc_data_transformer_spark.operators import dedup
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    plan = formatted_plan(dedup.dedup_minhash_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pivot_single_scan(spark):
     import re
 

@@ -65,6 +65,23 @@ def test_fidelity_rejects_zero_amount(spark):
     _collect_error(fidelity.lines(raw))
 
 
+def test_violations_mode_collects_all_bad_lines(spark):
+    """The debug twin reports every malformed line instead of aborting."""
+    from cgtcalc_data_transformer_spark.operators.pipeline import violations
+
+    existing = spark.createDataFrame(
+        [("BUY nope ASSET 1 2 0",), ("BUY 01/01/2024 OK 1 2 0",)], "line string"
+    )
+    new = spark.createDataFrame(
+        [("SELL 32/13/2024 BAD 1 2 0",), ("SELL 02/01/2024 OK 1 2 0",)], "line string"
+    )
+    rows = {(r.source, r.line) for r in violations(existing, new).collect()}
+    assert rows == {
+        ("existing", "BUY nope ASSET 1 2 0"),
+        ("new", "SELL 32/13/2024 BAD 1 2 0"),
+    }
+
+
 def test_merge_rejects_malformed_date_line(spark):
     existing = spark.createDataFrame(
         [("BUY not-a-date ASSET 1 2 0",)], "line string"
