@@ -81,8 +81,12 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + top-10.
 
-    customer is the small side → broadcast; orders⋈lineitem shuffles
-    on orderkey (co-partitioned agg key, one shuffle reused).
+    No explicit broadcast hint on customer: it GROWS with the corpus
+    (unlike region/nation), so pinning broadcast would OOM a 100 TB
+    run. The size-based planner (64 MB threshold + AQE) broadcasts it
+    while it fits and falls back to shuffle join when it doesn't.
+    orders⋈lineitem shuffles on orderkey (co-partitioned agg key, one
+    shuffle reused).
     """
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -96,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
         .select(
@@ -129,7 +133,13 @@ LIMIT 10
 
 # ---------------------------------------------------------------- Q5
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join; all dims broadcast."""
+    """TPC-H Q5 shape: 6-table star join.
+
+    Broadcast hints only on the bounded-cardinality dims (supplier /
+    nation / region); customer grows with the corpus, so its join is
+    left to the size-based planner — broadcast while it fits,
+    shuffle join beyond.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -139,7 +149,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -209,14 +219,18 @@ ORDER BY c_custkey
 
 
 def join_broadcast_order_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dim chain with every dim broadcast: per (region, nation)
-    order counts + value. At 100 TB the orders side never shuffles."""
+    """Fact⋈dim chain: per (region, nation) order counts + value.
+
+    nation/region are bounded → explicit broadcast (the orders side
+    never shuffles for them); customer grows with the corpus, so its
+    join strategy is left to the size-based planner.
+    """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -178,9 +178,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
     Classic two-aggregate shape: term counts per doc (one shuffle on
-    (doc, term)) ⋈ document frequency per term (shuffle on term,
-    broadcast back — |vocab| rows) ⋈ doc sizes; idf = ln(N/df) in
-    double on identical inputs. Ranking window partitions by doc.
+    (doc, term)) ⋈ document frequency per term ⋈ doc sizes; idf =
+    ln(N/df) in double on identical inputs. No broadcast hint on the
+    doc-frequency side: vocabulary grows with the corpus (Heaps' law),
+    so the size-based planner must be free to shuffle-join it at
+    scale. Ranking window partitions by doc.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar: one cheap count, folded as literal
@@ -192,7 +194,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         term_counts.join(doc_sizes, "doc_id")
-        .join(F.broadcast(doc_freq), "tok")
+        .join(doc_freq, "tok")
         .select(
             "doc_id",
             "tok",
