@@ -1,0 +1,146 @@
+"""Deterministic sampling + data profiling.
+
+Training-data pipelines sample constantly; ``df.sample``/``sampleBy``
+use partition-seeded RNG, so results change with the physical split
+layout — useless for reproducible curation at 100 TB. The scale-
+correct pattern is HASH sampling: a row is in the sample iff
+``hash(key) mod N < k``, which is stable across reruns, engines,
+repartitioning, and incremental appends (a row's fate never changes).
+md5 is the portable hash here (same bytes in Spark and DuckDB).
+
+Profiling: the per-column summary every ingestion step should emit
+(nulls / distinct / min / max) as ONE aggregation pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SAMPLE_PCT = 10  # keep 10 of every 100 hash buckets
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5(key) — engine-portable."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of orders, stratified check grouped
+    by priority: per stratum, sampled count and kept-fraction.
+
+    The sample predicate is a pure column expression → pushes into the
+    scan's codegen; no RNG, no driver state, append-stable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    in_sample = hash_bucket(F.col("o_orderkey")) < SAMPLE_PCT
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(in_sample.cast("long")).alias("sampled"),
+            F.round(
+                F.sum(in_sample.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("kept_fraction"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH flagged AS (
+  SELECT o_orderpriority,
+         CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < {SAMPLE_PCT}
+              THEN 1 ELSE 0 END AS in_sample
+  FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS total,
+       SUM(in_sample) AS sampled,
+       ROUND(SUM(in_sample) / COUNT(*), 6) AS kept_fraction
+FROM flagged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of orders: nulls, distinct, min, max
+    per profiled column, unpivoted to one row per column.
+
+    One aggregation (all stats partial-aggregated map-side), then a
+    zero-shuffle unpivot — the shape a 100 TB profiling job needs
+    (never one job per column).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+    def _fmt(c: str, agg) -> Column:
+        # min/max over the NATIVE type (lexicographic string min of a
+        # number is wrong), then an engine-portable string form:
+        # doubles via DECIMAL(18,2) (Spark prints 1e7+ in scientific
+        # notation, DuckDB doesn't — decimal prints plainly in both).
+        v = agg(F.col(c))
+        if c == "o_totalprice":
+            return v.cast("decimal(18,2)").cast("string")
+        return v.cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            _fmt(c, F.min).alias(f"{c}__min"),
+            _fmt(c, F.max).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__nulls").alias("nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_str"),
+                        F.col(f"{c}__max").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*").orderBy("column")
+
+
+PROFILE_SQL = """
+WITH wide AS (
+  SELECT
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+    COUNT(DISTINCT o_orderstatus) AS s_distinct,
+    MIN(o_orderstatus) AS s_min, MAX(o_orderstatus) AS s_max,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+    COUNT(DISTINCT o_orderpriority) AS p_distinct,
+    MIN(o_orderpriority) AS p_min, MAX(o_orderpriority) AS p_max,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+    COUNT(DISTINCT o_custkey) AS c_distinct,
+    MIN(o_custkey)::VARCHAR AS c_min, MAX(o_custkey)::VARCHAR AS c_max,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    COUNT(DISTINCT o_totalprice) AS t_distinct,
+    MIN(o_totalprice)::DECIMAL(18,2)::VARCHAR AS t_min,
+    MAX(o_totalprice)::DECIMAL(18,2)::VARCHAR AS t_max
+  FROM orders
+)
+SELECT 'o_custkey' AS "column", c_nulls AS nulls, c_distinct AS n_distinct,
+       c_min AS min_str, c_max AS max_str FROM wide
+UNION ALL
+SELECT 'o_orderpriority', p_nulls, p_distinct, p_min, p_max FROM wide
+UNION ALL
+SELECT 'o_orderstatus', s_nulls, s_distinct, s_min, s_max FROM wide
+UNION ALL
+SELECT 'o_totalprice', t_nulls, t_distinct, t_min, t_max FROM wide
+ORDER BY "column"
+"""

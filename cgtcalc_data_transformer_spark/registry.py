@@ -27,6 +27,7 @@ from cgtcalc_data_transformer_spark.operators import (
     multimodal,
     relational,
     relational_ext,
+    sampling,
     similarity,
     textops,
 )
@@ -137,6 +138,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
     "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
+    "sample_stratified": (sampling.sample_stratified, sampling.SAMPLE_STRATIFIED_SQL),
+    "profile_orders": (sampling.profile_orders, sampling.PROFILE_SQL),
     # dedup
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
