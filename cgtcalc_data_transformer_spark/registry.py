@@ -32,6 +32,7 @@ from cgtcalc_data_transformer_spark.operators import (
     textops,
 )
 from cgtcalc_data_transformer_spark.operators.pipeline import merge_sorted
+from cgtcalc_data_transformer_spark.sources import bucketed
 from cgtcalc_data_transformer_spark.sources.csv import df_from_csv_string
 from cgtcalc_data_transformer_spark.sources.eml import df_from_email_strings
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
@@ -136,6 +137,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_range_frame": (relational_ext.window_range_30d, relational_ext.WINDOW_RANGE_SQL),
     "window_ntile": (relational_ext.window_ntile_quartiles, relational_ext.WINDOW_NTILE_SQL),
     "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
+    "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
     "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
     "sample_stratified": (sampling.sample_stratified, sampling.SAMPLE_STRATIFIED_SQL),

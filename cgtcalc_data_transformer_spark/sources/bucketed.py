@@ -55,6 +55,24 @@ def cobucket_orders_lineitem(
     return "orders_b", "lineitem_b"
 
 
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: co-bucket orders⋈lineitem, then run the
+    exchange-free revenue join. The bucketed write is the one-time
+    shuffle; the returned plan joins without exchanging either side
+    (asserted in tests/test_bucketed.py)."""
+    cobucket_orders_lineitem(spark, sf_dir)
+    return bucketed_join_revenue(spark)
+
+
+JOIN_BUCKETED_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def bucketed_join_revenue(spark: SparkSession) -> DataFrame:
     """orders_b⋈lineitem_b on the bucket key → per-status revenue.
 
