@@ -30,6 +30,7 @@ from cgtcalc_data_transformer_spark.operators import (
     sampling,
     similarity,
     textops,
+    tpch_more,
 )
 from cgtcalc_data_transformer_spark.operators.pipeline import merge_sorted
 from cgtcalc_data_transformer_spark.sources import bucketed
@@ -115,6 +116,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q3_shipping_priority": (relational.q3_shipping_priority, relational.Q3_SQL),
     "q5_local_supplier": (relational.q5_local_supplier_volume, relational.Q5_SQL),
     "q6_forecast_revenue": (relational_ext.q6_forecast_revenue, relational_ext.Q6_SQL),
+    "q4_order_priority": (tpch_more.q4_order_priority, tpch_more.Q4_SQL),
+    "q10_returned_items": (tpch_more.q10_returned_items, tpch_more.Q10_SQL),
+    "q12_priority_class": (tpch_more.q12_priority_class, tpch_more.Q12_SQL),
+    "q14_promo_revenue": (tpch_more.q14_promo_revenue, tpch_more.Q14_SQL),
+    "q18_large_orders": (tpch_more.q18_large_orders, tpch_more.Q18_SQL),
     "join_full_outer": (relational_ext.join_full_outer_daily, relational_ext.JOIN_FULL_OUTER_SQL),
     "join_semi": (relational.join_semi_customers_with_orders, relational.JOIN_SEMI_SQL),
     "join_anti": (relational.join_anti_customers_without_orders, relational.JOIN_ANTI_SQL),

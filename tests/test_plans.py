@@ -86,3 +86,36 @@ def test_pivot_single_scan(spark):
     # pinned pivot values → one pass over the data (numbered operator
     # entries, not the detail blocks which repeat the text)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_q4_plans_semi_join_with_pushdown(spark):
+    """Q4's EXISTS must become a semi join (no row multiplication) and
+    the quarter filter must reach the orders scan."""
+    from cgtcalc_data_transformer_spark.operators import tpch_more
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    df = tpch_more.q4_order_priority(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_pushed_filters(df, "o_orderdate")
+
+
+def test_q14_single_join_two_sums(spark):
+    """Q14's two conditional sums must share one part join (a single
+    HashAggregate pair, not two scans)."""
+    from cgtcalc_data_transformer_spark.operators import tpch_more
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    import re
+
+    plan = formatted_plan(tpch_more.q14_promo_revenue(spark, SF))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, plan  # lineitem + part, once each
+
+
+def test_q18_broadcasts_filtered_agg(spark):
+    """After the HAVING filter the grouped orderkey set is tiny; the
+    join back to orders must broadcast it, not shuffle orders."""
+    from cgtcalc_data_transformer_spark.operators import tpch_more
+
+    assert has_broadcast_join(tpch_more.q18_large_orders(spark, SF))
