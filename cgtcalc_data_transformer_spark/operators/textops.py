@@ -184,29 +184,32 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the size-based planner must be free to shuffle-join it at
     scale. Ranking window partitions by doc.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar: one cheap count, folded as literal
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     term_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    doc_sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
-    doc_freq = (
-        term_counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # doc total from a window over term_counts, NOT a second groupBy
+    # over raw tokens: the (doc_id, tok) exchange is then byte-identical
+    # in both branches and Catalyst reuses it (ReusedExchange), so the
+    # corpus is tokenized ONCE. The window partition is bounded by a
+    # single document's distinct terms — safe at any corpus scale.
+    w_doc = Window.partitionBy("doc_id")
+    sized = term_counts.withColumn("total", F.sum("cnt").over(w_doc))
+    # document frequency: same reused exchange feeds the vocabulary agg;
+    # the join stays size-based (vocabulary grows with the corpus —
+    # Heaps' law — so no broadcast pin).
+    doc_freq = term_counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = sized.join(doc_freq, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            (F.col("cnt") / F.col("total"))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ).alias("tfidf"),
     )
-    scored = (
-        term_counts.join(doc_sizes, "doc_id")
-        .join(doc_freq, "tok")
-        .select(
-            "doc_id",
-            "tok",
-            F.round(
-                (F.col("cnt") / F.col("total"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
-                6,
-            ).alias("tfidf"),
-        )
-    )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
