@@ -274,7 +274,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_for_pairs(cands, exploded).orderBy("doc_a", "doc_b")
 
 
-DEDUP_MINHASH_SQL = (
+_MINHASH_CTES = (
     _SHINGLES_CTE
     + """
 , nonempty AS (
@@ -309,13 +309,45 @@ DEDUP_MINHASH_SQL = (
     )
     + """
 )
+"""
+)
+
+_JACCARD_SELECT = """
 SELECT doc_a, doc_b,
        ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
              (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
 FROM cands
 JOIN nonempty sa ON sa.doc_id = doc_a
 JOIN nonempty sb ON sb.doc_id = doc_b
-ORDER BY doc_a, doc_b
+"""
+
+DEDUP_MINHASH_SQL = _MINHASH_CTES + _JACCARD_SELECT + "ORDER BY doc_a, doc_b\n"
+
+# Connected components as a recursive transitive closure over the
+# same LSH pair set: reach = edges UNION reach⋈edges; component label
+# = min reachable doc_id. Safe on near-dup graphs (components are
+# small); the Spark side's iterative label propagation scales instead.
+DEDUP_CLUSTERS_SQL = (
+    _MINHASH_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + ", pairs AS (\n  SELECT * FROM ("
+    + _JACCARD_SELECT
+    + f"""  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+), comp AS (
+  SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_representative
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
 """
 )
 
@@ -381,9 +413,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     → connected components → one representative (min doc_id) per
     cluster; singletons keep themselves.
 
-    Iterative (driver-looped label propagation) → genuinely non-SQL-
-    expressible, rows-only driver check; invariants are pinned in
-    tests against the exact-Jaccard pair set instead.
+    Spark side: driver-looped min-label propagation (O(diameter)
+    rounds, each a self-join — scales to big graphs). Oracle side:
+    the same components via a recursive-CTE transitive closure
+    (fine for small near-dup components, quadratic per component).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).filter(
@@ -461,6 +494,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.alias("simhash"),
         F.shiftrightunsigned(sh, 48).alias("bucket16"),
     ).orderBy("doc_id")
+
+
+# Portable nibble arithmetic: the identical ±1/sign-bit computation
+# spelled out in SQL (md5 nibbles via strpos on the hex alphabet).
+DEDUP_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+  FROM documents
+), contrib AS (
+  SELECT doc_id,
+         i * 4 + j AS bit,
+         CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), CAST(i + 1 AS INTEGER), 1)) - 1) >> j) & 1 = 1
+              THEN 1 ELSE -1 END AS c
+  FROM toks
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+), counters AS (
+  SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN
+              CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                   ELSE CAST(1::BIGINT << bit AS HUGEINT) END
+              ELSE 0 END) AS BIGINT) AS simhash,
+         CAST(SUM(CASE WHEN s > 0 AND bit >= 48 THEN (1::BIGINT << (bit - 48)) ELSE 0 END) AS BIGINT) AS bucket16
+  FROM counters GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash, COALESCE(sig.bucket16, 0) AS bucket16
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+ORDER BY d.doc_id
+"""
 
 
 # ------------------------------------------- embedding-cosine near-dup

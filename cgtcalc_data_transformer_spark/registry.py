@@ -152,8 +152,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup.dedup_simhash, None),
-    "dedup_clusters": (dedup.dedup_clusters, None),
+    "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),
+    "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "dedup_embedding_cosine": (dedup.dedup_embedding_cosine, dedup.DEDUP_EMBEDDING_SQL),
     # similarity
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
