@@ -260,3 +260,95 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------- ANN oracles
+# Both ANN variants are deterministic (seeded hyperplanes / centroids,
+# embedded as plan literals) — so they oracle-check exactly like the
+# brute-force query: the SQL embeds the SAME rounded literals and the
+# same tie-breaking order.
+def _sql_array(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in vals) + "]::DOUBLE[]"
+
+
+def _ann_ivf_sql() -> str:
+    cent_rows = ",\n    ".join(
+        f"({i}, {_sql_array(c)}, {sum(x * x for x in c)!r})"
+        for i, c in enumerate(_ivf_centroids())
+    )
+    return f"""
+WITH cent(i, c, norm_sq) AS (
+  VALUES
+    {cent_rows}
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scores AS (
+  SELECT vec_id, v, i,
+         list_dot_product(v, c) / sqrt(norm_sq) AS cos
+  FROM emb CROSS JOIN cent
+), ranked_cells AS (
+  SELECT vec_id, v, i,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, i DESC) AS rn
+  FROM scores
+), assigned AS (
+  SELECT vec_id, v, i AS cell FROM ranked_cells WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, i AS cell
+  FROM ranked_cells WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT query_id, a.vec_id AS cand_id,
+         ROUND(list_dot_product(qv, a.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _ann_lsh_sql() -> str:
+    planes = _hyperplanes()
+    plane_rows = ",\n    ".join(
+        f"({t}, {b}, {_sql_array(planes[t][b])})"
+        for t in range(LSH_TABLES)
+        for b in range(LSH_BITS)
+    )
+    return f"""
+WITH planes(table_idx, bit_idx, p) AS (
+  VALUES
+    {plane_rows}
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, table_idx,
+         SUM(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << bit_idx) ELSE 0 END) AS bucket
+  FROM emb CROSS JOIN planes
+  GROUP BY vec_id, table_idx
+), pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM bucketed q
+  JOIN bucketed c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, cand_id,
+         ROUND(list_dot_product(qe.v, ce.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+  FROM pairs
+  JOIN emb qe ON qe.vec_id = query_id
+  JOIN emb ce ON ce.vec_id = cand_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
+ANN_LSH_SQL = _ann_lsh_sql()

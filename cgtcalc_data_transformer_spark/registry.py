@@ -157,8 +157,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding_cosine": (dedup.dedup_embedding_cosine, dedup.DEDUP_EMBEDDING_SQL),
     # similarity
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
-    "ann_lsh": (similarity.ann_lsh, None),
-    "ann_ivf": (similarity.ann_ivf, None),
+    "ann_lsh": (similarity.ann_lsh, similarity.ANN_LSH_SQL),
+    "ann_ivf": (similarity.ann_ivf, similarity.ANN_IVF_SQL),
     # text analysis
     "text_token_stats": (textops.text_token_stats, textops.TEXT_TOKEN_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
