@@ -25,6 +25,11 @@ HEADLINE: dict[str, str] = {
     "q3_shipping_priority": "collect",
     "q5_local_supplier": "collect",
     "q6_forecast_revenue": "collect",
+    "q4_order_priority": "collect",
+    "q10_returned_items": "collect",
+    "q12_priority_class": "collect",
+    "q14_promo_revenue": "collect",
+    "q18_large_orders": "collect",
     "join_broadcast_geo": "collect",
     "join_salted": "collect",
     "agg_rollup": "collect",
@@ -35,8 +40,13 @@ HEADLINE: dict[str, str] = {
     "grouped_zscore": "count",
     "dedup_exact": "count",
     "dedup_minhash_lsh": "count",
+    "dedup_simhash": "count",
+    # dedup_clusters excluded: its iterative label propagation runs at
+    # plan-build time (driver loop over cached frames), so a steady-
+    # state re-execution of the returned frame would under-report it.
     "knn_bruteforce": "collect",
     "ann_ivf": "collect",
+    "ann_lsh": "collect",
     "text_quality": "count",
     "text_fingerprint": "count",
     "text_tfidf": "count",
