@@ -344,3 +344,78 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# -------------------------------------------------- chunking UDTF
+CHUNK_TOKENS = 16  # tokens per training chunk
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunks per document via a Python UDTF
+    (lateral join) — the context-window chunking step of a training
+    pipeline, one output row per chunk.
+
+    The UDTF exercises the table-function API surface (the reference
+    has no pluggable function surface at all, SURVEY.md §2.2);
+    Arrow-batched (``useArrow``) so the exchange is columnar, not
+    pickled rows. The same result is expressible with builtin
+    slice/sequence list ops — which is the 100 TB shape (codegen, no
+    Python workers); the UDTF form is the extensibility demo.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, chunk string, n_tokens int",
+        useArrow=True,
+    )
+    class TokenChunk:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            toks = [t for t in _re.split(r"\s+", text) if t]
+            for i in range(0, len(toks), CHUNK_TOKENS):
+                piece = toks[i : i + CHUNK_TOKENS]
+                yield i // CHUNK_TOKENS, " ".join(piece), len(piece)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("token_chunk", TokenChunk)
+    docs.createOrReplaceTempView("docs_for_chunks")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM docs_for_chunks,
+             LATERAL token_chunk(text) AS c
+        ORDER BY doc_id, chunk_idx
+        """
+    )
+
+
+# chunk_idx comes from the list position (indexed lambda / range), NOT
+# a window over unnest output — unnest emission order is not a
+# guaranteed ordering to window over.
+TEXT_CHUNKS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+  WHERE doc_id < 50
+), numbered AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(w) / {CHUNK_TOKENS}.0) AS BIGINT)),
+           i -> struct_pack(
+             chunk_idx := i,
+             chunk := array_to_string(w[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' '),
+             n_tokens := len(w[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}])))) AS s
+  FROM toks
+  WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(s.chunk_idx AS INTEGER) AS chunk_idx,
+       s.chunk AS chunk,
+       CAST(s.n_tokens AS INTEGER) AS n_tokens
+FROM numbered
+ORDER BY doc_id, chunk_idx
+"""

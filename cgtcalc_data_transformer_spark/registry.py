@@ -166,6 +166,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (textops.text_fingerprint, textops.TEXT_FINGERPRINT_SQL),
     "text_rolling_hash": (textops.text_rolling_hash, textops.TEXT_ROLLING_SQL),
     "text_tfidf": (textops.text_tfidf_top_terms, textops.TEXT_TFIDF_SQL),
+    "text_chunks": (textops.text_chunks, textops.TEXT_CHUNKS_SQL),
     # events (batch semantics)
     "events_tumbling": (events.events_tumbling_hourly, events.EVENTS_TUMBLING_SQL),
     "events_sliding": (events.events_sliding_hourly, events.EVENTS_SLIDING_SQL),

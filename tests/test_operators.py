@@ -190,3 +190,29 @@ def test_asof_match_is_past(spark):
         orders, "matched_orderkey"
     )
     assert joined.filter(F.col("order_day") > F.col("event_day")).count() == 0
+
+
+def test_text_chunks_udtf_partitions_exactly(spark):
+    """Chunking UDTF: chunks per doc reassemble the tokenized text,
+    all chunks except the last are full-size."""
+    df = textops.text_chunks(spark, SF)
+    rows = df.collect()
+    assert rows, "no chunks emitted"
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .collect()
+    }
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c.n_tokens == textops.CHUNK_TOKENS
+        joined = " ".join(c.chunk for c in chunks)
+        assert joined == " ".join(docs[doc_id].split())
