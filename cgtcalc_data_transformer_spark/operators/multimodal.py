@@ -224,3 +224,61 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_ms: int = 40_000) -> Da
         "feature_hash",
     ).withColumn("frame_ms", F.col("frame_idx") * every_ms)
     return frames.orderBy("asset_id", "frame_idx")
+
+
+# ------------------------------------------------- feature extraction
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "asset_id long, modality string, feature array<double>"
+
+
+def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """payload → fixed-dim feature vector via Arrow-batched
+    mapInPandas — the feature-extract stage that bridges multimodal
+    payloads into the embedding/similarity operators.
+
+    The kernel is a deterministic byte-histogram (FEATURE_DIM bins,
+    L1-normalized): a stand-in with the exact plumbing of a real
+    encoder (CLIP/audio embedding) — fixed output dim, bounded Arrow
+    batches, ``array<double>`` column ready for the cosine/LSH/IVF
+    ops in operators/similarity.py. Swap the kernel, keep the plan.
+    """
+
+    def _features(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = []
+                for p in chunk["payload"]:
+                    b = np.frombuffer(p if p is not None else b"", dtype=np.uint8)
+                    if b.size == 0:
+                        feats.append([0.0] * FEATURE_DIM)
+                        continue
+                    hist = np.bincount(b >> 5, minlength=FEATURE_DIM)[:FEATURE_DIM]
+                    feats.append((hist / b.size).tolist())
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"].values,
+                        "modality": chunk["modality"].values,
+                        "feature": feats,
+                    }
+                )
+
+    return assets.mapInPandas(_features, schema=FEATURES_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature vectors for every asset, plus the L1 mass (≈1 for any
+    non-empty payload) so the rows-only check still pins an
+    invariant column."""
+    feats = extract_features(synthesize_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        "modality",
+        "feature",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "l1_mass"
+        ),
+    ).orderBy("asset_id")

@@ -177,6 +177,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_metadata": (multimodal.multimodal_metadata, multimodal.MULTIMODAL_METADATA_SQL),
     "multimodal_decode": (multimodal.multimodal_decode, None),
     "multimodal_resize": (multimodal.multimodal_resize, None),
+    "multimodal_features": (multimodal.multimodal_features, None),
     "frame_sample": (multimodal.frame_sample, None),
 }
 

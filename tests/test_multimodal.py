@@ -53,3 +53,21 @@ def test_frame_sample_bounds(spark):
     for r in frames.collect():
         assert r.frame_ms <= durations[r.asset_id] + 40_000
         assert r.frame_idx >= 0
+
+
+def test_feature_extraction_shape_and_determinism(spark):
+    from cgtcalc_data_transformer_spark.operators.multimodal import (
+        FEATURE_DIM,
+        multimodal_features,
+    )
+
+    df = multimodal_features(spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows[:20]:
+        assert len(r.feature) == FEATURE_DIM
+        assert abs(r.l1_mass - 1.0) < 1e-6  # non-empty payloads: mass 1
+    # deterministic across runs (stub kernel, no RNG)
+    again = {r.asset_id: r.feature for r in multimodal_features(spark, SF).collect()}
+    for r in rows:
+        assert again[r.asset_id] == r.feature
