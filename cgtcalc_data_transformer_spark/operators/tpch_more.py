@@ -1,4 +1,4 @@
-"""Additional TPC-H query shapes (Q4/Q10/Q12/Q14/Q18), adapted to the
+"""Additional TPC-H query shapes (Q4/Q7/Q10/Q12/Q14/Q18), adapted to the
 driver testdata's trimmed columns (no l_shipmode/l_commitdate — see
 TESTDATA.md), with the same decimal-exact aggregation discipline as
 :mod:`cgtcalc_data_transformer_spark.operators.relational`.
@@ -11,6 +11,8 @@ The reference has no joins or aggregations at all
   condition mixes equi (orderkey) + theta (shipdate > orderdate);
   Spark plans the equi part as the join key and the theta part as a
   join-time filter, so the semi join still hash/SMJ-partitions.
+- Q7  — the same dim (nation) joined on BOTH sides of the fact chain
+  with a symmetric pair predicate — bilateral volume by year.
 - Q10 — fact⋈fact⋈dim with a selective fact filter and a group-by on
   a high-cardinality composite key, then global top-k.
 - Q12 — join + conditional aggregation (CASE inside SUM → map-side
@@ -233,4 +235,67 @@ JOIN (SELECT l_orderkey,
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------- Q7
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by year.
+
+    The only query joining the SAME dim (nation) on both sides of the
+    fact — supplier nation via lineitem, customer nation via orders —
+    with a symmetric pair predicate. Both nation joins broadcast; the
+    pair filter collapses the cross of the two dim copies before the
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_dec(volume)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
 """

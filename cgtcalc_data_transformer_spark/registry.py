@@ -117,6 +117,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q5_local_supplier": (relational.q5_local_supplier_volume, relational.Q5_SQL),
     "q6_forecast_revenue": (relational_ext.q6_forecast_revenue, relational_ext.Q6_SQL),
     "q4_order_priority": (tpch_more.q4_order_priority, tpch_more.Q4_SQL),
+    "q7_volume_shipping": (tpch_more.q7_volume_shipping, tpch_more.Q7_SQL),
     "q10_returned_items": (tpch_more.q10_returned_items, tpch_more.Q10_SQL),
     "q12_priority_class": (tpch_more.q12_priority_class, tpch_more.Q12_SQL),
     "q14_promo_revenue": (tpch_more.q14_promo_revenue, tpch_more.Q14_SQL),
