@@ -1,4 +1,4 @@
-"""Additional TPC-H query shapes (Q4/Q7/Q10/Q12/Q14/Q18), adapted to the
+"""Additional TPC-H query shapes (Q4/Q7/Q10/Q12/Q14/Q15/Q18/Q19), adapted to the
 driver testdata's trimmed columns (no l_shipmode/l_commitdate — see
 TESTDATA.md), with the same decimal-exact aggregation discipline as
 :mod:`cgtcalc_data_transformer_spark.operators.relational`.
@@ -19,9 +19,14 @@ The reference has no joins or aggregations at all
   partial aggs of both branches in one pass).
 - Q14 — two-branch conditional sum ratio (single scan, no join
   explosion: part side joined once, both sums share it).
+- Q15 — max-of-aggregate self-reference: one grouped revenue agg
+  feeds both a scalar max and the equality filter (1-row broadcast,
+  no driver collect).
 - Q18 — agg-then-self-join: HAVING on a grouped fact feeds the probe
   side of a join back to orders/customer. The grouped set after the
   HAVING filter is tiny → size-based planner broadcasts it.
+- Q19 — disjunctive OR-of-ANDs join predicate; Catalyst pushes the
+  side-local part of each disjunct to its scan (plan-asserted).
 """
 
 from __future__ import annotations
@@ -298,4 +303,96 @@ FROM (
 ) t
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------- Q15
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with the maximum 1995 revenue.
+
+    The agg feeds BOTH a scalar max and the probe side of the final
+    filter — a decorrelated self-reference. In DataFrame form the
+    scalar max is a 1-row broadcast cross join (no driver collect, no
+    second scan of lineitem: the revenue agg is computed once per
+    branch off one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_dec(revenue)).cast("double").alias("total_revenue")
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------- Q19
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive OR-of-ANDs predicate across both join
+    sides. Catalyst extracts the common conjunct (the join key) and
+    pushes the side-local parts of each disjunct to the scans; the
+    residual OR evaluates at join time — the canonical test that
+    predicate decomposition survives a disjunction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 60))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 60)
 """

@@ -121,7 +121,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q10_returned_items": (tpch_more.q10_returned_items, tpch_more.Q10_SQL),
     "q12_priority_class": (tpch_more.q12_priority_class, tpch_more.Q12_SQL),
     "q14_promo_revenue": (tpch_more.q14_promo_revenue, tpch_more.Q14_SQL),
+    "q15_top_supplier": (tpch_more.q15_top_supplier, tpch_more.Q15_SQL),
     "q18_large_orders": (tpch_more.q18_large_orders, tpch_more.Q18_SQL),
+    "q19_discounted_revenue": (tpch_more.q19_discounted_revenue, tpch_more.Q19_SQL),
     "join_full_outer": (relational_ext.join_full_outer_daily, relational_ext.JOIN_FULL_OUTER_SQL),
     "join_semi": (relational.join_semi_customers_with_orders, relational.JOIN_SEMI_SQL),
     "join_anti": (relational.join_anti_customers_without_orders, relational.JOIN_ANTI_SQL),

@@ -119,3 +119,14 @@ def test_q18_broadcasts_filtered_agg(spark):
     from cgtcalc_data_transformer_spark.operators import tpch_more
 
     assert has_broadcast_join(tpch_more.q18_large_orders(spark, SF))
+
+
+def test_q19_disjunct_pushdown_both_sides(spark):
+    """Q19's OR-of-ANDs must decompose: the quantity disjunction
+    reaches the lineitem scan and the brand/size disjunction reaches
+    the part scan (side-local parts of each disjunct pushed)."""
+    from cgtcalc_data_transformer_spark.operators import tpch_more
+
+    df = tpch_more.q19_discounted_revenue(spark, SF)
+    assert has_pushed_filters(df, "l_quantity")
+    assert has_pushed_filters(df, "p_brand")
