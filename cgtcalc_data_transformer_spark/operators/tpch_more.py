@@ -1,4 +1,4 @@
-"""Additional TPC-H query shapes (Q4/Q7/Q10/Q12/Q14/Q15/Q18/Q19), adapted to the
+"""Additional TPC-H query shapes (Q4/Q7/Q10/Q12/Q14/Q15/Q18/Q19/Q22), adapted to the
 driver testdata's trimmed columns (no l_shipmode/l_commitdate — see
 TESTDATA.md), with the same decimal-exact aggregation discipline as
 :mod:`cgtcalc_data_transformer_spark.operators.relational`.
@@ -27,6 +27,8 @@ The reference has no joins or aggregations at all
   HAVING filter is tiny → size-based planner broadcasts it.
 - Q19 — disjunctive OR-of-ANDs join predicate; Catalyst pushes the
   side-local part of each disjunct to its scan (plan-asserted).
+- Q22 — global scalar aggregate filter + date-filtered NOT EXISTS
+  anti join + grouped count in one query.
 """
 
 from __future__ import annotations
@@ -395,4 +397,53 @@ JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 60)
+"""
+
+
+# --------------------------------------------------------------- Q22
+def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (cntrycode→mktsegment): well-funded customers with no
+    RECENT orders (dormant since 2000), counted per segment.
+
+    Three planner pieces in one query: a global scalar aggregate
+    (average positive balance, 1-row broadcast — no driver collect),
+    a filter against it, and a NOT EXISTS anti join (date-filtered on
+    the anti side, pushed to its scan) before the final group-count."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """

@@ -124,6 +124,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q15_top_supplier": (tpch_more.q15_top_supplier, tpch_more.Q15_SQL),
     "q18_large_orders": (tpch_more.q18_large_orders, tpch_more.Q18_SQL),
     "q19_discounted_revenue": (tpch_more.q19_discounted_revenue, tpch_more.Q19_SQL),
+    "q22_dormant_value": (tpch_more.q22_dormant_value, tpch_more.Q22_SQL),
     "join_full_outer": (relational_ext.join_full_outer_daily, relational_ext.JOIN_FULL_OUTER_SQL),
     "join_semi": (relational.join_semi_customers_with_orders, relational.JOIN_SEMI_SQL),
     "join_anti": (relational.join_anti_customers_without_orders, relational.JOIN_ANTI_SQL),
