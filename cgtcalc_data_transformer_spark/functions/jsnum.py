@@ -15,10 +15,15 @@ Two implementations:
   the trailing ``.0`` that Java prints for integral values. Stays
   inside whole-stage codegen: this is the hot path.
 
-  Caveat: Java switches to scientific notation outside
-  [1e-3, 1e7) while JS switches outside [1e-6, 1e21). All golden
-  values (and the personal-finance domain) sit inside the common
-  range; use ``js_num_exact`` for data that does not.
+  Java's scientific-notation thresholds ([1e-3, 1e7) vs JS's
+  [1e-6, 1e21)) are rewritten JVM-side to the JS notation over the
+  FULL double range — see the ``js_num`` docstring. Remaining
+  caveat: Java 17's pre-Ryū ``Double.toString`` emits one extra
+  significant digit for ~0.2% of doubles with |x| ≳ 1e16 (e.g.
+  215556435655560672 vs shortest 21555643565556067e1) and for the
+  smallest subnormals (4.9e-324 vs 5e-324); JDK ≥ 19 removes the
+  divergence. ``js_num_exact`` is byte-exact there if needed —
+  finance-range data never is.
 
 - ``js_num_exact``: Arrow-batched pandas UDF implementing the full
   ECMA-262 rules via Python ``repr`` (also shortest round-trip) with
@@ -34,10 +39,61 @@ from pyspark.sql.types import StringType
 
 
 def js_num(col: Column | str) -> Column:
-    """JS number formatting, JVM fast path (codegen-friendly)."""
-    c = F.col(col) if isinstance(col, str) else col
-    s = c.cast("double").cast("string")
-    return F.regexp_replace(s, r"\.0$", "")
+    """JS number formatting — pure JVM expressions, full double range.
+
+    Java's ``Double.toString`` and ECMA-262 agree on the shortest
+    round-trip DIGITS but not the NOTATION: Java goes scientific
+    outside [1e-3, 1e7), JS outside [1e-6, 1e21). So on top of the
+    trailing-``.0`` strip we rewrite Java's ``d.dddEn``:
+
+    - ``-6 <= n <= 20`` → positional expansion (JS prints plainly),
+    - otherwise → JS exponent form ``d.ddde±n`` (lowercase e, signed
+      exponent, no ``.0`` mantissa).
+
+    All string surgery is concat/substring/repeat on codegen-friendly
+    built-ins — no UDF on the serialization hot path (ADVICE r1).
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    s = c.cast("string")
+    neg = s.startswith("-")
+    sign = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+    body = F.regexp_replace(s, r"^-", "")
+
+    # --- scientific input: Java mantissa is always d[.ddd] with one
+    # leading digit and no trailing zeros (except the literal ".0").
+    mant = F.substring_index(body, "E", 1)
+    exp = F.substring_index(body, "E", -1).cast("int")
+    intd = F.substring_index(mant, ".", 1)
+    frac = F.substring_index(mant, ".", -1)
+    frac_clean = F.when(frac == "0", F.lit("")).otherwise(frac)
+    digits = F.concat(intd, frac_clean)
+    flen = F.length(frac_clean)
+
+    pos_expanded = (
+        F.when(exp >= flen, F.concat(digits, F.repeat(F.lit("0"), exp - flen)))
+        .when(
+            exp >= 0,
+            F.concat(
+                F.substring(digits, F.lit(1), exp + 1),
+                F.lit("."),
+                F.substring(digits, exp + 2, F.length(digits)),
+            ),
+        )
+        .otherwise(F.concat(F.lit("0."), F.repeat(F.lit("0"), -exp - 1), digits))
+    )
+    js_sci = F.concat(
+        intd,
+        F.when(flen > 0, F.concat(F.lit("."), frac_clean)).otherwise(F.lit("")),
+        F.when(exp >= 0, F.lit("e+")).otherwise(F.lit("e-")),
+        F.abs(exp).cast("string"),
+    )
+    from_sci = F.when((exp >= -6) & (exp <= 20), pos_expanded).otherwise(js_sci)
+
+    return (
+        F.when(c == 0.0, F.lit("0"))  # covers -0.0: JS String(-0) is "0"
+        .when(body.contains("E"), F.concat(sign, from_sci))
+        .otherwise(F.regexp_replace(s, r"\.0$", ""))
+    )
 
 
 def _js_format_scalar(x: float) -> str:

@@ -18,6 +18,15 @@ Reference semantics (`/root/reference/freetrade.js`):
 All fail-fast checks become ``raise_error`` branches; the whole
 parser is filter + project column expressions — no UDFs, fully
 codegen-able, shuffle-free.
+
+Intentional strictness divergences from the reference (documented per
+ADVICE r1): JS ``parseFloat`` accepts numeric PREFIXES ('5abc' → 5)
+where ``try_cast`` rejects the whole string, and the reference passes
+structurally-valid-but-impossible calendar dates through unvalidated
+where this engine raises. Both are deliberately stricter: silent
+prefix truncation and invalid dates are data corruption at scale.
+Conversely JS ``isFinite`` rejection of 'Infinity'/'NaN' is matched
+exactly via the ``_finite`` guard below.
 """
 
 from __future__ import annotations
@@ -32,6 +41,13 @@ from cgtcalc_data_transformer_spark.operators.canonical import to_lines
 def _nonempty(col_name: str):
     c = F.trim(F.col(col_name))
     return F.when(c != "", c)
+
+
+def _finite(c: F.Column) -> F.Column:
+    """JS ``isFinite`` guard: try_cast admits 'Infinity'/'NaN' strings
+    (and Spark treats NaN != 0 / NaN > 0 as true), but the reference's
+    isFinite check throws on both (`/root/reference/freetrade.js:140,146`)."""
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
 
 
 def canonical(raw: DataFrame) -> DataFrame:
@@ -61,12 +77,12 @@ def canonical(raw: DataFrame) -> DataFrame:
             F.concat(F.lit("Missing asset identifier (ISIN/Ticker) for transaction on "), F.coalesce(F.col("Timestamp"), F.lit("null"))),
         ).alias("asset"),
         require(
-            amount.isNotNull() & (amount != 0),
+            _finite(amount) & (amount != 0),
             amount,
             F.concat(F.lit("Invalid Quantity: "), F.coalesce(F.col("Quantity"), F.lit("null"))),
         ).alias("amount"),
         require(
-            price.isNotNull() & (price > 0),
+            _finite(price) & (price > 0),
             price,
             F.concat(F.lit("Invalid Price per Share: "), F.coalesce(F.col("Price per Share in Account Currency"), F.lit("null"))),
         ).alias("price"),

@@ -72,7 +72,7 @@ WITH assets AS (
   FROM documents
 )
 SELECT modality, COUNT(*) AS n_assets,
-       SUM(byte_len) AS total_bytes,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
        MIN(byte_len) AS min_bytes,
        MAX(byte_len) AS max_bytes
 FROM assets

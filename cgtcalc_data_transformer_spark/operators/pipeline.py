@@ -37,18 +37,23 @@ def merge_sorted(
     Input DataFrames have a single ``line`` column. Output: a single
     ``line`` column, globally ordered by (date, source, sequence).
     """
-    tagged_new = new.select(
-        "line",
-        F.lit(1).alias("source_rank"),
-        F.monotonically_increasing_id().alias("seq"),
-    )
-    if existing is not None:
-        tagged_existing = existing.select(
+    # Tiebreak must be listing-order independent: Spark bin-packs file
+    # splits by SIZE, so monotonically_increasing_id alone follows an
+    # arbitrary file order for multi-file sources (.eml directories).
+    # Sorting on (input_file_name, in-file id) pins equal-date lines
+    # to lexicographic file order then in-file position (ADVICE r1).
+    # For non-file sources input_file_name() is '' — a constant no-op.
+    def _tag(df: DataFrame, rank: int) -> DataFrame:
+        return df.select(
             "line",
-            F.lit(0).alias("source_rank"),
+            F.lit(rank).alias("source_rank"),
+            F.input_file_name().alias("src_file"),
             F.monotonically_increasing_id().alias("seq"),
         )
-        merged = tagged_existing.unionByName(tagged_new)
+
+    tagged_new = _tag(new, 1)
+    if existing is not None:
+        merged = _tag(existing, 0).unionByName(tagged_new)
     else:
         merged = tagged_new
 
@@ -58,11 +63,12 @@ def merge_sorted(
         merged = (
             merged.groupBy("line")
             .agg(
-                F.min(F.struct("source_rank", "seq")).alias("first_seen")
+                F.min(F.struct("source_rank", "src_file", "seq")).alias("first_seen")
             )
             .select(
                 "line",
                 F.col("first_seen.source_rank").alias("source_rank"),
+                F.col("first_seen.src_file").alias("src_file"),
                 F.col("first_seen.seq").alias("seq"),
             )
         )
@@ -76,7 +82,7 @@ def merge_sorted(
     )
     return (
         merged.withColumn("_date_key", date_key)
-        .orderBy("_date_key", "source_rank", "seq")
+        .orderBy("_date_key", "source_rank", "src_file", "seq")
         .select("line")
     )
 

@@ -644,13 +644,22 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact counterparts (agg_distinct, agg_stats) are oracled.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # One quantile sketch per group (single agg buffer), then the
+    # array is unpacked to SCALAR columns: array cells are unhashable
+    # for pandas-side canonicalizers, and scalar p50/p95/p99 is the
+    # shape a downstream consumer wants anyway.
     return (
         orders.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
-                "price_quantiles"
-            ),
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("_q"),
+        )
+        .select(
+            "o_orderpriority",
+            "approx_customers",
+            F.element_at("_q", 1).alias("price_p50"),
+            F.element_at("_q", 2).alias("price_p95"),
+            F.element_at("_q", 3).alias("price_p99"),
         )
         .orderBy("o_orderpriority")
     )

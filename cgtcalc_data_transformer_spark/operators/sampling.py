@@ -59,8 +59,8 @@ WITH flagged AS (
   FROM orders
 )
 SELECT o_orderpriority, COUNT(*) AS total,
-       SUM(in_sample) AS sampled,
-       ROUND(SUM(in_sample) / COUNT(*), 6) AS kept_fraction
+       CAST(SUM(in_sample) AS BIGINT) AS sampled,
+       CAST(ROUND(SUM(in_sample) / COUNT(*), 6) AS DOUBLE) AS kept_fraction
 FROM flagged
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -119,16 +119,16 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_SQL = """
 WITH wide AS (
   SELECT
-    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
     COUNT(DISTINCT o_orderstatus) AS s_distinct,
     MIN(o_orderstatus) AS s_min, MAX(o_orderstatus) AS s_max,
-    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
     COUNT(DISTINCT o_orderpriority) AS p_distinct,
     MIN(o_orderpriority) AS p_min, MAX(o_orderpriority) AS p_max,
-    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
     COUNT(DISTINCT o_custkey) AS c_distinct,
     MIN(o_custkey)::VARCHAR AS c_min, MAX(o_custkey)::VARCHAR AS c_max,
-    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
     COUNT(DISTINCT o_totalprice) AS t_distinct,
     MIN(o_totalprice)::DECIMAL(18,2)::VARCHAR AS t_min,
     MAX(o_totalprice)::DECIMAL(18,2)::VARCHAR AS t_max

@@ -313,7 +313,7 @@ WITH RECURSIVE pows AS (
   FROM exploded JOIN pows ON pows.k = n - pos
 )
 SELECT d.doc_id,
-       COALESCE(s.h, 0) AS rolling_hash
+       CAST(COALESCE(s.h, 0) AS BIGINT) AS rolling_hash
 FROM documents d
 LEFT JOIN (SELECT doc_id, SUM(term) % {FP_MOD} AS h FROM terms GROUP BY doc_id) s
   ON d.doc_id = s.doc_id

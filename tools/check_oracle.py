@@ -4,9 +4,14 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB against the same parquet tables (default sf0.01), comparing
 row count, column names, and an order-insensitive value multiset.
-Floats are compared exactly (the whole engine is built for
-bit-deterministic agreement) with a 1e-9 fallback report so near
-misses are distinguishable from logic bugs.
+
+Faithful to the driver: both sides are materialized THROUGH PANDAS
+(`toPandas()` / `fetchdf()`), because that is where representation
+divergence appears — DuckDB HUGEINT sums come back as float64/object
+while Spark BIGINT comes back int64, and the driver's value hash is
+type-sensitive (5 vs 5.0 hash differently after canonicalization).
+The multiset compare is therefore TYPE-STRICT: an int on one side and
+a float on the other is a failure even when numerically equal.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -28,18 +33,31 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 
 def _norm(v):
+    """Normalize a pandas cell to (type-tag, value) — type-strict."""
+    if hasattr(v, "item"):  # numpy scalar → python scalar
+        v = v.item()
+    if v is None:
+        return ("null", None)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+        return ("ts", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_norm(x) for x in v))
+    return (type(v).__name__, v)
 
 
-def _rows_key(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+def _frame_key(df):
+    cols = sorted(df.columns)
+    return Counter(
+        tuple(_norm(row[c]) for c in cols) for _, row in df.iterrows()
+    )
 
 
 def main() -> int:
@@ -62,40 +80,43 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
+            spd = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {name}: {len(spd)} rows (no oracle) [{time.time()-t0:.1f}s]"
+            )
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpd = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
             failures += 1
             continue
 
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(spd) != len(dpd):
+            problems.append(f"rowcount spark={len(spd)} duckdb={len(dpd)}")
+        if sorted(spd.columns) != sorted(dpd.columns):
+            problems.append(
+                f"columns spark={sorted(spd.columns)} duckdb={sorted(dpd.columns)}"
+            )
         if not problems:
-            sk, dk = _rows_key(scols, srows), _rows_key(dcols, drows)
+            sk, dk = _frame_key(spd), _frame_key(dpd)
             if sk != dk:
                 diff_s = list((sk - dk).items())[:3]
                 diff_d = list((dk - sk).items())[:3]
-                problems.append(f"values spark-only={diff_s} duckdb-only={diff_d}")
+                problems.append(
+                    f"values spark-only={diff_s} duckdb-only={diff_d}"
+                )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(spd)} rows [{time.time()-t0:.1f}s]")
 
     spark.stop()
     print("\nRESULT:", "FAIL" if failures else "OK", f"({failures} failing)")
