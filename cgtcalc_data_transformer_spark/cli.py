@@ -50,6 +50,45 @@ def parse_source(spark, source_type: str, path: str):
     raise ValueError(f"Unknown source type: {source_type}. Supported: {SOURCE_TYPES}")
 
 
+def run_pipeline(
+    spark,
+    source_type: str,
+    path: str,
+    output: str = "data.txt",
+    dedup: bool = False,
+    partitioned: bool = False,
+) -> dict:
+    """One CLI invocation's pipeline: parse → merge with existing
+    output → chronological sort → rewrite. Mirrors the reference's
+    main() body (`/root/reference/index.js:79-122`); factored out of
+    ``main`` so tests can replay multi-invocation sequences against
+    one SparkSession (each real CLI run owns its session)."""
+    new_lines = parse_source(spark, source_type, path)
+    existing = (
+        read_existing_output(spark, output) if os.path.exists(output) else None
+    )
+    merged = merge_sorted(existing, new_lines, dedup=dedup)
+
+    if partitioned:
+        write_output(merged, output, partitioned=True)
+        return report(merged, new_count=new_lines.count())
+
+    # single-file mode: write to a temp dir, move the part file
+    # over the output path (byte-identical data.txt contract)
+    tmp = tempfile.mkdtemp(prefix="cgtcalc_out_")
+    try:
+        write_output(merged, tmp, partitioned=False)
+        part = glob.glob(os.path.join(tmp, "part-*"))
+        rep = report(merged, new_count=new_lines.count())
+        if part:
+            shutil.move(part[0], output)
+        else:  # no rows
+            open(output, "w").close()
+        return rep
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="cgtcalc-data-transformer-spark",
@@ -83,32 +122,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"cgtcalc-{args.source_type}")
     try:
-        new_lines = parse_source(spark, args.source_type, args.path)
-        existing = (
-            read_existing_output(spark, args.output)
-            if os.path.exists(args.output)
-            else None
+        rep = run_pipeline(
+            spark,
+            args.source_type,
+            args.path,
+            output=args.output,
+            dedup=args.dedup,
+            partitioned=args.partitioned,
         )
-        merged = merge_sorted(existing, new_lines, dedup=args.dedup)
-
-        if args.partitioned:
-            write_output(merged, args.output, partitioned=True)
-            rep = report(merged, new_count=new_lines.count())
-        else:
-            # single-file mode: write to a temp dir, move the part file
-            # over the output path (byte-identical data.txt contract)
-            tmp = tempfile.mkdtemp(prefix="cgtcalc_out_")
-            try:
-                write_output(merged, tmp, partitioned=False)
-                part = glob.glob(os.path.join(tmp, "part-*"))
-                rep = report(merged, new_count=new_lines.count())
-                if part:
-                    shutil.move(part[0], args.output)
-                else:  # no rows
-                    open(args.output, "w").close()
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
-
         print(f"Parsed {rep['new']} new transaction(s) from {args.path}")
         print(f"Total transactions in {args.output}: {rep['total']}")
         print("First lines:")
