@@ -70,9 +70,22 @@ def _event_stream(spark: SparkSession, source: str) -> DataFrame:
     )
 
 
-def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling window counts with a 2-hour watermark."""
-    ev = _event_stream(spark, sf_dir)
+def _batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME events with the same ts_ts column, read as a batch
+    table — the twin input every streaming query is pinned against."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.withColumn(
+        "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+# The window aggregations are single functions applied to EITHER the
+# stream or the batch twin (withWatermark is a no-op on batch input),
+# so the two sides differ only in execution engine — exactly what the
+# batch_mismatch pin is meant to isolate.
+def _tumbling_agg(ev: DataFrame) -> DataFrame:
     return (
         ev.withWatermark("ts_ts", "2 hours")
         .groupBy(F.window("ts_ts", "1 hour"), F.col("event_type"))
@@ -86,10 +99,7 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 30 min, 2-hour watermark — each
-    event lands in 2 overlapping windows (window duration / slide)."""
-    ev = _event_stream(spark, sf_dir)
+def _sliding_agg(ev: DataFrame) -> DataFrame:
     return (
         ev.withWatermark("ts_ts", "2 hours")
         .groupBy(F.window("ts_ts", "1 hour", "30 minutes"), F.col("event_type"))
@@ -102,9 +112,7 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window (30-min gap) per user with watermark."""
-    ev = _event_stream(spark, sf_dir)
+def _session_agg(ev: DataFrame) -> DataFrame:
     return (
         ev.withWatermark("ts_ts", "2 hours")
         .groupBy(F.session_window("ts_ts", "30 minutes"), F.col("user_id"))
@@ -115,6 +123,37 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts with a 2-hour watermark."""
+    return _tumbling_agg(_event_stream(spark, sf_dir))
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min, 2-hour watermark — each
+    event lands in 2 overlapping windows (window duration / slide)."""
+    return _sliding_agg(_event_stream(spark, sf_dir))
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user with watermark."""
+    return _session_agg(_event_stream(spark, sf_dir))
+
+
+def with_batch_mismatch(stream_out: DataFrame, batch_twin: DataFrame) -> DataFrame:
+    """Pin streaming semantics to the batch twin (VERDICT r1 #6).
+
+    Append-mode + watermark means a bounded stream may WITHHOLD
+    still-open windows — but every row it DOES emit must be a row the
+    batch computation produces. ``stream ⊖ batch`` (multiset except)
+    is therefore the invariant, counted and embedded as a constant
+    ``batch_mismatch`` column: the rows-only correctness gate records
+    values, so a non-zero count is visible in the driver output, and
+    the pytest twins assert it is 0.
+    """
+    mismatch = stream_out.exceptAll(batch_twin.select(*stream_out.columns)).count()
+    return stream_out.withColumn("batch_mismatch", F.lit(mismatch))
 
 
 def run_stream_to_batch(
@@ -150,6 +189,7 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts_stream(spark, f"{sf_dir}/events.parquet"),
         "tumbling_out",
     )
+    out = with_batch_mismatch(out, _tumbling_agg(_batch_events(spark, sf_dir)))
     return out.orderBy("window_start_epoch", "event_type")
 
 
@@ -158,6 +198,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_counts_stream(spark, f"{sf_dir}/events.parquet"),
         "sliding_out",
     )
+    out = with_batch_mismatch(out, _sliding_agg(_batch_events(spark, sf_dir)))
     return out.orderBy("window_start_epoch", "event_type")
 
 
@@ -166,6 +207,7 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_windows_stream(spark, f"{sf_dir}/events.parquet"),
         "session_out",
     )
+    out = with_batch_mismatch(out, _session_agg(_batch_events(spark, sf_dir)))
     return out.orderBy("session_start_epoch", "user_id")
 
 
@@ -200,14 +242,21 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type")
     )
     out = run_stream_to_batch(deduped, "dedup_stream_out")
-    return (
-        out.groupBy("event_type")
+    result = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+    # batch twin: after perfect dedup of the doubled source, per-type
+    # row count == distinct-event count of the ORIGINAL batch table
+    twin = (
+        _batch_events(spark, sf_dir)
+        .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_rows"),
             F.countDistinct("event_id").alias("n_distinct"),
         )
-        .orderBy("event_type")
     )
+    return with_batch_mismatch(result, twin).orderBy("event_type")
 
 
 def dedup_sink_foreachbatch(

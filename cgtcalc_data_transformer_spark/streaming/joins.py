@@ -58,10 +58,13 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_batch,
     )
 
+    from cgtcalc_data_transformer_spark.streaming.events import with_batch_mismatch
+
     stream = _event_stream(spark, f"{sf_dir}/events.parquet")
     out = run_stream_to_batch(
         click_purchase_join(stream), "attribution_out", output_mode="append"
     )
+    out = with_batch_mismatch(out, attribution_batch(spark, sf_dir))
     return out.orderBy("click_id", "purchase_id")
 
 

@@ -109,9 +109,33 @@ def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
     )
     # updates accumulate per micro-batch; keep each user's final state
     w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
-    return (
+    result = (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "total_events", "total_value", "last_ts")
-        .orderBy("user_id")
     )
+
+    # Batch-twin pin (VERDICT r1 #6). Counts and last_ts must match
+    # exactly; total_value within 1e-6 — the stream accumulates the
+    # double sum in micro-batch arrival order, the batch twin in
+    # partition order, so the final bits can legitimately differ.
+    from cgtcalc_data_transformer_spark.streaming.events import _batch_events
+
+    twin = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("b_events"),
+            F.round(F.sum("value"), 6).alias("b_value"),
+            F.max("ts").alias("b_ts"),
+        )
+    )
+    joined = result.join(twin, "user_id", "full_outer")
+    mismatch = joined.filter(
+        F.col("total_events").isNull()
+        | F.col("b_events").isNull()
+        | (F.col("total_events") != F.col("b_events"))
+        | (F.col("last_ts") != F.col("b_ts"))
+        | (F.abs(F.col("total_value") - F.col("b_value")) > 1e-6)
+    ).count()
+    return result.withColumn("batch_mismatch", F.lit(mismatch)).orderBy("user_id")

@@ -89,3 +89,23 @@ def test_streaming_stateful_matches_batch_totals(spark):
     for uid, (cnt, _val) in want.items():
         assert got[uid][0] == cnt
         assert abs(got[uid][1] - _val) < 1e-6
+
+
+def test_batch_mismatch_pins_are_zero(spark):
+    """Every streaming query embeds a batch_mismatch column counting
+    emitted rows its batch twin does not produce — all must be 0."""
+    from cgtcalc_data_transformer_spark.registry import REGISTRY
+
+    for name in (
+        "streaming_tumbling",
+        "streaming_sliding",
+        "streaming_session",
+        "streaming_stateful",
+        "streaming_dedup",
+        "streaming_join",
+    ):
+        fn, _ = REGISTRY[name]
+        df = fn(spark, SF)
+        assert "batch_mismatch" in df.columns, name
+        vals = {r.batch_mismatch for r in df.select("batch_mismatch").distinct().collect()}
+        assert vals == {0}, f"{name}: batch_mismatch={vals}"
