@@ -87,6 +87,50 @@ def main() -> None:
         run()
         timings[name] = round(time.time() - t0, 3)
 
+    # ---- skew-join comparison (VERDICT r1 #5): same pathological
+    # key distribution (60% of the fact side on one key), three
+    # strategies. Auto-broadcast is disabled for all three — at real
+    # scale neither side fits an executor — and AQE's skew split is
+    # force-enabled only for the aqe variant (its default 256 MB
+    # partition threshold never fires at local SFs, so it's tuned
+    # down to demonstrate the runtime re-plan).
+    from cgtcalc_data_transformer_spark.operators import relational_ext as rx
+
+    skew: dict[str, float] = {}
+    conf = spark.conf
+    prev_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, skew_split, fn in [
+            ("plain", False, rx.skew_join_plain),
+            ("aqe_split", True, rx.skew_join_plain),
+            ("salted", False, rx.skew_join_salted),
+        ]:
+            conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_split).lower())
+            conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "1m" if skew_split else "256m",
+            )
+            conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "1m" if skew_split else "64m",
+            )
+            # Unlike the headline loop, the JOIN SHUFFLE is the thing
+            # under test here — re-collecting the same DataFrame would
+            # reuse its shuffle files and skip the map stages entirely.
+            # Warm JIT/caches on one instance, then time a FRESH plan
+            # (identical Catalyst overhead for all three variants).
+            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.collect()
+            skew[f"skew_{label}"] = round(time.time() - t0, 3)
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -96,6 +140,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "skew_join": skew,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

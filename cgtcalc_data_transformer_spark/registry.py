@@ -147,6 +147,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_range_frame": (relational_ext.window_range_30d, relational_ext.WINDOW_RANGE_SQL),
     "window_ntile": (relational_ext.window_ntile_quartiles, relational_ext.WINDOW_NTILE_SQL),
     "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
+    "skew_join_plain": (relational_ext.skew_join_plain, relational_ext.SKEW_JOIN_SQL),
+    "skew_join_salted": (relational_ext.skew_join_salted, relational_ext.SKEW_JOIN_SQL),
     "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
     "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),

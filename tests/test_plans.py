@@ -130,3 +130,43 @@ def test_q19_disjunct_pushdown_both_sides(spark):
     df = tpch_more.q19_discounted_revenue(spark, SF)
     assert has_pushed_filters(df, "l_quantity")
     assert has_pushed_filters(df, "p_brand")
+
+
+def test_skew_salted_plan_fans_out(spark):
+    """The salted skew join must (a) replicate the dim side
+    SALT_BUCKETS x via a Generate (explode) node, (b) join on an
+    equality key that includes the salt, and (c) never degrade to a
+    nested-loop product."""
+    from cgtcalc_data_transformer_spark.operators import relational_ext as rx
+
+    df = rx.skew_join_salted(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "salt" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # fan-out pins: dim side replicated exactly SALT_BUCKETS x, and
+    # the salted result equals the unsalted one
+    import duckdb
+
+    n_orders = (
+        duckdb.sql(f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')")
+        .fetchone()[0]
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    rep = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(rx.SALT_BUCKETS)])
+            ),
+        )
+    )
+    assert rep.count() == n_orders * rx.SALT_BUCKETS
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, rx.skew_join_plain(spark, SF).collect())
+    )
