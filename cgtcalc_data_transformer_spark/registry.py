@@ -31,6 +31,7 @@ from cgtcalc_data_transformer_spark.operators import (
     similarity,
     textops,
     tpch_more,
+    tpch_shapes2,
 )
 from cgtcalc_data_transformer_spark.operators.pipeline import merge_sorted
 from cgtcalc_data_transformer_spark.sources import bucketed
@@ -125,6 +126,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q18_large_orders": (tpch_more.q18_large_orders, tpch_more.Q18_SQL),
     "q19_discounted_revenue": (tpch_more.q19_discounted_revenue, tpch_more.Q19_SQL),
     "q22_dormant_value": (tpch_more.q22_dormant_value, tpch_more.Q22_SQL),
+    "q2_min_cost_supplier": (tpch_shapes2.q2_min_cost_supplier, tpch_shapes2.Q2_SQL),
+    "q9_profit_nation_year": (tpch_shapes2.q9_profit_by_nation_year, tpch_shapes2.Q9_SQL),
+    "q11_important_value": (tpch_shapes2.q11_important_value, tpch_shapes2.Q11_SQL),
+    "q16_supplier_count": (tpch_shapes2.q16_supplier_count, tpch_shapes2.Q16_SQL),
+    "q17_small_qty_revenue": (tpch_shapes2.q17_small_quantity_revenue, tpch_shapes2.Q17_SQL),
+    "q20_excess_shippers": (tpch_shapes2.q20_excess_shippers, tpch_shapes2.Q20_SQL),
+    "q21_waiting_suppliers": (tpch_shapes2.q21_waiting_suppliers, tpch_shapes2.Q21_SQL),
     "join_full_outer": (relational_ext.join_full_outer_daily, relational_ext.JOIN_FULL_OUTER_SQL),
     "join_semi": (relational.join_semi_customers_with_orders, relational.JOIN_SEMI_SQL),
     "join_anti": (relational.join_anti_customers_without_orders, relational.JOIN_ANTI_SQL),
