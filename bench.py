@@ -30,6 +30,10 @@ HEADLINE: dict[str, str] = {
     "q12_priority_class": "collect",
     "q14_promo_revenue": "collect",
     "q18_large_orders": "collect",
+    "q2_min_cost_supplier": "collect",
+    "q9_profit_nation_year": "collect",
+    "q17_small_qty_revenue": "collect",
+    "q21_waiting_suppliers": "collect",
     "join_broadcast_geo": "collect",
     "join_salted": "collect",
     "agg_rollup": "collect",
