@@ -1,0 +1,289 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Four first-class curation stages over the ``documents`` table, each a
+pure-codegen / equality-join Spark plan with a 1:1 DuckDB oracle:
+
+- ``text_normalize`` — deterministic text canonicalization (the step
+  every dedup/quality stage assumes has already run).
+- ``contamination_check`` — benchmark n-gram overlap: does a training
+  document contain shingles from a held-out eval set? Equality join on
+  shingle, never a cross product.
+- ``mix_sources`` — deterministic source-weighted subsampling (the
+  "data mixture" step): a doc's fate is a pure function of its id, so
+  the mixture is stable across reruns, engines and appends.
+- ``boilerplate_score`` — corpus-frequent n-gram coverage per doc
+  (headers/footers/templates show up as shingles shared by a large
+  fraction of documents).
+
+No reference analog (the reference ingests broker CSVs —
+``index.js:19-31`` — and has no corpus stage); these extend the same
+scan → project → join → aggregate discipline to curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.operators.dedup import shingle_rows, shingle_sizes
+from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+# ------------------------------------------------------ normalization
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form: lowercase, non-alnum → space, collapse
+    runs of whitespace, trim. Zero-shuffle row-local codegen — the
+    100 TB shape is "normalize on ingest, write once, every later
+    stage reads the canonical column".
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").alias("orig_chars"),
+        F.length(norm).alias("norm_chars"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+    ).orderBy("doc_id")
+
+
+TEXT_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       length(text) AS orig_chars,
+       length(norm_text) AS norm_chars,
+       length(text) - length(norm_text) AS chars_removed
+FROM n
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- benchmark contamination
+CONTAM_N = 5            # shingle width: 5-gram overlap = near-verbatim
+CONTAM_BENCH_PCT = 5    # md5 bucket < 5 of 100 → the held-out "eval" docs
+CONTAM_THRESHOLD = 0.2  # flag when ≥20% of a doc's shingles are eval shingles
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: per training doc, the fraction of
+    its 5-gram shingles that appear in a held-out benchmark subset
+    (chosen by the same deterministic md5 bucketing as the sampler, so
+    the split is rerun/append-stable).
+
+    Plan shape: both sides shingled once (posexplode + lead window),
+    distinct benchmark shingles, one EQUALITY join on the shingle
+    string, per-doc ratio agg. Candidate volume is bounded by shared
+    shingles — no pairwise doc×doc comparison anywhere, so the plan
+    survives a 100 TB corpus (the benchmark side stays eval-sized and
+    its distinct-shingle set is broadcastable in practice; the hint is
+    left to the size-based planner).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = hash_bucket(F.col("doc_id")) < CONTAM_BENCH_PCT
+    bench_sh = (
+        shingle_rows(docs.filter(is_bench), n=CONTAM_N)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = shingle_rows(docs.filter(~is_bench), n=CONTAM_N)
+    overlap = (
+        train_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = shingle_sizes(train_sh)
+    ratio = F.round(F.col("n_overlap") / F.col("n_sh"), 6)
+    return (
+        sizes.join(overlap, "doc_id")
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_overlap",
+            ratio.alias("overlap_ratio"),
+            (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100
+           < {CONTAM_BENCH_PCT} AS is_bench,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), shingled AS (
+  SELECT doc_id, is_bench,
+         CASE WHEN len(w) >= {CONTAM_N}
+              THEN list_distinct([array_to_string(w[i:i+{CONTAM_N - 1}], ' ')
+                                  FOR i IN range(1, len(w) - {CONTAM_N - 2})])
+              ELSE [] END AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM shingled WHERE is_bench
+), train AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled WHERE NOT is_bench
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id
+), overlap AS (
+  SELECT t.doc_id, COUNT(*) AS n_overlap
+  FROM train t JOIN bench b USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_sh, o.n_overlap,
+       ROUND(o.n_overlap / s.n_sh, 6) AS overlap_ratio,
+       ROUND(o.n_overlap / s.n_sh, 6) >= {CONTAM_THRESHOLD} AS contaminated
+FROM sizes s JOIN overlap o USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# ------------------------------------------------- source-weighted mix
+# mixture spec: source srcN keeps weight w(N) = [1.0, 0.5, 0.25, 0.1][N % 4]
+MIX_RATES_PCT = [100, 50, 25, 10]
+
+
+def _mix_rate_pct(src_num):  # Column → Column (percent kept, 0-100)
+    rate = F.lit(MIX_RATES_PCT[0])
+    for i, pct in enumerate(MIX_RATES_PCT[1:], start=1):
+        rate = F.when(src_num % 4 == i, F.lit(pct)).otherwise(rate)
+    return rate
+
+
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-weighted mixture: each source keeps a
+    configured fraction of its docs, membership decided by md5 bucket
+    of doc_id (rerun/append/repartition-stable — ``df.sample`` is
+    none of those). Per-source audit row: total, kept, kept_fraction
+    vs target weight.
+
+    The keep predicate is a pure column expression, so at 100 TB it
+    pushes into the scan and the mixture costs one pass, no RNG
+    state, no driver coordination.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    rate = _mix_rate_pct(src_num)
+    kept = hash_bucket(F.col("doc_id")) < rate
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(kept.cast("long")).alias("kept"),
+            F.round(F.sum(kept.cast("long")) / F.count(F.lit(1)), 6).alias("kept_fraction"),
+            F.round(F.first(rate) / 100.0, 6).alias("target_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_SOURCES_SQL = rf"""
+WITH flagged AS (
+  SELECT source,
+         CASE (regexp_extract(source, '(\d+)', 1)::INT) % 4
+           WHEN 1 THEN {MIX_RATES_PCT[1]} WHEN 2 THEN {MIX_RATES_PCT[2]}
+           WHEN 3 THEN {MIX_RATES_PCT[3]} ELSE {MIX_RATES_PCT[0]} END AS rate,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100
+                   < (CASE (regexp_extract(source, '(\d+)', 1)::INT) % 4
+                        WHEN 1 THEN {MIX_RATES_PCT[1]} WHEN 2 THEN {MIX_RATES_PCT[2]}
+                        WHEN 3 THEN {MIX_RATES_PCT[3]} ELSE {MIX_RATES_PCT[0]} END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, COUNT(*) AS total,
+       CAST(SUM(kept) AS BIGINT) AS kept,
+       CAST(ROUND(SUM(kept) / COUNT(*), 6) AS DOUBLE) AS kept_fraction,
+       CAST(ROUND(ANY_VALUE(rate) / 100.0, 6) AS DOUBLE) AS target_fraction
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------- boilerplate score
+BOILER_DF_FRAC = 0.01   # a shingle in ≥1% of docs is "boilerplate"
+
+
+def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate coverage per document: the fraction of a
+    doc's 3-gram shingles that occur in ≥5% of ALL documents (site
+    chrome, licence headers, navigation text — the C4-style cleanup
+    signal).
+
+    Two aggregations over ONE shingling pass (document frequency per
+    shingle, then per-doc coverage through an equality join on the
+    shingle). The df table is vocabulary-sized; the join is size-based
+    (vocabulary grows with the corpus — no broadcast pin).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar literal, folded into the threshold
+    sh = shingle_rows(docs)  # distinct (doc_id, shingle), n=3
+    min_df = max(2, int(n_docs * BOILER_DF_FRAC))
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    covered = (
+        sh.join(common, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ratio = F.round(
+        F.coalesce(F.col("n_common"), F.lit(0)) / F.col("n_sh"), 6
+    )
+    return (
+        shingle_sizes(sh)
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            ratio.alias("boilerplate_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _boilerplate_sql() -> str:
+    from cgtcalc_data_transformer_spark.operators.dedup import _SHINGLES_CTE
+
+    return (
+        _SHINGLES_CTE
+        + f"""
+, sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled WHERE len(shingles) > 0
+), n AS (
+  SELECT GREATEST(2, FLOOR(COUNT(*) * {BOILER_DF_FRAC})::BIGINT) AS min_df FROM documents
+), common AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= (SELECT min_df FROM n)
+), covered AS (
+  SELECT doc_id, COUNT(*) AS n_common FROM sh JOIN common USING (shingle) GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_sh,
+       COALESCE(c.n_common, 0) AS n_common,
+       ROUND(COALESCE(c.n_common, 0) / s.n_sh, 6) AS boilerplate_ratio
+FROM sizes s LEFT JOIN covered c USING (doc_id)
+ORDER BY s.doc_id
+"""
+    )
+
+
+BOILERPLATE_SQL = _boilerplate_sql()

@@ -18,6 +18,7 @@ from cgtcalc_data_transformer_spark import fixtures, schemas
 from cgtcalc_data_transformer_spark.functions.jsnum import js_num
 from cgtcalc_data_transformer_spark.operators import (
     bullionvault,
+    curation,
     dedup,
     events,
     fidelity,
@@ -181,6 +182,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_rolling_hash": (textops.text_rolling_hash, textops.TEXT_ROLLING_SQL),
     "text_tfidf": (textops.text_tfidf_top_terms, textops.TEXT_TFIDF_SQL),
     "text_chunks": (textops.text_chunks, textops.TEXT_CHUNKS_SQL),
+    # corpus curation
+    "text_normalize": (curation.text_normalize, curation.TEXT_NORMALIZE_SQL),
+    "contamination_check": (curation.contamination_check, curation.CONTAMINATION_SQL),
+    "mix_sources": (curation.mix_sources, curation.MIX_SOURCES_SQL),
+    "boilerplate_score": (curation.boilerplate_score, curation.BOILERPLATE_SQL),
     # events (batch semantics)
     "events_tumbling": (events.events_tumbling_hourly, events.EVENTS_TUMBLING_SQL),
     "events_sliding": (events.events_sliding_hourly, events.EVENTS_SLIDING_SQL),
