@@ -1,0 +1,188 @@
+"""Embedding-column operators: normalization, int8 quantization,
+per-label centroid statistics.
+
+The array-math discipline mirrors ``similarity.py``: dot products and
+folds are sequential left-to-right ``F.aggregate`` expressions in
+double (bit-deterministic per row, no shuffle-order dependence), and
+every query returns SCALAR audit columns (the correctness gate's
+value hasher cannot canonicalize array cells — r1 ``agg_approx``
+lesson).
+
+All three are row-local or label-bounded plans: normalization and
+quantization are zero-shuffle scans; centroid stats shuffle once on
+(label, idx) and broadcast the label-count-bounded centroid table —
+nothing here grows super-linearly with corpus size.
+
+No reference analog (broker CSVs, ``index.js:19-31``); these are the
+vector-side prerequisites of the similarity/dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.operators.similarity import (
+    _as_double,
+    dot_expr,
+    norm_expr,
+)
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+QUANT_BITS_MAX = 127  # symmetric int8: codes in [-127, 127]
+
+
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + unit-vector audit per embedding: the norm, the sum of
+    normalized components (a scalar fingerprint of the unit vector),
+    and the dimension. Pure row-local codegen — at 100 TB this is a
+    single scan writing a normalized copy alongside the raw column.
+    """
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    norm = norm_expr(F.col("v"))
+    unit_sum = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x
+    ) / norm
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(unit_sum, 6).alias("unit_sum"),
+    ).orderBy("vec_id")
+
+
+EMB_NORMALIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT vec_id, label,
+       len(v) AS dim,
+       ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+       ROUND(list_sum(v) / sqrt(list_dot_product(v, v)), 6) AS unit_sum
+FROM e
+ORDER BY vec_id
+"""
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale
+    (max|x| / 127), the sum of quantized codes, and the reconstruction
+    error in micro-MSE units.
+
+    Rounding is spelled as ``floor(x/scale + 0.5)`` — identical
+    integer semantics in Spark and DuckDB (plain ``round`` differs
+    between engines on half-way cases). Row-local, zero shuffle; the
+    100 TB shape is a rewrite pass producing the int8 column + one
+    float scale per vector (4× smaller than float32).
+    """
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = amax / F.lit(float(QUANT_BITS_MAX))
+    q = F.transform(F.col("v"), lambda x: F.floor(x / scale + F.lit(0.5)))
+    qsum = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sqerr = F.aggregate(
+        F.zip_with(q, F.col("v"), lambda qi, x: (qi * scale - x) * (qi * scale - x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mse_micro = sqerr / F.size("v") * F.lit(1_000_000.0)
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        qsum.alias("qsum"),
+        F.round(mse_micro, 6).alias("mse_micro"),
+    ).orderBy("vec_id")
+
+
+EMB_QUANTIZE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / {QUANT_BITS_MAX}.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+  FROM scaled
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS qsum,
+       ROUND(list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> (codes[i] * scale - v[i]) * (codes[i] * scale - v[i])))
+             / len(v) * 1000000.0, 6) AS mse_micro
+FROM q
+ORDER BY vec_id
+"""
+
+
+def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + dispersion: member count, centroid L2
+    norm, mean and max member distance to the centroid.
+
+    Centroid: posexplode → one (label, idx) aggregation (map-side
+    partial, 64·|labels| result rows) → reassembled into an array
+    ordered by idx. Distances: the centroid table is label-count-
+    bounded, so it is broadcast — the member side never shuffles. The
+    per-row distance is a sequential fold (deterministic); only the
+    final label-level avg/max aggregates cross partitions, rounded
+    past float noise.
+    """
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    exploded = emb.select(
+        "label", F.posexplode(F.col("v")).alias("idx", "x")
+    )
+    centroid_rows = exploded.groupBy("label", "idx").agg(F.avg("x").alias("c"))
+    centroids = centroid_rows.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.join(F.broadcast(centroids), "label")
+        .select("label", norm_expr(F.col("cv")).alias("cnorm"), dist.alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.first("cnorm"), 6).alias("centroid_norm"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_CENTROID_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), comp0 AS (
+  SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+), comp AS (
+  SELECT label, i, AVG(x) AS c
+  FROM comp0
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label
+), dists AS (
+  SELECT e.label,
+         sqrt(list_dot_product(cent.cv, cent.cv)) AS cnorm,
+         sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+                                      i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])))) AS dist
+  FROM e JOIN cent USING (label)
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(ANY_VALUE(cnorm), 6) AS centroid_norm,
+       ROUND(AVG(dist), 6) AS avg_dist,
+       ROUND(MAX(dist), 6) AS max_dist
+FROM dists
+GROUP BY label
+ORDER BY label
+"""

@@ -20,6 +20,7 @@ from cgtcalc_data_transformer_spark.operators import (
     bullionvault,
     curation,
     dedup,
+    embedding_ops,
     events,
     fidelity,
     freetrade,
@@ -174,6 +175,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "ann_lsh": (similarity.ann_lsh, similarity.ANN_LSH_SQL),
     "ann_ivf": (similarity.ann_ivf, similarity.ANN_IVF_SQL),
+    # embedding ops
+    "emb_normalize": (embedding_ops.emb_normalize, embedding_ops.EMB_NORMALIZE_SQL),
+    "emb_quantize": (embedding_ops.emb_quantize, embedding_ops.EMB_QUANTIZE_SQL),
+    "emb_centroid_stats": (embedding_ops.emb_centroid_stats, embedding_ops.EMB_CENTROID_SQL),
     # text analysis
     "text_token_stats": (textops.text_token_stats, textops.TEXT_TOKEN_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
