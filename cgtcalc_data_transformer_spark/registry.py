@@ -21,6 +21,7 @@ from cgtcalc_data_transformer_spark.operators import (
     curation,
     dedup,
     embedding_ops,
+    incremental,
     events,
     fidelity,
     freetrade,
@@ -198,6 +199,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_session": (events.events_sessionize, events.EVENTS_SESSION_SQL),
     "events_json": (events.events_json_props, events.EVENTS_JSON_SQL),
     "asof_join": (events.asof_join_latest_order, events.ASOF_JOIN_SQL),
+    # incremental pipeline
+    "cdc_latest": (incremental.cdc_latest, incremental.CDC_LATEST_SQL),
+    "dedup_incremental": (incremental.dedup_incremental, incremental.DEDUP_INCREMENTAL_SQL),
+    "scd2_intervals": (incremental.scd2_intervals, incremental.SCD2_SQL),
     # multimodal
     "multimodal_metadata": (multimodal.multimodal_metadata, multimodal.MULTIMODAL_METADATA_SQL),
     "multimodal_decode": (multimodal.multimodal_decode, None),
