@@ -429,3 +429,134 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+# --------------------------------------------------------------- Q8
+Q8_NATION = "NATION_3"
+Q8_REGION = "EUROPE"
+Q8_PTYPE = "STANDARD"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): NATION_3 suppliers' share of
+    STANDARD-part volume sold into EUROPE customers' 1996-97 orders.
+
+    Seven-way join where the only big⋈big edge is lineitem⋈orders
+    (shuffles on orderkey); part, supplier⋈nation, customer and the
+    nation⋈region chain all broadcast. The share is a conditional-sum
+    over total-sum on the SAME aggregated rows — one aggregation, no
+    second pass. Decimal sums, double at the boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_PTYPE)
+    supp = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    eur_nations = n1.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    volume = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nat_volume = F.when(F.col("supp_nation") == Q8_NATION, volume).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(
+                supp.select("s_suppkey", "s_nationkey").join(
+                    n2, F.col("s_nationkey") == F.col("s_nkey")
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(eur_nations), F.col("c_nationkey") == F.col("c_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_volume).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+WHERE p_type = '{Q8_PTYPE}'
+  AND r_name = '{Q8_REGION}'
+  AND EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------- Q13
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution): LEFT OUTER join
+    with a predicate INSIDE the join condition (customers keep their
+    row even when every order is filtered away — the classic
+    outer-join-with-ON-filter trap), then a two-level aggregation:
+    orders per customer, customers per order-count.
+
+    The synthetic schema has no o_comment, so the ON-clause filter
+    excludes a priority class instead (same plan shape:
+    reference TPC-H Q13 `not like '%special%requests%'`).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

@@ -130,7 +130,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q19_discounted_revenue": (tpch_more.q19_discounted_revenue, tpch_more.Q19_SQL),
     "q22_dormant_value": (tpch_more.q22_dormant_value, tpch_more.Q22_SQL),
     "q2_min_cost_supplier": (tpch_shapes2.q2_min_cost_supplier, tpch_shapes2.Q2_SQL),
+    "q8_market_share": (tpch_shapes2.q8_market_share, tpch_shapes2.Q8_SQL),
     "q9_profit_nation_year": (tpch_shapes2.q9_profit_by_nation_year, tpch_shapes2.Q9_SQL),
+    "q13_customer_distribution": (tpch_shapes2.q13_customer_distribution, tpch_shapes2.Q13_SQL),
     "q11_important_value": (tpch_shapes2.q11_important_value, tpch_shapes2.Q11_SQL),
     "q16_supplier_count": (tpch_shapes2.q16_supplier_count, tpch_shapes2.Q16_SQL),
     "q17_small_qty_revenue": (tpch_shapes2.q17_small_quantity_revenue, tpch_shapes2.Q17_SQL),
