@@ -31,7 +31,9 @@ HEADLINE: dict[str, str] = {
     "q14_promo_revenue": "collect",
     "q18_large_orders": "collect",
     "q2_min_cost_supplier": "collect",
+    "q8_market_share": "collect",
     "q9_profit_nation_year": "collect",
+    "q13_customer_distribution": "collect",
     "q17_small_qty_revenue": "collect",
     "q21_waiting_suppliers": "collect",
     "join_broadcast_geo": "collect",
@@ -51,12 +53,21 @@ HEADLINE: dict[str, str] = {
     "knn_bruteforce": "collect",
     "ann_ivf": "collect",
     "ann_lsh": "collect",
+    "emb_quantize": "count",
+    "emb_centroid_stats": "collect",
     "text_quality": "count",
     "text_fingerprint": "count",
     "text_tfidf": "count",
+    "text_normalize": "count",
+    "contamination_check": "count",
+    "mix_sources": "collect",
+    "boilerplate_score": "count",
     "events_tumbling": "count",
     "events_session": "count",
     "asof_join": "count",
+    "cdc_latest": "count",
+    "scd2_intervals": "count",
+    "dedup_incremental": "count",
 }
 
 
