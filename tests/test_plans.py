@@ -170,3 +170,49 @@ def test_skew_salted_plan_fans_out(spark):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, rx.skew_join_plain(spark, SF).collect())
     )
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At 100 TB the selective side of a big-big join should prune the
+    probe side's shuffle via Catalyst's injected runtime bloom filter
+    (InjectRuntimeFilter). The engine must not block the rewrite: with
+    broadcast off and the size thresholds admitting the join, the
+    optimized plan must contain a might_contain() probe filter.
+    Thresholds are conf-driven (size-based at real scale); they're
+    pinned here so the rewrite fires at test SF."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized
+        # and the rewrite must not change results
+        assert j.count() == 1
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
