@@ -22,6 +22,7 @@ from cgtcalc_data_transformer_spark.operators import (
     dedup,
     embedding_ops,
     incremental,
+    layout,
     events,
     fidelity,
     freetrade,
@@ -201,6 +202,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_session": (events.events_sessionize, events.EVENTS_SESSION_SQL),
     "events_json": (events.events_json_props, events.EVENTS_JSON_SQL),
     "asof_join": (events.asof_join_latest_order, events.ASOF_JOIN_SQL),
+    # data layout
+    "zorder_layout": (layout.zorder_layout, layout.ZORDER_LAYOUT_SQL),
     # incremental pipeline
     "cdc_latest": (incremental.cdc_latest, incremental.CDC_LATEST_SQL),
     "dedup_incremental": (incremental.dedup_incremental, incremental.DEDUP_INCREMENTAL_SQL),
