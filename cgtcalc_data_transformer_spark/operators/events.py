@@ -257,3 +257,83 @@ SELECT ev.event_id, ev.user_id, ev.event_day,
 FROM ev
 ORDER BY event_id
 """
+
+
+# ------------------------------------------------------ funnel analysis
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    reaches stage k only via an event strictly AFTER their stage-k-1
+    entry time. Per stage: users reached + conversion from the
+    previous stage.
+
+    Plan shape: one filtered min-aggregation per stage, each joined to
+    the previous stage's entry times on the user key — k-1 equality
+    joins on a monotonically SHRINKING key set (never a window over
+    the full event log, never a sequential fold, no driver-side
+    actions: the whole funnel is ONE lazy plan whose stage counts meet
+    in a 1-row cross join). All shuffles are on user_id, so at 100 TB
+    the stage frames co-partition and AQE broadcasts the later (small)
+    stages.
+    """
+    ev = load_events(spark, sf_dir)
+    stage_times = []  # DataFrame(user_id, t_k) per stage
+    prev = None
+    for k, stage in enumerate(FUNNEL_STAGES):
+        cur = ev.filter(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        entered = cur.groupBy("user_id").agg(F.min("ts").alias(f"t{k}"))
+        stage_times.append(entered)
+        prev = entered.select("user_id", F.col(f"t{k}").alias("t_prev"))
+    counts = stage_times[0].agg(F.count(F.lit(1)).alias("c0"))
+    for k, df in enumerate(stage_times[1:], start=1):
+        counts = counts.crossJoin(df.agg(F.count(F.lit(1)).alias(f"c{k}")))
+    stages = []
+    for k, stage in enumerate(FUNNEL_STAGES):
+        conv = (
+            F.lit(1.0)
+            if k == 0
+            else F.round(F.col(f"c{k}") / F.col(f"c{k - 1}"), 6)
+        )
+        stages.append(
+            counts.select(
+                F.lit(k + 1).alias("stage_num"),
+                F.lit(stage).alias("stage"),
+                F.col(f"c{k}").alias("users_reached"),
+                conv.cast("double").alias("conversion"),
+            )
+        )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage_num")
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s0.t0
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), c AS (
+  SELECT (SELECT COUNT(*) FROM s0) AS c0,
+         (SELECT COUNT(*) FROM s1) AS c1,
+         (SELECT COUNT(*) FROM s2) AS c2
+)
+SELECT 1 AS stage_num, '{FUNNEL_STAGES[0]}' AS stage, c0 AS users_reached, 1.0::DOUBLE AS conversion FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STAGES[1]}', c1, ROUND(c1 / c0, 6) FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STAGES[2]}', c2, ROUND(c2 / c1, 6) FROM c
+ORDER BY stage_num
+"""

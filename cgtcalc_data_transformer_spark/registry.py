@@ -202,6 +202,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_session": (events.events_sessionize, events.EVENTS_SESSION_SQL),
     "events_json": (events.events_json_props, events.EVENTS_JSON_SQL),
     "asof_join": (events.asof_join_latest_order, events.ASOF_JOIN_SQL),
+    "events_funnel": (events.events_funnel, events.EVENTS_FUNNEL_SQL),
     # data layout
     "zorder_layout": (layout.zorder_layout, layout.ZORDER_LAYOUT_SQL),
     # incremental pipeline

