@@ -1,0 +1,123 @@
+"""Data-quality gate: declarative expectations evaluated in bulk
+(the Deequ/Great-Expectations shape, Spark-first).
+
+One row per check — completeness (null rate), uniqueness (key
+cardinality), range/domain conformance, and referential integrity —
+with the violation count and pass flag. Two plan families only:
+
+- column expectations fold into a SINGLE full-scan aggregation
+  (every check is a conditional sum — map-side combinable, one pass
+  over the fact table no matter how many checks ride on it);
+- referential integrity is a LEFT ANTI join against the distinct
+  parent keys (equality join; parent side broadcastable when it is a
+  dimension).
+
+At 100 TB this is the "gate every ingest batch" operator: constant
+passes, no per-check jobs, violations countable without materializing
+violating rows.
+
+The reference's analog is its per-field fail-fast validation
+(``freetrade.js:133-147``, ``ii.js:62-85`` — throw on first bad
+field); this is the collect-don't-throw generalization its
+``collect-violations`` debugging mode (SURVEY §7.4) pointed at.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+VALID_STATUS = ("F", "O", "P")
+VALID_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate over ``orders``: 6 expectations, 2 jobs' worth of
+    plan (one scan-agg + one anti-join count), emitted as one tidy
+    (check, violations, total, passed) frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def viol(cond) -> F.Column:  # count rows VIOLATING the expectation
+        return F.sum(F.when(~cond, 1).otherwise(0).cast("long"))
+
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        viol(F.col("o_orderkey").isNotNull()).alias("v_key_complete"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_key_unique"),
+        viol(F.col("o_totalprice") > 0).alias("v_price_positive"),
+        viol(F.col("o_orderstatus").isin(*VALID_STATUS)).alias("v_status_domain"),
+        viol(F.col("o_orderpriority").isin(*VALID_PRIORITIES)).alias(
+            "v_priority_domain"
+        ),
+    )
+    orphans = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(customer.select("c_custkey").distinct()),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk_customer"))
+    )
+    wide = wide.crossJoin(orphans)
+
+    checks = [
+        ("key_complete", "v_key_complete"),
+        ("key_unique", "v_key_unique"),
+        ("price_positive", "v_price_positive"),
+        ("status_domain", "v_status_domain"),
+        ("priority_domain", "v_priority_domain"),
+        ("fk_customer", "v_fk_customer"),
+    ]
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.col(col).alias("violations"),
+                        F.col("total").alias("total"),
+                        (F.col(col) == 0).alias("passed"),
+                    )
+                    for name, col in checks
+                ]
+            )
+        ).alias("c")
+    )
+    return stacked.select("c.*").orderBy("check")
+
+
+DQ_CHECKS_SQL = f"""
+WITH wide AS (
+  SELECT COUNT(*) AS total,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_key_complete,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_key_unique,
+         CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN {VALID_STATUS!r} THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN {VALID_PRIORITIES!r} THEN 1 ELSE 0 END) AS BIGINT) AS v_priority_domain
+  FROM orders
+), fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_fk_customer
+  FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+)
+SELECT 'fk_customer' AS "check", v_fk_customer AS violations, total, v_fk_customer = 0 AS passed FROM wide, fk
+UNION ALL
+SELECT 'key_complete', v_key_complete, total, v_key_complete = 0 FROM wide
+UNION ALL
+SELECT 'key_unique', v_key_unique, total, v_key_unique = 0 FROM wide
+UNION ALL
+SELECT 'price_positive', v_price_positive, total, v_price_positive = 0 FROM wide
+UNION ALL
+SELECT 'priority_domain', v_priority_domain, total, v_priority_domain = 0 FROM wide
+UNION ALL
+SELECT 'status_domain', v_status_domain, total, v_status_domain = 0 FROM wide
+ORDER BY "check"
+"""

@@ -23,6 +23,7 @@ from cgtcalc_data_transformer_spark.operators import (
     embedding_ops,
     incremental,
     layout,
+    quality,
     events,
     fidelity,
     freetrade,
@@ -203,6 +204,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_json": (events.events_json_props, events.EVENTS_JSON_SQL),
     "asof_join": (events.asof_join_latest_order, events.ASOF_JOIN_SQL),
     "events_funnel": (events.events_funnel, events.EVENTS_FUNNEL_SQL),
+    # data quality gate
+    "dq_checks": (quality.dq_checks, quality.DQ_CHECKS_SQL),
     # data layout
     "zorder_layout": (layout.zorder_layout, layout.ZORDER_LAYOUT_SQL),
     # incremental pipeline

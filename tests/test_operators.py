@@ -228,3 +228,52 @@ def test_funnel_monotone_and_ordered(spark):
     assert rows[0].conversion == 1.0
     for r in rows[1:]:
         assert 0.0 < r.conversion <= 1.0
+
+
+def test_dq_checks_all_pass_on_clean_data(spark):
+    """The synthetic tables are clean — every expectation must pass —
+    and the whole gate must stay a two-job plan (one scan-agg + one
+    anti-join), never one job per check."""
+    from cgtcalc_data_transformer_spark.operators import quality
+
+    rows = quality.dq_checks(spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.passed and r.violations == 0, r
+        assert r.total > 0
+
+
+def test_dq_checks_detects_injected_violations(spark):
+    """Inject bad rows and verify the right checks flip."""
+    from cgtcalc_data_transformer_spark.operators import quality
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    orders = load_table(spark, SF, "orders")
+    bad = orders.limit(1).select(
+        F.col("o_orderkey"),  # duplicate key -> uniqueness violation
+        F.lit(-1).cast("long").alias("o_custkey"),  # orphan FK
+        F.lit("X").alias("o_orderstatus"),  # bad domain
+        F.lit(-5.0).alias("o_totalprice"),  # non-positive price
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    import cgtcalc_data_transformer_spark.sources.tpch as tpch
+
+    dirty = orders.unionByName(bad)
+    orig = tpch.load_table
+    try:
+        tpch.load_table = lambda sp, sf, name: (
+            dirty if name == "orders" else orig(sp, sf, name)
+        )
+        # quality.py imported load_table by name — patch there too
+        orig_q = quality.load_table
+        quality.load_table = tpch.load_table
+        got = {r.check: r for r in quality.dq_checks(spark, SF).collect()}
+    finally:
+        tpch.load_table = orig
+        quality.load_table = orig_q
+    assert got["key_unique"].violations == 1
+    assert got["fk_customer"].violations == 1
+    assert got["status_domain"].violations == 1
+    assert got["price_positive"].violations == 1
+    assert got["key_complete"].violations == 0
