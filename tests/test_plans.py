@@ -216,3 +216,21 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """With 32 static shuffle partitions and a tiny aggregate, AQE
+    must coalesce the post-shuffle partitions at runtime — the knob
+    that makes one static shuffle.partitions setting survive 100x
+    data-size swings. Asserted on the EXECUTED plan (what AQE actually
+    did, not what it might do)."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    df = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    df.collect()  # finalize adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan, plan

@@ -1,0 +1,43 @@
+"""Registry/driver-contract guards that run WITHOUT Spark — catch
+broken oracle SQL or registry drift in milliseconds, not minutes."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+
+from cgtcalc_data_transformer_spark import registry
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+SF = "/root/testdata/sf0.001"
+
+
+def test_names_are_well_formed():
+    names = list(registry.REGISTRY)
+    assert len(names) == len(set(names))
+    for n in names:
+        assert re.fullmatch(r"[a-z][a-z0-9_]+", n), n
+
+
+def test_oracles_subset_of_queries():
+    assert set(registry.oracle_sql()) <= set(registry.queries())
+
+
+def test_every_oracle_sql_plans_in_duckdb():
+    """EXPLAIN (bind + plan, no execution) every oracle against the
+    real table schemas — syntax errors, bad casts, and unknown
+    columns all surface here without a Spark session."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    for name, sql in registry.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover - the assert carries the name
+            raise AssertionError(f"oracle for {name!r} does not plan: {e}") from e
