@@ -120,6 +120,7 @@ def main() -> None:
             ("plain", False, rx.skew_join_plain),
             ("aqe_split", True, rx.skew_join_plain),
             ("salted", False, rx.skew_join_salted),
+            ("salted_partial", False, rx.skew_join_salted_partial),
         ]:
             conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_split).lower())
             conf.set(

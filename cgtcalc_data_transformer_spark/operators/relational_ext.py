@@ -132,6 +132,7 @@ ORDER BY o_orderpriority, o_orderkey
 
 # ---------------------------------------------------- salted skew join
 SALT_BUCKETS = 8
+PARTIAL_SALT_BUCKETS = 32  # hot-key-only replication → fan out to every core
 
 
 def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +258,72 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (li["salt"] == orders_rep["salt"]),
         )
     )
+
+
+def skew_join_salted_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial salting — the production form: detect the hot keys at
+    runtime (one count-aggregate; the list crossing the driver is
+    bounded by the skew itself, a handful of keys), salt ONLY those,
+    and join the cold majority plainly. The dim side replicates
+    SALT_BUCKETS× for the hot keys alone (a few rows), not the whole
+    table — full salting's dim blow-up (|dim|×SALT_BUCKETS rows) is
+    what makes it lose to AQE at scale; this variant keeps the salted
+    path's straggler-free property without that cost."""
+    li = skewed_lineitem(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # Hot-key detection on a 1% DETERMINISTIC hash sample: a key worth
+    # salting holds ≥10% of the fact side, so a 1% sample sees it
+    # thousands of times — full-scan counting would cost more than the
+    # skew itself. xxhash64 (native, no string cast) rather than the
+    # oracle-portable md5 bucketing: detection is internal, only the
+    # JOIN RESULT must match the oracle, and md5-of-string over the
+    # fact side would cost more than the sample saves. One cheap
+    # aggregate; the driver list is bounded by the 10% threshold
+    # (≤10 keys).
+    sample = li.filter(
+        F.pmod(F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(100))
+        < 1
+    )
+    hot_rows = (
+        sample.groupBy("sk_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("n_sample", F.sum("cnt").over(Window.partitionBy()))
+        .filter(F.col("cnt") > F.col("n_sample") / 10)
+        .collect()
+    )
+    hot_keys = [r.sk_orderkey for r in hot_rows]
+    if not hot_keys:
+        return _skew_agg(li.join(orders, F.col("sk_orderkey") == F.col("o_orderkey")))
+    # Wide fan-out: replication cost is per-HOT-key (a handful of dim
+    # rows), so the salt can spread each hot key across every core —
+    # unlike full salting, where the dim blow-up scales with buckets.
+    li_cold = li.filter(~F.col("sk_orderkey").isin(hot_keys))
+    li_hot = li.filter(F.col("sk_orderkey").isin(hot_keys)).withColumn(
+        "salt",
+        F.pmod(
+            F.col("l_partkey") + F.col("rep"), F.lit(PARTIAL_SALT_BUCKETS)
+        ).cast("int"),
+    )
+    orders_hot = (
+        orders.filter(F.col("o_orderkey").isin(hot_keys))
+        .withColumn(
+            "salt",
+            F.explode(
+                F.array(
+                    *[F.lit(i).cast("int") for i in range(PARTIAL_SALT_BUCKETS)]
+                )
+            ),
+        )
+    )
+    cold = li_cold.join(orders, F.col("sk_orderkey") == F.col("o_orderkey")).select(
+        "o_orderstatus", "l_extendedprice", "l_discount"
+    )
+    hot = li_hot.join(
+        orders_hot,
+        (F.col("sk_orderkey") == F.col("o_orderkey"))
+        & (li_hot["salt"] == orders_hot["salt"]),
+    ).select("o_orderstatus", "l_extendedprice", "l_discount")
+    return _skew_agg(cold.unionByName(hot))
 
 
 SKEW_JOIN_SQL = f"""

@@ -164,6 +164,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
     "skew_join_plain": (relational_ext.skew_join_plain, relational_ext.SKEW_JOIN_SQL),
     "skew_join_salted": (relational_ext.skew_join_salted, relational_ext.SKEW_JOIN_SQL),
+    "skew_join_salted_partial": (
+        relational_ext.skew_join_salted_partial,
+        relational_ext.SKEW_JOIN_SQL,
+    ),
     "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
     "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),

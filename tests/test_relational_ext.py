@@ -100,3 +100,24 @@ def test_subquery_scalar_strictly_above_avg(spark):
     assert df.filter(F.col("c_acctbal") <= F.col("nation_avg")).count() == 0
     # every nation with >1 distinct balance must contribute some rows
     assert df.count() > 0
+
+
+def test_partial_salting_replicates_only_hot_keys(spark):
+    """The partial variant must NOT blow up the dim side: replication
+    (explode) happens only on the hot-key subset, and the result
+    equals the plain join exactly."""
+    from cgtcalc_data_transformer_spark.operators import relational_ext as rx
+
+    import re
+
+    df = rx.skew_join_salted_partial(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the explode feeding the hot join sits above a FILTERED orders
+    # scan (o_orderkey restricted to the detected hot keys) — a
+    # whole-table replication like full salting's would show an
+    # unfiltered orders relation under the Generate
+    assert "explode" in plan.lower()
+    assert re.search(r"o_orderkey#\d+L? (IN|=) \(?1\)?", plan), plan
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, rx.skew_join_plain(spark, SF).collect()))
+    assert got == want
