@@ -337,3 +337,71 @@ UNION ALL
 SELECT 3, '{FUNNEL_STAGES[2]}', c2, ROUND(c2 / c1, 6) FROM c
 ORDER BY stage_num
 """
+
+
+# ---------------------------------------------- resample + forward fill
+def events_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily value totals
+    resampled onto a DENSE day spine (every day between the user's
+    first and last event) with forward-fill across gap days.
+
+    Spine generation is `sequence` + `explode` from each user's
+    [min_day, max_day] — data-dependent width, no driver loop, no
+    cross join with a global calendar (which would explode sparse
+    users at 100 TB). The fill is `last(value, ignorenulls=True)`
+    over an unbounded-preceding ROWS frame: one shuffle on user_id,
+    shared by the spine aggregation and the fill window (the
+    downstream exchange is reused).
+    """
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts div {DAY_NS}").alias("day")
+    daily = ev.groupBy("user_id", day).agg(
+        F.sum(_dec(F.col("value"))).cast("double").alias("day_value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return (
+        joined.select(
+            "user_id",
+            "day",
+            F.round(F.col("day_value"), 6).alias("day_value"),
+            F.round(F.last("day_value", ignorenulls=True).over(w), 6).alias(
+                "filled_value"
+            ),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+EVENTS_RESAMPLE_SQL = f"""
+WITH daily AS (
+  SELECT user_id, epoch_ns(ts) // {DAY_NS} AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS day_value
+  FROM events
+  GROUP BY user_id, epoch_ns(ts) // {DAY_NS}
+), spine AS (
+  SELECT user_id, unnest(range(MIN(day), MAX(day) + 1)) AS day
+  FROM daily
+  GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       ROUND(d.day_value, 6) AS day_value,
+       ROUND(last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value,
+       d.day_value IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, s.day
+"""

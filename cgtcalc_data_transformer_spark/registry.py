@@ -208,6 +208,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_json": (events.events_json_props, events.EVENTS_JSON_SQL),
     "asof_join": (events.asof_join_latest_order, events.ASOF_JOIN_SQL),
     "events_funnel": (events.events_funnel, events.EVENTS_FUNNEL_SQL),
+    "events_resample_daily": (events.events_resample_daily, events.EVENTS_RESAMPLE_SQL),
     # data quality gate
     "dq_checks": (quality.dq_checks, quality.DQ_CHECKS_SQL),
     # data layout

@@ -277,3 +277,27 @@ def test_dq_checks_detects_injected_violations(spark):
     assert got["status_domain"].violations == 1
     assert got["price_positive"].violations == 1
     assert got["key_complete"].violations == 0
+
+
+def test_resample_spine_is_dense_and_filled(spark):
+    """Each user's spine has no day holes; filled_value is never null
+    after the user's first observed day; gap rows carry the previous
+    day's value forward."""
+    rows = events.events_resample_daily(spark, SF).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, days in by_user.items():
+        days.sort(key=lambda r: r.day)
+        assert [d.day for d in days] == list(
+            range(days[0].day, days[-1].day + 1)
+        ), user
+        assert days[0].day_value is not None  # spine starts at first obs
+        prev = None
+        for d in days:
+            assert d.filled_value is not None
+            assert d.is_gap == (d.day_value is None)
+            if d.is_gap:
+                assert d.filled_value == prev, (user, d.day)
+            prev = d.filled_value
