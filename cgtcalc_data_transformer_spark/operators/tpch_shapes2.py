@@ -560,3 +560,19 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# ------------------------------------------------- SQL-frontend twin
+def sql_frontend_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q13 oracle SQL executed VERBATIM through ``spark.sql`` —
+    one dialect-neutral SQL text is the single source of truth for
+    both engines (Spark SQL front end here, DuckDB as the oracle).
+    Demonstrates that the engine's SQL surface is first-class: same
+    Catalyst plan as the DataFrame formulation (left outer join with
+    ON-predicate, two-level aggregation), arrived at from SQL.
+    """
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(Q13_SQL)

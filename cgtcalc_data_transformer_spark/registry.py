@@ -135,6 +135,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q8_market_share": (tpch_shapes2.q8_market_share, tpch_shapes2.Q8_SQL),
     "q9_profit_nation_year": (tpch_shapes2.q9_profit_by_nation_year, tpch_shapes2.Q9_SQL),
     "q13_customer_distribution": (tpch_shapes2.q13_customer_distribution, tpch_shapes2.Q13_SQL),
+    "sql_frontend_q13": (tpch_shapes2.sql_frontend_q13, tpch_shapes2.Q13_SQL),
     "q11_important_value": (tpch_shapes2.q11_important_value, tpch_shapes2.Q11_SQL),
     "q16_supplier_count": (tpch_shapes2.q16_supplier_count, tpch_shapes2.Q16_SQL),
     "q17_small_qty_revenue": (tpch_shapes2.q17_small_quantity_revenue, tpch_shapes2.Q17_SQL),
