@@ -97,7 +97,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    train_sh = shingle_rows(docs.filter(~is_bench), n=CONTAM_N)
+    # train shingles feed both the overlap join and the size agg;
+    # cache (at 100 TB: checkpoint to parquet) so the posexplode +
+    # window shingling runs once, not per branch.
+    train_sh = shingle_rows(docs.filter(~is_bench), n=CONTAM_N).cache()
     overlap = (
         train_sh.join(bench_sh, "shingle")
         .groupBy("doc_id")
@@ -231,7 +234,10 @@ def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar literal, folded into the threshold
-    sh = shingle_rows(docs)  # distinct (doc_id, shingle), n=3
+    # (doc_id, shingle) feeds three branches (df, coverage, sizes);
+    # cache it — at 100 TB checkpoint to parquet instead of memory
+    # (same pattern as dedup_minhash_lsh).
+    sh = shingle_rows(docs).cache()  # distinct (doc_id, shingle), n=3
     min_df = max(2, int(n_docs * BOILER_DF_FRAC))
     common = (
         sh.groupBy("shingle")
