@@ -93,12 +93,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch never compares against the corpus pairwise.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # The signature projection (md5 + the 64-counter SimHash fold) is
+    # the expensive part and feeds FOUR branches (existing/batch ×
+    # key-set/bucket-counts) — cache it so it is computed once per doc
+    # (at 100 TB: persist the signature table to parquet, it is the
+    # natural incremental-ingest artifact to keep anyway).
     sig = docs.select(
         "doc_id",
         F.md5(F.col("text")).alias("content_key"),
         F.shiftrightunsigned(simhash_col(F.col("text")), 48).alias("bucket16"),
         (hash_bucket(F.col("doc_id")) < INCR_EXISTING_PCT).alias("is_existing"),
-    )
+    ).cache()
     existing = sig.filter(F.col("is_existing"))
     batch = sig.filter(~F.col("is_existing"))
     known_keys = existing.select("content_key").distinct()
