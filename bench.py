@@ -65,9 +65,13 @@ HEADLINE: dict[str, str] = {
     "events_tumbling": "count",
     "events_session": "count",
     "asof_join": "count",
+    "events_funnel": "collect",
+    "events_resample_daily": "count",
     "cdc_latest": "count",
     "scd2_intervals": "count",
     "dedup_incremental": "count",
+    "dq_checks": "collect",
+    "zorder_layout": "collect",
 }
 
 
