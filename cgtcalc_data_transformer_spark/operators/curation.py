@@ -223,7 +223,8 @@ BOILER_DF_FRAC = 0.01   # a shingle in ≥1% of docs is "boilerplate"
 
 def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template/boilerplate coverage per document: the fraction of a
-    doc's 3-gram shingles that occur in ≥5% of ALL documents (site
+    doc's 3-gram shingles that occur in ≥BOILER_DF_FRAC (1%) of ALL
+    documents (site
     chrome, licence headers, navigation text — the C4-style cleanup
     signal).
 

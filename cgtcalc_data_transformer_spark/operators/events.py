@@ -23,8 +23,7 @@ SESSION_GAP_NS = 1800 * NS_PER_SEC
 DAY_NS = 86400 * NS_PER_SEC
 
 
-def _dec(col):
-    return col.cast("decimal(28,6)")
+from cgtcalc_data_transformer_spark.functions.money import dec as _dec
 
 
 # ------------------------------------------------------ tumbling window

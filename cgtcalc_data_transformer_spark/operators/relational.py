@@ -23,8 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
 
-def _dec(col, prec: int = 28, scale: int = 6):
-    return col.cast(f"decimal({prec},{scale})")
+from cgtcalc_data_transformer_spark.functions.money import dec as _dec
 
 
 # ---------------------------------------------------------------- Q1

@@ -75,10 +75,10 @@ def _batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the twin input every streaming query is pinned against."""
     from cgtcalc_data_transformer_spark.sources.tpch import load_events
 
-    ev = load_events(spark, sf_dir)
-    return ev.withColumn(
-        "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # load_events already derives ts_ts — do NOT re-derive it here: a
+    # second copy of the ns→µs expression could silently diverge from
+    # the canonical one and skew every batch_mismatch pin.
+    return load_events(spark, sf_dir)
 
 
 # The window aggregations are single functions applied to EITHER the

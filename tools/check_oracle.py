@@ -24,6 +24,7 @@ import time
 from collections import Counter
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, ".")
 
@@ -34,8 +35,10 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 def _norm(v):
     """Normalize a pandas cell to (type-tag, value) — type-strict."""
-    if hasattr(v, "item"):  # numpy scalar → python scalar
-        v = v.item()
+    if isinstance(v, np.ndarray):  # array cell: BEFORE .item() (which
+        v = v.tolist()             # raises on size != 1)
+    if hasattr(v, "item") and not isinstance(v, (list, tuple)):
+        v = v.item()  # numpy scalar → python scalar
     if v is None:
         return ("null", None)
     if isinstance(v, float):
@@ -54,9 +57,17 @@ def _norm(v):
 
 
 def _frame_key(df):
+    """Order-insensitive multiset of rows, dtype-preserving.
+
+    itertuples, NOT iterrows: iterrows coerces each row Series to a
+    common dtype, so an int64 cell in a frame that also has a float
+    column silently becomes float64 and the type-strict compare stops
+    being strict (5 vs 5.0 would pass)."""
     cols = sorted(df.columns)
+    col_ix = [df.columns.get_loc(c) for c in cols]
     return Counter(
-        tuple(_norm(row[c]) for c in cols) for _, row in df.iterrows()
+        tuple(_norm(row[i]) for i in col_ix)
+        for row in df.itertuples(index=False, name=None)
     )
 
 
