@@ -1,6 +1,6 @@
 """Corpus-curation operators for LLM training-data pipelines.
 
-Four first-class curation stages over the ``documents`` table, each a
+First-class curation stages over the ``documents`` table, each a
 pure-codegen / equality-join Spark plan with a 1:1 DuckDB oracle:
 
 - ``text_normalize`` — deterministic text canonicalization (the step
@@ -14,6 +14,9 @@ pure-codegen / equality-join Spark plan with a 1:1 DuckDB oracle:
 - ``boilerplate_score`` — corpus-frequent n-gram coverage per doc
   (headers/footers/templates show up as shingles shared by a large
   fraction of documents).
+- ``pii_redact`` — regex PII scrubbing with per-doc hit counts.
+- ``pack_batches`` — token-budget sequence packing via windowed
+  cumsum (no sequential loop).
 
 No reference analog (the reference ingests broker CSVs —
 ``index.js:19-31`` — and has no corpus stage); these extend the same
@@ -294,3 +297,124 @@ ORDER BY s.doc_id
 
 
 BOILERPLATE_SQL = _boilerplate_sql()
+
+
+# ------------------------------------------------------- PII redaction
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+PII_INJECT_MOD = 7  # doc_id % 7 == 0 gets synthetic PII (see docstring)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email addresses and phone-shaped
+    tokens, report per-doc hit counts.
+
+    The synthetic corpus contains no organic PII, so the query first
+    INJECTS a deterministic email + phone into every 7th document —
+    the injection is part of the query (both engines apply it), which
+    keeps the oracle exact while making the redaction measurably
+    non-trivial. Row-local codegen regex work — at 100 TB this is a
+    rewrite pass fused into the normalize-on-ingest scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % PII_INJECT_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +44-555-0101"),
+        ),
+    ).otherwise(F.col("text"))
+    n_emails = F.size(F.regexp_extract_all(injected, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(injected, F.lit(PII_PHONE_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(injected, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_phones > 0).alias("had_pii"),
+        clean.alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+PII_REDACT_SQL = rf"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_INJECT_MOD} = 0
+              THEN text || ' contact user' || doc_id || '@example.com or +44-555-0101'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}')) + len(regexp_extract_all(t, '{PII_PHONE_RE}')) > 0 AS had_pii,
+       regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM injected
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------- token-budget batch packing
+PACK_BUDGET = 256  # tokens per training batch
+
+
+def pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents (in stable
+    doc_id order) to fixed token-budget batches via a running token
+    cumsum — batch_id = floor((cumsum - n_tokens) / budget), i.e. a
+    doc joins the batch its FIRST token lands in (greedy packing
+    without a sequential loop).
+
+    One window over a single global ordering. At 100 TB you partition
+    the cumsum by shard (source, day) so the window never sees a
+    global sort — emitted here per source for exactly that shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens_col(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        with_cum.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET
+            ).cast("long").alias("batch_id"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+PACK_BATCHES_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS batch_id
+FROM cum
+ORDER BY source, doc_id
+"""

@@ -202,6 +202,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "contamination_check": (curation.contamination_check, curation.CONTAMINATION_SQL),
     "mix_sources": (curation.mix_sources, curation.MIX_SOURCES_SQL),
     "boilerplate_score": (curation.boilerplate_score, curation.BOILERPLATE_SQL),
+    "pii_redact": (curation.pii_redact, curation.PII_REDACT_SQL),
+    "pack_batches": (curation.pack_batches, curation.PACK_BATCHES_SQL),
     # events (batch semantics)
     "events_tumbling": (events.events_tumbling_hourly, events.EVENTS_TUMBLING_SQL),
     "events_sliding": (events.events_sliding_hourly, events.EVENTS_SLIDING_SQL),

@@ -70,3 +70,31 @@ def test_boilerplate_ratio_bounds(spark):
     for r in rows:
         assert 0 <= r.n_common <= r.n_sh
         assert 0.0 <= r.boilerplate_ratio <= 1.0
+
+
+def test_pii_redact_injected_docs_flagged(spark):
+    rows = curation.pii_redact(spark, SF).collect()
+    for r in rows:
+        if r.doc_id % curation.PII_INJECT_MOD == 0:
+            assert r.had_pii and r.n_emails >= 1 and r.n_phones >= 1, r.doc_id
+            assert "<EMAIL>" in r.clean_text and "<PHONE>" in r.clean_text
+        else:
+            assert not r.had_pii, r.doc_id
+        assert "@" not in r.clean_text
+
+
+def test_pack_batches_budget_respected(spark):
+    """A doc's batch is where its first token lands: within each
+    source, batch_ids are non-decreasing and every batch except
+    possibly the last STARTS under budget."""
+    rows = curation.pack_batches(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for d in docs:
+            assert d.batch_id == cum // curation.PACK_BUDGET, (src, d.doc_id)
+            cum += d.n_tokens
+        assert [d.batch_id for d in docs] == sorted(d.batch_id for d in docs)
