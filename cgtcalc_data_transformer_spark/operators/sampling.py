@@ -144,3 +144,84 @@ UNION ALL
 SELECT 'o_totalprice', t_nulls, t_distinct, t_min, t_max FROM wide
 ORDER BY "column"
 """
+
+
+# ------------------------------------------- per-group fixed-size sample
+GROUP_SAMPLE_K = 5
+
+
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: the K documents per source
+    with the smallest md5(doc_id) — a hash-ordered top-k window, so
+    membership is rerun/engine/partitioning-stable (a per-group
+    'reservoir' without RNG state). One shuffle on the group key;
+    the window never sees more than a group's rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+SAMPLE_PER_GROUP_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source, doc_id, rk FROM ranked
+WHERE rk <= {GROUP_SAMPLE_K}
+ORDER BY source, rk
+"""
+
+
+# ------------------------------------------------- equi-width histogram
+HIST_BINS = 20
+
+
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice in HIST_BINS bins over the
+    observed [min, max]: two passes (one tiny min/max agg joined as a
+    1-row broadcast literal, then one bucketing agg). Bin edges are
+    computed identically in both engines; the max value is clamped
+    into the last bin.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    with_b = orders.crossJoin(F.broadcast(bounds))
+    bin_ix = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / HIST_BINS)
+        ).cast("long"),
+        F.lit(HIST_BINS - 1).cast("long"),
+    )
+    return (
+        with_b.groupBy(bin_ix.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {HIST_BINS})) AS BIGINT),
+             {HIST_BINS - 1}) AS bin,
+       COUNT(*) AS n
+FROM orders, bounds
+GROUP BY 1
+ORDER BY bin
+"""

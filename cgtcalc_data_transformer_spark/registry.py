@@ -174,6 +174,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
     "sample_stratified": (sampling.sample_stratified, sampling.SAMPLE_STRATIFIED_SQL),
     "profile_orders": (sampling.profile_orders, sampling.PROFILE_SQL),
+    "sample_per_group": (sampling.sample_per_group, sampling.SAMPLE_PER_GROUP_SQL),
+    "histogram_prices": (sampling.histogram_prices, sampling.HISTOGRAM_SQL),
     # dedup
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),

@@ -54,3 +54,24 @@ def test_profile_shape(spark):
     assert rows["o_orderstatus"].nulls == 0
     assert rows["o_orderstatus"].n_distinct <= 3
     assert float(rows["o_totalprice"].min_str) <= float(rows["o_totalprice"].max_str)
+
+
+def test_sample_per_group_fixed_size_and_stable(spark):
+    from cgtcalc_data_transformer_spark.operators import sampling
+
+    a = sampling.sample_per_group(spark, SF).collect()
+    b = sampling.sample_per_group(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # rerun-stable
+    from collections import Counter
+
+    per_src = Counter(r.source for r in a)
+    assert all(n == sampling.GROUP_SAMPLE_K for n in per_src.values())
+
+
+def test_histogram_covers_all_rows(spark):
+    from cgtcalc_data_transformer_spark.operators import sampling
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    rows = sampling.histogram_prices(spark, SF).collect()
+    assert sum(r.n for r in rows) == load_table(spark, SF, "orders").count()
+    assert all(0 <= r.bin < sampling.HIST_BINS for r in rows)
