@@ -21,13 +21,26 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-# streaming-side schema: ts already int64 nanos (nanosAsLong)
+# streaming-side schema: ts as int64 nanos (nanosAsLong layout)
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
         StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# streaming-side schema: ts as native parquet timestamp (micros layout)
+EVENTS_STREAM_SCHEMA_TS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -60,13 +73,29 @@ def _event_stream(spark: SparkSession, source: str) -> DataFrame:
     import os
 
     path = _stage_dir(source) if os.path.isfile(source) else source
+    # Peek at the parquet footer (driver-only batch read) to learn the
+    # physical ts layout: the driver testdata carries timestamp[us]
+    # while the synthetic late-data fixtures write int64 nanos. The
+    # stream must mirror load_events' handling of both so the
+    # batch-twin pins compare identical columns (ts = int64 nanos,
+    # ts_ts = microsecond timestamp).
+    ts_type = dict(spark.read.parquet(path).dtypes)["ts"]
+    if ts_type == "bigint":  # int64 nanos via nanosAsLong
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn(
+            "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_TS)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    return raw.withColumn("ts_ts", F.col("ts")).withColumn(
+        "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
     )
 
 
@@ -156,13 +185,56 @@ def with_batch_mismatch(stream_out: DataFrame, batch_twin: DataFrame) -> DataFra
     return stream_out.withColumn("batch_mismatch", F.lit(mismatch))
 
 
+def _num_input_rows(progress: object) -> int:
+    """numInputRows from a StreamingQueryProgress (dict-like in
+    PySpark ≥3.5, attribute object elsewhere)."""
+    try:
+        return int(progress["numInputRows"])  # type: ignore[index]
+    except (TypeError, KeyError):
+        return int(progress.numInputRows)  # type: ignore[attr-defined]
+
+
+def _wait_for_watermark_flush(q: "object", timeout_s: float) -> None:
+    """Block until a *no-data* micro-batch has committed AFTER the last
+    data batch.
+
+    Append-mode windowed aggregations emit a window only once the
+    watermark passes its end — and the watermark computed from the last
+    data batch is applied by the no-data batch that FOLLOWS it
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, default on).
+    ``processAllAvailable()`` returns as soon as the data batches are
+    done, so stopping there races the flush and can leave the memory
+    sink with 0 rows (VERDICT r2 #1). Polling ``recentProgress`` for a
+    committed ``numInputRows == 0`` entry after the final data batch
+    makes the flush deterministic.
+    """
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        progress = list(q.recentProgress)
+        if progress:
+            rows = [_num_input_rows(p) for p in progress]
+            last_data = max((i for i, n in enumerate(rows) if n > 0), default=-1)
+            if any(n == 0 for n in rows[last_data + 1 :]):
+                return
+        time.sleep(0.05)
+    raise TimeoutError(
+        f"no watermark-advancing no-data batch committed within {timeout_s}s"
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "append",
+    flush_timeout_s: float = 120.0,
 ) -> DataFrame:
     """Drive a bounded stream to completion, return the materialized
-    result as a batch DataFrame (memory sink)."""
+    result as a batch DataFrame (memory sink).
+
+    Waits for the trailing no-data batch so watermark-closed windows
+    are flushed to the sink before the query stops (the r2 flush race)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -171,6 +243,9 @@ def run_stream_to_batch(
         .start()
     )
     try:
+        q.processAllAvailable()
+        _wait_for_watermark_flush(q, flush_timeout_s)
+        # one more drain so the flush batch's sink commit is visible
         q.processAllAvailable()
     finally:
         q.stop()
