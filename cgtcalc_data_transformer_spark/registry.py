@@ -110,78 +110,52 @@ FROM orders
 
 # ------------------------------------------------------------ registry
 # name → (fn, oracle_sql | None)
+#
+# ORDER MATTERS: the correctness driver checks only the first 50
+# ``queries()`` entries per round. Rounds 1-2 proved the parser and
+# TPC-H/window/setop rows (CORRECTNESS_r01/r02), so round 3 fronts the
+# 49 queries that have never had a driver row — the LLM-pipeline
+# surface (similarity, text, curation, embedding, incremental, events,
+# layout, DQ, skew, multimodal, streaming) — plus canonical_orders
+# (regression-trimmed this round; recheck). Round-4 rotation plan:
+# front agg_approx, dedup_ngram_jaccard, dedup_clusters,
+# grouped_zscore, join_bucketed, sample_stratified, profile_orders (+
+# anything red this round) so every registered query has a driver row
+# within two rounds.
+
+
+def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
+    from cgtcalc_data_transformer_spark.streaming import (
+        events as sev,
+        joins as sjoin,
+        stateful as sst,
+    )
+
+    return {
+        "streaming_tumbling": (sev.streaming_tumbling, None),
+        "streaming_sliding": (sev.streaming_sliding, None),
+        "streaming_session": (sev.streaming_session, None),
+        "streaming_stateful": (sst.streaming_stateful_totals, None),
+        "streaming_dedup": (sev.streaming_dedup, None),
+        "streaming_join": (sjoin.streaming_click_attribution, None),
+        "events_attribution": (sjoin.attribution_batch, sjoin.ATTRIBUTION_SQL),
+    }
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # parsers (fixture-driven, literal-VALUES oracles)
-    "parse_freetrade": (parse_freetrade, fixtures.values_oracle(fixtures.EXPECTED_FREETRADE)),
-    "parse_ii": (parse_ii, fixtures.values_oracle(fixtures.EXPECTED_II)),
-    "parse_fidelity": (parse_fidelity, fixtures.values_oracle(fixtures.EXPECTED_FIDELITY)),
-    "parse_bullionvault": (parse_bullionvault, fixtures.values_oracle(fixtures.EXPECTED_BULLIONVAULT)),
+    # ---- round-3 driver window (slots 1-50) --------------------------
     "canonical_orders": (canonical_orders, CANONICAL_ORDERS_SQL),
-    # relational
-    "q1_pricing_summary": (relational.q1_pricing_summary, relational.Q1_SQL),
-    "q3_shipping_priority": (relational.q3_shipping_priority, relational.Q3_SQL),
-    "q5_local_supplier": (relational.q5_local_supplier_volume, relational.Q5_SQL),
-    "q6_forecast_revenue": (relational_ext.q6_forecast_revenue, relational_ext.Q6_SQL),
-    "q4_order_priority": (tpch_more.q4_order_priority, tpch_more.Q4_SQL),
-    "q7_volume_shipping": (tpch_more.q7_volume_shipping, tpch_more.Q7_SQL),
-    "q10_returned_items": (tpch_more.q10_returned_items, tpch_more.Q10_SQL),
-    "q12_priority_class": (tpch_more.q12_priority_class, tpch_more.Q12_SQL),
-    "q14_promo_revenue": (tpch_more.q14_promo_revenue, tpch_more.Q14_SQL),
-    "q15_top_supplier": (tpch_more.q15_top_supplier, tpch_more.Q15_SQL),
-    "q18_large_orders": (tpch_more.q18_large_orders, tpch_more.Q18_SQL),
-    "q19_discounted_revenue": (tpch_more.q19_discounted_revenue, tpch_more.Q19_SQL),
-    "q22_dormant_value": (tpch_more.q22_dormant_value, tpch_more.Q22_SQL),
-    "q2_min_cost_supplier": (tpch_shapes2.q2_min_cost_supplier, tpch_shapes2.Q2_SQL),
-    "q8_market_share": (tpch_shapes2.q8_market_share, tpch_shapes2.Q8_SQL),
-    "q9_profit_nation_year": (tpch_shapes2.q9_profit_by_nation_year, tpch_shapes2.Q9_SQL),
-    "q13_customer_distribution": (tpch_shapes2.q13_customer_distribution, tpch_shapes2.Q13_SQL),
-    "sql_frontend_q13": (tpch_shapes2.sql_frontend_q13, tpch_shapes2.Q13_SQL),
-    "q11_important_value": (tpch_shapes2.q11_important_value, tpch_shapes2.Q11_SQL),
-    "q16_supplier_count": (tpch_shapes2.q16_supplier_count, tpch_shapes2.Q16_SQL),
-    "q17_small_qty_revenue": (tpch_shapes2.q17_small_quantity_revenue, tpch_shapes2.Q17_SQL),
-    "q20_excess_shippers": (tpch_shapes2.q20_excess_shippers, tpch_shapes2.Q20_SQL),
-    "q21_waiting_suppliers": (tpch_shapes2.q21_waiting_suppliers, tpch_shapes2.Q21_SQL),
-    "join_full_outer": (relational_ext.join_full_outer_daily, relational_ext.JOIN_FULL_OUTER_SQL),
-    "join_semi": (relational.join_semi_customers_with_orders, relational.JOIN_SEMI_SQL),
-    "join_anti": (relational.join_anti_customers_without_orders, relational.JOIN_ANTI_SQL),
-    "join_broadcast_geo": (relational.join_broadcast_order_geography, relational.JOIN_BROADCAST_SQL),
-    "agg_distinct": (relational.agg_distinct_counts, relational.AGG_DISTINCT_SQL),
-    "agg_rollup": (relational.agg_rollup_lineitem, relational.AGG_ROLLUP_SQL),
-    "agg_cube": (relational.agg_cube_orders, relational.AGG_CUBE_SQL),
-    "agg_grouping_sets": (relational.grouping_sets_orders, relational.GROUPING_SETS_SQL),
-    "agg_stats": (relational.agg_stats_lineitem, relational.AGG_STATS_SQL),
-    "agg_approx": (relational.agg_approx_sketches, None),
-    "window_running_total": (relational.window_running_total, relational.WINDOW_RUNNING_SQL),
-    "window_topk": (relational.window_topk_orders_per_customer, relational.WINDOW_TOPK_SQL),
-    "window_lag_gap": (relational.window_lag_order_gap, relational.WINDOW_LAG_SQL),
-    "topk_orders": (relational.topk_global_orders, relational.TOPK_SQL),
-    "setop_intersect": (relational.setop_intersect_customers, relational.SETOP_INTERSECT_SQL),
-    "setop_except": (relational.setop_except_parts, relational.SETOP_EXCEPT_SQL),
-    "pivot_status": (relational.pivot_order_status_by_priority, relational.PIVOT_SQL),
-    "unpivot_status": (relational_ext.unpivot_status_counts, relational_ext.UNPIVOT_SQL),
-    "range_join_bands": (relational.range_join_price_bands, relational.RANGE_JOIN_SQL),
-    "window_range_frame": (relational_ext.window_range_30d, relational_ext.WINDOW_RANGE_SQL),
-    "window_ntile": (relational_ext.window_ntile_quartiles, relational_ext.WINDOW_NTILE_SQL),
-    "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
+    # skew-join family
     "skew_join_plain": (relational_ext.skew_join_plain, relational_ext.SKEW_JOIN_SQL),
     "skew_join_salted": (relational_ext.skew_join_salted, relational_ext.SKEW_JOIN_SQL),
     "skew_join_salted_partial": (
         relational_ext.skew_join_salted_partial,
         relational_ext.SKEW_JOIN_SQL,
     ),
-    "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
-    "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
-    "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
-    "sample_stratified": (sampling.sample_stratified, sampling.SAMPLE_STRATIFIED_SQL),
-    "profile_orders": (sampling.profile_orders, sampling.PROFILE_SQL),
+    # sampling / profiling additions
     "sample_per_group": (sampling.sample_per_group, sampling.SAMPLE_PER_GROUP_SQL),
     "histogram_prices": (sampling.histogram_prices, sampling.HISTOGRAM_SQL),
-    # dedup
-    "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
-    "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
-    "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),
-    "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    # dedup (embedding-space)
     "dedup_embedding_cosine": (dedup.dedup_embedding_cosine, dedup.DEDUP_EMBEDDING_SQL),
     # similarity
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
@@ -228,28 +202,72 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_resize": (multimodal.multimodal_resize, None),
     "multimodal_features": (multimodal.multimodal_features, None),
     "frame_sample": (multimodal.frame_sample, None),
+    # streaming engine runs (rows-only by design) + the oracled batch twin
+    **_streaming_entries(),
+    # ---- tail: driver-green in r1/r2, still covered by pytest --------
+    # parsers (fixture-driven, literal-VALUES oracles)
+    "parse_freetrade": (parse_freetrade, fixtures.values_oracle(fixtures.EXPECTED_FREETRADE)),
+    "parse_ii": (parse_ii, fixtures.values_oracle(fixtures.EXPECTED_II)),
+    "parse_fidelity": (parse_fidelity, fixtures.values_oracle(fixtures.EXPECTED_FIDELITY)),
+    "parse_bullionvault": (parse_bullionvault, fixtures.values_oracle(fixtures.EXPECTED_BULLIONVAULT)),
+    # never driver-green: first in line after the window rotates again
+    "agg_approx": (relational.agg_approx_sketches, None),
+    "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
+    "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
+    "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
+    "sample_stratified": (sampling.sample_stratified, sampling.SAMPLE_STRATIFIED_SQL),
+    "profile_orders": (sampling.profile_orders, sampling.PROFILE_SQL),
+    "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),
+    # relational
+    "q1_pricing_summary": (relational.q1_pricing_summary, relational.Q1_SQL),
+    "q3_shipping_priority": (relational.q3_shipping_priority, relational.Q3_SQL),
+    "q5_local_supplier": (relational.q5_local_supplier_volume, relational.Q5_SQL),
+    "q6_forecast_revenue": (relational_ext.q6_forecast_revenue, relational_ext.Q6_SQL),
+    "q4_order_priority": (tpch_more.q4_order_priority, tpch_more.Q4_SQL),
+    "q7_volume_shipping": (tpch_more.q7_volume_shipping, tpch_more.Q7_SQL),
+    "q10_returned_items": (tpch_more.q10_returned_items, tpch_more.Q10_SQL),
+    "q12_priority_class": (tpch_more.q12_priority_class, tpch_more.Q12_SQL),
+    "q14_promo_revenue": (tpch_more.q14_promo_revenue, tpch_more.Q14_SQL),
+    "q15_top_supplier": (tpch_more.q15_top_supplier, tpch_more.Q15_SQL),
+    "q18_large_orders": (tpch_more.q18_large_orders, tpch_more.Q18_SQL),
+    "q19_discounted_revenue": (tpch_more.q19_discounted_revenue, tpch_more.Q19_SQL),
+    "q22_dormant_value": (tpch_more.q22_dormant_value, tpch_more.Q22_SQL),
+    "q2_min_cost_supplier": (tpch_shapes2.q2_min_cost_supplier, tpch_shapes2.Q2_SQL),
+    "q8_market_share": (tpch_shapes2.q8_market_share, tpch_shapes2.Q8_SQL),
+    "q9_profit_nation_year": (tpch_shapes2.q9_profit_by_nation_year, tpch_shapes2.Q9_SQL),
+    "q13_customer_distribution": (tpch_shapes2.q13_customer_distribution, tpch_shapes2.Q13_SQL),
+    "sql_frontend_q13": (tpch_shapes2.sql_frontend_q13, tpch_shapes2.Q13_SQL),
+    "q11_important_value": (tpch_shapes2.q11_important_value, tpch_shapes2.Q11_SQL),
+    "q16_supplier_count": (tpch_shapes2.q16_supplier_count, tpch_shapes2.Q16_SQL),
+    "q17_small_qty_revenue": (tpch_shapes2.q17_small_quantity_revenue, tpch_shapes2.Q17_SQL),
+    "q20_excess_shippers": (tpch_shapes2.q20_excess_shippers, tpch_shapes2.Q20_SQL),
+    "q21_waiting_suppliers": (tpch_shapes2.q21_waiting_suppliers, tpch_shapes2.Q21_SQL),
+    "join_full_outer": (relational_ext.join_full_outer_daily, relational_ext.JOIN_FULL_OUTER_SQL),
+    "join_semi": (relational.join_semi_customers_with_orders, relational.JOIN_SEMI_SQL),
+    "join_anti": (relational.join_anti_customers_without_orders, relational.JOIN_ANTI_SQL),
+    "join_broadcast_geo": (relational.join_broadcast_order_geography, relational.JOIN_BROADCAST_SQL),
+    "agg_distinct": (relational.agg_distinct_counts, relational.AGG_DISTINCT_SQL),
+    "agg_rollup": (relational.agg_rollup_lineitem, relational.AGG_ROLLUP_SQL),
+    "agg_cube": (relational.agg_cube_orders, relational.AGG_CUBE_SQL),
+    "agg_grouping_sets": (relational.grouping_sets_orders, relational.GROUPING_SETS_SQL),
+    "agg_stats": (relational.agg_stats_lineitem, relational.AGG_STATS_SQL),
+    "window_running_total": (relational.window_running_total, relational.WINDOW_RUNNING_SQL),
+    "window_topk": (relational.window_topk_orders_per_customer, relational.WINDOW_TOPK_SQL),
+    "window_lag_gap": (relational.window_lag_order_gap, relational.WINDOW_LAG_SQL),
+    "topk_orders": (relational.topk_global_orders, relational.TOPK_SQL),
+    "setop_intersect": (relational.setop_intersect_customers, relational.SETOP_INTERSECT_SQL),
+    "setop_except": (relational.setop_except_parts, relational.SETOP_EXCEPT_SQL),
+    "pivot_status": (relational.pivot_order_status_by_priority, relational.PIVOT_SQL),
+    "unpivot_status": (relational_ext.unpivot_status_counts, relational_ext.UNPIVOT_SQL),
+    "range_join_bands": (relational.range_join_price_bands, relational.RANGE_JOIN_SQL),
+    "window_range_frame": (relational_ext.window_range_30d, relational_ext.WINDOW_RANGE_SQL),
+    "window_ntile": (relational_ext.window_ntile_quartiles, relational_ext.WINDOW_NTILE_SQL),
+    "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
+    "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
 }
-
-
-def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
-    from cgtcalc_data_transformer_spark.streaming import (
-        events as sev,
-        joins as sjoin,
-        stateful as sst,
-    )
-
-    return {
-        "streaming_tumbling": (sev.streaming_tumbling, None),
-        "streaming_sliding": (sev.streaming_sliding, None),
-        "streaming_session": (sev.streaming_session, None),
-        "streaming_stateful": (sst.streaming_stateful_totals, None),
-        "streaming_dedup": (sev.streaming_dedup, None),
-        "streaming_join": (sjoin.streaming_click_attribution, None),
-        "events_attribution": (sjoin.attribution_batch, sjoin.ATTRIBUTION_SQL),
-    }
-
-
-REGISTRY.update(_streaming_entries())
 
 
 def queries() -> dict[str, QueryFn]:
