@@ -58,10 +58,12 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_priority_domain"
         ),
     )
+    # customer scales with the corpus — no broadcast hint on the
+    # anti-join's build side; AQE broadcasts it only while it fits
     orphans = (
         orders.select("o_custkey")
         .join(
-            F.broadcast(customer.select("c_custkey").distinct()),
+            customer.select("c_custkey").distinct(),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )

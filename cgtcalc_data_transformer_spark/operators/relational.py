@@ -134,9 +134,9 @@ LIMIT 10
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join.
 
-    Broadcast hints only on the bounded-cardinality dims (supplier /
-    nation / region); customer grows with the corpus, so its join is
-    left to the size-based planner — broadcast while it fits,
+    Broadcast hints only on the fixture-sized dims (nation / region);
+    supplier and customer grow with the corpus, so their joins are
+    left to the size-based planner — broadcast while they fit,
     shuffle join beyond.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -150,7 +150,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -637,28 +637,61 @@ ORDER BY l_returnflag
 
 # ------------------------------------------------ approximate aggs
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct + quantile sketch per priority.
+    """HyperLogLog distinct + quantile sketch per priority, gate-checkable.
 
-    Approximate by design → no cross-engine oracle (rows-only check);
-    the exact counterparts (agg_distinct, agg_stats) are oracled.
+    The sketch VALUES are engine-specific, so the emitted columns are
+    the exact sides (cross-engine comparable) plus deterministic
+    tolerance booleans pinning each sketch to its exact counterpart:
+    ``approx_count_distinct(rsd=0.02)`` within 3·rsd of the exact
+    distinct count, ``percentile_approx(accuracy=10000)`` within
+    ``1% + 10/n`` relative of the exact interpolated percentile — the
+    sketch returns an order statistic while the exact side
+    interpolates, so at small group sizes the adjacent-gap error
+    (~1/n·density) dominates the rank error. The DuckDB oracle
+    computes the same exact values and literal TRUEs — the hash match
+    both cross-checks the exact aggregation and validates the sketches
+    (VERDICT r2 #3). One grouped pass; sketch + exact share the
+    aggregation buffer shuffle.
     """
     orders = load_table(spark, sf_dir, "orders")
-    # One quantile sketch per group (single agg buffer), then the
-    # array is unpacked to SCALAR columns: array cells are unhashable
-    # for pandas-side canonicalizers, and scalar p50/p95/p99 is the
-    # shape a downstream consumer wants anyway.
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("_q"),
-        )
-        .select(
-            "o_orderpriority",
-            "approx_customers",
-            F.element_at("_q", 1).alias("price_p50"),
-            F.element_at("_q", 2).alias("price_p95"),
-            F.element_at("_q", 3).alias("price_p99"),
-        )
-        .orderBy("o_orderpriority")
+
+    def _within(approx, exact, tol):
+        return F.abs(approx - exact) / exact < tol
+
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cust"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("_qa"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        ).alias("_qe"),
     )
+    q_tol = F.lit(0.01) + F.lit(10.0) / F.col("_n")
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        _within(F.col("_approx_cust"), F.col("exact_customers"), F.lit(0.06)).alias(
+            "approx_customers_ok"
+        ),
+        F.round(F.element_at("_qe", 1), 6).alias("price_p50"),
+        F.round(F.element_at("_qe", 2), 6).alias("price_p95"),
+        F.round(F.element_at("_qe", 3), 6).alias("price_p99"),
+        _within(F.element_at("_qa", 1), F.element_at("_qe", 1), q_tol).alias("p50_ok"),
+        _within(F.element_at("_qa", 2), F.element_at("_qe", 2), q_tol).alias("p95_ok"),
+        _within(F.element_at("_qa", 3), F.element_at("_qe", 3), q_tol).alias("p99_ok"),
+    ).orderBy("o_orderpriority")
+
+
+AGG_APPROX_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS approx_customers_ok,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS price_p50,
+       ROUND(quantile_cont(o_totalprice, 0.95), 6) AS price_p95,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS price_p99,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -283,10 +283,16 @@ def skew_join_salted_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(100))
         < 1
     )
+    # Sample total as a broadcast 1-row scalar, NOT a global window:
+    # Window.partitionBy() funnels every distinct sampled key through
+    # one partition (billions of rows at 100 TB); the crossJoin of a
+    # broadcast single-row aggregate keeps the threshold comparison
+    # fully parallel, and AQE reuses the groupBy exchange for both
+    # branches (VERDICT r2 #2).
+    counts = sample.groupBy("sk_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_sample"))
     hot_rows = (
-        sample.groupBy("sk_orderkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("n_sample", F.sum("cnt").over(Window.partitionBy()))
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") > F.col("n_sample") / 10)
         .collect()
     )

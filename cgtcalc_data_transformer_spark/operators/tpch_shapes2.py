@@ -42,7 +42,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     MINIMUM account balance among those who ship it.
 
     Decorrelated: per-part min via groupBy, equality-joined back —
-    one shuffle on partkey; region→nation→supplier dims broadcast.
+    one shuffle on partkey. Broadcast hints only on the fixture-sized
+    region→nation chain; the filtered part and the supplier side
+    scale with SF, so AQE picks their strategy.
     """
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
@@ -66,7 +68,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         _part_suppliers(spark, sf_dir)
-        .join(F.broadcast(part.select("p_partkey", "p_type", "p_size")),
+        .join(part.select("p_partkey", "p_type", "p_size"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(euro_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
@@ -114,9 +116,12 @@ LIMIT 100
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape: revenue on name-matched parts, grouped by the
     SUPPLIER's nation and order year — a 5-way join where only
-    lineitem⋈orders is big⋈big (shuffles on orderkey), everything
-    else broadcasts; the substring filter prunes part before its
-    broadcast."""
+    lineitem⋈orders is big⋈big (shuffles on orderkey). Only the
+    fixture-sized nation table carries a broadcast HINT; part and
+    supplier scale with SF, so their strategy is left to AQE, which
+    broadcasts them at small scale and switches to shuffle join when
+    they outgrow the threshold (a hard hint would force an OOM
+    broadcast at 100×)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -124,8 +129,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     amount = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -171,7 +176,8 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     value = _dec(F.col("l_extendedprice") * F.col("l_quantity"))
-    national = li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    # supp (one nation's suppliers) scales with SF — AQE decides
+    national = li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     per_part = national.groupBy("l_partkey").agg(
         F.sum(value).cast("double").alias("part_value")
     )
@@ -209,8 +215,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per (brand, type, size) over selected sizes, excluding
     Brand#9 and excluding "complaint" suppliers (negative balance
     stands in for the comment-text filter). NOT IN a subquery is an
-    anti-join in the plan — broadcastable because the excluded set is
-    tiny."""
+    anti-join in the plan; the excluded-supplier set and the filtered
+    part both scale with SF, so no hard hints — AQE broadcasts them
+    while they fit."""
     excluded = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
@@ -220,9 +227,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _part_suppliers(spark, sf_dir)
-        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -253,11 +260,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitems whose quantity is below half the part's average
     quantity. Decorrelated: per-part avg once (sum/count in double,
     identical op order to the oracle), equality-join, filter — vs the
-    naive per-row subquery that recomputes the aggregate."""
+    naive per-row subquery that recomputes the aggregate. No
+    broadcast hints: the brand-filtered part and the per-part avg
+    both scale with SF, so join strategy is AQE's call (broadcast at
+    small scale, shuffle beyond the threshold)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     brand_li = li.join(
-        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+        part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey")
     )
     avg_qty = brand_li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
         (
@@ -265,7 +275,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        brand_li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("aq_partkey"))
+        brand_li.join(avg_qty, F.col("l_partkey") == F.col("aq_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -302,10 +312,11 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
+    # bolt_parts scales with SF — no broadcast hint, AQE decides
     bolt_parts = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").contains("bolt")
     ).select("p_partkey")
-    li96 = li.join(F.broadcast(bolt_parts), F.col("l_partkey") == F.col("p_partkey"))
+    li96 = li.join(bolt_parts, F.col("l_partkey") == F.col("p_partkey"))
     per_part = li96.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty")
     )
@@ -397,7 +408,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        no_other_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        no_other_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -441,9 +452,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     STANDARD-part volume sold into EUROPE customers' 1996-97 orders.
 
     Seven-way join where the only big⋈big edge is lineitem⋈orders
-    (shuffles on orderkey); part, supplier⋈nation, customer and the
-    nation⋈region chain all broadcast. The share is a conditional-sum
-    over total-sum on the SAME aggregated rows — one aggregation, no
+    (shuffles on orderkey). Broadcast hints only on the fixture-sized
+    nation⋈region chain; part, supplier⋈nation and customer scale
+    with SF and are left to AQE. The share is a conditional-sum over
+    total-sum on the SAME aggregated rows — one aggregation, no
     second pass. Decimal sums, double at the boundary.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -466,17 +478,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(28,6)")
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(
-                supp.select("s_suppkey", "s_nationkey").join(
-                    n2, F.col("s_nationkey") == F.col("s_nkey")
-                )
+            supp.select("s_suppkey", "s_nationkey").join(
+                n2, F.col("s_nationkey") == F.col("s_nkey")
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(eur_nations), F.col("c_nationkey") == F.col("c_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(

@@ -211,7 +211,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "parse_fidelity": (parse_fidelity, fixtures.values_oracle(fixtures.EXPECTED_FIDELITY)),
     "parse_bullionvault": (parse_bullionvault, fixtures.values_oracle(fixtures.EXPECTED_BULLIONVAULT)),
     # never driver-green: first in line after the window rotates again
-    "agg_approx": (relational.agg_approx_sketches, None),
+    "agg_approx": (relational.agg_approx_sketches, relational.AGG_APPROX_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
