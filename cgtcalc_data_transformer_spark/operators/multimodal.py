@@ -81,6 +81,41 @@ ORDER BY modality
 """
 
 
+# Shared CTE for the decode oracles: the stub "decodes" the payload
+# header (first 64 bytes) with a base-131 fold hash mod 2^32. The
+# synthetic documents are pure ASCII, so payload bytes == character
+# codepoints and DuckDB can replay the decode exactly with
+# unicode(char) — making decode/resize/features/frame_sample fully
+# hash-checkable instead of rows-only.
+_DECODED_CTE = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+         text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+), decoded AS (
+  SELECT asset_id, modality, byte_len,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  [CAST(unicode(x) AS BIGINT) FOR x IN string_split(substring(text, 1, 64), '')]),
+                (a, x) -> (a * 131 + x) % 4294967296)
+         END AS h
+  FROM assets
+)
+"""
+
+MULTIMODAL_DECODE_SQL = _DECODED_CTE + """
+SELECT asset_id, modality, byte_len,
+       CAST(CASE WHEN modality = 'image' THEN (h % 512) + 16 ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN modality = 'image' THEN ((h >> 9) % 512) + 16 ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN modality IN ('audio', 'video') THEN (byte_len * 7) % 600000 ELSE 0 END AS INT) AS duration_ms,
+       printf('%08x', h) AS feature_hash
+FROM decoded
+"""
+
+
 def _decode_stub(payload: bytes, modality: str) -> dict:
     """Deterministic fake decode. REPLACE with a real backend
     (PIL / torchaudio / ffmpeg) outside this container."""
@@ -135,6 +170,20 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode all assets (stub backend), ordered for determinism."""
     return decode_assets(synthesize_assets(spark, sf_dir)).orderBy("asset_id")
 
+
+# Stub resize always emits max(1, 224*224/64) = 784 bytes for a
+# non-empty payload (truncate/pad to target area), 0 for empty.
+MULTIMODAL_RESIZE_SQL = _DECODED_CTE + """
+SELECT asset_id,
+       CAST((h % 512) + 16 AS INT) AS width,
+       CAST(((h >> 9) % 512) + 16 AS INT) AS height,
+       CAST(224 AS INT) AS target_w,
+       CAST(224 AS INT) AS target_h,
+       CAST(CASE WHEN byte_len = 0 THEN 0 ELSE 784 END AS BIGINT) AS resized_bytes,
+       'stub-backend' AS resize_note
+FROM decoded
+WHERE modality = 'image'
+"""
 
 RESIZED_SCHEMA = (
     "asset_id long, width int, height int, "
@@ -207,6 +256,20 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+FRAME_SAMPLE_SQL = _DECODED_CTE + """
+SELECT asset_id,
+       CAST(f AS INT) AS frame_idx,
+       feature_hash,
+       CAST(f * 40000 AS INT) AS frame_ms
+FROM (
+  SELECT asset_id, printf('%08x', h) AS feature_hash,
+         unnest(range(0, ((byte_len * 7) % 600000) // 40000 + 1)) AS f
+  FROM decoded
+  WHERE modality = 'video'
+)
+"""
+
+
 def frame_sample(spark: SparkSession, sf_dir: str, every_ms: int = 40_000) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame index.
 
@@ -229,6 +292,38 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_ms: int = 40_000) -> Da
 # ------------------------------------------------- feature extraction
 FEATURE_DIM = 8
 FEATURES_SCHEMA = "asset_id long, modality string, feature array<double>"
+
+# Byte histogram (codepoint>>5 bins, L1-normalized) replayed in SQL;
+# both engines compute c/n as the same IEEE double division, and the
+# l1_mass fold is the same left-to-right double sum Spark's
+# F.aggregate performs, so values hash-match exactly.
+_FEATURE_LIST = """
+CASE WHEN n = 0 THEN [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+     ELSE [CAST(len(list_filter(cps, c -> (c >> 5) = b)) AS DOUBLE)
+             / CAST(n AS DOUBLE) FOR b IN range(0, 8)]
+END
+"""
+
+MULTIMODAL_FEATURES_SQL = (
+    """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+         [CAST(unicode(x) AS BIGINT) FOR x IN string_split(text, '')] AS cps,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents
+), feats AS (
+  SELECT asset_id, modality, """
+    + _FEATURE_LIST
+    + """ AS feature
+  FROM assets
+)
+SELECT asset_id, modality, feature,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), feature),
+                         (a, x) -> a + x), 6) AS l1_mass
+FROM feats
+"""
+)
 
 
 def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:

@@ -198,10 +198,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scd2_intervals": (incremental.scd2_intervals, incremental.SCD2_SQL),
     # multimodal
     "multimodal_metadata": (multimodal.multimodal_metadata, multimodal.MULTIMODAL_METADATA_SQL),
-    "multimodal_decode": (multimodal.multimodal_decode, None),
-    "multimodal_resize": (multimodal.multimodal_resize, None),
-    "multimodal_features": (multimodal.multimodal_features, None),
-    "frame_sample": (multimodal.frame_sample, None),
+    # decode stub is a fold hash over ASCII header bytes — replayable
+    # byte-for-byte in DuckDB via unicode(char), so all four decode
+    # paths are hash-checked, not rows-only (round-2 verdict item 7).
+    "multimodal_decode": (multimodal.multimodal_decode, multimodal.MULTIMODAL_DECODE_SQL),
+    "multimodal_resize": (multimodal.multimodal_resize, multimodal.MULTIMODAL_RESIZE_SQL),
+    "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
+    "frame_sample": (multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
     # streaming engine runs (rows-only by design) + the oracled batch twin
     **_streaming_entries(),
     # ---- tail: driver-green in r1/r2, still covered by pytest --------

@@ -12,8 +12,9 @@ Three readers mirroring the reference's three CSV ingestion modes
 - ``read_preamble_csv``: fixed 12-column read that skips an 8-line
   junk preamble per file (`/root/reference/fidelity.js:31-52`,
   ``from_line: 9``). Spark CSV has no skip-N-rows, so we read
-  ``text`` with per-file line numbers from ``mapInPandas`` — a
-  per-partition counter, no global shuffle, scales per-file.
+  ``wholetext`` (one row per file) and derive per-file line numbers
+  with ``posexplode`` — correct by construction under any scan
+  partitioning, no shuffle, parallel across files.
 - ``df_from_csv_string``: test/driver convenience — parallelize an
   in-memory CSV string through the same parse path the file readers
   use, so golden tests exercise production code.
