@@ -3,8 +3,8 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is fully executed (collect for
-small results, count for large ones) after a warm-up pass of the
-smallest query to amortize session/JIT startup out of q1's number.
+small results, checksum-aggregate for large ones) after a warm-up
+pass to amortize session/JIT startup out of q1's number.
 """
 
 from __future__ import annotations
@@ -19,7 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cgtcalc_data_transformer_spark import registry  # noqa: E402
 from cgtcalc_data_transformer_spark.session import get_spark  # noqa: E402
 
-# name → materialization ("collect" for small results, "count" for big)
+# name → materialization: "collect" for small results; "exec" for big
+# ones — a bit_xor(xxhash64(struct(*))) checksum aggregate built ONCE
+# per query and re-collected. count() is NOT used: Catalyst prunes
+# unused projections under count, so a pure-projection query (e.g.
+# text_quality) times an empty scan; the checksum forces every output
+# column to be computed while returning one row (no driver transfer,
+# no per-run plan re-analysis like a fresh .write would incur).
 HEADLINE: dict[str, str] = {
     "q1_pricing_summary": "collect",
     "q3_shipping_priority": "collect",
@@ -39,37 +45,41 @@ HEADLINE: dict[str, str] = {
     "join_broadcast_geo": "collect",
     "join_salted": "collect",
     "agg_rollup": "collect",
-    "window_topk": "count",
-    "window_range_frame": "count",
+    "window_topk": "exec",
+    "window_range_frame": "exec",
     "topk_orders": "collect",
-    "canonical_orders": "count",
-    "grouped_zscore": "count",
-    "dedup_exact": "count",
-    "dedup_minhash_lsh": "count",
-    "dedup_simhash": "count",
+    # collect, not count: the tiebreak keys are deterministic, so a
+    # count() lets Catalyst eliminate the sort entirely and times an
+    # empty plan (r1's misleading 0.064 s); collect measures the real
+    # format+sort.
+    "canonical_orders": "collect",
+    "grouped_zscore": "exec",
+    "dedup_exact": "exec",
+    "dedup_minhash_lsh": "exec",
+    "dedup_simhash": "exec",
     # dedup_clusters excluded: its iterative label propagation runs at
     # plan-build time (driver loop over cached frames), so a steady-
     # state re-execution of the returned frame would under-report it.
     "knn_bruteforce": "collect",
     "ann_ivf": "collect",
     "ann_lsh": "collect",
-    "emb_quantize": "count",
+    "emb_quantize": "exec",
     "emb_centroid_stats": "collect",
-    "text_quality": "count",
-    "text_fingerprint": "count",
-    "text_tfidf": "count",
-    "text_normalize": "count",
-    "contamination_check": "count",
+    "text_quality": "exec",
+    "text_fingerprint": "exec",
+    "text_tfidf": "exec",
+    "text_normalize": "exec",
+    "contamination_check": "exec",
     "mix_sources": "collect",
-    "boilerplate_score": "count",
-    "events_tumbling": "count",
-    "events_session": "count",
-    "asof_join": "count",
+    "boilerplate_score": "exec",
+    "events_tumbling": "exec",
+    "events_session": "exec",
+    "asof_join": "exec",
     "events_funnel": "collect",
-    "events_resample_daily": "count",
-    "cdc_latest": "count",
-    "scd2_intervals": "count",
-    "dedup_incremental": "count",
+    "events_resample_daily": "exec",
+    "cdc_latest": "exec",
+    "scd2_intervals": "exec",
+    "dedup_incremental": "exec",
     "dq_checks": "collect",
     "zorder_layout": "collect",
 }
@@ -93,18 +103,35 @@ def main() -> None:
         df.agg(*[F.min(c) for c in df.columns]).collect()
     qs["topk_orders"](spark, sf_dir).count()
 
-    # Per-query methodology: execute once to absorb one-time plan
-    # costs (Catalyst analysis/optimization ≈ 1 s per fresh plan in
-    # local mode, codegen JIT, cache population — all amortized to
-    # zero over a 100 TB run), then time the steady-state execution.
+    # Per-query methodology: one warm run absorbs JIT/codegen/page-
+    # cache, then the MEDIAN of 3 FRESH-PLAN executions is reported.
+    # Fresh plan per run, NOT a re-collect of the same DataFrame:
+    # AdaptiveSparkPlanExec memoizes its result RDD, so re-collecting
+    # reuses every shuffle's map output and times only the final
+    # stage (measured 10-20x under-report on shuffle-heavy queries).
+    # Median-of-3 damps one-off GC/scheduler hiccups (r2's
+    # knn_bruteforce read 0.198 s at sf0.1 yet 0.030 s at sf1).
     timings: dict[str, float] = {}
     for name, mode in HEADLINE.items():
-        df = qs[name](spark, sf_dir)
-        run = (lambda: df.collect()) if mode == "collect" else (lambda: df.count())
-        run()
-        t0 = time.time()
-        run()
-        timings[name] = round(time.time() - t0, 3)
+
+        def build() -> object:
+            df = qs[name](spark, sf_dir)
+            if mode == "exec":
+                # checksum forces every output column without driver
+                # transfer; built fresh so nothing is memoized
+                df = df.select(
+                    F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum")
+                )
+            return df
+
+        build().collect()
+        samples = []
+        for _ in range(3):
+            df = build()
+            t0 = time.time()
+            df.collect()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
 
     # ---- skew-join comparison (VERDICT r1 #5): same pathological
     # key distribution (60% of the fact side on one key), three

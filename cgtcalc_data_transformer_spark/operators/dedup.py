@@ -489,6 +489,52 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return F.aggregate(low_bits, F.lit(0).cast("long"), lambda a, b: a + b) + top
 
 
+def simhash_agg(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) via explode → codegen aggregate.
+
+    Same nibble arithmetic as :func:`simhash_col`, different physical
+    shape: higher-order-function lambdas are excluded from whole-stage
+    codegen, so the row-local column evaluates its ~64 contributions
+    per token on the interpreted expression path (measured ~10 s for
+    5k docs at sf0.1 — 20x the rest of the dedup family). Exploding to
+    one row per (doc, token) turns the same math into 64 plain SUM
+    aggregates: fully codegen'd, map-side partial aggregation, one
+    shuffle of 64 small longs per doc — the formulation that scales to
+    a 100 TB corpus (and mirrors DEDUP_SIMHASH_SQL's shape exactly).
+
+    ``explode_outer`` + a null guard keeps token-less documents in the
+    aggregate with all-zero counters → signature 0, identical to the
+    row-local column and the SQL oracle's COALESCE.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
+    )
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    aggs = []
+    for i in range(16):
+        nib = F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int")
+        for j in range(4):
+            b = i * 4 + j
+            aggs.append(
+                F.sum(
+                    F.when(F.col("h").isNull(), F.lit(0))
+                    .when(F.shiftright(nib, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                ).alias(f"c{b}")
+            )
+    counters = hashed.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits - 1):
+        sig = sig + F.when(
+            F.col(f"c{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sig = sig + F.when(
+        F.col(f"c{bits - 1}") > 0, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return counters.select("doc_id", sig.alias("simhash"))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash + 16-bit prefix bucket for blocking.
 
@@ -497,11 +543,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can hash-match the signatures themselves.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = simhash_col(F.col("text"))
-    return docs.select(
+    return simhash_agg(docs).select(
         "doc_id",
-        sh.alias("simhash"),
-        F.shiftrightunsigned(sh, 48).alias("bucket16"),
+        "simhash",
+        F.shiftrightunsigned("simhash", 48).alias("bucket16"),
     ).orderBy("doc_id")
 
 

@@ -40,16 +40,35 @@ def merge_sorted(
     # Tiebreak must be listing-order independent: Spark bin-packs file
     # splits by SIZE, so monotonically_increasing_id alone follows an
     # arbitrary file order for multi-file sources (.eml directories).
-    # Sorting on (input_file_name, in-file id) pins equal-date lines
-    # to lexicographic file order then in-file position (ADVICE r1).
-    # For non-file sources input_file_name() is '' — a constant no-op.
+    # Sorting on (file, in-file position) pins equal-date lines to
+    # lexicographic file order then file position (ADVICE r1).
+    #
+    # Preferred keys are the DETERMINISTIC hidden metadata columns
+    # (`_metadata.file_path`, `_metadata.row_index`): row_index is the
+    # true in-file row position even when one file spans several
+    # splits, and deterministic expressions leave Catalyst free to
+    # prune/eliminate (nondeterministic input_file_name/monotonic id
+    # pin themselves into every downstream plan). Non-file sources
+    # (createDataFrame fixtures) have no _metadata — fall back to the
+    # nondeterministic pair there, where a single in-memory listing
+    # makes it stable anyway.
     def _tag(df: DataFrame, rank: int) -> DataFrame:
-        return df.select(
-            "line",
-            F.lit(rank).alias("source_rank"),
-            F.input_file_name().alias("src_file"),
-            F.monotonically_increasing_id().alias("seq"),
-        )
+        try:
+            tagged = df.select(
+                "line",
+                F.lit(rank).alias("source_rank"),
+                F.col("_metadata.file_path").alias("src_file"),
+                F.col("_metadata.row_index").alias("seq"),
+            )
+            tagged.schema  # force analysis; non-file sources raise here
+            return tagged
+        except Exception:
+            return df.select(
+                "line",
+                F.lit(rank).alias("source_rank"),
+                F.input_file_name().alias("src_file"),
+                F.monotonically_increasing_id().alias("seq"),
+            )
 
     tagged_new = _tag(new, 1)
     if existing is not None:

@@ -419,3 +419,124 @@ SELECT doc_id,
 FROM numbered
 ORDER BY doc_id, chunk_idx
 """
+
+
+# ------------------------------------------- sparse doc-doc similarity
+# TF-IDF cosine over an inverted index (posting-list self-join) — the
+# sparse complement to the dense-embedding kNN/ANN operators in
+# operators/similarity.py. The document-frequency cutoff is the scale
+# lever: a term appearing in p documents fans out to p^2 candidate
+# pairs in the self-join, so common terms (df > DF_FRACTION·N — which
+# carry near-zero idf anyway) are dropped BEFORE the join. Per-term
+# work is then bounded by (DF_FRACTION·N)^2 and the plan has no
+# all-pairs product; this is the standard bound that keeps inverted-
+# index similarity subquadratic on a 100 TB corpus.
+DOC_SIM_TOP_K = 20
+DF_MIN = 2            # a term in one doc can't create a pair
+DF_FRACTION = 0.2     # drop terms present in > 20% of the corpus
+
+
+def doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most similar document pairs by TF-IDF cosine.
+
+    One tokenization shuffle on (doc_id, tok) reused for term counts,
+    doc totals (window), and document frequency (ReusedExchange, same
+    pattern as text_tfidf_top_terms). Norms are computed over the
+    df-pruned vector space so the cosine is exact for the pruned
+    vectors; the join is equality on tok — no broadcast pin, the
+    vocabulary grows with the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar literal, like text_tfidf_top_terms
+    df_max = max(DF_MIN, int(n_docs * DF_FRACTION))
+
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    term_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w_doc = Window.partitionBy("doc_id")
+    sized = term_counts.withColumn("total", F.sum("cnt").over(w_doc))
+    doc_freq = term_counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    weighted = (
+        sized.join(doc_freq, "tok")
+        .filter((F.col("df") >= DF_MIN) & (F.col("df") <= df_max))
+        .select(
+            "tok",
+            "doc_id",
+            (
+                (F.col("cnt") / F.col("total"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+
+    a = weighted.select(
+        F.col("tok"), F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col("tok"), F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(DOC_SIM_TOP_K)
+
+
+DOC_SIM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+           x -> x <> '')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS total FROM toks GROUP BY doc_id
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), weighted AS (
+  SELECT tc.tok, tc.doc_id,
+         (tc.cnt / CAST(sizes.total AS DOUBLE))
+           * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS w
+  FROM tc JOIN sizes USING (doc_id) JOIN dfreq USING (tok), n
+  WHERE dfreq.df >= {DF_MIN}
+    AND dfreq.df <= greatest({DF_MIN}, CAST(floor(n.n_docs * {DF_FRACTION}) AS BIGINT))
+), norms AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM weighted GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM weighted a JOIN weighted b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+LIMIT {DOC_SIM_TOP_K}
+"""

@@ -21,6 +21,7 @@ from cgtcalc_data_transformer_spark.operators import (
     curation,
     dedup,
     embedding_ops,
+    graph,
     incremental,
     layout,
     quality,
@@ -39,7 +40,7 @@ from cgtcalc_data_transformer_spark.operators import (
     tpch_shapes2,
 )
 from cgtcalc_data_transformer_spark.operators.pipeline import merge_sorted
-from cgtcalc_data_transformer_spark.sources import bucketed
+from cgtcalc_data_transformer_spark.sources import bucketed, partitioned
 from cgtcalc_data_transformer_spark.sources.csv import df_from_csv_string
 from cgtcalc_data_transformer_spark.sources.eml import df_from_email_strings
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
@@ -118,7 +119,8 @@ FROM orders
 # surface (similarity, text, curation, embedding, incremental, events,
 # layout, DQ, skew, multimodal, streaming) — plus canonical_orders
 # (regression-trimmed this round; recheck). Round-4 rotation plan:
-# front agg_approx, dedup_ngram_jaccard, dedup_clusters,
+# front agg_approx, doc_similarity_tfidf, partition_pruning,
+# pagerank_suppliers, dedup_ngram_jaccard, dedup_clusters,
 # grouped_zscore, join_bucketed, sample_stratified, profile_orders (+
 # anything red this round) so every registered query has a driver row
 # within two rounds.
@@ -215,6 +217,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "parse_bullionvault": (parse_bullionvault, fixtures.values_oracle(fixtures.EXPECTED_BULLIONVAULT)),
     # never driver-green: first in line after the window rotates again
     "agg_approx": (relational.agg_approx_sketches, relational.AGG_APPROX_SQL),
+    "doc_similarity_tfidf": (textops.doc_similarity_tfidf, textops.DOC_SIM_SQL),
+    "partition_pruning": (partitioned.partition_pruning, partitioned.PARTITION_PRUNING_SQL),
+    "pagerank_suppliers": (graph.pagerank_suppliers, graph.PAGERANK_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),

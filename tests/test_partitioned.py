@@ -1,0 +1,57 @@
+"""Partitioned layout: directory-level pruning, asserted against the
+physical plan and the file index."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from cgtcalc_data_transformer_spark.plans import formatted_plan
+from cgtcalc_data_transformer_spark.sources.partitioned import (
+    PRUNE_YEAR,
+    partition_pruning,
+    partitioned_path,
+    read_orders_pruned,
+    write_orders_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partition_filters_in_plan(spark):
+    write_orders_partitioned(spark, SF)
+    plan = formatted_plan(read_orders_pruned(spark))
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    assert f"(o_year#" in m.group(1) or "o_year" in m.group(1)
+    assert str(PRUNE_YEAR) in m.group(1)
+    # the data filter must NOT degrade to a row-level PushedFilters
+    # entry — pruning happens at the directory index, before any
+    # parquet footer is opened
+    pf = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pf is None or "o_year" not in pf.group(1)
+
+
+def test_pruned_scan_reads_one_partition(spark):
+    write_orders_partitioned(spark, SF)
+    root = partitioned_path()
+    years = [d for d in os.listdir(root) if d.startswith("o_year=")]
+    assert len(years) > 1, "fixture must span multiple years"
+    # the files actually opened by the pruned scan (inputFiles() would
+    # list the whole unfiltered index)
+    files = [
+        r["file_path"]
+        for r in read_orders_pruned(spark)
+        .select("_metadata.file_path")
+        .distinct()
+        .collect()
+    ]
+    assert files, "pruned scan read no files"
+    assert all(f"o_year={PRUNE_YEAR}" in f for f in files)
+
+
+def test_partition_pruning_rollup_shape(spark):
+    out = partition_pruning(spark, SF).collect()
+    assert 1 <= len(out) <= 12
+    assert [r["o_month"] for r in out] == sorted(r["o_month"] for r in out)
+    assert all(r["n_orders"] > 0 and r["total_price"] > 0 for r in out)
