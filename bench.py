@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -48,11 +49,13 @@ HEADLINE: dict[str, str] = {
     "window_topk": "exec",
     "window_range_frame": "exec",
     "topk_orders": "collect",
-    # collect, not count: the tiebreak keys are deterministic, so a
-    # count() lets Catalyst eliminate the sort entirely and times an
-    # empty plan (r1's misleading 0.064 s); collect measures the real
-    # format+sort.
-    "canonical_orders": "collect",
+    # sink, not count/collect/exec: a count() (or the exec checksum)
+    # lets Catalyst eliminate the final sort and times only the
+    # formatting; a collect() spends ~2.7 s building 150k Python Row
+    # objects — driver overhead, not engine throughput. Writing the
+    # text sink is the reference's own semantics (data.txt rewrite,
+    # index.js:121-122): format + sort + write, all JVM-side.
+    "canonical_orders": "sink",
     "grouped_zscore": "exec",
     "dedup_exact": "exec",
     "dedup_minhash_lsh": "exec",
@@ -124,12 +127,20 @@ def main() -> None:
                 )
             return df
 
-        build().collect()
+        sink_dir = os.path.join(tempfile.gettempdir(), f"bench_sink_{os.getpid()}")
+
+        def run(df: object) -> None:
+            if mode == "sink":
+                df.write.mode("overwrite").text(sink_dir)
+            else:
+                df.collect()
+
+        run(build())
         samples = []
         for _ in range(3):
             df = build()
             t0 = time.time()
-            df.collect()
+            run(df)
             samples.append(time.time() - t0)
         timings[name] = round(sorted(samples)[1], 3)
 

@@ -76,21 +76,52 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     float scale per vector (4× smaller than float32).
     """
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
-    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
-    scale = amax / F.lit(float(QUANT_BITS_MAX))
-    q = F.transform(F.col("v"), lambda x: F.floor(x / scale + F.lit(0.5)))
-    qsum = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # Staged through materialized columns: inlining `scale` (itself an
+    # array_max HOF) into every lambda makes the interpreted HOF path
+    # re-derive it per element — O(dim^2) work per row, measured ~5x
+    # slower. Two hazards the staging must respect: (1) higher-order
+    # lambdas don't whole-stage-codegen, so single evaluation matters;
+    # (2) the final select must NOT alias the rounded output back to
+    # the name "scale" next to expressions reading col("scale") —
+    # lateral column alias resolution binds them to the ROUNDED value
+    # and silently changes mse (hence the separate rounding select).
+    s1 = emb.select(
+        "vec_id",
+        "v",
+        (
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+            / F.lit(float(QUANT_BITS_MAX))
+        ).alias("scale"),
+    )
+    s2 = s1.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+        ).alias("q"),
+    )
+    qsum = F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x)
     sqerr = F.aggregate(
-        F.zip_with(q, F.col("v"), lambda qi, x: (qi * scale - x) * (qi * scale - x)),
+        F.zip_with(
+            F.col("q"),
+            F.col("v"),
+            lambda qi, x: (qi * F.col("scale") - x) * (qi * F.col("scale") - x),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    mse_micro = sqerr / F.size("v") * F.lit(1_000_000.0)
-    return emb.select(
+    core = s2.select(
         "vec_id",
-        F.round(scale, 9).alias("scale"),
+        "scale",
         qsum.alias("qsum"),
-        F.round(mse_micro, 6).alias("mse_micro"),
+        (sqerr / F.size("v") * F.lit(1_000_000.0)).alias("mse_raw"),
+    )
+    return core.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        "qsum",
+        F.round("mse_raw", 6).alias("mse_micro"),
     ).orderBy("vec_id")
 
 

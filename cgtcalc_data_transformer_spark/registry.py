@@ -40,7 +40,7 @@ from cgtcalc_data_transformer_spark.operators import (
     tpch_shapes2,
 )
 from cgtcalc_data_transformer_spark.operators.pipeline import merge_sorted
-from cgtcalc_data_transformer_spark.sources import bucketed, partitioned
+from cgtcalc_data_transformer_spark.sources import bucketed, compaction, partitioned
 from cgtcalc_data_transformer_spark.sources.csv import df_from_csv_string
 from cgtcalc_data_transformer_spark.sources.eml import df_from_email_strings
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
@@ -120,7 +120,7 @@ FROM orders
 # layout, DQ, skew, multimodal, streaming) — plus canonical_orders
 # (regression-trimmed this round; recheck). Round-4 rotation plan:
 # front agg_approx, doc_similarity_tfidf, partition_pruning,
-# pagerank_suppliers, dedup_ngram_jaccard, dedup_clusters,
+# pagerank_suppliers, compact_orders, dedup_ngram_jaccard, dedup_clusters,
 # grouped_zscore, join_bucketed, sample_stratified, profile_orders (+
 # anything red this round) so every registered query has a driver row
 # within two rounds.
@@ -220,6 +220,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_similarity_tfidf": (textops.doc_similarity_tfidf, textops.DOC_SIM_SQL),
     "partition_pruning": (partitioned.partition_pruning, partitioned.PARTITION_PRUNING_SQL),
     "pagerank_suppliers": (graph.pagerank_suppliers, graph.PAGERANK_SQL),
+    "compact_orders": (compaction.compact_orders, compaction.COMPACT_ORDERS_SQL),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),

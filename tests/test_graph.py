@@ -16,7 +16,8 @@ SF = "/root/testdata/sf0.001"
 
 def test_pagerank_topk_shape_and_order(spark):
     rows = pagerank_suppliers(spark, SF).collect()
-    assert len(rows) == PR_TOP_K
+    # sf0.001 has fewer suppliers than PR_TOP_K; the limit caps, never pads
+    assert 0 < len(rows) <= PR_TOP_K
     assert all(r["node"].startswith("S") for r in rows)
     ranks = [r["pagerank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
