@@ -1,0 +1,121 @@
+"""Corpus-level language-model signals for training-data curation.
+
+Two standard quality levers an LLM data pipeline runs at corpus
+scale:
+
+- **Bigram perplexity** (`text_perplexity_bigram`): score every
+  document under the corpus's own bigram LM — filtering on LM
+  perplexity is the classic statistical-quality gate. The corpus
+  counts are two aggregations over one exploded bigram stream (the
+  conditional denominator reuses the bigram-count aggregate, not a
+  second pass over raw tokens); the per-doc score is one join back
+  and a log-sum. No smoothing needed: every document's bigrams are
+  part of the corpus counts by construction, so probabilities are
+  never zero.
+- **Vocab induction** (`vocab_topk`): global top-K tokenizer pieces
+  by frequency — the seed step of a wordpiece/BPE vocabulary build.
+
+The reference has no corpus-level analysis at all; this extends the
+text-analysis family (operators/textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+from cgtcalc_data_transformer_spark.operators.textops import BPE_RE
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+VOCAB_TOP_K = 100
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, 'w1 w2') with one row per bigram OCCURRENCE (an LM
+    counts repeats). zip_with over two slices keeps token order
+    without a per-token shuffle; the lambda is a shallow concat, so
+    the interpreted-HOF cost is one string op per bigram."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return docs.filter(n >= 2).select("doc_id", F.explode(pairs).alias("bg"))
+
+
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under the corpus bigram model:
+    ppl(d) = exp(-mean_{(w1,w2) in d} ln(c(w1 w2) / c(w1 ·)))."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bigrams(docs)
+    c12 = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # denominator from the bigram aggregate (|vocab^2| rows), not a
+    # second pass over the token stream (|corpus| rows)
+    c1 = (
+        c12.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    scored = (
+        b.join(c12, "bg")
+        .join(c1, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(-F.sum(F.log(F.col("c12") / F.col("c1"))) / F.count(F.lit(1))),
+                6,
+            ).alias("ppl"),
+        )
+    )
+    return scored.orderBy("doc_id")
+
+
+TEXT_PPL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), b AS (
+  SELECT doc_id, z[1] || ' ' || z[2] AS bg
+  FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM toks WHERE len(t) >= 2)
+), c12 AS (
+  SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+), c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS c FROM c12 GROUP BY w1
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(exp(-SUM(ln(CAST(c12.c AS DOUBLE) / c1.c)) / COUNT(*)), 6) AS ppl
+FROM b JOIN c12 USING (bg) JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K BPE-ish pieces by corpus frequency — one explode,
+    one aggregation, a bounded global top-k (orderBy+limit compiles
+    to TakeOrderedAndProject, never a single-partition window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = docs.select(
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias("piece")
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT piece, COUNT(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '{BPE_RE}')) AS piece FROM documents)
+GROUP BY piece
+ORDER BY cnt DESC, piece ASC
+LIMIT {VOCAB_TOP_K}
+"""

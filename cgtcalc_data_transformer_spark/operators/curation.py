@@ -418,3 +418,55 @@ SELECT doc_id, source, n_tokens,
 FROM cum
 ORDER BY source, doc_id
 """
+
+
+# ------------------------------------------- end-to-end curation gate
+CURATE_MIN_QUALITY = 0.6
+CURATE_LANG = "en"
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed admission gate an LLM ingest runs per batch:
+    quality score ≥ threshold AND predicted language AND exact-dedup
+    survivor — three existing registry operators chained into ONE
+    lazy plan (Catalyst sees the whole composition: the three
+    documents scans share the cached relation, filters push into each
+    branch, and the id-joins are plain equality shuffles).
+
+    Composition, not reimplementation: any fix to text_quality /
+    text_langid / dedup_exact flows through here automatically, and
+    the oracle composes the same three SQL bodies as CTEs.
+    """
+    from cgtcalc_data_transformer_spark.operators import dedup, textops
+
+    quality = textops.text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    lang = textops.text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    survivors = dedup.dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return (
+        quality.join(lang, "doc_id")
+        .join(survivors, "doc_id")
+        # filter on the ROUNDED score: that is the operator's public
+        # output (and what the composed oracle filters on)
+        .filter(
+            (F.col("quality_score") >= CURATE_MIN_QUALITY)
+            & (F.col("pred_lang") == CURATE_LANG)
+        )
+        .select("doc_id", "pred_lang", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_sql() -> str:
+    from cgtcalc_data_transformer_spark.operators import dedup, textops
+
+    return f"""
+WITH q AS ({textops.TEXT_QUALITY_SQL}),
+     l AS ({textops.TEXT_LANGID_SQL}),
+     d AS ({dedup.DEDUP_EXACT_SQL})
+SELECT q.doc_id, l.pred_lang, q.quality_score
+FROM q JOIN l USING (doc_id) JOIN d ON d.keep_doc_id = q.doc_id
+WHERE q.quality_score >= {CURATE_MIN_QUALITY} AND l.pred_lang = '{CURATE_LANG}'
+ORDER BY q.doc_id
+"""

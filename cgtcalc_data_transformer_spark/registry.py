@@ -18,6 +18,7 @@ from cgtcalc_data_transformer_spark import fixtures, schemas
 from cgtcalc_data_transformer_spark.functions.jsnum import js_num
 from cgtcalc_data_transformer_spark.operators import (
     bullionvault,
+    corpus_lm,
     curation,
     dedup,
     embedding_ops,
@@ -120,7 +121,8 @@ FROM orders
 # layout, DQ, skew, multimodal, streaming) — plus canonical_orders
 # (regression-trimmed this round; recheck). Round-4 rotation plan:
 # front agg_approx, doc_similarity_tfidf, partition_pruning,
-# pagerank_suppliers, compact_orders, dedup_ngram_jaccard, dedup_clusters,
+# pagerank_suppliers, compact_orders, text_perplexity_bigram,
+# vocab_topk, curate_corpus, dedup_ngram_jaccard, dedup_clusters,
 # grouped_zscore, join_bucketed, sample_stratified, profile_orders (+
 # anything red this round) so every registered query has a driver row
 # within two rounds.
@@ -221,6 +223,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "partition_pruning": (partitioned.partition_pruning, partitioned.PARTITION_PRUNING_SQL),
     "pagerank_suppliers": (graph.pagerank_suppliers, graph.PAGERANK_SQL),
     "compact_orders": (compaction.compact_orders, compaction.COMPACT_ORDERS_SQL),
+    "text_perplexity_bigram": (corpus_lm.text_perplexity_bigram, corpus_lm.TEXT_PPL_SQL),
+    "vocab_topk": (corpus_lm.vocab_topk, corpus_lm.VOCAB_TOPK_SQL),
+    "curate_corpus": (curation.curate_corpus, curation._curate_sql()),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
