@@ -85,6 +85,16 @@ HEADLINE: dict[str, str] = {
     "dedup_incremental": "exec",
     "dq_checks": "collect",
     "zorder_layout": "collect",
+    # round-3 additions
+    "doc_similarity_tfidf": "collect",
+    "pagerank_suppliers": "collect",
+    "partition_pruning": "collect",
+    "compact_orders": "collect",
+    "text_perplexity_bigram": "exec",
+    "vocab_topk": "collect",
+    "curate_corpus": "exec",
+    "multimodal_decode": "exec",
+    "frame_sample": "exec",
 }
 
 

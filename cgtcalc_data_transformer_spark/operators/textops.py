@@ -426,14 +426,17 @@ ORDER BY doc_id, chunk_idx
 # sparse complement to the dense-embedding kNN/ANN operators in
 # operators/similarity.py. The document-frequency cutoff is the scale
 # lever: a term appearing in p documents fans out to p^2 candidate
-# pairs in the self-join, so common terms (df > DF_FRACTION·N — which
-# carry near-zero idf anyway) are dropped BEFORE the join. Per-term
-# work is then bounded by (DF_FRACTION·N)^2 and the plan has no
-# all-pairs product; this is the standard bound that keeps inverted-
-# index similarity subquadratic on a 100 TB corpus.
+# pairs in the self-join, so common terms (which carry near-zero idf
+# anyway) are dropped BEFORE the join. The cap must be ABSOLUTE, not
+# a corpus fraction: a fractional cap lets posting lists grow with N
+# and the join is quadratic again (measured 131x wall for 10x data at
+# sf1 before the absolute cap; 200-long lists bound every term to
+# ≤ 40k pairs regardless of corpus size — the standard bound that
+# keeps inverted-index similarity subquadratic on a 100 TB corpus).
 DOC_SIM_TOP_K = 20
 DF_MIN = 2            # a term in one doc can't create a pair
-DF_FRACTION = 0.2     # drop terms present in > 20% of the corpus
+DF_FRACTION = 0.2     # small-corpus cap: >20% of docs ⇒ not discriminative
+DF_ABS_MAX = 200      # scale cap: posting lists never exceed this
 
 
 def doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +453,7 @@ def doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar literal, like text_tfidf_top_terms
-    df_max = max(DF_MIN, int(n_docs * DF_FRACTION))
+    df_max = max(DF_MIN, min(int(n_docs * DF_FRACTION), DF_ABS_MAX))
 
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     term_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -524,7 +527,8 @@ WITH toks AS (
            * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS w
   FROM tc JOIN sizes USING (doc_id) JOIN dfreq USING (tok), n
   WHERE dfreq.df >= {DF_MIN}
-    AND dfreq.df <= greatest({DF_MIN}, CAST(floor(n.n_docs * {DF_FRACTION}) AS BIGINT))
+    AND dfreq.df <= greatest({DF_MIN},
+                             least(CAST(floor(n.n_docs * {DF_FRACTION}) AS BIGINT), {DF_ABS_MAX}))
 ), norms AS (
   SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM weighted GROUP BY doc_id
 ), dots AS (
