@@ -40,7 +40,6 @@ from cgtcalc_data_transformer_spark.operators import (
     tpch_more,
     tpch_shapes2,
 )
-from cgtcalc_data_transformer_spark.operators.pipeline import merge_sorted
 from cgtcalc_data_transformer_spark.sources import bucketed, compaction, partitioned
 from cgtcalc_data_transformer_spark.sources.csv import df_from_csv_string
 from cgtcalc_data_transformer_spark.sources.eml import df_from_email_strings
@@ -78,24 +77,49 @@ def parse_bullionvault(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- canonicalization flagship
 def canonical_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference pipeline's shape on driver data: normalize orders
-    into canonical lines (kind/date/asset/js_num) and sort
-    chronologically — scan → project → format → sort."""
-    orders = load_table(spark, sf_dir, "orders")
-    lines = orders.select(
-        F.concat_ws(
-            " ",
-            F.when(F.col("o_orderstatus") == "F", F.lit("SELL")).otherwise(F.lit("BUY")),
-            F.date_format("o_orderdate", "dd/MM/yyyy"),
-            F.concat(F.lit("ORD_"), F.col("o_orderkey")),
-            js_num(F.col("o_totalprice")),
-            # NOTE: deliberately no ROUND(double) here — Spark rounds the
-            # shortest decimal repr, DuckDB the binary value; money/100
-            # lands on .xx5 ties constantly and the engines disagree.
-            js_num(F.col("o_custkey").cast("double")),
-            F.lit("0"),
-        ).alias("line")
+    into canonical lines (kind/date/asset/js_num), chronologically
+    sorted with the reference's stable tiebreak (source file, in-file
+    position — `/root/reference/index.js:115-118`).
+
+    Scale shape: sort FIRST on typed keys, format LAST. A global sort
+    range-partitions by sampling its child, so whatever sits below the
+    sort is evaluated twice — putting the js_num/concat formatting
+    there doubles the most expensive stage (measured 2x at sf1).
+    Sorting (date, file, row) and projecting the formatted line on top
+    leaves the sampling pass a 3-column scan and runs the formatter
+    exactly once, post-shuffle. ``merge_sorted`` keeps the
+    line-oriented shape for the CLI re-scan path where input is
+    already formatted text.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.col("_metadata.file_path").alias("_src"),
+        F.col("_metadata.row_index").alias("_seq"),
     )
-    return merge_sorted(None, lines)
+    return (
+        orders.orderBy("o_orderdate", "_src", "_seq")
+        .select(
+            F.concat_ws(
+                " ",
+                F.when(F.col("o_orderstatus") == "F", F.lit("SELL")).otherwise(
+                    F.lit("BUY")
+                ),
+                F.date_format("o_orderdate", "dd/MM/yyyy"),
+                F.concat(F.lit("ORD_"), F.col("o_orderkey")),
+                js_num(F.col("o_totalprice")),
+                # NOTE: deliberately no ROUND(double) here — Spark rounds
+                # the shortest decimal repr, DuckDB the binary value;
+                # money/100 lands on .xx5 ties constantly and the engines
+                # disagree.
+                js_num(F.col("o_custkey").cast("double")),
+                F.lit("0"),
+            ).alias("line")
+        )
+    )
 
 
 CANONICAL_ORDERS_SQL = r"""

@@ -53,6 +53,28 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def scatter(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a SMALL scan before CPU-heavy per-row work.
+
+    Spark sizes scan partitions by BYTES (``maxPartitionBytes``), so a
+    compact input — a few MB of compressed text or packed vectors —
+    arrives as one or two tasks even when the downstream per-row work
+    (token explode + per-token hashing, 64-dim dot products) costs
+    orders of magnitude more than the scan. At warehouse scale the
+    same table is thousands of splits and this is a no-op (the guard
+    sees partitions >= target); locally it converts a single-core
+    stage into a full-width one for the price of shuffling a few MB.
+
+    Use it ONLY ahead of genuinely CPU-bound per-row pipelines; for
+    scan-bound queries the extra exchange is pure loss.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)

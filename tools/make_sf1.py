@@ -29,7 +29,12 @@ con.execute(f"CREATE VIEW reps AS SELECT unnest(range(0, {N})) AS rep")
 
 def gen(table: str, sql: str) -> None:
     con.execute(
-        f"COPY ({sql}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)"
+        # Bounded row groups: DuckDB's default writes small tables as
+        # ONE row group, and Spark cannot split within a row group —
+        # documents/embeddings scans would run on a single core, which
+        # no real multi-file 100 TB layout ever does. 10k-row groups
+        # give the local bench the same splittable shape.
+        f"COPY ({sql}) TO '{DST}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 10000)"
     )
     n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{table}.parquet')").fetchone()[0]
     print(f"{table}: {n} rows")
