@@ -60,9 +60,10 @@ HEADLINE: dict[str, str] = {
     "dedup_exact": "exec",
     "dedup_minhash_lsh": "exec",
     "dedup_simhash": "exec",
-    # dedup_clusters excluded: its iterative label propagation runs at
-    # plan-build time (driver loop over cached frames), so a steady-
-    # state re-execution of the returned frame would under-report it.
+    # dedup_clusters and kmeans_embeddings excluded: their iterative
+    # loops run at plan-build time (driver loop over cached frames /
+    # collected centroid matrices), so a steady-state re-execution of
+    # the returned frame would under-report them.
     "knn_bruteforce": "collect",
     "ann_ivf": "collect",
     "ann_lsh": "collect",

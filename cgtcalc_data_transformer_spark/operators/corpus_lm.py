@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
 from cgtcalc_data_transformer_spark.operators.textops import BPE_RE
-from cgtcalc_data_transformer_spark.sources.tpch import load_table
+from cgtcalc_data_transformer_spark.sources.tpch import load_table, scatter
 
 VOCAB_TOP_K = 100
 
@@ -48,7 +48,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc perplexity under the corpus bigram model:
     ppl(d) = exp(-mean_{(w1,w2) in d} ln(c(w1 w2) / c(w1 ·)))."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     b = _bigrams(docs)
     c12 = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     # denominator from the bigram aggregate (|vocab^2| rows), not a
@@ -100,7 +100,7 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-K BPE-ish pieces by corpus frequency — one explode,
     one aggregation, a bounded global top-k (orderBy+limit compiles
     to TakeOrderedAndProject, never a single-partition window)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     pieces = docs.select(
         F.explode(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias("piece")
     )

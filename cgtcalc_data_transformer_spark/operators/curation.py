@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cgtcalc_data_transformer_spark.operators.dedup import shingle_rows, shingle_sizes
 from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
-from cgtcalc_data_transformer_spark.sources.tpch import load_table
+from cgtcalc_data_transformer_spark.sources.tpch import load_table, scatter
 
 # ------------------------------------------------------ normalization
 
@@ -40,7 +40,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape is "normalize on ingest, write once, every later
     stage reads the canonical column".
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
@@ -93,7 +93,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     its distinct-shingle set is broadcastable in practice; the hint is
     left to the size-based planner).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     is_bench = hash_bucket(F.col("doc_id")) < CONTAM_BENCH_PCT
     bench_sh = (
         shingle_rows(docs.filter(is_bench), n=CONTAM_N)
@@ -181,7 +181,7 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes into the scan and the mixture costs one pass, no RNG
     state, no driver coordination.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
     rate = _mix_rate_pct(src_num)
     kept = hash_bucket(F.col("doc_id")) < rate
@@ -236,7 +236,7 @@ def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle). The df table is vocabulary-sized; the join is size-based
     (vocabulary grows with the corpus — no broadcast pin).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     n_docs = docs.count()  # scalar literal, folded into the threshold
     # (doc_id, shingle) feeds three branches (df, coverage, sizes);
     # cache it — at 100 TB checkpoint to parquet instead of memory
@@ -316,7 +316,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial. Row-local codegen regex work — at 100 TB this is a
     rewrite pass fused into the normalize-on-ingest scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     injected = F.when(
         F.col("doc_id") % PII_INJECT_MOD == 0,
         F.concat(
@@ -375,7 +375,7 @@ def pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumsum by shard (source, day) so the window never sees a
     global sort — emitted here per source for exactly that shape.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
     from pyspark.sql import Window
 

@@ -85,7 +85,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     group on ``xxhash64(text)`` first and only compare texts within
     a colliding bucket — the md5 variant here keeps the oracle exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
         .agg(
@@ -144,7 +144,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration scale, quadratic on hot shingles at 100 TB (that's
     what the MinHash variant below is for).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     shingles = shingle_rows(docs).cache()
     sizes = shingle_sizes(shingles)
     pairs = (
@@ -221,7 +221,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs into equality joins on (band, bucket); only candidate
     pairs — a vanishing fraction — pay the exact-verify cost.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle) rows are reused by three branches (signature,
     # verify-a, verify-b); cache them — at 100 TB you would checkpoint
     # to parquet instead of memory.
@@ -634,7 +634,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     planes = _emb_hyperplanes()
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = scatter(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
 

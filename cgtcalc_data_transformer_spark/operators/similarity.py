@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from cgtcalc_data_transformer_spark.sources.tpch import load_table
+from cgtcalc_data_transformer_spark.sources.tpch import load_table, scatter
 
 TOP_K = 5
 N_QUERIES = 8          # vec_id < 8 are the demo query vectors
@@ -41,7 +41,10 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def _as_double(df: DataFrame) -> DataFrame:
-    return df.select(
+    # scatter: packed float vectors are byte-small but every consumer
+    # does O(dim) arithmetic per row (dot products, bucket hashes) —
+    # don't let the byte-packed scan pin that work to 1-2 tasks.
+    return scatter(df).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         "label",

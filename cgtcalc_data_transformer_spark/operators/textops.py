@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
-from cgtcalc_data_transformer_spark.sources.tpch import load_table
+from cgtcalc_data_transformer_spark.sources.tpch import load_table, scatter
 
 # tiny high-frequency marker sets per language (public common words)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -30,7 +30,7 @@ BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 # --------------------------------------------------------- token stats
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """whitespace tokens, distinct tokens, BPE-ish piece count."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     return docs.select(
         "doc_id",
@@ -61,7 +61,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = 0.4·min(1, ws_tokens/50) + 0.3·stop_ratio·3 (capped 0.3)
             + 0.3·(1 − punct_ratio), rounded to 6.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     toks = tokens_col(F.col("text"))
     n_tok = F.size(toks)
@@ -123,7 +123,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct-token ∩ marker-set sizes per language, argmax with a
     fixed language order for ties.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     toks = F.array_distinct(tokens_col(F.col("text")))
     scores = {
         lang: F.size(
@@ -186,7 +186,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     n_docs = docs.count()  # scalar: one cheap count, folded as literal
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     term_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -289,7 +289,7 @@ def rolling_hash_df(docs: DataFrame) -> DataFrame:
 
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial (Rabin-Karp-style) document hash."""
-    return rolling_hash_df(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    return rolling_hash_df(scatter(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
 TEXT_ROLLING_SQL = rf"""
@@ -325,7 +325,7 @@ ORDER BY d.doc_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two md5 fingerprints: normalized text, and the sorted distinct
     token bag (whitespace/punctuation/case-insensitive identity)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     bag = F.array_join(F.array_sort(F.array_distinct(tokens_col(F.col("text")))), " ")
     return docs.select(
@@ -451,7 +451,7 @@ def doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     n_docs = docs.count()  # scalar literal, like text_tfidf_top_terms
     df_max = max(DF_MIN, min(int(n_docs * DF_FRACTION), DF_ABS_MAX))
 

@@ -18,6 +18,7 @@ from cgtcalc_data_transformer_spark import fixtures, schemas
 from cgtcalc_data_transformer_spark.functions.jsnum import js_num
 from cgtcalc_data_transformer_spark.operators import (
     bullionvault,
+    clustering,
     corpus_lm,
     curation,
     dedup,
@@ -251,6 +252,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_topk": (corpus_lm.vocab_topk, corpus_lm.VOCAB_TOPK_SQL),
     "curate_corpus": (curation.curate_corpus, curation._curate_sql()),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
+    "kmeans_embeddings": (clustering.kmeans_embeddings, clustering.KMEANS_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
     "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
