@@ -211,6 +211,14 @@ def main() -> None:
                 "queries": timings,
                 "skew_join": skew,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # r1/r2 re-collected the SAME DataFrame, which reuses the
+                # AQE-memoized result RDD and every shuffle's map output —
+                # a measured 10-20x under-report on anything shuffle- or
+                # compute-bound. From r3 on, each sample is a FRESH plan
+                # fully executed; numbers are not comparable across that
+                # boundary.
+                "methodology": "median-of-3 fresh-plan full executions "
+                "(r1/r2 re-collected memoized plans; 10-20x under-reported)",
             }
         )
     )

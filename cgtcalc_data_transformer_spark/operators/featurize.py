@@ -1,0 +1,194 @@
+"""Text featurization for training pipelines: feature hashing and
+count-min sketching over the ``documents`` table.
+
+Both are the mergeable, fixed-width primitives a 100 TB corpus needs
+where exact vocabularies don't fit: the hashing trick gives a
+constant-dimension feature vector with no vocabulary broadcast at
+all, and the count-min sketch gives frequency estimates from a
+d×w matrix that merges associatively across partitions (every cell is
+a plain SUM — Spark's map-side partial aggregation IS the sketch
+merge).
+
+Hashes are md5-derived (first 8 hex chars → uint32), the repo-wide
+portable-hash convention (dedup.py minhash, sampling.hash_bucket) —
+reproducible in any engine, which keeps both operators value-oracled
+in DuckDB rather than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+from cgtcalc_data_transformer_spark.sources.tpch import load_table, scatter
+
+HASH_DIM = 64          # feature-hashed vector width
+CMS_DEPTH = 4          # count-min rows (independent hash functions)
+CMS_WIDTH = 32         # count-min columns
+CMS_TOP_N = 10         # tokens to audit against the sketch
+
+
+def _h32(col: Column, salt: str = "") -> Column:
+    """Portable uint32 from md5 (optionally salted)."""
+    salted = F.concat(col, F.lit(salt)) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+
+
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashed term frequencies, sparse (doc, slot, w).
+
+    The hashing trick (Weinberger et al. 2009): slot = h(tok) mod D,
+    sign = ±1 from an independent hash bit; collisions cancel in
+    expectation instead of biasing upward. Emitted SPARSE — the dense
+    D-vector is a fixed-width reshape, but sparse rows are what a
+    downstream trainer shuffles and what stays linear in corpus size.
+    No vocabulary, no broadcast, one explode + one aggregation.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(_h32(F.col("tok")), F.lit(HASH_DIM)).alias("slot"),
+        F.when(
+            _h32(F.col("tok"), "#sign").bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "slot")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)  # exact cancellations drop, as in sparse libs
+        .orderBy("doc_id", "slot")
+    )
+
+
+HASHING_TF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT % {HASH_DIM} AS BIGINT) AS slot,
+         CASE WHEN ('0x' || substr(md5(tok || '#sign'), 1, 8))::UBIGINT::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, slot, CAST(SUM(sign) AS BIGINT) AS weight
+FROM hashed
+GROUP BY doc_id, slot
+HAVING SUM(sign) <> 0
+ORDER BY doc_id, slot
+"""
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus tokens + a heavy-hitter audit.
+
+    Builds the d×w sketch as CMS_DEPTH×CMS_WIDTH SUM cells (one
+    aggregation; partial aggregation merges sketches map-side exactly
+    like a distributed CMS union), then estimates the top-N exact
+    tokens through the sketch: est = min over rows of the addressed
+    cell. Emits (token, exact_cnt, cms_est, overestimate_ok) — the
+    defining CMS guarantee est >= exact must hold on every row, and
+    the oracle checks the estimates value-for-value.
+
+    At 100 TB you keep ONLY the sketch (d×w longs); the exact side
+    here exists to audit it at calibration scale.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+
+    # exact heavy hitters (audit side)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(CMS_TOP_N)
+    )
+
+    # sketch: one row per (depth, column) with summed counts
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.pmod(_h32(F.col("tok"), f"#cms{r}"), F.lit(CMS_WIDTH)).alias(
+                                "c"
+                            ),
+                        )
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    # audit: address each top token's d cells, take the min
+    addressed = exact.select(
+        "tok",
+        "exact_cnt",
+        *[
+            F.pmod(_h32(F.col("tok"), f"#cms{r}"), F.lit(CMS_WIDTH)).alias(f"c{r}")
+            for r in range(CMS_DEPTH)
+        ],
+    )
+    for r in range(CMS_DEPTH):
+        addressed = addressed.join(
+            F.broadcast(cells.filter(F.col("r") == r).select(
+                F.col("c").alias(f"c{r}"), F.col("cnt").alias(f"cnt{r}")
+            )),
+            f"c{r}",
+        )
+    return addressed.select(
+        "tok",
+        "exact_cnt",
+        F.least(*[F.col(f"cnt{r}") for r in range(CMS_DEPTH)]).alias("cms_est"),
+        (
+            F.least(*[F.col(f"cnt{r}") for r in range(CMS_DEPTH)])
+            >= F.col("exact_cnt")
+        ).alias("overestimate_ok"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("tok"))
+
+
+def _cms_sql() -> str:
+    cell_cols = ", ".join(
+        f"CAST(('0x' || substr(md5(tok || '#cms{r}'), 1, 8))::UBIGINT::BIGINT % {CMS_WIDTH} AS BIGINT) AS c{r}"
+        for r in range(CMS_DEPTH)
+    )
+    joins = "\n".join(
+        f"JOIN cells s{r} ON s{r}.r = {r} AND s{r}.c = a.c{r}"
+        for r in range(CMS_DEPTH)
+    )
+    least = "LEAST(" + ", ".join(f"s{r}.cnt" for r in range(CMS_DEPTH)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt
+  FROM toks GROUP BY tok
+  ORDER BY exact_cnt DESC, tok ASC LIMIT {CMS_TOP_N}
+), cells AS (
+  SELECT r, c, COUNT(*) AS cnt FROM (
+    SELECT u.r,
+           CAST(('0x' || substr(md5(tok || '#cms' || u.r), 1, 8))::UBIGINT::BIGINT % {CMS_WIDTH} AS BIGINT) AS c
+    FROM toks CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS r) u
+  ) GROUP BY r, c
+), addressed AS (
+  SELECT tok, exact_cnt, {cell_cols} FROM exact
+)
+SELECT a.tok, a.exact_cnt,
+       {least} AS cms_est,
+       {least} >= a.exact_cnt AS overestimate_ok
+FROM addressed a
+{joins}
+ORDER BY a.exact_cnt DESC, a.tok ASC
+"""
+
+
+CMS_SQL = _cms_sql()

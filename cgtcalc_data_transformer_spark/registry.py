@@ -19,6 +19,8 @@ from cgtcalc_data_transformer_spark.functions.jsnum import js_num
 from cgtcalc_data_transformer_spark.operators import (
     bullionvault,
     clustering,
+    featurize,
+    search,
     corpus_lm,
     curation,
     dedup,
@@ -253,6 +255,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "curate_corpus": (curation.curate_corpus, curation._curate_sql()),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL),
     "kmeans_embeddings": (clustering.kmeans_embeddings, clustering.KMEANS_SQL),
+    "text_hashing_tf": (featurize.text_hashing_tf, featurize.HASHING_TF_SQL),
+    "cms_heavy_hitters": (featurize.cms_heavy_hitters, featurize.CMS_SQL),
+    "text_search_and": (search.text_search_and, search.TEXT_SEARCH_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
     "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
