@@ -96,6 +96,9 @@ HEADLINE: dict[str, str] = {
     "curate_corpus": "exec",
     "multimodal_decode": "exec",
     "frame_sample": "exec",
+    "text_hashing_tf": "exec",
+    "cms_heavy_hitters": "collect",
+    "text_search_and": "collect",
 }
 
 

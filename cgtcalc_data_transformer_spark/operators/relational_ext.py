@@ -130,7 +130,9 @@ ORDER BY o_orderpriority, o_orderkey
 
 
 # ---------------------------------------------------- salted skew join
-SALT_BUCKETS = 8
+SALT_BUCKETS = 4  # mechanics demo on uniform keys: every bucket multiplies
+#                   the replicated side's shuffle volume; 4 shows the shape
+#                   without paying 8x (real salting sizes this to the skew)
 PARTIAL_SALT_BUCKETS = 32  # hot-key-only replication → fan out to every core
 
 

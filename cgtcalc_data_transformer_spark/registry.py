@@ -77,6 +77,27 @@ def parse_bullionvault(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bullionvault.lines(raw)
 
 
+def parse_bullionvault_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same parse as parse_bullionvault, sourced through the Spark 4
+    Python DataSource (sources/eml_datasource.py) instead of the
+    in-memory fixture frame — proves the pluggable-source path end to
+    end against the identical literal-VALUES oracle."""
+    import os
+    import tempfile
+
+    from cgtcalc_data_transformer_spark.sources import eml_datasource
+
+    d = os.path.join(tempfile.gettempdir(), "bv_eml_fixture")
+    os.makedirs(d, exist_ok=True)
+    for i, em in enumerate(fixtures.BULLIONVAULT_EMAILS):
+        p = os.path.join(d, f"advice_{i}.eml")
+        if not os.path.exists(p):
+            with open(p, "w") as fh:
+                fh.write(em)
+    eml_datasource.register(spark)
+    return bullionvault.lines(spark.read.format("eml").load(d))
+
+
 # ------------------------------------------- canonicalization flagship
 def canonical_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference pipeline's shape on driver data: normalize orders
@@ -244,6 +265,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "parse_ii": (parse_ii, fixtures.values_oracle(fixtures.EXPECTED_II)),
     "parse_fidelity": (parse_fidelity, fixtures.values_oracle(fixtures.EXPECTED_FIDELITY)),
     "parse_bullionvault": (parse_bullionvault, fixtures.values_oracle(fixtures.EXPECTED_BULLIONVAULT)),
+    "parse_bullionvault_pyds": (parse_bullionvault_pyds, fixtures.values_oracle(fixtures.EXPECTED_BULLIONVAULT)),
     # never driver-green: first in line after the window rotates again
     "agg_approx": (relational.agg_approx_sketches, relational.AGG_APPROX_SQL),
     "doc_similarity_tfidf": (textops.doc_similarity_tfidf, textops.DOC_SIM_SQL),

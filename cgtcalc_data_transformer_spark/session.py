@@ -68,7 +68,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts driver + all N executor threads in ONE JVM; an
+        # 8g heap across 32 concurrent tasks forces multi-second GC
+        # pauses late in long query batteries (observed as 5-10x
+        # outliers on otherwise sub-second queries). 32g on the 128 GiB
+        # box keeps old-gen churn off the critical path; a real cluster
+        # sizes executor memory separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
