@@ -29,10 +29,11 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs containing ALL of QUERY_TERMS, ranked by total term
     frequency (desc, doc_id asc), top SEARCH_TOP_K.
 
-    Postings are built filtered to the query terms — Catalyst pushes
-    the IN-filter below the explode, so only matching tokens survive
-    the explode's output; with a pre-materialized posting table the
-    same plan is a partition-pruned scan of |terms| token groups.
+    Postings are built filtered to the query terms — the IN-filter
+    applies directly on the generator's output inside the same stage,
+    so only matching (doc, term) rows ever reach the shuffle; with a
+    pre-materialized posting table the same plan is a partition-pruned
+    scan of |terms| token groups.
     """
     docs = scatter(load_table(spark, sf_dir, "documents"))
     postings = (

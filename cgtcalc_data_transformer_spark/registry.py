@@ -171,9 +171,11 @@ FROM orders
 # front agg_approx, doc_similarity_tfidf, partition_pruning,
 # pagerank_suppliers, compact_orders, text_perplexity_bigram,
 # vocab_topk, curate_corpus, dedup_ngram_jaccard, dedup_clusters,
-# grouped_zscore, join_bucketed, sample_stratified, profile_orders (+
-# anything red this round) so every registered query has a driver row
-# within two rounds.
+# kmeans_embeddings, text_hashing_tf, cms_heavy_hitters,
+# text_search_and, parse_bullionvault_pyds, grouped_zscore,
+# join_bucketed, sample_stratified, profile_orders (+ anything red
+# this round) so every registered query has a driver row within two
+# rounds.
 
 
 def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
