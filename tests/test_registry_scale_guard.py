@@ -1,0 +1,87 @@
+"""Registry-wide scale guard: no physical plan in the WHOLE query
+registry may contain the shapes that stop scaling — a Cartesian
+product, a broadcast nested loop join against an unbounded side, or a
+Window with an empty partition spec (all rows through one task).
+
+This is the mechanical generalization of the per-query plan tests in
+test_plans.py: every future registry entry is checked the moment it's
+added, instead of when a verdict catches it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cgtcalc_data_transformer_spark import registry
+from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+# streaming entries build unbounded plans (exercised by the streaming
+# tests); iterative drivers run collect() loops at build time and are
+# plan-checked by their own tests
+SKIP = {
+    "streaming_tumbling",
+    "streaming_sliding",
+    "streaming_session",
+    "streaming_stateful",
+    "streaming_dedup",
+    "streaming_join",
+}
+
+# BroadcastNestedLoopJoin is legitimate ONLY when the broadcast side is
+# BOUNDED by construction — a 1-row scalar aggregate, a literal band
+# table, or a fixed-size query set. Audited 2026-08 (see PLANS.md):
+BNLJ_OK = {
+    "histogram_prices",   # 1-row (min,max) bounds aggregate crossJoin
+    "knn_bruteforce",     # N_QUERIES=8 query vectors, broadcast, != cond
+    "events_funnel",      # 1-row step-count scalar
+    "dq_checks",          # 1-row expectation-summary scalar
+    "q22_dormant_value",  # 1-row avg-balance scalar subquery
+    "q11_important_value",  # 1-row total-value scalar subquery
+    "range_join_bands",   # literal price-band table, range condition
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: formatted_plan(fn(spark, SF))
+        for name, fn in registry.queries().items()
+        if name not in SKIP
+    }
+
+
+def test_no_cartesian_product(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"CartesianProduct in: {bad}"
+
+
+def test_no_unpartitioned_window(plans):
+    """A Window whose Arguments line carries an empty partition spec
+    (`..., [], [ord ...]`) funnels every row through one task — the
+    bug class VERDICT r2 found in skew_join_salted_partial."""
+    bad = []
+    for n, p in plans.items():
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if re.match(r"\(\d+\) Window(GroupLimit)?$", line.strip()):
+                for arg in lines[i : i + 4]:
+                    if arg.startswith("Arguments:") and ", [], [" in arg:
+                        bad.append(n)
+                        break
+    assert not bad, f"unpartitioned Window in: {sorted(set(bad))}"
+
+
+def test_bnlj_only_on_audited_bounded_sides(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert not bad, (
+        f"unaudited BroadcastNestedLoopJoin in: {bad} — if the broadcast "
+        "side is bounded by construction, audit it and add to BNLJ_OK"
+    )
