@@ -33,7 +33,7 @@ SKIP = {
 
 # BroadcastNestedLoopJoin is legitimate ONLY when the broadcast side is
 # BOUNDED by construction — a 1-row scalar aggregate, a literal band
-# table, or a fixed-size query set. Audited 2026-08 (see PLANS.md):
+# table, or a fixed-size query set. Audited 2026-08 (regenerate the audit artifact with tools/dump_plans.py):
 BNLJ_OK = {
     "histogram_prices",   # 1-row (min,max) bounds aggregate crossJoin
     "knn_bruteforce",     # N_QUERIES=8 query vectors, broadcast, != cond
