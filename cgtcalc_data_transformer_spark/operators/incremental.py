@@ -225,3 +225,56 @@ SELECT user_id, event_type AS state,
 FROM closed
 ORDER BY user_id, valid_from_epoch
 """
+
+
+# ------------------------------------- incremental view maintenance
+IVM_BASE_PCT = 90  # deterministic split: 90% base snapshot, 10% late delta
+
+
+def ivm_refresh_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of a per-status revenue rollup: merge the
+    stored aggregation STATE with the delta batch's aggregation —
+    never re-touching the base facts.
+
+    count and decimal-sum are algebraic (mergeable) states, so
+    refresh = unionByName(base_state, delta_state) → re-aggregate the
+    handful of state rows. In production the base state is a stored
+    table and the refresh cost is O(delta); here both sides derive
+    from a deterministic md5 split of orders so the DuckDB oracle —
+    a FULL recompute over all orders — proves the merge is lossless.
+    This is the missing-view-maintenance counterpart of cdc_latest:
+    cdc compacts rows, this maintains an aggregate.
+    """
+    from cgtcalc_data_transformer_spark.functions.money import dec as _dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = hash_bucket(F.col("o_orderkey"), 100)
+    base = orders.filter(bucket < IVM_BASE_PCT)
+    delta = orders.filter(bucket >= IVM_BASE_PCT)
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("total_dec"),
+        )
+
+    return (
+        state(base)
+        .unionByName(state(delta))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("order_cnt").alias("order_cnt"),
+            F.sum("total_dec").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+IVM_REFRESH_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -284,6 +284,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cms_heavy_hitters": (featurize.cms_heavy_hitters, featurize.CMS_SQL),
     "text_search_and": (search.text_search_and, search.TEXT_SEARCH_SQL),
     "emb_pca_power": (pca.emb_pca_power, pca.PCA_SQL),
+    "ivm_refresh_revenue": (incremental.ivm_refresh_revenue, incremental.IVM_REFRESH_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
     "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),

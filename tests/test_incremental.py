@@ -78,3 +78,31 @@ def test_scd2_single_exchange(spark):
     # adds a rangepartitioning exchange which is fine
     n_hash = plan.count("hashpartitioning(user_id")
     assert n_hash <= 1, f"expected one user_id exchange, got {n_hash}:\n{plan}"
+
+
+def test_ivm_refresh_equals_full_recompute(spark):
+    """The algebraic state merge must be indistinguishable from a full
+    recompute over base ∪ delta."""
+    from cgtcalc_data_transformer_spark.functions.money import dec as _dec
+    from cgtcalc_data_transformer_spark.operators.incremental import (
+        ivm_refresh_revenue,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderstatus"]: (r["order_cnt"], r["total_price"])
+        for r in ivm_refresh_revenue(spark, sf).collect()
+    }
+    full = {
+        r["o_orderstatus"]: (r["cnt"], r["tp"])
+        for r in load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("tp"),
+        )
+        .collect()
+    }
+    assert got == full
