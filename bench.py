@@ -99,6 +99,9 @@ HEADLINE: dict[str, str] = {
     "text_hashing_tf": "exec",
     "cms_heavy_hitters": "collect",
     "text_search_and": "collect",
+    "ivm_refresh_revenue": "collect",
+    # emb_pca_power excluded alongside kmeans/dedup_clusters: the
+    # covariance collect + power iteration run at plan-build time.
 }
 
 
