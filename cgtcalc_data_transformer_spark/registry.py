@@ -44,7 +44,7 @@ from cgtcalc_data_transformer_spark.operators import (
     tpch_more,
     tpch_shapes2,
 )
-from cgtcalc_data_transformer_spark.sources import bucketed, compaction, partitioned
+from cgtcalc_data_transformer_spark.sources import bucketed, compaction, orc, partitioned
 from cgtcalc_data_transformer_spark.sources.csv import df_from_csv_string
 from cgtcalc_data_transformer_spark.sources.eml import df_from_email_strings
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
@@ -285,6 +285,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_search_and": (search.text_search_and, search.TEXT_SEARCH_SQL),
     "emb_pca_power": (pca.emb_pca_power, pca.PCA_SQL),
     "ivm_refresh_revenue": (incremental.ivm_refresh_revenue, incremental.IVM_REFRESH_SQL),
+    "orc_roundtrip": (orc.orc_roundtrip, orc.ORC_ROUNDTRIP_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "grouped_zscore": (grouped_pandas.grouped_zscore, grouped_pandas.GROUPED_ZSCORE_SQL),
     "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),

@@ -42,3 +42,18 @@ def test_partitioned_events_sink_prunes(spark, tmp_path):
     plan = formatted_plan(one_day)
     # partition filter must prune at the scan, not post-filter
     assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_orc_roundtrip_preserves_content(spark, tmp_path):
+    """parquet -> ORC -> read-back must preserve every row and type."""
+    from cgtcalc_data_transformer_spark.sources.orc import read_orc, write_orc
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
