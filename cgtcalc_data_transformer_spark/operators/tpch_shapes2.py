@@ -371,46 +371,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate), and NO other supplier shipped late (NOT EXISTS →
     left-anti, same shape). Both probes shuffle on orderkey — the
     correlation key — so the three scans co-partition."""
+    # Decorrelated AGGREGATION form, not self-joins: both probes
+    # correlate only on l_orderkey, so per order the whole predicate
+    # collapses to counters — EXISTS(other supplier) ⇔ n_supp > 1,
+    # NOT EXISTS(other late supplier) ⇔ the late-supplier set is
+    # exactly {this supplier} ⇔ n_late_supp == 1, and the COUNT(*)
+    # over l1 rows is that supplier's late-line count. One
+    # (orderkey, suppkey) aggregation + one orderkey aggregation
+    # replace two lineitem⋈lineitem shuffle joins and a repeated
+    # lineitem⋈orders build — at 100 TB that is one exchange of
+    # per-supplier-per-order rows instead of three fact-sized ones.
     li = load_table(spark, sf_dir, "lineitem")
     orders_f = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
 
-    l1 = (
+    per_supp = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(late)
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
-    )
-    exists_other = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("x_orderkey"))
-        & (F.col("l_suppkey") != F.col("x_suppkey")),
-        "left_semi",
-    )
-    l3 = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(late)
-        .select(
-            F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+        .select("l_orderkey", "l_suppkey", late.cast("int").alias("is_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("is_late").alias("supp_late"),
+            F.sum("is_late").alias("late_lines"),
         )
     )
-    no_other_late = exists_other.join(
-        l3,
-        (F.col("l_orderkey") == F.col("y_orderkey"))
-        & (F.col("l_suppkey") != F.col("y_suppkey")),
-        "left_anti",
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("supp_late") == 1, F.col("late_lines"))).alias(
+            "n_late_lines"
+        ),
     )
+    qual = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        no_other_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
