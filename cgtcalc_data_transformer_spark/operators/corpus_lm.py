@@ -49,7 +49,11 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc perplexity under the corpus bigram model:
     ppl(d) = exp(-mean_{(w1,w2) in d} ln(c(w1 w2) / c(w1 ·)))."""
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    b = _bigrams(docs)
+    # cache: the bigram stream feeds the count model AND the per-doc
+    # scoring join — without it the tokenize+lead pipeline (the
+    # expensive part) runs twice end to end (same pattern as the
+    # cached shingle frames in dedup.py)
+    b = _bigrams(docs).cache()
     c12 = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     # denominator from the bigram aggregate (|vocab^2| rows), not a
     # second pass over the token stream (|corpus| rows)
