@@ -100,6 +100,10 @@ HEADLINE: dict[str, str] = {
     "cms_heavy_hitters": "collect",
     "text_search_and": "collect",
     "ivm_refresh_revenue": "collect",
+    "split_assign": "collect",
+    "text_repetition": "exec",
+    "length_outliers": "collect",
+    "events_user_sequences": "exec",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

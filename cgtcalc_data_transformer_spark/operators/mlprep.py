@@ -1,0 +1,307 @@
+"""Training-set preparation operators for LLM data pipelines.
+
+The stages that sit between curation (curation.py) and the trainer:
+
+- ``split_assign`` — deterministic train/val/test assignment audited
+  per source: a doc's split is a pure function of md5(doc_id), so the
+  split is stable across reruns, engines and appends (no RNG state to
+  carry, no re-shuffling docs between splits when the corpus grows).
+- ``text_repetition`` — per-doc repetition diagnostics (distinct-token
+  ratio, top-unigram / top-bigram occupancy) + a Gopher-style pass
+  flag; excessive repetition is the canonical LLM-pretraining junk
+  signal that plain length/stopword quality scores miss.
+- ``length_outliers`` — corpus-relative length-bound filter: exact
+  p01/p99 char-length quantiles computed once, broadcast as a 1-row
+  scalar frame, every doc flagged against them. Two aggregations and
+  one broadcast join — never a driver round-trip per doc.
+- ``events_user_sequences`` — behavioral-sequence construction: per
+  user, the chronologically-ordered head of their event stream packed
+  into one training-example row with a portable fingerprint.
+
+No reference analog (the reference ingests broker CSVs,
+``index.js:19-31``); these extend the engine's scan → project →
+aggregate discipline to the dataset-assembly stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+from cgtcalc_data_transformer_spark.sources.tpch import load_table, scatter
+
+# --------------------------------------------------- train/val/test split
+TRAIN_PCT = 90  # md5 bucket < 90            → train
+VAL_PCT = 95    # 90 ≤ bucket < 95           → val; rest → test
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split, audited per (source, split).
+
+    The assignment is row-local codegen (md5 bucket of doc_id), so at
+    100 TB the split costs one hash per row inside the scan stage; the
+    audit is a single partial-agg-friendly groupBy. Appending new docs
+    never moves an existing doc between splits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.groupBy(F.col("source"), split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+SPLIT_ASSIGN_SQL = f"""
+WITH assigned AS (
+  SELECT source, n_chars, doc_id,
+         CASE
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < {TRAIN_PCT} THEN 'train'
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < {VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+# ----------------------------------------------------- repetition signals
+REP_TOP_UNIGRAM_MAX = 0.20  # Gopher-style: top token ≤ 20% of tokens
+REP_TOP_BIGRAM_MAX = 0.18   # top bigram ≤ 18% of bigrams
+REP_DISTINCT_MIN = 0.30     # ≥ 30% of tokens distinct
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition diagnostics + Gopher-style admission flag.
+
+    Plan shape: tokenize once (cached — at 100 TB, checkpointed), then
+    two independent explode → two-level hash-agg branches (unigram,
+    bigram) joined back on doc_id. Both branches partial-aggregate
+    map-side on (doc_id, gram) so the shuffle carries counts, not
+    tokens; nothing is quadratic and no window spans more than one
+    doc's grams.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).cache()
+
+    uni = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_uni_cnt"),
+        )
+    )
+    # bigram array via two shifted slices zipped JVM-side (no window,
+    # no interpreted lambda over scalars — concat is codegen)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        toks.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bi"), F.max("cnt").alias("top_bi_cnt"))
+    )
+    top_uni = F.round(F.col("top_uni_cnt") / F.col("n_tok"), 6)
+    dist_ratio = F.round(F.col("n_distinct") / F.col("n_tok"), 6)
+    top_bi = F.round(F.col("top_bi_cnt") / F.col("n_bi"), 6)
+    passes = (
+        (top_uni <= REP_TOP_UNIGRAM_MAX)
+        & (top_bi <= REP_TOP_BIGRAM_MAX)
+        & (dist_ratio >= REP_DISTINCT_MIN)
+    )
+    return (
+        uni.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            dist_ratio.alias("distinct_ratio"),
+            top_uni.alias("top_unigram_share"),
+            top_bi.alias("top_bigram_share"),
+            passes.alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), uni_c AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+), uni AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+         COUNT(*) AS n_distinct, MAX(cnt) AS top_uni_cnt
+  FROM uni_c GROUP BY doc_id
+), bi_c AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt
+  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        WHERE len(toks) >= 2)
+  GROUP BY doc_id, bg
+), bi AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bi, MAX(cnt) AS top_bi_cnt
+  FROM bi_c GROUP BY doc_id
+)
+SELECT uni.doc_id, n_tok,
+       ROUND(n_distinct / n_tok, 6) AS distinct_ratio,
+       ROUND(top_uni_cnt / n_tok, 6) AS top_unigram_share,
+       ROUND(top_bi_cnt / n_bi, 6) AS top_bigram_share,
+       (ROUND(top_uni_cnt / n_tok, 6) <= {REP_TOP_UNIGRAM_MAX}
+        AND ROUND(top_bi_cnt / n_bi, 6) <= {REP_TOP_BIGRAM_MAX}
+        AND ROUND(n_distinct / n_tok, 6) >= {REP_DISTINCT_MIN}) AS passes_repetition
+FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+ORDER BY uni.doc_id
+"""
+
+
+# ------------------------------------------------- length-bound outliers
+LEN_LO_Q = 0.01
+LEN_HI_Q = 0.99
+
+
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length filter: docs outside the exact
+    [p01, p99] char-length band, with the bounds they violated.
+
+    The bounds are ONE scalar aggregation broadcast against the scan
+    (crossJoin of a 1-row frame — the same shape as a decorrelated
+    scalar subquery), so the second pass is still a pure filter over
+    the scan: no window, no driver round-trip, no re-partitioning. At
+    100 TB swap the exact percentile for approx_percentile and the
+    plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr(f"percentile(n_chars, {LEN_LO_Q})").alias("lo"),
+        F.expr(f"percentile(n_chars, {LEN_HI_Q})").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("lo", 6).alias("lo_bound"),
+            F.round("hi", 6).alias("hi_bound"),
+            F.when(F.col("n_chars") < F.col("lo"), F.lit("short"))
+            .otherwise(F.lit("long"))
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LENGTH_OUTLIERS_SQL = f"""
+WITH bounds AS (
+  SELECT quantile_cont(n_chars, {LEN_LO_Q}) AS lo,
+         quantile_cont(n_chars, {LEN_HI_Q}) AS hi
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       ROUND(lo, 6) AS lo_bound, ROUND(hi, 6) AS hi_bound,
+       CASE WHEN n_chars < lo THEN 'short' ELSE 'long' END AS reason
+FROM documents, bounds
+WHERE n_chars < lo OR n_chars > hi
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- behavioral sequence packing
+SEQ_MAX_EVENTS = 20
+
+
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user training-example construction: the chronologically
+    first ``SEQ_MAX_EVENTS`` events packed into one ordered
+    action-sequence row (length, truncation flag, value sum, md5
+    fingerprint of the ordered type sequence).
+
+    One window (partitioned by user — the same key the aggregation
+    reuses, so AQE sees a single exchange) ranks events; collect_list
+    gathers (rank, type) structs whose array_sort restores order
+    deterministically regardless of task arrival order. The md5-of-
+    concat fingerprint keeps the row compact and engine-portable
+    instead of shipping a string array.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    head = ranked.filter(F.col("rn") <= SEQ_MAX_EVENTS)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    totals = ranked.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    packed = head.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("seq_len"),
+        F.round(F.sum("value"), 4).alias("seq_value"),
+        F.md5(F.concat_ws("|", seq)).alias("seq_sig"),
+    )
+    return (
+        packed.join(totals, "user_id")
+        .select(
+            "user_id",
+            "seq_len",
+            (F.col("n_events") > SEQ_MAX_EVENTS).alias("truncated"),
+            "seq_value",
+            "seq_sig",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_USER_SEQ_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS seq_len,
+       MAX(n_events) > {SEQ_MAX_EVENTS} AS truncated,
+       CAST(ROUND(SUM(value), 4) AS DOUBLE) AS seq_value,
+       md5(string_agg(event_type, '|' ORDER BY rn)) AS seq_sig
+FROM ranked
+WHERE rn <= {SEQ_MAX_EVENTS}
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -53,6 +53,16 @@ def merge_sorted(
     # nondeterministic pair there, where a single in-memory listing
     # makes it stable anyway.
     def _tag(df: DataFrame, rank: int) -> DataFrame:
+        # The probe's analysis failure is expected for non-file
+        # sources; PySpark's error path logs it Python-side
+        # (pyspark/errors/exceptions/base.py, DataFrameQueryContextLogger)
+        # as a scary JSON ERROR on every in-memory CLI run — mute that
+        # one logger for the duration of the probe.
+        import logging
+
+        qlog = logging.getLogger("DataFrameQueryContextLogger")
+        prev_disabled = qlog.disabled
+        qlog.disabled = True
         try:
             tagged = df.select(
                 "line",
@@ -69,6 +79,8 @@ def merge_sorted(
                 F.input_file_name().alias("src_file"),
                 F.monotonically_increasing_id().alias("seq"),
             )
+        finally:
+            qlog.disabled = prev_disabled
 
     tagged_new = _tag(new, 1)
     if existing is not None:

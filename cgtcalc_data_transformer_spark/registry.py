@@ -29,6 +29,7 @@ from cgtcalc_data_transformer_spark.operators import (
     graph,
     incremental,
     layout,
+    mlprep,
     quality,
     events,
     fidelity,
@@ -174,6 +175,9 @@ FROM orders
 # vocab_topk, curate_corpus, dedup_ngram_jaccard, dedup_clusters,
 # kmeans_embeddings, text_hashing_tf, cms_heavy_hitters,
 # text_search_and, parse_bullionvault_pyds, grouped_zscore,
+# split_assign, text_repetition, length_outliers,
+# events_user_sequences, emb_pca_power, ivm_refresh_revenue,
+# orc_roundtrip,
 # join_bucketed, sample_stratified, profile_orders (+ anything red
 # this round) so every registered query has a driver row within two
 # rounds.
@@ -291,6 +295,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_bucketed": (bucketed.join_bucketed, bucketed.JOIN_BUCKETED_SQL),
     "sample_stratified": (sampling.sample_stratified, sampling.SAMPLE_STRATIFIED_SQL),
     "profile_orders": (sampling.profile_orders, sampling.PROFILE_SQL),
+    "split_assign": (mlprep.split_assign, mlprep.SPLIT_ASSIGN_SQL),
+    "text_repetition": (mlprep.text_repetition, mlprep.TEXT_REPETITION_SQL),
+    "length_outliers": (mlprep.length_outliers, mlprep.LENGTH_OUTLIERS_SQL),
+    "events_user_sequences": (mlprep.events_user_sequences, mlprep.EVENTS_USER_SEQ_SQL),
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),
