@@ -404,3 +404,71 @@ SELECT s.user_id, s.day,
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 ORDER BY s.user_id, s.day
 """
+
+
+# ------------------------------------------------------ cohort retention
+RETENTION_MAX_OFFSET = 7  # day-0 .. day-7 retention triangle
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by their first
+    active day; for each cohort x day-offset (0..7), the count of
+    cohort users active that day and the retention rate.
+
+    Plan shape: one distinct over (user, day) — the only pass over the
+    raw events — then everything downstream operates on user-day rows
+    (bounded by users x days, orders of magnitude smaller than events
+    at 100 TB). The cohort join is an equality join on user_id; the
+    cohort-size table is day-cardinality-bounded (one row per calendar
+    day), so it broadcasts regardless of corpus size.
+    """
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts div {DAY_NS}").alias("day")
+    activity = ev.select("user_id", day).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    offset = (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    ret = (
+        activity.join(cohorts, "user_id")
+        .select("cohort_day", offset)
+        .filter(F.col("day_offset").between(0, RETENTION_MAX_OFFSET))
+        # activity rows are distinct per (user, day), so count(*) IS
+        # the distinct-user count — no countDistinct shuffle needed
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+), ret AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, COUNT(*) AS active_users
+  FROM activity a JOIN cohorts c USING (user_id)
+  WHERE a.day - c.cohort_day BETWEEN 0 AND {RETENTION_MAX_OFFSET}
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.day_offset, r.active_users, s.cohort_size,
+       ROUND(r.active_users / s.cohort_size, 6) AS retention_rate
+FROM ret r JOIN sizes s USING (cohort_day)
+ORDER BY r.cohort_day, r.day_offset
+"""

@@ -299,6 +299,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_repetition": (mlprep.text_repetition, mlprep.TEXT_REPETITION_SQL),
     "length_outliers": (mlprep.length_outliers, mlprep.LENGTH_OUTLIERS_SQL),
     "events_user_sequences": (mlprep.events_user_sequences, mlprep.EVENTS_USER_SEQ_SQL),
+    "events_retention": (events.events_retention, events.EVENTS_RETENTION_SQL),
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),

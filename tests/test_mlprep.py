@@ -96,3 +96,20 @@ def test_user_sequences_truncation_and_order(spark):
     )
     sig = hashlib.md5("|".join(r.event_type for r in rows).encode()).hexdigest()
     assert out[uid].seq_sig == sig
+
+
+def test_retention_triangle_invariants(spark):
+    """Day-0 retention is 100% of the cohort; offsets within bounds;
+    active_users never exceeds cohort_size."""
+    from cgtcalc_data_transformer_spark.operators import events as ev_ops
+
+    rows = ev_ops.events_retention(spark, SF).collect()
+    assert rows, "no cohorts"
+    day0 = {r.cohort_day: r for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert 0 <= r.day_offset <= ev_ops.RETENTION_MAX_OFFSET
+        assert 0 < r.active_users <= r.cohort_size
+        assert abs(r.retention_rate - round(r.active_users / r.cohort_size, 6)) < 1e-9
+    # every user is active on their own first day
+    for cd, r in day0.items():
+        assert r.active_users == r.cohort_size, cd
