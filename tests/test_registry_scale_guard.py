@@ -42,6 +42,7 @@ BNLJ_OK = {
     "q22_dormant_value",  # 1-row avg-balance scalar subquery
     "q11_important_value",  # 1-row total-value scalar subquery
     "range_join_bands",   # literal price-band table, range condition
+    "length_outliers",    # 1-row (p01,p99) quantile-bounds aggregate crossJoin
 }
 
 
