@@ -61,14 +61,19 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         c12.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
         .agg(F.sum("c12").alias("c1"))
     )
+    # fold both counts into ONE vocab²-sized model table carrying the
+    # log-probability, so the |corpus|-sized bigram stream is joined
+    # once, not twice (the c12⨝c1 join is model-sized — cheap)
+    model = c12.join(
+        c1, F.substring_index(F.col("bg"), " ", 1) == F.col("w1")
+    ).select("bg", F.log(F.col("c12") / F.col("c1")).alias("lp"))
     scored = (
-        b.join(c12, "bg")
-        .join(c1, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        b.join(model, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
-                F.exp(-F.sum(F.log(F.col("c12") / F.col("c1"))) / F.count(F.lit(1))),
+                F.exp(-F.sum("lp") / F.count(F.lit(1))),
                 6,
             ).alias("ppl"),
         )
