@@ -104,6 +104,12 @@ HEADLINE: dict[str, str] = {
     "text_repetition": "exec",
     "length_outliers": "collect",
     "events_user_sequences": "exec",
+    "events_transition_matrix": "collect",
+    "merge_upsert": "exec",
+    "histogram_equidepth": "collect",
+    "record_linkage": "exec",
+    "erasure_propagate": "collect",
+    "bm25_rank": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

@@ -472,3 +472,62 @@ SELECT r.cohort_day, r.day_offset, r.active_users, s.cohort_size,
 FROM ret r JOIN sizes s USING (cohort_day)
 ORDER BY r.cohort_day, r.day_offset
 """
+
+
+# ------------------------------------------- Markov transition matrix
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (event_type -> next_event_type) pair, the
+    transition count and its conditional probability P(next | from).
+
+    The behavioral-model counterpart of ``events_funnel`` (which pins
+    one fixed path): sequences are ordered per user by (ts, event_id)
+    with a single ``lead`` window — ONE shuffle on user_id — then the
+    pair counts and the per-from-state totals are two aggregations
+    over the same tiny |types|^2-bounded frame. The per-from total
+    comes from a window over the aggregated pairs (|types|^2 rows, so
+    the window exchange is negligible), not a second scan of events.
+    Probabilities are double divisions of exact bigint counts —
+    engine-portable bit-for-bit.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("from_total", F.sum("transitions").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "transitions",
+            "from_total",
+            F.round(F.col("transitions") / F.col("from_total"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, transitions,
+       CAST(SUM(transitions) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+       ROUND(transitions / SUM(transitions) OVER (PARTITION BY from_type), 6) AS prob
+FROM pairs
+ORDER BY from_type, to_type
+"""

@@ -278,3 +278,84 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+# ---------------------------------------------------- MERGE (upsert)
+MERGE_BASE_PCT = 90   # bucket < 90  → target snapshot
+MERGE_DELTA_PCT = 85  # bucket >= 85 → delta batch (85-89 overlap = matches)
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics (the Delta/Iceberg primitive Spark
+    core lacks) over a deterministic md5 split of orders: target =
+    buckets [0,90), delta batch = buckets [85,100) carrying an action
+    flag — so [85,90) exercises WHEN MATCHED (update or delete) and
+    [90,100) exercises WHEN NOT MATCHED (insert, D-actions ignored).
+
+    Spark-first shape: ONE full-outer equality join on the key, then
+    pure CASE projections — no window, no driver state. On bucketed/
+    partitioned storage the join is exchange-free; at 100 TB this is
+    exactly one shuffle of target ∪ delta, and AQE splits any hot key.
+    cdc_latest compacts a changelog by argmax; this applies a keyed
+    delta WITH delete semantics — the other half of the upsert story.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = hash_bucket(F.col("o_orderkey"))
+    target = orders.filter(bucket < MERGE_BASE_PCT).select(
+        "o_orderkey", F.col("o_totalprice").alias("t_price")
+    )
+    delta = orders.filter(bucket >= MERGE_DELTA_PCT).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("d_price"),
+        F.when(bucket % 3 == 0, F.lit("D")).otherwise(F.lit("U")).alias("action"),
+    )
+    merged = target.join(delta, "o_orderkey", "full_outer")
+    matched = F.col("t_price").isNotNull() & F.col("d_price").isNotNull()
+    return (
+        merged.filter(~(matched & (F.col("action") == "D")))
+        # not-matched-by-target deletes are no-ops in MERGE semantics
+        .filter(F.col("t_price").isNotNull() | (F.col("action") == "U"))
+        .select(
+            "o_orderkey",
+            F.when(matched, F.col("d_price"))
+            .when(F.col("t_price").isNotNull(), F.col("t_price"))
+            .otherwise(F.col("d_price"))
+            .alias("o_totalprice"),
+            F.when(matched, F.lit("updated"))
+            .when(F.col("t_price").isNotNull(), F.lit("kept"))
+            .otherwise(F.lit("inserted"))
+            .alias("merge_action"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH bucketed AS (
+  SELECT o_orderkey, o_totalprice,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 AS b
+  FROM orders
+), target AS (
+  SELECT o_orderkey, o_totalprice AS t_price FROM bucketed WHERE b < {MERGE_BASE_PCT}
+), delta AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS d_price,
+         CASE WHEN b % 3 = 0 THEN 'D' ELSE 'U' END AS action
+  FROM bucketed WHERE b >= {MERGE_DELTA_PCT}
+), merged AS (
+  SELECT COALESCE(t.o_orderkey, d.o_orderkey) AS o_orderkey,
+         t.t_price, d.d_price, d.action,
+         (t.t_price IS NOT NULL AND d.d_price IS NOT NULL) AS matched
+  FROM target t FULL OUTER JOIN delta d ON t.o_orderkey = d.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN matched THEN d_price
+            WHEN t_price IS NOT NULL THEN t_price
+            ELSE d_price END AS o_totalprice,
+       CASE WHEN matched THEN 'updated'
+            WHEN t_price IS NOT NULL THEN 'kept'
+            ELSE 'inserted' END AS merge_action
+FROM merged
+WHERE NOT (matched AND action = 'D')
+  AND (t_price IS NOT NULL OR action = 'U')
+ORDER BY o_orderkey
+"""

@@ -123,3 +123,86 @@ UNION ALL
 SELECT 'status_domain', v_status_domain, total, v_status_domain = 0 FROM wide
 ORDER BY "check"
 """
+
+
+# ----------------------------------------------- GDPR erasure cascade
+ERASE_PCT = 5  # md5 bucket < 5 → customer requested erasure
+
+
+def erasure_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: a deterministic 5% of customers
+    request deletion; propagate through the FK chain
+    customer → orders → lineitem and report, per table, total /
+    deleted / surviving row counts.
+
+    Scale shape: the deletion predicate on customers is a pure column
+    expression; orders inherit it through ONE equality join on
+    custkey; lineitem inherits through one join on orderkey against
+    the *deleted-orders key set* (a small side — deleted keys are a
+    few % of orders — so AQE broadcasts it; the lineitem fact table is
+    never shuffled). Each audit row is a map-side-combinable
+    conditional-count aggregation; nothing is re-scanned per table.
+    In production the same plan runs as three anti-join DELETEs; the
+    audit IS the dry-run.
+    """
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (hash_bucket(F.col("c_custkey")) < ERASE_PCT).alias("erase")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def audit(df: DataFrame, table: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("rows_total"),
+            F.sum(F.col("erase").cast("long")).alias("rows_deleted"),
+            F.sum((~F.col("erase")).cast("long")).alias("rows_kept"),
+        ).select(F.lit(table).alias("table_name"), "rows_total", "rows_deleted", "rows_kept")
+
+    o_flag = orders.join(cust, orders.o_custkey == cust.c_custkey, "left").select(
+        "o_orderkey", F.coalesce("erase", F.lit(False)).alias("erase")
+    )
+    deleted_orders = o_flag.filter("erase").select(
+        "o_orderkey", F.lit(True).alias("del_flag")
+    )
+    l_flag = li.join(
+        deleted_orders, li.l_orderkey == deleted_orders.o_orderkey, "left"
+    ).select(F.coalesce("del_flag", F.lit(False)).alias("erase"))
+    return (
+        audit(cust, "customer")
+        .unionByName(audit(o_flag, "orders"))
+        .unionByName(audit(l_flag, "lineitem"))
+        .orderBy("table_name")
+    )
+
+
+ERASURE_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < {ERASE_PCT} AS erase
+  FROM customer
+), o_flag AS (
+  SELECT o.o_orderkey, COALESCE(c.erase, FALSE) AS erase
+  FROM orders o LEFT JOIN cust c ON o.o_custkey = c.c_custkey
+), l_flag AS (
+  SELECT COALESCE(of2.erase, FALSE) AS erase
+  FROM lineitem l LEFT JOIN (SELECT o_orderkey, erase FROM o_flag WHERE erase) of2
+    ON l.l_orderkey = of2.o_orderkey
+)
+SELECT 'customer' AS table_name, COUNT(*) AS rows_total,
+       CAST(SUM(CASE WHEN erase THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+       CAST(SUM(CASE WHEN erase THEN 0 ELSE 1 END) AS BIGINT) AS rows_kept
+FROM cust
+UNION ALL
+SELECT 'orders', COUNT(*),
+       CAST(SUM(CASE WHEN erase THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN erase THEN 0 ELSE 1 END) AS BIGINT)
+FROM o_flag
+UNION ALL
+SELECT 'lineitem', COUNT(*),
+       CAST(SUM(CASE WHEN erase THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN erase THEN 0 ELSE 1 END) AS BIGINT)
+FROM l_flag
+ORDER BY table_name
+"""

@@ -225,3 +225,116 @@ FROM orders, bounds
 GROUP BY 1
 ORDER BY bin
 """
+
+
+# ------------------------------------------------ equi-depth histogram
+EQUIDEPTH_BINS = 10
+
+
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of o_totalprice: exact interior
+    quantile boundaries from ONE ``percentile(..., array(...))``
+    aggregation, broadcast as a 1-row literal, then one bucketing
+    aggregation — the same two-scan shape as the equi-width variant,
+    with NO global sort/ntile (an ntile formulation funnels the whole
+    table through one window partition; this never shuffles the fact
+    table at all). At 100 TB swap ``percentile`` for
+    ``approx_percentile`` and the plan is unchanged.
+
+    Bin index = number of interior boundaries strictly below the
+    value, an O(bins) array fold inside codegen.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    probs = ", ".join(
+        str(i / EQUIDEPTH_BINS) for i in range(1, EQUIDEPTH_BINS)
+    )
+    bounds = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({probs}))").alias("qs")
+    )
+    bin_ix = F.expr(
+        "aggregate(qs, 0, (acc, q) -> acc + IF(o_totalprice > q, 1, 0))"
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_ix.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_EQUIDEPTH_SQL = f"""
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice,
+           [{", ".join(str(i / EQUIDEPTH_BINS) for i in range(1, EQUIDEPTH_BINS))}]) AS qs
+  FROM orders
+)
+SELECT len(list_filter(qs, q -> o_totalprice > q)) AS bin,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders, bounds
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+# -------------------------------------------- weighted Bernoulli sample
+WEIGHTED_TARGET_N = 150  # expected sample size
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sample of orders (expected size
+    WEIGHTED_TARGET_N, inclusion probability ∝ floor(o_totalprice)):
+    keep a row iff its 32-bit md5 draw falls below n·w·2^32/W.
+
+    Scale shape: the total weight W is ONE integer aggregation
+    broadcast as a scalar; selection is then a pure filter on the
+    scan — no global prefix sum, no sort, append-stable (a row's
+    draw never depends on other rows). The exact-size alternative
+    (systematic sampling over a weight cumsum) needs a distributed
+    prefix-sum pass; for curation pipelines the expected-size hash
+    variant is the standard because it composes with incremental
+    ingest. Weights are integer dollars so W is exact; the threshold
+    compare is one identically-computed double per row on both
+    engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = F.greatest(F.lit(1).cast("long"), F.floor("o_totalprice").cast("long"))
+    draw = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    total = orders.agg(F.sum(w).alias("w_total"))
+    return (
+        orders.crossJoin(F.broadcast(total))
+        .filter(
+            draw.cast("double")
+            < F.lit(float(WEIGHTED_TARGET_N))
+            * w.cast("double")
+            * F.lit(4294967296.0)
+            / F.col("w_total").cast("double")
+        )
+        .select("o_orderkey", w.alias("weight"))
+        .orderBy("o_orderkey")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH weighted AS (
+  SELECT o_orderkey,
+         GREATEST(1, CAST(FLOOR(o_totalprice) AS BIGINT)) AS weight,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT AS draw
+  FROM orders
+), total AS (
+  SELECT SUM(weight)::BIGINT AS w_total FROM weighted
+)
+SELECT o_orderkey, weight
+FROM weighted, total
+WHERE CAST(draw AS DOUBLE)
+      < {WEIGHTED_TARGET_N}.0 * CAST(weight AS DOUBLE) * 4294967296.0
+        / CAST(w_total AS DOUBLE)
+ORDER BY o_orderkey
+"""

@@ -29,6 +29,7 @@ from cgtcalc_data_transformer_spark.operators import (
     graph,
     incremental,
     layout,
+    linkage,
     mlprep,
     quality,
     events,
@@ -45,7 +46,13 @@ from cgtcalc_data_transformer_spark.operators import (
     tpch_more,
     tpch_shapes2,
 )
-from cgtcalc_data_transformer_spark.sources import bucketed, compaction, orc, partitioned
+from cgtcalc_data_transformer_spark.sources import (
+    bucketed,
+    compaction,
+    evolution,
+    orc,
+    partitioned,
+)
 from cgtcalc_data_transformer_spark.sources.csv import df_from_csv_string
 from cgtcalc_data_transformer_spark.sources.eml import df_from_email_strings
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
@@ -177,7 +184,9 @@ FROM orders
 # text_search_and, parse_bullionvault_pyds, grouped_zscore,
 # split_assign, text_repetition, length_outliers,
 # events_user_sequences, emb_pca_power, ivm_refresh_revenue,
-# orc_roundtrip,
+# orc_roundtrip, events_retention, events_transition_matrix,
+# merge_upsert, histogram_equidepth, sample_weighted, record_linkage,
+# erasure_propagate, bm25_rank, schema_evolution,
 # join_bucketed, sample_stratified, profile_orders (+ anything red
 # this round) so every registered query has a driver row within two
 # rounds.
@@ -349,6 +358,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_ntile": (relational_ext.window_ntile_quartiles, relational_ext.WINDOW_NTILE_SQL),
     "join_salted": (relational_ext.join_salted_revenue, relational_ext.JOIN_SALTED_SQL),
     "subquery_scalar": (relational_ext.subquery_above_nation_avg, relational_ext.SUBQUERY_SCALAR_SQL),
+    # ---- round-3 mid-round additions (front these in round 4) -------
+    "events_transition_matrix": (
+        events.events_transition_matrix,
+        events.EVENTS_TRANSITION_SQL,
+    ),
+    "merge_upsert": (incremental.merge_upsert, incremental.MERGE_UPSERT_SQL),
+    "histogram_equidepth": (
+        sampling.histogram_equidepth,
+        sampling.HISTOGRAM_EQUIDEPTH_SQL,
+    ),
+    "sample_weighted": (sampling.sample_weighted, sampling.SAMPLE_WEIGHTED_SQL),
+    "record_linkage": (linkage.record_linkage, linkage.RECORD_LINKAGE_SQL),
+    "erasure_propagate": (quality.erasure_propagate, quality.ERASURE_SQL),
+    "bm25_rank": (search.bm25_rank, search.BM25_RANK_SQL),
+    "schema_evolution": (evolution.schema_evolution, evolution.SCHEMA_EVOLUTION_SQL),
 }
 
 

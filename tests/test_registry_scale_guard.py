@@ -43,6 +43,9 @@ BNLJ_OK = {
     "q11_important_value",  # 1-row total-value scalar subquery
     "range_join_bands",   # literal price-band table, range condition
     "length_outliers",    # 1-row (p01,p99) quantile-bounds aggregate crossJoin
+    "histogram_equidepth",  # 1-row quantile-boundary-array aggregate crossJoin
+    "sample_weighted",    # 1-row total-weight scalar aggregate crossJoin
+    "bm25_rank",          # 1-row corpus-stats (N, sumdl, df) aggregate crossJoin
 }
 
 

@@ -1,0 +1,153 @@
+"""Semantic invariants for the round-3 mid-round operator additions:
+MERGE upsert, Markov transitions, equi-depth histogram, weighted
+sampling, record linkage, erasure cascade, BM25, schema evolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cgtcalc_data_transformer_spark.operators import (
+    events,
+    incremental,
+    linkage,
+    quality,
+    sampling,
+    search,
+)
+from cgtcalc_data_transformer_spark.sources import evolution
+from cgtcalc_data_transformer_spark.sources.tpch import load_events, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- merge_upsert
+def test_merge_upsert_partitions_and_prices(spark):
+    rows = incremental.merge_upsert(spark, SF).collect()
+    orders = load_table(spark, SF, "orders")
+    bucket = sampling.hash_bucket(F.col("o_orderkey"))
+    by_key = {
+        r.o_orderkey: r.b
+        for r in orders.select("o_orderkey", bucket.alias("b")).collect()
+    }
+    price = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.select("o_orderkey", "o_totalprice").collect()
+    }
+    seen = {r.o_orderkey: r for r in rows}
+    assert len(seen) == len(rows)  # key-unique result
+    for k, b in by_key.items():
+        if b < incremental.MERGE_DELTA_PCT:  # target-only
+            assert seen[k].merge_action == "kept"
+            assert seen[k].o_totalprice == price[k]
+        elif b < incremental.MERGE_BASE_PCT:  # matched
+            if b % 3 == 0:
+                assert k not in seen  # WHEN MATCHED DELETE
+            else:
+                assert seen[k].merge_action == "updated"
+                assert seen[k].o_totalprice == price[k] + 100.0
+        else:  # source-only
+            if b % 3 == 0:
+                assert k not in seen  # delete of a non-match: no-op
+            else:
+                assert seen[k].merge_action == "inserted"
+
+
+# ------------------------------------------------ transition matrix
+def test_transition_probs_sum_to_one(spark):
+    rows = events.events_transition_matrix(spark, SF).collect()
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    totals = {}
+    for r in rows:
+        by_from[r.from_type] += r.transitions / r.from_total
+        totals[r.from_type] = r.from_total
+    for ft, p in by_from.items():
+        assert abs(p - 1.0) < 1e-9
+    # total transitions = events - one per user (the last has no next)
+    ev = load_events(spark, SF)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(totals.values()) == n_events - n_users
+
+
+# ------------------------------------------- equi-depth histogram
+def test_equidepth_bins_balanced(spark):
+    rows = sampling.histogram_equidepth(spark, SF).collect()
+    n_total = load_table(spark, SF, "orders").count()
+    assert sum(r.n for r in rows) == n_total
+    target = n_total / sampling.EQUIDEPTH_BINS
+    for r in rows:
+        assert 0.5 * target <= r.n <= 1.5 * target  # depth within 50%
+    los = [r.lo for r in sorted(rows, key=lambda r: r.bin)]
+    assert los == sorted(los)  # bins ordered by value range
+
+
+# ------------------------------------------------ weighted sampling
+def test_weighted_sample_biased_and_stable(spark):
+    a = sampling.sample_weighted(spark, SF).collect()
+    b = sampling.sample_weighted(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # expected size: WEIGHTED_TARGET_N ± hash noise
+    assert 0.5 * sampling.WEIGHTED_TARGET_N <= len(a) <= 1.6 * sampling.WEIGHTED_TARGET_N
+    # weight-proportional: sampled rows' mean weight exceeds corpus mean
+    orders = load_table(spark, SF, "orders")
+    pop_mean = orders.agg(F.avg(F.floor("o_totalprice"))).first()[0]
+    samp_mean = sum(r.weight for r in a) / len(a)
+    assert samp_mean > pop_mean
+
+
+# ------------------------------------------------- record linkage
+def test_record_linkage_resolves_identities(spark):
+    rows = linkage.record_linkage(spark, SF).collect()
+    assert rows, "some dirty records must link"
+    self_hits = sum(1 for r in rows if r.master_id == r.dirty_id)
+    assert self_hits / len(rows) >= 0.9  # the true identity wins blocks
+    assert all(r.distance <= linkage.MAX_EDIT for r in rows)
+    assert all(r.distance >= 1 for r in rows)  # corruption really happened
+
+
+# ------------------------------------------------- erasure cascade
+def test_erasure_counts_consistent(spark):
+    rows = {r.table_name: r for r in quality.erasure_propagate(spark, SF).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r.rows_deleted + r.rows_kept == r.rows_total
+    # cascade really reaches the fact tables
+    assert rows["customer"].rows_deleted > 0
+    assert rows["orders"].rows_deleted > 0
+    assert rows["lineitem"].rows_deleted > 0
+    # orders deletion must equal a direct recount through the FK
+    cust = load_table(spark, SF, "customer")
+    erased = cust.filter(
+        sampling.hash_bucket(F.col("c_custkey")) < quality.ERASE_PCT
+    ).select("c_custkey")
+    orders = load_table(spark, SF, "orders")
+    direct = orders.join(erased, orders.o_custkey == erased.c_custkey, "left_semi").count()
+    assert rows["orders"].rows_deleted == direct
+
+
+# ----------------------------------------------------------- BM25
+def test_bm25_ranked_and_bounded(spark):
+    rows = search.bm25_rank(spark, SF).collect()
+    assert 0 < len(rows) <= search.SEARCH_TOP_K
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # AND-search hits are a subset of OR-ranked candidates' doc space:
+    # every conjunctive hit must also score under BM25
+    and_ids = {r.doc_id for r in search.text_search_and(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    assert and_ids <= {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+# ------------------------------------------------ schema evolution
+def test_schema_evolution_null_resolution(spark):
+    rows = {r.snap: r for r in evolution.schema_evolution(spark, SF).collect()}
+    assert set(rows) == {"v1", "v2"}
+    assert rows["v1"].flag_nulls == rows["v1"].n_rows  # old files → NULL
+    assert rows["v1"].len_nulls == rows["v1"].n_rows
+    assert rows["v2"].flag_nulls == 0
+    assert rows["v2"].len_nulls == 0
+    n_orders = load_table(spark, SF, "orders").count()
+    assert rows["v1"].n_rows + rows["v2"].n_rows == n_orders
