@@ -110,6 +110,10 @@ HEADLINE: dict[str, str] = {
     "record_linkage": "exec",
     "erasure_propagate": "collect",
     "bm25_rank": "collect",
+    "dynamic_partition_pruning": "collect",
+    "interval_join_binned": "exec",
+    "hll_segment_union": "collect",
+    "triangle_count_parts": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

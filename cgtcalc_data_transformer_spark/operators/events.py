@@ -531,3 +531,99 @@ SELECT from_type, to_type, transitions,
 FROM pairs
 ORDER BY from_type, to_type
 """
+
+
+# -------------------------------------------- binned interval join
+def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each purchase event to the browsing session containing
+    it: sessions are intervals derived from the NON-purchase events
+    (30-min gap rule), purchases are points.
+
+    This is the interval join rewritten as an EQUALITY join — the
+    100 TB formulation. A containment predicate alone
+    (start <= t <= end) gives Spark no equi-key, so the join falls
+    back to BNLJ against the whole interval set. Instead both sides
+    are binned onto a fixed HOUR_NS grid: an interval explodes to its
+    covered buckets via ``sequence`` (bounded — a session's length is
+    gap-bounded, so ≤ duration/W + 1 rows), a point maps to exactly
+    ONE bucket, and the join key is (user_id, bucket) with the exact
+    containment predicate as a residual filter. Each qualifying pair
+    meets in exactly one bucket (the point's), so no post-join dedup
+    is needed. One shuffle each side, partitioned by a composite key
+    that spreads hot users across their time range.
+
+    The DuckDB oracle runs the UNBINNED containment join — proving
+    the rewrite changes the plan, not the semantics.
+    """
+    ev = load_events(spark, sf_dir)
+    browse = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_NS, 1
+    ).otherwise(0)
+    sessions = (
+        browse.withColumn("new_sess", gap)
+        .withColumn("session_idx", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    binned_sessions = sessions.select(
+        "user_id",
+        "session_idx",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {HOUR_NS}"), F.expr(f"s_end div {HOUR_NS}")
+            )
+        ).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.expr(f"ts div {HOUR_NS}").alias("bucket"),
+    )
+    return (
+        purchases.join(binned_sessions, ["user_id", "bucket"])
+        .filter((F.col("p_ts") >= F.col("s_start")) & (F.col("p_ts") <= F.col("s_end")))
+        .select(
+            "user_id",
+            "purchase_id",
+            "session_idx",
+            F.expr(f"p_ts div {NS_PER_SEC}").alias("purchase_epoch"),
+            F.expr(f"s_start div {NS_PER_SEC}").alias("session_start_epoch"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+INTERVAL_JOIN_SQL = f"""
+WITH browse AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts
+  FROM events WHERE event_type <> 'purchase'
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_NS} THEN 1 ELSE 0 END AS new_sess
+  FROM browse
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_idx, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT p.user_id, p.event_id AS purchase_id, s.session_idx,
+       epoch_ns(p.ts) // {NS_PER_SEC} AS purchase_epoch,
+       s.s_start // {NS_PER_SEC} AS session_start_epoch
+FROM events p
+JOIN sessions s
+  ON p.user_id = s.user_id
+ AND epoch_ns(p.ts) >= s.s_start AND epoch_ns(p.ts) <= s.s_end
+WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, purchase_id
+"""

@@ -192,3 +192,75 @@ ORDER BY a.exact_cnt DESC, a.tok ASC
 
 
 CMS_SQL = _cms_sql()
+
+
+# ------------------------------------------ mergeable HLL sketch union
+HLL_TOL = 0.06  # 3-4x the lgK=12 Datasketches rsd (~1.6%)
+
+
+def hll_segment_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order-year via Datasketches HLL, plus a
+    GLOBAL estimate obtained by UNIONING the per-segment sketches —
+    never re-scanning the facts.
+
+    This is the production pattern for distinct-counting at 100 TB:
+    each ingest partition/day persists a fixed-size sketch (here
+    ``hll_sketch_agg``, lgK=12 → 4 KB), and any rollup — month, year,
+    all-time — is ``hll_union_agg`` over the stored sketches, an
+    algebraic merge whose cost is segments × 4 KB, independent of row
+    count. COUNT(DISTINCT) at the same granularities would shuffle
+    the full key set per query.
+
+    Gate-checkable like agg_approx (sketch bytes are engine-specific,
+    estimates are deterministic for fixed input): emit the exact
+    distinct counts plus booleans pinning each estimate within
+    HLL_TOL; the DuckDB oracle computes the exact sides and literal
+    TRUEs. The exact sides here are the audit, not part of the
+    pattern under test.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    seg = orders.groupBy(F.year("o_orderdate").alias("segment_year")).agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    per_seg = seg.select(
+        F.col("segment_year").cast("string").alias("segment"),
+        "exact_customers",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)") - F.col("exact_customers")
+            )
+            / F.col("exact_customers")
+            < HLL_TOL
+        ).alias("sketch_ok"),
+    )
+    global_exact = orders.agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    merged = (
+        seg.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("(merged)").alias("segment"),
+            "exact_customers",
+            (
+                F.abs(F.col("_est") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                < HLL_TOL
+            ).alias("sketch_ok"),
+        )
+    )
+    return per_seg.unionByName(merged).orderBy("segment")
+
+
+HLL_SEGMENT_SQL = """
+SELECT CAST(year(o_orderdate) AS VARCHAR) AS segment,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS sketch_ok
+FROM orders
+GROUP BY 1
+UNION ALL
+SELECT '(merged)', COUNT(DISTINCT o_custkey), TRUE
+FROM orders
+ORDER BY segment
+"""

@@ -127,3 +127,104 @@ WHERE node LIKE 'S%'
 ORDER BY pagerank DESC, node ASC
 LIMIT {PR_TOP_K}
 """
+
+
+# ------------------------------------------------- triangle counting
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts sharing an
+    order are adjacent): n_nodes / n_edges / n_triangles.
+
+    Scale shape — degree-oriented wedge enumeration (the
+    "compact-forward" algorithm): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges only between OUT-neighbors, and close them with one
+    semi-join against the canonical edge set. Orientation bounds
+    every out-degree by O(sqrt(2E)), so the wedge join is O(E^1.5)
+    instead of sum(deg^2) — the difference between feasible and not
+    on a power-law co-purchase graph (a hub part in every order
+    would otherwise wedge quadratically). Each triangle is counted
+    exactly once, from its unique minimum-(degree, id) corner. All
+    joins are equality joins; the edge build is order-local
+    (self-join within l_orderkey, bounded by lines-per-order).
+
+    The DuckDB oracle closes a<b<c id-ordered paths directly —
+    a different enumeration of the same invariant, so the match
+    proves the oriented rewrite counts every triangle once.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .cache()  # feeds degrees, wedges, and the closing semi-join
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.s") == F.col("w2.s"))
+        .filter(F.col("w1.d") < F.col("w2.d"))
+        .select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
+    )
+    closed = wedges.join(
+        edges,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_semi",
+    )
+    # counts stay lazy 1-row aggregates (no driver-side .count() at
+    # plan build — the whole operator is ONE submitted plan)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+TRIANGLE_SQL = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""

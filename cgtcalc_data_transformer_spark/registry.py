@@ -187,6 +187,8 @@ FROM orders
 # orc_roundtrip, events_retention, events_transition_matrix,
 # merge_upsert, histogram_equidepth, sample_weighted, record_linkage,
 # erasure_propagate, bm25_rank, schema_evolution,
+# dynamic_partition_pruning, interval_join_binned, hll_segment_union,
+# triangle_count_parts,
 # join_bucketed, sample_stratified, profile_orders (+ anything red
 # this round) so every registered query has a driver row within two
 # rounds.
@@ -373,6 +375,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "erasure_propagate": (quality.erasure_propagate, quality.ERASURE_SQL),
     "bm25_rank": (search.bm25_rank, search.BM25_RANK_SQL),
     "schema_evolution": (evolution.schema_evolution, evolution.SCHEMA_EVOLUTION_SQL),
+    "dynamic_partition_pruning": (
+        partitioned.dynamic_partition_pruning,
+        partitioned.DPP_SQL,
+    ),
+    "interval_join_binned": (events.interval_join_binned, events.INTERVAL_JOIN_SQL),
+    "hll_segment_union": (featurize.hll_segment_union, featurize.HLL_SEGMENT_SQL),
+    "triangle_count_parts": (graph.triangle_count_parts, graph.TRIANGLE_SQL),
 }
 
 

@@ -85,3 +85,66 @@ WHERE year(o_orderdate) = {PRUNE_YEAR}
 GROUP BY o_month
 ORDER BY o_month
 """
+
+
+# ------------------------------------------ dynamic partition pruning
+def campaign_years_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small derived dim: shipping years that saw extreme-discount
+    bulk lines (l_discount >= 0.10 AND l_quantity >= 49). At sf0.001
+    this keeps 4 of the 7 years — the fact scan must prune the other
+    3 directories at RUNTIME, because the qualifying set is data,
+    not a literal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount") >= 0.10) & (F.col("l_quantity") >= 49))
+        .select(F.year("l_shipdate").alias("y"))
+        .distinct()
+    )
+
+
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema probe whose partition filter is NOT a literal: the
+    year-partitioned orders fact joins a *derived* year dim (campaign
+    years) on the partition column itself, then rolls up revenue.
+
+    Catalyst's dynamic partition pruning inserts the dim as a runtime
+    IN-subquery on the fact scan (``dynamicpruning`` expression in
+    PartitionFilters — plan-asserted in tests/test_partitioned.py),
+    so directories for non-qualifying years are never listed or read.
+    The dim side is broadcast (it is a <10-row distinct), and the
+    same broadcast exchange is REUSED as the pruning subquery — one
+    dim scan total. At 100 TB this is the difference between reading
+    every partition of a years-deep fact table and only the ones the
+    dim actually references; no static predicate could express it
+    because the qualifying years are themselves a query result.
+    """
+    write_orders_partitioned(spark, sf_dir)
+    fact = spark.read.parquet(partitioned_path())
+    dim = campaign_years_dim(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.y)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_year")
+    )
+
+
+DPP_SQL = """
+WITH dim AS (
+  SELECT DISTINCT year(l_shipdate) AS y
+  FROM lineitem
+  WHERE l_discount >= 0.10 AND l_quantity >= 49
+)
+SELECT year(o_orderdate) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN dim ON year(o.o_orderdate) = dim.y
+GROUP BY o_year
+ORDER BY o_year
+"""

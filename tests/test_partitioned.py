@@ -55,3 +55,26 @@ def test_partition_pruning_rollup_shape(spark):
     assert 1 <= len(out) <= 12
     assert [r["o_month"] for r in out] == sorted(r["o_month"] for r in out)
     assert all(r["n_orders"] > 0 and r["total_price"] > 0 for r in out)
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    from cgtcalc_data_transformer_spark.sources.partitioned import (
+        campaign_years_dim,
+        dynamic_partition_pruning,
+    )
+
+    df = dynamic_partition_pruning(spark, SF)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic pruning expression in plan:\n{plan}"
+    )
+    # runtime effect: scan touches exactly the dim's qualifying years
+    dim_years = {r.y for r in campaign_years_dim(spark, SF).collect()}
+    all_years = {
+        int(d.split("=")[1])
+        for d in os.listdir(partitioned_path())
+        if d.startswith("o_year=")
+    }
+    assert dim_years < all_years, "fixture must actually prune some years"
+    out_years = {r.o_year for r in df.collect()}
+    assert out_years <= dim_years

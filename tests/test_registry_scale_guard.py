@@ -46,6 +46,8 @@ BNLJ_OK = {
     "histogram_equidepth",  # 1-row quantile-boundary-array aggregate crossJoin
     "sample_weighted",    # 1-row total-weight scalar aggregate crossJoin
     "bm25_rank",          # 1-row corpus-stats (N, sumdl, df) aggregate crossJoin
+    "hll_segment_union",  # 1-row global exact-distinct scalar crossJoin
+    "triangle_count_parts",  # two 1-row count scalars crossJoined onto 1 row
 }
 
 

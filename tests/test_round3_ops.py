@@ -151,3 +151,91 @@ def test_schema_evolution_null_resolution(spark):
     assert rows["v2"].len_nulls == 0
     n_orders = load_table(spark, SF, "orders").count()
     assert rows["v1"].n_rows + rows["v2"].n_rows == n_orders
+
+
+# ------------------------------------------------ binned interval join
+def test_interval_join_binned_matches_unbinned(spark):
+    """The binned equality-join must equal a direct containment join
+    built with Spark itself (independent of the DuckDB oracle)."""
+    from cgtcalc_data_transformer_spark.operators.events import (
+        SESSION_GAP_NS,
+        interval_join_binned,
+    )
+    from pyspark.sql import Window
+
+    binned = {tuple(r) for r in interval_join_binned(spark, SF).collect()}
+    ev = load_events(spark, SF)
+    browse = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_NS, 1).otherwise(0)
+    sessions = (
+        browse.withColumn("g", gap)
+        .withColumn("sidx", F.sum("g").over(wsum))
+        .groupBy("user_id", "sidx")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    direct = {
+        tuple(r)
+        for r in p.join(sessions, "user_id")
+        .filter((F.col("pts") >= F.col("s")) & (F.col("pts") <= F.col("e")))
+        .select(
+            "user_id",
+            "pid",
+            "sidx",
+            F.expr("pts div 1000000000"),
+            F.expr("s div 1000000000"),
+        )
+        .collect()
+    }
+    assert binned == direct
+
+
+# ------------------------------------------------------ HLL sketches
+def test_hll_union_estimates_within_tolerance(spark):
+    from cgtcalc_data_transformer_spark.operators.featurize import hll_segment_union
+
+    rows = hll_segment_union(spark, SF).collect()
+    assert any(r.segment == "(merged)" for r in rows)
+    assert all(r.sketch_ok for r in rows)
+    merged = next(r for r in rows if r.segment == "(merged)")
+    per_seg = [r for r in rows if r.segment != "(merged)"]
+    # union is a distinct-union, not a sum: merged <= sum of segments
+    assert merged.exact_customers <= sum(r.exact_customers for r in per_seg)
+
+
+# ------------------------------------------------- triangle counting
+def test_triangle_count_matches_bruteforce(spark):
+    from cgtcalc_data_transformer_spark.operators.graph import triangle_count_parts
+
+    row = triangle_count_parts(spark, SF).first()
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from itertools import combinations
+
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in per_order.values():
+        for x, y in combinations(sorted(parts), 2):
+            edges.add((x, y))
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    tri = 0
+    for x, y in edges:
+        tri += len([z for z in adj[x] & adj[y] if z > y])
+    nodes = {n for e in edges for n in e}
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tri
