@@ -114,6 +114,8 @@ HEADLINE: dict[str, str] = {
     "interval_join_binned": "exec",
     "hll_segment_union": "collect",
     "triangle_count_parts": "collect",
+    "bloom_filter_pruned_join": "collect",
+    "events_top_paths": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

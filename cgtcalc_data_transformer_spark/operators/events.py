@@ -627,3 +627,77 @@ JOIN sessions s
 WHERE p.event_type = 'purchase'
 ORDER BY p.user_id, purchase_id
 """
+
+
+# ------------------------------------------- clickstream path mining
+PATHS_TOP_K = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common within-session event-type paths ('view>click>
+    purchase'): sessionize (30-min gap), serialize each session's
+    chronological event types, count path shapes, top PATHS_TOP_K.
+
+    Scale shape: the session build is the one user_id window shuffle
+    shared with events_sessionize; the path string comes from
+    ``array_sort(collect_list(struct(ts, event_id, type)))`` inside
+    the per-session aggregation — the sort is session-local (bounded
+    by the gap rule), never a global order. The path-shape count is a
+    second small aggregation on a key whose cardinality is bounded by
+    distinct paths, with the usual top-k orderBy+limit.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_NS, 1
+    ).otherwise(0)
+    paths = (
+        ev.withColumn("new_sess", gap)
+        .withColumn("session_idx", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATHS_TOP_K)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_NS} THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATHS_TOP_K}
+"""

@@ -469,3 +469,58 @@ FROM (
 WHERE c_acctbal > nation_avg
 ORDER BY c_custkey
 """
+
+
+# ------------------------------------- runtime bloom-filter semi-join
+BLOOM_PRICE_MIN = 300000.0
+
+
+def bloom_filter_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join shaped for Catalyst's runtime Bloom
+    filter: revenue by return flag for lineitems of very expensive
+    urgent orders (~1% of orders).
+
+    At production scan sizes Spark's InjectRuntimeFilter rewrites
+    this to ``bloom_filter_might_contain(l_orderkey)`` ON THE FACT
+    SCAN — a compact bitmap built from the filtered dim side that
+    discards most fact rows BEFORE the join shuffle (the
+    shuffle-join counterpart of dynamic partition pruning, which
+    needs a partition column; the bloom prunes on any key). The
+    injection thresholds are sized for real tables
+    (application side ≥ 10 GB by default), so at fixture scale the
+    plan is a plain SMJ/broadcast — tests/test_round3_ops.py tunes
+    the thresholds down and asserts the injected
+    ``bloom_filter_might_contain`` plus result equality with the
+    un-bloomed plan. The query itself is the honest production
+    shape either way: filter pushed to the dim scan, equality join,
+    one aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > BLOOM_PRICE_MIN)
+    ).select("o_orderkey")
+    return (
+        li.join(dim, li.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+BLOOM_JOIN_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {BLOOM_PRICE_MIN}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

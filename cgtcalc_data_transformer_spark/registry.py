@@ -188,7 +188,7 @@ FROM orders
 # merge_upsert, histogram_equidepth, sample_weighted, record_linkage,
 # erasure_propagate, bm25_rank, schema_evolution,
 # dynamic_partition_pruning, interval_join_binned, hll_segment_union,
-# triangle_count_parts,
+# triangle_count_parts, bloom_filter_pruned_join, events_top_paths,
 # join_bucketed, sample_stratified, profile_orders (+ anything red
 # this round) so every registered query has a driver row within two
 # rounds.
@@ -382,6 +382,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "interval_join_binned": (events.interval_join_binned, events.INTERVAL_JOIN_SQL),
     "hll_segment_union": (featurize.hll_segment_union, featurize.HLL_SEGMENT_SQL),
     "triangle_count_parts": (graph.triangle_count_parts, graph.TRIANGLE_SQL),
+    "bloom_filter_pruned_join": (
+        relational_ext.bloom_filter_pruned_join,
+        relational_ext.BLOOM_JOIN_SQL,
+    ),
+    "events_top_paths": (events.events_top_paths, events.EVENTS_TOP_PATHS_SQL),
 }
 
 

@@ -239,3 +239,62 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row.n_nodes == len(nodes)
     assert row.n_edges == len(edges)
     assert row.n_triangles == tri
+
+
+# --------------------------------------------- runtime bloom filter
+def test_runtime_bloom_filter_injection(spark):
+    """With thresholds sized to the fixture, InjectRuntimeFilter must
+    add bloom_filter_might_contain on the fact side, and the bloomed
+    plan must return exactly the default plan's rows."""
+    from cgtcalc_data_transformer_spark.operators.relational_ext import (
+        bloom_filter_pruned_join,
+    )
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    baseline = {tuple(r) for r in bloom_filter_pruned_join(spark, SF).collect()}
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        # broadcast joins bypass the bloom rewrite — force a shuffle join
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bloom_filter_pruned_join(spark, SF)
+        plan = formatted_plan(df)
+        # physical plan spells the injected pair as might_contain(...)
+        # on the fact filter + bloom_filter_agg(...) in the subquery
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+            f"no runtime bloom filter injected:\n{plan}"
+        )
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+# --------------------------------------------------- top session paths
+def test_events_top_paths_shape(spark):
+    rows = events.events_top_paths(spark, SF).collect()
+    assert 0 < len(rows) <= events.PATHS_TOP_K
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"signup", "click", "error", "view", "purchase"}
+    for r in rows:
+        assert set(r.path.split(">")) <= types
+    # total sessions across ALL paths >= sessions covered by top-k
+    n_sessions = events.events_sessionize(spark, SF).count()
+    assert sum(counts) <= n_sessions
