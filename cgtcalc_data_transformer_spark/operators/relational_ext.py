@@ -524,3 +524,42 @@ WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {BLOOM_PRICE_MIN}
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ------------------------------------------- join strategy hint demo
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order stats with an explicit ``shuffle_hash`` hint
+    on the build side: Catalyst picks SortMergeJoin for two
+    non-broadcastable sides by default (sort both, merge — robust,
+    spillable), but when the BUILD side fits executor memory a
+    shuffled hash join skips BOTH sorts. The hint is the operator-
+    level control a tuned 100 TB pipeline uses when it knows the
+    dim-after-filter is hash-table-sized but above the broadcast
+    threshold; AQE cannot always infer this pre-shuffle.
+    tests/test_round3_ops.py pins the physical strategy:
+    ShuffledHashJoin with the hint, and result equality with the
+    unhinted SMJ plan under a disabled broadcast threshold.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_SHJ_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

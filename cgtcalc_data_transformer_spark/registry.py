@@ -387,6 +387,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational_ext.BLOOM_JOIN_SQL,
     ),
     "events_top_paths": (events.events_top_paths, events.EVENTS_TOP_PATHS_SQL),
+    "cogroup_reconcile": (grouped_pandas.cogroup_reconcile, grouped_pandas.COGROUP_SQL),
+    "join_shuffle_hash_hint": (
+        relational_ext.join_shuffle_hash_hint,
+        relational_ext.JOIN_SHJ_SQL,
+    ),
 }
 
 

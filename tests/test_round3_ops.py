@@ -298,3 +298,66 @@ def test_events_top_paths_shape(spark):
     # total sessions across ALL paths >= sessions covered by top-k
     n_sessions = events.events_sessionize(spark, SF).count()
     assert sum(counts) <= n_sessions
+
+
+# --------------------------------------------- cogrouped applyInPandas
+def test_cogroup_reconcile_matches_join_twin(spark):
+    from cgtcalc_data_transformer_spark.operators.grouped_pandas import (
+        cogroup_reconcile,
+    )
+
+    got = {tuple(r) for r in cogroup_reconcile(spark, SF).collect()}
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    twin = {
+        tuple(r)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.coalesce(
+                F.sum(F.col("l_quantity").cast("long")), F.lit(0).cast("long")
+            ).alias("qty_sum"),
+            (F.count("l_orderkey") > 0).alias("has_lines"),
+        )
+        .select(
+            "o_orderkey", F.col("o_orderstatus").alias("order_status"),
+            "n_lines", "qty_sum", "has_lines",
+        )
+        .collect()
+    }
+    assert got == twin
+
+
+# ------------------------------------------------- join strategy hint
+def test_shuffle_hash_hint_changes_strategy(spark):
+    from cgtcalc_data_transformer_spark.operators.relational_ext import (
+        join_shuffle_hash_hint,
+    )
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hinted = join_shuffle_hash_hint(spark, SF)
+        plan = formatted_plan(hinted)
+        assert "ShuffledHashJoin" in plan, f"hint ignored:\n{plan}"
+        # unhinted twin under the same confs falls back to SMJ
+        orders = load_table(spark, SF, "orders")
+        cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "SortMergeJoin" in formatted_plan(plain)
+        assert {tuple(r) for r in hinted.collect()} == {
+            tuple(r)
+            for r in plain.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        }
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
