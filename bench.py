@@ -116,6 +116,10 @@ HEADLINE: dict[str, str] = {
     "triangle_count_parts": "collect",
     "bloom_filter_pruned_join": "collect",
     "events_top_paths": "collect",
+    "cogroup_reconcile": "exec",
+    "join_shuffle_hash_hint": "collect",
+    "events_rate_anomaly": "exec",
+    "source_divergence": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

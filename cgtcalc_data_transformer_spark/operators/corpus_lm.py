@@ -128,3 +128,129 @@ GROUP BY piece
 ORDER BY cnt DESC, piece ASC
 LIMIT {VOCAB_TOP_K}
 """
+
+
+# ------------------------------------------ source distribution drift
+DIV_SOURCES = ["src0", "src1", "src2", "src3"]
+DIV_ALPHA = 0.5  # additive smoothing
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of a fixed source panel — the mixing diagnostic
+    that tells a curation pipeline when two ingest feeds drift apart
+    (or duplicate each other: JS → 0).
+
+    One tokenize pass → (token, per-source count) via conditional
+    aggregation (never a per-pair rescan); corpus totals and the
+    union-vocab size are ONE 1-row broadcast aggregate; all 6 pair
+    contributions are computed per token row in a single projection
+    and summed in one aggregation. Distributions are
+    additive-smoothed (alpha=DIV_ALPHA) over the union vocab, and the
+    metric is defined over tokens observed in ANY panel source
+    (absent-everywhere tokens are excluded by construction).
+    ln/division inputs are exact integers, so per-token terms are
+    bit-identical across engines; the final sums carry ~1e-13
+    accumulation noise absorbed by round(6).
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source").isin(DIV_SOURCES)
+    )
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        *[
+            F.sum((F.col("source") == s).cast("long")).alias(f"c{i}")
+            for i, s in enumerate(DIV_SOURCES)
+        ]
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("v"),
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(len(DIV_SOURCES))],
+    )
+    a = F.lit(DIV_ALPHA)
+
+    def prob(i: int):
+        return (F.col(f"c{i}").cast("double") + a) / (
+            F.col(f"n{i}").cast("double") + a * F.col("v").cast("double")
+        )
+
+    pairs = [
+        (i, j)
+        for i in range(len(DIV_SOURCES))
+        for j in range(i + 1, len(DIV_SOURCES))
+    ]
+    contribs = []
+    for i, j in pairs:
+        pi, pj = prob(i), prob(j)
+        m = (pi + pj) / F.lit(2.0)
+        contribs.append(
+            F.sum(
+                F.lit(0.5) * (pi * F.log(pi / m) + pj * F.log(pj / m))
+            ).alias(f"js_{i}_{j}")
+        )
+    wide = counts.crossJoin(F.broadcast(stats)).agg(*contribs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(DIV_SOURCES[i]).alias("src_a"),
+                        F.lit(DIV_SOURCES[j]).alias("src_b"),
+                        F.round(F.col(f"js_{i}_{j}"), 6).alias("js_divergence"),
+                    )
+                    for i, j in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*").orderBy("src_a", "src_b")
+
+
+def _divergence_sql() -> str:
+    n = len(DIV_SOURCES)
+    srcs = ", ".join(repr(s) for s in DIV_SOURCES)
+    c_defs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN source = {DIV_SOURCES[i]!r} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(n)
+    )
+    n_defs = ",\n         ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(n)
+    )
+    def p(i):
+        return (
+            f"(CAST(c{i} AS DOUBLE) + {DIV_ALPHA}) / "
+            f"(CAST(n{i} AS DOUBLE) + {DIV_ALPHA} * CAST(v AS DOUBLE))"
+        )
+    selects = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            pi, pj = p(i), p(j)
+            m = f"(({pi}) + ({pj})) / 2.0"
+            selects.append(
+                f"SELECT {DIV_SOURCES[i]!r} AS src_a, {DIV_SOURCES[j]!r} AS src_b, "
+                f"ROUND(SUM(0.5 * (({pi}) * ln(({pi}) / ({m})) "
+                f"+ ({pj}) * ln(({pj}) / ({m})))), 6) AS js_divergence "
+                f"FROM counts, stats"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents WHERE source IN ({srcs})
+), counts AS (
+  SELECT tok,
+         {c_defs}
+  FROM toks GROUP BY tok
+), stats AS (
+  SELECT COUNT(*) AS v,
+         {n_defs}
+  FROM counts
+)
+{union}
+ORDER BY src_a, src_b
+"""
+
+
+SOURCE_DIVERGENCE_SQL = _divergence_sql()

@@ -701,3 +701,93 @@ GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT {PATHS_TOP_K}
 """
+
+
+# ---------------------------------------------- rate anomaly detection
+ANOMALY_TRAIL = 24   # trailing hours in the baseline window
+ANOMALY_Z = 3.0      # flag threshold
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate spike detection per event type: each hour's
+    count scored against the trailing ANOMALY_TRAIL hours' mean/std
+    (excluding itself), flagged when |z| > ANOMALY_Z.
+
+    Scale shape: the raw stream collapses to an (event_type, hour)
+    count frame FIRST (one map-side-combinable aggregation — the only
+    pass over the events), and the trailing window runs over that
+    tiny frame partitioned by type. Moments come from integer
+    sum/sum-of-squares window aggregates, so mean/variance are exact
+    integer ratios evaluated identically in both engines — no
+    float-accumulation-order nondeterminism; only rows with a full
+    baseline window are scored.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type"), F.expr(f"ts div {HOUR_NS}").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        (F.col("hour_bucket") * 3600).alias("hour_epoch"),
+        "n",
+        F.count("n").over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sum2"),
+    ).filter(F.col("w_cnt") == ANOMALY_TRAIL)
+    mean = F.col("w_sum").cast("double") / F.col("w_cnt").cast("double")
+    var = (
+        F.col("w_sum2").cast("double") / F.col("w_cnt").cast("double")
+        - mean * mean
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # constant-baseline guard: var == 0 makes z a division by zero,
+    # where Spark (NULL) and DuckDB (inf) disagree — exclude explicitly
+    return (
+        scored.filter(var > 0).select(
+            "event_type",
+            "hour_epoch",
+            "n",
+            F.round(mean, 6).alias("baseline_mean"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // {HOUR_NS} AS hour_bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), windowed AS (
+  SELECT event_type, hour_bucket * 3600 AS hour_epoch, n,
+         COUNT(n) OVER w AS w_cnt,
+         CAST(SUM(n) OVER w AS BIGINT) AS w_sum,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS w_sum2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+               ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_epoch, n,
+       ROUND(CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE), 6) AS baseline_mean,
+       ROUND((CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+             / sqrt(CAST(w_sum2 AS DOUBLE) / CAST(w_cnt AS DOUBLE)
+                    - (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+                      * (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))), 6) AS zscore,
+       ABS((CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+           / sqrt(CAST(w_sum2 AS DOUBLE) / CAST(w_cnt AS DOUBLE)
+                  - (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+                    * (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))))
+         > {ANOMALY_Z} AS is_anomaly
+FROM windowed
+WHERE w_cnt = {ANOMALY_TRAIL}
+  AND CAST(w_sum2 AS DOUBLE) / CAST(w_cnt AS DOUBLE)
+      - (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+        * (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE)) > 0
+ORDER BY event_type, hour_epoch
+"""

@@ -189,6 +189,8 @@ FROM orders
 # erasure_propagate, bm25_rank, schema_evolution,
 # dynamic_partition_pruning, interval_join_binned, hll_segment_union,
 # triangle_count_parts, bloom_filter_pruned_join, events_top_paths,
+# cogroup_reconcile, join_shuffle_hash_hint, events_rate_anomaly,
+# source_divergence,
 # join_bucketed, sample_stratified, profile_orders (+ anything red
 # this round) so every registered query has a driver row within two
 # rounds.
@@ -392,6 +394,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational_ext.join_shuffle_hash_hint,
         relational_ext.JOIN_SHJ_SQL,
     ),
+    "events_rate_anomaly": (events.events_rate_anomaly, events.EVENTS_ANOMALY_SQL),
+    "source_divergence": (corpus_lm.source_divergence, corpus_lm.SOURCE_DIVERGENCE_SQL),
 }
 
 

@@ -361,3 +361,32 @@ def test_shuffle_hash_hint_changes_strategy(spark):
         }
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+# ------------------------------------------------- rate anomaly
+def test_rate_anomaly_windows_and_flags(spark):
+    rows = events.events_rate_anomaly(spark, SF).collect()
+    assert rows, "must score some hours"
+    for r in rows:
+        # z-score recomputable from emitted mean and count
+        assert r.baseline_mean > 0
+        assert (abs(r.zscore) > events.ANOMALY_Z) == r.is_anomaly
+    # scored hours are a subset of all hourly buckets per type
+    ev = load_events(spark, SF)
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("hb")
+    ).count()
+    assert len(rows) <= hourly.count()
+
+
+# ------------------------------------------------- source divergence
+def test_source_divergence_properties(spark):
+    from cgtcalc_data_transformer_spark.operators import corpus_lm
+
+    rows = corpus_lm.source_divergence(spark, SF).collect()
+    n = len(corpus_lm.DIV_SOURCES)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        # JS divergence bounds: [0, ln 2]
+        assert 0.0 <= r.js_divergence <= 0.6931472
