@@ -214,6 +214,17 @@ def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
     }
 
 
+def _stream_static_entries() -> dict[str, tuple[QueryFn, str | None]]:
+    """Stream-static join (added mid-round-3): MUST stay at the
+    registry tail — the first-50 window is pinned for this round."""
+    from cgtcalc_data_transformer_spark.streaming import joins as sjoin
+
+    return {
+        "streaming_static_enrich": (sjoin.streaming_static_enrich, None),
+        "events_static_enrich": (sjoin.static_enrich_batch, sjoin.STATIC_ENRICH_SQL),
+    }
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-3 driver window (slots 1-50) --------------------------
     "canonical_orders": (canonical_orders, CANONICAL_ORDERS_SQL),
@@ -396,6 +407,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "events_rate_anomaly": (events.events_rate_anomaly, events.EVENTS_ANOMALY_SQL),
     "source_divergence": (corpus_lm.source_divergence, corpus_lm.SOURCE_DIVERGENCE_SQL),
+    **_stream_static_entries(),
 }
 
 

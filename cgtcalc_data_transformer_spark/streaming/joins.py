@@ -95,3 +95,90 @@ FROM c JOIN p ON c.user_id = p.user_id
              AND p_us >= c_us AND p_us <= c_us + 3600000000
 ORDER BY click_id, purchase_id
 """
+
+
+# --------------------------------------------------- stream-static join
+def stream_static_enrich(events_stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Streaming events enriched against a STATIC dimension — the
+    third join shape Structured Streaming supports (beside
+    stream-stream and stream-batch-twin): the static side needs no
+    watermark and holds no state; each micro-batch joins against the
+    dim as an ordinary batch join (broadcast when small), so the
+    stream side stays append-only with zero join state. This is the
+    100 TB enrichment pattern: a slowly-refreshed dim table joined
+    into a firehose without any stateful operator.
+    """
+    return (
+        events_stream.join(dim, F.col("user_id") == F.col("dim_user"), "inner")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("tier").alias("user_tier"),
+            F.unix_timestamp("ts_ts").alias("event_epoch"),
+        )
+    )
+
+
+def _user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic static dim derived from the events table itself
+    (user ids are self-contained): tier by user_id modulo — stands in
+    for the externally-maintained profile table."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    return (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("dim_user"),
+            F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+            .when(F.col("user_id") % 3 == 1, F.lit("silver"))
+            .otherwise(F.lit("bronze"))
+            .alias("tier"),
+        )
+    )
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: enrich the bounded event stream against the
+    static tier dim; mismatch-pinned against the batch twin."""
+    from cgtcalc_data_transformer_spark.streaming.events import (
+        _event_stream,
+        run_stream_to_batch,
+        with_batch_mismatch,
+    )
+
+    stream = _event_stream(spark, f"{sf_dir}/events.parquet")
+    dim = _user_tier_dim(spark, sf_dir)
+    out = run_stream_to_batch(
+        stream_static_enrich(stream, dim), "enrich_out", output_mode="append"
+    )
+    out = with_batch_mismatch(out, static_enrich_batch(spark, sf_dir))
+    return out.orderBy("event_id")
+
+
+def static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment (same join code)."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    ev = load_events(spark, sf_dir)
+    return stream_static_enrich(ev, _user_tier_dim(spark, sf_dir)).orderBy(
+        "event_id"
+    )
+
+
+STATIC_ENRICH_SQL = """
+WITH dim AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 3 = 0 THEN 'gold'
+              WHEN user_id % 3 = 1 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       d.tier AS user_tier,
+       epoch_ns(e.ts) // 1000 // 1000000 AS event_epoch
+FROM events e JOIN dim d ON e.user_id = d.user_id
+ORDER BY e.event_id
+"""

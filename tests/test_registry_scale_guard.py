@@ -29,6 +29,7 @@ SKIP = {
     "streaming_stateful",
     "streaming_dedup",
     "streaming_join",
+    "streaming_static_enrich",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY when the broadcast side is
@@ -48,6 +49,7 @@ BNLJ_OK = {
     "bm25_rank",          # 1-row corpus-stats (N, sumdl, df) aggregate crossJoin
     "hll_segment_union",  # 1-row global exact-distinct scalar crossJoin
     "triangle_count_parts",  # two 1-row count scalars crossJoined onto 1 row
+    "source_divergence",  # 1-row corpus-stats (V, per-source N) crossJoin
 }
 
 

@@ -109,3 +109,14 @@ def test_batch_mismatch_pins_are_zero(spark):
         assert "batch_mismatch" in df.columns, name
         vals = {r.batch_mismatch for r in df.select("batch_mismatch").distinct().collect()}
         assert vals == {0}, f"{name}: batch_mismatch={vals}"
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static join: stateless per-micro-batch enrichment must
+    equal the batch twin exactly, and every event must enrich (the dim
+    covers every user by construction)."""
+    key = lambda r: (r.event_id, r.user_id, r.event_type, r.user_tier, r.event_epoch)
+    stream_rows = {key(r) for r in sjoin.streaming_static_enrich(spark, SF).collect()}
+    batch_rows = {key(r) for r in sjoin.static_enrich_batch(spark, SF).collect()}
+    assert stream_rows == batch_rows
+    assert len(batch_rows) == load_events(spark, SF).count()
