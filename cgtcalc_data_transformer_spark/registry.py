@@ -53,7 +53,11 @@ from cgtcalc_data_transformer_spark.sources import (
     orc,
     partitioned,
 )
-from cgtcalc_data_transformer_spark.sources.csv import df_from_csv_string
+from cgtcalc_data_transformer_spark.sources import csv as csv_mod
+from cgtcalc_data_transformer_spark.sources.csv import (
+    csv_quarantine as csv_quarantine_fn,
+    df_from_csv_string,
+)
 from cgtcalc_data_transformer_spark.sources.eml import df_from_email_strings
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
@@ -190,7 +194,7 @@ FROM orders
 # dynamic_partition_pruning, interval_join_binned, hll_segment_union,
 # triangle_count_parts, bloom_filter_pruned_join, events_top_paths,
 # cogroup_reconcile, join_shuffle_hash_hint, events_rate_anomaly,
-# source_divergence,
+# source_divergence, csv_quarantine, events_static_enrich,
 # join_bucketed, sample_stratified, profile_orders (+ anything red
 # this round) so every registered query has a driver row within two
 # rounds.
@@ -407,6 +411,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "events_rate_anomaly": (events.events_rate_anomaly, events.EVENTS_ANOMALY_SQL),
     "source_divergence": (corpus_lm.source_divergence, corpus_lm.SOURCE_DIVERGENCE_SQL),
+    "csv_quarantine": (csv_quarantine_fn, csv_mod.CSV_QUARANTINE_SQL),
     **_stream_static_entries(),
 }
 

@@ -130,3 +130,64 @@ def df_from_csv_string(
         F.regexp_replace(F.col("value"), _ZERO_WIDTH, ""), len(names)
     )
     return lines_df.select(*[f.alias(n) for n, f in zip(names, fields)])
+
+
+# -------------------------------------------------- quarantine reader
+QUARANTINE_FIXTURE = [
+    "1,10.5,alpha",
+    "2,abc,beta",
+    "3,7,gamma,extra",
+    "4,,delta",
+    "bad line without commas",
+    "6,1e3,zeta",
+]
+
+
+def csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE ingestion with a quarantine lane — the
+    collect-violations generalization of the reference's per-field
+    fail-fast throws (`/root/reference/freetrade.js:128-160` aborts
+    the whole run on the first bad cell; a 100 TB ingest instead
+    keeps good rows flowing and routes bad ones to a quarantine
+    table with their raw bytes for replay).
+
+    ``from_csv`` with ``columnNameOfCorruptRecord`` implements the
+    split in one codegen pass: a malformed FIELD nulls that field and
+    captures the raw line (row still partially usable); a structurally
+    broken line nulls everything; schema-conformant rows carry no
+    quarantine payload. The fixture covers all three plus the
+    empty-field-is-null and scientific-notation cases; expected
+    outcomes are pinned literally in the oracle, so a Spark behavior
+    change would fail the gate loudly.
+    """
+    df = spark.createDataFrame([(l,) for l in QUARANTINE_FIXTURE], "raw string")
+    schema = "id INT, qty DOUBLE, name STRING, _corrupt STRING"
+    parsed = df.select(
+        "raw",
+        F.from_csv(
+            "raw",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    ).select(
+        F.col("p.id").alias("id"),
+        F.col("p.qty").alias("qty"),
+        F.col("p.name").alias("name"),
+        F.col("p._corrupt").isNotNull().alias("quarantined"),
+        F.col("p._corrupt").alias("quarantine_raw"),
+    )
+    return parsed.orderBy(F.asc_nulls_last("id"))
+
+
+CSV_QUARANTINE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS INTEGER), CAST(10.5 AS DOUBLE), CAST('alpha' AS VARCHAR), FALSE,
+   CAST(NULL AS VARCHAR)),
+  (2, NULL, 'beta', TRUE, '2,abc,beta'),
+  (3, 7.0, 'gamma', TRUE, '3,7,gamma,extra'),
+  (4, NULL, 'delta', FALSE, NULL),
+  (6, 1000.0, 'zeta', FALSE, NULL),
+  (NULL, NULL, NULL, TRUE, 'bad line without commas')
+) AS t(id, qty, name, quarantined, quarantine_raw)
+ORDER BY id NULLS LAST
+"""

@@ -57,3 +57,19 @@ def test_orc_roundtrip_preserves_content(spark, tmp_path):
     assert back.count() == orders.count()
     assert back.exceptAll(orders).count() == 0
     assert orders.exceptAll(back).count() == 0
+
+
+def test_csv_quarantine_splits_good_and_bad(spark):
+    from cgtcalc_data_transformer_spark.sources.csv import csv_quarantine
+
+    rows = csv_quarantine(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 6
+    by_id = {r.id: r for r in rows}
+    assert not by_id[1].quarantined and by_id[1].qty == 10.5
+    assert by_id[2].quarantined and by_id[2].qty is None  # bad field
+    assert by_id[3].quarantined and by_id[3].qty == 7.0   # extra col, partial row kept
+    assert not by_id[4].quarantined and by_id[4].qty is None  # empty = null, fine
+    assert not by_id[6].quarantined and by_id[6].qty == 1000.0  # 1e3 parses
+    broken = [r for r in rows if r.id is None]
+    assert len(broken) == 1 and broken[0].quarantined
+    assert broken[0].quarantine_raw == "bad line without commas"
