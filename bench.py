@@ -120,6 +120,11 @@ HEADLINE: dict[str, str] = {
     "join_shuffle_hash_hint": "collect",
     "events_rate_anomaly": "exec",
     "source_divergence": "collect",
+    "split_leakage_check": "collect",
+    "temperature_resample": "collect",
+    "xml_roundtrip": "collect",
+    "events_variant": "collect",
+    "events_attribution_outer": "exec",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

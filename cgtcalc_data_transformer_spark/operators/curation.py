@@ -470,3 +470,81 @@ FROM q JOIN l USING (doc_id) JOIN d ON d.keep_doc_id = q.doc_id
 WHERE q.quality_score >= {CURATE_MIN_QUALITY} AND l.pred_lang = '{CURATE_LANG}'
 ORDER BY q.doc_id
 """
+
+
+# --------------------------------------- temperature rebalance (langs)
+RESAMPLE_BASE = 0.5  # keep-rate scale; rare langs saturate at 1.0
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-LM
+    upsampling recipe: keep-rate ∝ (N/n_lang)^(1/T) with T=2, capped
+    at 1) with a per-language audit of the realized rate.
+
+    Engine-portability note: the keep probability is deliberately
+    ``min(1, BASE·sqrt(N/n_l))`` — per-language only, never normalized
+    across languages. A cross-language normalizer sums doubles whose
+    accumulation order differs between engines; sqrt and the division
+    of two exact integers are correctly-rounded IEEE ops, so this form
+    is bit-identical in Spark and DuckDB and the per-doc keep decision
+    (md5 bucket < p·10^6) never straddles an ulp.
+
+    Scale shape: pass 1 is a partial-agg language count (a few rows);
+    pass 2 re-scans docs, broadcast-joins the rates on lang, and
+    reduces to the audit — no shuffle of the doc texts, no RNG state,
+    append-stable keeps. No reference analog (the reference ingests
+    broker CSVs whole, `index.js:19-31`).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lang_counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = docs.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    rates = lang_counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(RESAMPLE_BASE)
+            * F.sqrt(F.col("n_total").cast("double") / F.col("n_docs").cast("double")),
+        ).alias("p_keep"),
+    )
+    kept = hash_bucket(F.col("doc_id"), 1000000).cast("double") < (
+        F.col("p_keep") * F.lit(1000000.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.round(F.max("p_keep"), 6).alias("p_keep"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .withColumn(
+            "realized_rate", F.round(F.col("n_kept") / F.col("n_docs"), 6)
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_RESAMPLE_SQL = f"""
+WITH lc AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT COUNT(*) AS n_total FROM documents),
+rates AS (
+  SELECT lang, n_docs,
+         LEAST(1.0, {RESAMPLE_BASE} * sqrt(CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS p_keep
+  FROM lc, tot
+)
+SELECT d.lang,
+       MAX(r.n_docs) AS n_docs,
+       ROUND(MAX(r.p_keep), 6) AS p_keep,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 1000000 AS DOUBLE)
+                          < r.p_keep * 1000000.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 1000000 AS DOUBLE)
+                           < r.p_keep * 1000000.0
+                      THEN 1 ELSE 0 END) / MAX(r.n_docs), 6) AS realized_rate
+FROM documents d JOIN rates r USING (lang)
+GROUP BY d.lang
+ORDER BY d.lang
+"""

@@ -791,3 +791,44 @@ WHERE w_cnt = {ANOMALY_TRAIL}
         * (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE)) > 0
 ORDER BY event_type, hour_epoch
 """
+
+
+# ------------------------------------------------------ variant (semi-structured)
+def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT datapath: parse_json →
+    binary-encoded variant → typed variant_get extraction, aggregated.
+
+    VARIANT (Spark 4) is the scale path for open-schema JSON: parse
+    once into a binary encoding, extract fields without per-access
+    string re-parsing, and let shredding push column reads down. The
+    oracle replays the same extraction with DuckDB's JSON functions on
+    the raw strings — equality proves the encode/decode preserves
+    values and NULL semantics (``try_variant_get`` on a missing path →
+    NULL, counted explicitly).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.absent", "int")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("missing"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.sum((F.col("k") % 2 == 0).cast("long")).alias("k_even"),
+            F.sum(F.col("missing").isNull().cast("long")).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k_even,
+       COUNT(*) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -305,3 +305,88 @@ WHERE rn <= {SEQ_MAX_EVENTS}
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ------------------------------------------------ cross-split leakage
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit: for each held-out split, how
+    many docs share a normalized-text fingerprint with ANY train doc.
+
+    This is the check every LLM eval pipeline needs before trusting a
+    validation loss: ``split_assign``'s hash split is uniform over
+    doc_id, so exact duplicates in the corpus land in different splits
+    ~10% of the time and silently leak train text into eval.
+
+    Scale shape: ONE scan projected to (fp, split-indicator counts),
+    one map-side-combinable shuffle on fp (each output row is one
+    distinct fingerprint, so no countDistinct expand), then a 1-row
+    global aggregate unpacked to per-split rows with ``stack``. The
+    obvious semi-join formulation reads the corpus three times; this
+    reads it once. No reference analog (`index.js:19-31` ingests
+    disjoint broker files).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = hash_bucket(F.col("doc_id"))
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_fp = (
+        docs.select(fp.alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+            F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+        )
+    )
+    leaked = F.col("n_train") > 0
+    stats = per_fp.agg(
+        F.sum("n_val").alias("val_docs"),
+        F.sum(F.when(leaked, F.col("n_val")).otherwise(F.lit(0))).alias("val_leaked"),
+        F.sum((leaked & (F.col("n_val") > 0)).cast("long")).alias("val_fps"),
+        F.sum("n_test").alias("test_docs"),
+        F.sum(F.when(leaked, F.col("n_test")).otherwise(F.lit(0))).alias("test_leaked"),
+        F.sum((leaked & (F.col("n_test") > 0)).cast("long")).alias("test_fps"),
+    )
+    return (
+        stats.selectExpr(
+            "stack(2, 'test', test_docs, test_leaked, test_fps, "
+            "'val', val_docs, val_leaked, val_fps) "
+            "AS (split, n_docs, n_leaked, n_leaked_fps)"
+        )
+        .withColumn("leak_rate", F.round(F.col("n_leaked") / F.col("n_docs"), 6))
+        .orderBy("split")
+    )
+
+
+SPLIT_LEAKAGE_SQL = rf"""
+WITH per_fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         SUM(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < {TRAIN_PCT} THEN 1 ELSE 0 END) AS n_train,
+         SUM(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 >= {TRAIN_PCT}
+                   AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < {VAL_PCT} THEN 1 ELSE 0 END) AS n_val,
+         SUM(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 >= {VAL_PCT} THEN 1 ELSE 0 END) AS n_test
+  FROM documents
+  GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(n_val) AS BIGINT) AS val_docs,
+         CAST(SUM(CASE WHEN n_train > 0 THEN n_val ELSE 0 END) AS BIGINT) AS val_leaked,
+         CAST(SUM(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS val_fps,
+         CAST(SUM(n_test) AS BIGINT) AS test_docs,
+         CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT) AS test_leaked,
+         CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_fps
+  FROM per_fp
+)
+SELECT split, n_docs, n_leaked, n_leaked_fps,
+       ROUND(n_leaked / n_docs, 6) AS leak_rate
+FROM (
+  SELECT 'test' AS split, test_docs AS n_docs, test_leaked AS n_leaked, test_fps AS n_leaked_fps FROM stats
+  UNION ALL
+  SELECT 'val', val_docs, val_leaked, val_fps FROM stats
+)
+ORDER BY split
+"""

@@ -53,6 +53,7 @@ from cgtcalc_data_transformer_spark.sources import (
     orc,
     partitioned,
 )
+from cgtcalc_data_transformer_spark.sources import xml as xml_src
 from cgtcalc_data_transformer_spark.sources import csv as csv_mod
 from cgtcalc_data_transformer_spark.sources.csv import (
     csv_quarantine as csv_quarantine_fn,
@@ -195,9 +196,10 @@ FROM orders
 # triangle_count_parts, bloom_filter_pruned_join, events_top_paths,
 # cogroup_reconcile, join_shuffle_hash_hint, events_rate_anomaly,
 # source_divergence, csv_quarantine, events_static_enrich,
-# join_bucketed, sample_stratified, profile_orders (+ anything red
-# this round) so every registered query has a driver row within two
-# rounds.
+# join_bucketed, sample_stratified, profile_orders,
+# split_leakage_check, temperature_resample, xml_roundtrip,
+# events_variant (+ anything red this round) so every registered
+# query has a driver row within two rounds.
 
 
 def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
@@ -226,6 +228,20 @@ def _stream_static_entries() -> dict[str, tuple[QueryFn, str | None]]:
     return {
         "streaming_static_enrich": (sjoin.streaming_static_enrich, None),
         "events_static_enrich": (sjoin.static_enrich_batch, sjoin.STATIC_ENRICH_SQL),
+    }
+
+
+def _outer_join_entries() -> dict[str, tuple[QueryFn, str | None]]:
+    """Stream-stream LEFT OUTER interval join (late round-3): registry
+    tail — the first-50 window is pinned for this round."""
+    from cgtcalc_data_transformer_spark.streaming import joins as sjoin
+
+    return {
+        "streaming_join_outer": (sjoin.streaming_click_attribution_outer, None),
+        "events_attribution_outer": (
+            sjoin.attribution_outer_batch,
+            sjoin.ATTRIBUTION_OUTER_SQL,
+        ),
     }
 
 
@@ -413,6 +429,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_divergence": (corpus_lm.source_divergence, corpus_lm.SOURCE_DIVERGENCE_SQL),
     "csv_quarantine": (csv_quarantine_fn, csv_mod.CSV_QUARANTINE_SQL),
     **_stream_static_entries(),
+    "split_leakage_check": (mlprep.split_leakage_check, mlprep.SPLIT_LEAKAGE_SQL),
+    "temperature_resample": (
+        curation.temperature_resample,
+        curation.TEMPERATURE_RESAMPLE_SQL,
+    ),
+    "xml_roundtrip": (xml_src.xml_roundtrip, xml_src.XML_ROUNDTRIP_SQL),
+    "events_variant": (events.events_variant, events.EVENTS_VARIANT_SQL),
+    **_outer_join_entries(),
 }
 
 

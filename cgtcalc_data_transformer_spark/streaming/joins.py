@@ -182,3 +182,70 @@ SELECT e.event_id, e.user_id, e.event_type,
 FROM events e JOIN dim d ON e.user_id = d.user_id
 ORDER BY e.event_id
 """
+
+
+# ------------------------------------------- stream-stream LEFT OUTER
+def click_purchase_left_join(events_stream: DataFrame) -> DataFrame:
+    """LEFT OUTER variant of the interval join: every click emits —
+    joined rows as matches arrive, and a NULL-purchase row once the
+    watermark proves no qualifying purchase can still come
+    (watermark > click_ts + 1 h). This is the semantics batch LEFT
+    JOIN gives for free but streaming can only produce *watermark-
+    delayed*: the NULL side is a negative claim, and the engine may
+    assert it only after the interval's state-retention bound expires.
+    Same bounded state as the inner form.
+    """
+    clicks = _typed(events_stream, "click", "click")
+    purchases = _typed(events_stream, "purchase", "purchase")
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "click_id",
+        F.col("purchase_id"),
+        F.col("click_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )
+
+
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cgtcalc_data_transformer_spark.streaming.events import (
+        _event_stream,
+        run_stream_to_batch,
+        with_batch_mismatch,
+    )
+
+    stream = _event_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_batch(
+        click_purchase_left_join(stream), "attribution_outer_out", output_mode="append"
+    )
+    out = with_batch_mismatch(out, attribution_outer_batch(spark, sf_dir))
+    return out.orderBy("click_id", "purchase_id")
+
+
+def attribution_outer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the left-outer interval join (oracled)."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    ev = load_events(spark, sf_dir)
+    return click_purchase_left_join(ev).orderBy("click_id", "purchase_id")
+
+
+ATTRIBUTION_OUTER_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, purchase_id, c.user_id AS user_id,
+       c_us // 1000000 AS click_epoch,
+       p_us // 1000000 AS purchase_epoch
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+                  AND p_us >= c_us AND p_us <= c_us + 3600000000
+ORDER BY click_id, purchase_id
+"""

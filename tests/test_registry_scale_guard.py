@@ -30,6 +30,7 @@ SKIP = {
     "streaming_dedup",
     "streaming_join",
     "streaming_static_enrich",
+    "streaming_join_outer",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY when the broadcast side is
@@ -50,6 +51,7 @@ BNLJ_OK = {
     "hll_segment_union",  # 1-row global exact-distinct scalar crossJoin
     "triangle_count_parts",  # two 1-row count scalars crossJoined onto 1 row
     "source_divergence",  # 1-row corpus-stats (V, per-source N) crossJoin
+    "temperature_resample",  # 1-row corpus-total scalar crossJoin onto lang counts
 }
 
 

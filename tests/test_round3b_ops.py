@@ -1,0 +1,120 @@
+"""Semantic invariants for the late-round-3 additions: temperature
+language rebalancing, cross-split leakage audit, XML interchange,
+VARIANT semi-structured extraction. (The value-level equality gate is
+the DuckDB oracle in the registry; these pin the semantics the oracle
+can't express — monotonicity, split disjointness, roundtrip identity.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cgtcalc_data_transformer_spark.operators import curation, events, mlprep
+from cgtcalc_data_transformer_spark.sources import xml as xml_src
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------- temperature_resample
+def test_temperature_resample_rates(spark):
+    rows = curation.temperature_resample(spark, SF).collect()
+    docs_total = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs_total
+    for r in rows:
+        assert 0.0 < r.p_keep <= 1.0
+        assert 0 <= r.n_kept <= r.n_docs
+        # realized hash-bucket rate tracks the target within sampling noise
+        assert abs(r.realized_rate - r.p_keep) < 0.15
+    # temperature upsampling is monotone: rarer language → higher keep rate
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    for a, b in zip(by_size, by_size[1:]):
+        assert a.p_keep >= b.p_keep
+
+
+# ------------------------------------------- split_leakage_check
+def test_split_leakage_bounds(spark):
+    rows = {r.split: r for r in mlprep.split_leakage_check(spark, SF).collect()}
+    assert set(rows) <= {"val", "test"}
+    docs_total = load_table(spark, SF, "documents").count()
+    n_eval = sum(r.n_docs for r in rows.values())
+    assert 0 < n_eval < docs_total  # train split holds the rest
+    for r in rows.values():
+        assert 0 <= r.n_leaked_fps <= r.n_leaked <= r.n_docs
+        assert r.leak_rate == round(r.n_leaked / r.n_docs, 6)
+
+
+def test_split_leakage_counts_match_direct_recompute(spark):
+    """Independent recompute with a different plan shape (full outer
+    fp-level aggregation instead of semi join) must agree."""
+    docs = load_table(spark, SF, "documents")
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    b = hash_bucket(F.col("doc_id"))
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    split = (
+        F.when(b < mlprep.TRAIN_PCT, F.lit("train"))
+        .when(b < mlprep.VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select(split.alias("split"), fp.alias("fp"))
+    per_fp = tagged.groupBy("fp").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    expected = per_fp.filter(F.col("n_train") > 0).agg(
+        F.sum("n_val").alias("val_leaked"),
+        F.sum("n_test").alias("test_leaked"),
+    ).collect()[0]
+    rows = {r.split: r for r in mlprep.split_leakage_check(spark, SF).collect()}
+    assert rows.get("val", None) is None or rows["val"].n_leaked == (
+        expected.val_leaked or 0
+    )
+    assert rows.get("test", None) is None or rows["test"].n_leaked == (
+        expected.test_leaked or 0
+    )
+
+
+# ------------------------------------------------- xml_roundtrip
+def test_xml_roundtrip_identity(spark):
+    got = {r.s_nationkey: r for r in xml_src.xml_roundtrip(spark, SF).collect()}
+    direct = {
+        r.s_nationkey: r
+        for r in load_table(spark, SF, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("acctbal_total"),
+            F.min("s_name").alias("first_name"),
+            F.max("s_suppkey").alias("max_suppkey"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k, g in got.items():
+        d = direct[k]
+        assert g.n_suppliers == d.n_suppliers
+        assert g.acctbal_total == d.acctbal_total  # exact: decimal-summed
+        assert g.first_name == d.first_name
+        assert g.max_suppkey == d.max_suppkey
+
+
+# ------------------------------------------------- events_variant
+def test_events_variant_matches_json_path(spark):
+    rows = {r.event_type: r for r in events.events_variant(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    direct = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("k_sum"))
+        .collect()
+    }
+    assert set(rows) == set(direct)
+    for t, r in rows.items():
+        assert r.n == direct[t].n
+        assert r.k_sum == direct[t].k_sum
+        assert r.n_missing == r.n  # $.absent is NULL on every row
+        assert 0 <= r.k_even <= r.n

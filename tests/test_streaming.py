@@ -103,6 +103,7 @@ def test_batch_mismatch_pins_are_zero(spark):
         "streaming_stateful",
         "streaming_dedup",
         "streaming_join",
+        "streaming_join_outer",
     ):
         fn, _ = REGISTRY[name]
         df = fn(spark, SF)
@@ -120,3 +121,18 @@ def test_stream_static_enrich_matches_batch(spark):
     batch_rows = {key(r) for r in sjoin.static_enrich_batch(spark, SF).collect()}
     assert stream_rows == batch_rows
     assert len(batch_rows) == load_events(spark, SF).count()
+
+
+def test_stream_stream_left_outer_join_subset_of_batch(spark):
+    """LEFT OUTER interval join: matched pairs equal the batch twin
+    (definite evidence streams through); NULL-purchase rows are the
+    watermark-proven subset of the batch twin's unmatched clicks —
+    tail clicks whose no-match proof needs a later watermark are
+    withheld, never fabricated."""
+    key = lambda r: (r.click_id, r.purchase_id, r.user_id, r.click_epoch, r.purchase_epoch)
+    stream_rows = {key(r) for r in sjoin.streaming_click_attribution_outer(spark, SF).collect()}
+    batch_rows = {key(r) for r in sjoin.attribution_outer_batch(spark, SF).collect()}
+    assert stream_rows <= batch_rows
+    matched = lambda rows: {r for r in rows if r[1] is not None}
+    assert matched(stream_rows) == matched(batch_rows)
+    assert len(matched(batch_rows)) > 0
