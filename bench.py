@@ -125,6 +125,8 @@ HEADLINE: dict[str, str] = {
     "xml_roundtrip": "collect",
     "events_variant": "collect",
     "events_attribution_outer": "exec",
+    "jsonl_roundtrip": "collect",
+    "cap_per_source": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

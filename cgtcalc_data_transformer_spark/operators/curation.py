@@ -548,3 +548,62 @@ FROM documents d JOIN rates r USING (lang)
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+
+# ------------------------------------------------ per-source frequency cap
+CAP_PER_SOURCE = 40  # max docs admitted per source
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency capping: admit at most K docs per source, chosen by a
+    deterministic hash order (NOT arrival order — append-stable and
+    engine-portable), audited per source.
+
+    The head-of-crawl problem this solves: a handful of giant sources
+    (one domain, one dump) otherwise dominate the token budget. The
+    per-group selection is a rank over (source, md5-order) — one
+    shuffle on source; skew-safe because rank's window frames never
+    exceed a partition's own group, and sources at 100 TB are many.
+    The audit output keeps the result small and hash-checkable: the
+    admitted count, the cap, and an order-independent digest of WHICH
+    docs were admitted (sum of admitted doc_ids — any selection drift
+    flips it).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(order_key, "doc_id")
+    )
+    ranked = docs.withColumn("rn", rn)
+    admitted = F.col("rn") <= CAP_PER_SOURCE
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(admitted.cast("long")).alias("n_admitted"),
+            F.sum(F.when(admitted, F.col("doc_id")).otherwise(F.lit(0))).alias(
+                "admitted_id_sum"
+            ),
+        )
+        .withColumn("capped", F.col("n_docs") > F.lit(CAP_PER_SOURCE))
+        .orderBy("source")
+    )
+
+
+CAP_PER_SOURCE_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {CAP_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN rn <= {CAP_PER_SOURCE} THEN doc_id ELSE 0 END) AS BIGINT) AS admitted_id_sum,
+       COUNT(*) > {CAP_PER_SOURCE} AS capped
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""

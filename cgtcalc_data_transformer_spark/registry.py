@@ -53,6 +53,7 @@ from cgtcalc_data_transformer_spark.sources import (
     orc,
     partitioned,
 )
+from cgtcalc_data_transformer_spark.sources import jsonl
 from cgtcalc_data_transformer_spark.sources import xml as xml_src
 from cgtcalc_data_transformer_spark.sources import csv as csv_mod
 from cgtcalc_data_transformer_spark.sources.csv import (
@@ -198,7 +199,8 @@ FROM orders
 # source_divergence, csv_quarantine, events_static_enrich,
 # join_bucketed, sample_stratified, profile_orders,
 # split_leakage_check, temperature_resample, xml_roundtrip,
-# events_variant (+ anything red this round) so every registered
+# events_variant, events_attribution_outer, jsonl_roundtrip,
+# cap_per_source (+ anything red this round) so every registered
 # query has a driver row within two rounds.
 
 
@@ -437,6 +439,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "xml_roundtrip": (xml_src.xml_roundtrip, xml_src.XML_ROUNDTRIP_SQL),
     "events_variant": (events.events_variant, events.EVENTS_VARIANT_SQL),
     **_outer_join_entries(),
+    "jsonl_roundtrip": (jsonl.jsonl_roundtrip, jsonl.JSONL_ROUNDTRIP_SQL),
+    "cap_per_source": (curation.cap_per_source, curation.CAP_PER_SOURCE_SQL),
 }
 
 

@@ -118,3 +118,42 @@ def test_events_variant_matches_json_path(spark):
         assert r.k_sum == direct[t].k_sum
         assert r.n_missing == r.n  # $.absent is NULL on every row
         assert 0 <= r.k_even <= r.n
+
+
+# ------------------------------------------------- jsonl_roundtrip
+def test_jsonl_roundtrip_identity(spark):
+    from cgtcalc_data_transformer_spark.sources import jsonl
+
+    got = {
+        (r.source, r.lang): r for r in jsonl.jsonl_roundtrip(spark, SF).collect()
+    }
+    digest = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    direct = {
+        (r.source, r.lang): r
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(digest).alias("text_digest_sum"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k, g in got.items():
+        d = direct[k]
+        assert (g.n_docs, g.total_chars, g.text_digest_sum) == (
+            d.n_docs,
+            d.total_chars,
+            d.text_digest_sum,
+        )
+
+
+# ------------------------------------------------- cap_per_source
+def test_cap_per_source_caps(spark):
+    rows = curation.cap_per_source(spark, SF).collect()
+    assert rows, "documents table has sources"
+    for r in rows:
+        assert r.n_admitted == min(r.n_docs, curation.CAP_PER_SOURCE)
+        assert r.capped == (r.n_docs > curation.CAP_PER_SOURCE)
+        assert 0 < r.admitted_id_sum
