@@ -264,3 +264,95 @@ SELECT '(merged)', COUNT(DISTINCT o_custkey), TRUE
 FROM orders
 ORDER BY segment
 """
+
+
+# ----------------------------------------------- KMV distinct sketch
+KMV_K = 64  # sketch size; rel. error ~ 1/sqrt(k-2) ≈ 13%
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type, audited
+    against the exact count in the same result row.
+
+    Third sketch of the family (count-min → frequencies, HLL →
+    distincts via Spark's built-in): KMV keeps the k smallest hash
+    values of the key set; the k-th smallest h_k estimates the
+    distinct count as (k-1)/h_k. Unlike HLL the sketch is a plain
+    sorted sample, so two KMVs intersect/union by merging value
+    lists — the primitive for distinct-intersection estimates that
+    HLL cannot give. md5-derived hashes keep it engine-portable and
+    value-oracled (Spark's approx_count_distinct seed is not).
+
+    Scale shape: distinct (type, user) collapse, then a rank-≤-k
+    window that Spark 4 rewrites to WindowGroupLimit — per-partition
+    partial top-k BEFORE the shuffle, so the full key set is never
+    sorted; only k rows per group cross the wire.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    # uniform (0,1]: 32-bit md5 prefix + 1, scaled — exact in double
+    h = (
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long") + 1)
+        / F.lit(4294967296.0)
+    ).alias("h")
+    ranked = ev.select("event_type", "user_id", h).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("h", "user_id")
+        ),
+    )
+    kth = (
+        ranked.filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")  # small set: exact
+    ).otherwise((F.lit(KMV_K) - 1) / F.col("h_k"))
+    return (
+        exact.join(kth, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 4).alias("kmv_estimate"),
+            (F.abs(est - F.col("n_exact")) / F.col("n_exact") < 0.4).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH dk AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, user_id,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT::BIGINT + 1) / 4294967296.0 AS h
+  FROM dk
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+  FROM hashed
+),
+kth AS (
+  SELECT event_type, MAX(h) AS h_k, COUNT(*) AS n_kept
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM dk GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       ROUND(CASE WHEN k.n_kept < {KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+                  ELSE ({KMV_K} - 1) / k.h_k END, 4) AS kmv_estimate,
+       ABS(CASE WHEN k.n_kept < {KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+                ELSE ({KMV_K} - 1) / k.h_k END - e.n_exact) / e.n_exact < 0.4 AS within_bound
+FROM exact e JOIN kth k USING (event_type)
+ORDER BY e.event_type
+"""

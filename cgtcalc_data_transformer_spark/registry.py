@@ -441,6 +441,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **_outer_join_entries(),
     "jsonl_roundtrip": (jsonl.jsonl_roundtrip, jsonl.JSONL_ROUNDTRIP_SQL),
     "cap_per_source": (curation.cap_per_source, curation.CAP_PER_SOURCE_SQL),
+    "kmv_distinct": (featurize.kmv_distinct, featurize.KMV_DISTINCT_SQL),
 }
 
 

@@ -157,3 +157,26 @@ def test_cap_per_source_caps(spark):
         assert r.n_admitted == min(r.n_docs, curation.CAP_PER_SOURCE)
         assert r.capped == (r.n_docs > curation.CAP_PER_SOURCE)
         assert 0 < r.admitted_id_sum
+
+
+# ------------------------------------------------- kmv_distinct
+def test_kmv_distinct_estimates(spark):
+    from cgtcalc_data_transformer_spark.operators import featurize
+
+    rows = featurize.kmv_distinct(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact < featurize.KMV_K:
+            # sketch kept the whole key set: estimate IS the exact count
+            assert r.kmv_estimate == float(r.n_exact)
+        assert r.within_bound  # 0.4 bound ≈ 3σ for k=64
+
+
+def test_kmv_plan_uses_window_group_limit(spark):
+    """The rank-≤-k filter must compile to WindowGroupLimit (partial
+    per-partition top-k BEFORE the shuffle) — the property that makes
+    the sketch build scale."""
+    from cgtcalc_data_transformer_spark.operators import featurize
+    from cgtcalc_data_transformer_spark.plans import formatted_plan
+
+    assert "WindowGroupLimit" in formatted_plan(featurize.kmv_distinct(spark, SF))
