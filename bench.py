@@ -127,6 +127,8 @@ HEADLINE: dict[str, str] = {
     "events_attribution_outer": "exec",
     "jsonl_roundtrip": "collect",
     "cap_per_source": "collect",
+    "kmv_distinct": "collect",
+    "collated_group": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

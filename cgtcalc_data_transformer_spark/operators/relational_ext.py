@@ -563,3 +563,56 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------- collated aggregation
+def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive aggregation via Spark 4 COLLATE (UTF8_LCASE)
+    instead of key-mangling with lower().
+
+    Collations move comparison semantics into the TYPE, so every
+    downstream comparison — grouping here, but equally joins and
+    DISTINCT — inherits them without wrapping each key expression
+    (wrap-forgetting is the classic silent-wrong-count bug). The demo
+    corrupts p_brand's case deterministically by key parity, then
+    groups under UTF8_LCASE: case variants merge back. The emitted
+    key is lower()ed because a collated group's representative is an
+    arbitrary member — the collation defines equality, not the
+    canonical form (same reason the oracle groups by lower()).
+    Plan-wise this stays one map-side-combinable hash aggregate; the
+    collation key is computed in codegen.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper(F.col("p_brand"))
+    ).otherwise(F.col("p_brand"))
+    return (
+        part.select(mixed.alias("brand_mixed"))
+        .groupBy(F.collate(F.col("brand_mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct(
+                F.collate(F.col("brand_mixed"), "UTF8_BINARY")
+            ).alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("k")).alias("brand_ci"),
+            "n_parts",
+            "n_case_variants",
+        )
+        .orderBy("brand_ci")
+    )
+
+
+COLLATED_GROUP_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE p_brand END AS brand_mixed
+  FROM part
+)
+SELECT lower(brand_mixed) AS brand_ci,
+       COUNT(*) AS n_parts,
+       CAST(COUNT(DISTINCT brand_mixed) AS BIGINT) AS n_case_variants
+FROM mixed
+GROUP BY lower(brand_mixed)
+ORDER BY brand_ci
+"""

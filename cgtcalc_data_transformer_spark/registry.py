@@ -442,6 +442,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "jsonl_roundtrip": (jsonl.jsonl_roundtrip, jsonl.JSONL_ROUNDTRIP_SQL),
     "cap_per_source": (curation.cap_per_source, curation.CAP_PER_SOURCE_SQL),
     "kmv_distinct": (featurize.kmv_distinct, featurize.KMV_DISTINCT_SQL),
+    "collated_group": (relational_ext.collated_group, relational_ext.COLLATED_GROUP_SQL),
 }
 
 

@@ -180,3 +180,22 @@ def test_kmv_plan_uses_window_group_limit(spark):
     from cgtcalc_data_transformer_spark.plans import formatted_plan
 
     assert "WindowGroupLimit" in formatted_plan(featurize.kmv_distinct(spark, SF))
+
+
+# ------------------------------------------------- collated_group
+def test_collated_group_merges_case_variants(spark):
+    from cgtcalc_data_transformer_spark.operators import relational_ext
+
+    rows = relational_ext.collated_group(spark, SF).collect()
+    assert rows
+    direct = {
+        r.k: r.n
+        for r in load_table(spark, SF, "part")
+        .groupBy(F.lower("p_brand").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.brand_ci == r.brand_ci.lower()
+        assert r.n_parts == direct[r.brand_ci]  # collation ≡ lower() grouping
+        assert 1 <= r.n_case_variants <= 2  # parity corruption makes ≤2 forms
