@@ -129,6 +129,7 @@ HEADLINE: dict[str, str] = {
     "cap_per_source": "collect",
     "kmv_distinct": "collect",
     "collated_group": "collect",
+    "events_type_totals": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

@@ -233,6 +233,17 @@ def _stream_static_entries() -> dict[str, tuple[QueryFn, str | None]]:
     }
 
 
+def _complete_mode_entries() -> dict[str, tuple[QueryFn, str | None]]:
+    """Complete-output-mode streaming aggregate (late round-3):
+    registry tail — the first-50 window is pinned for this round."""
+    from cgtcalc_data_transformer_spark.streaming import events as sev
+
+    return {
+        "streaming_complete_totals": (sev.streaming_complete_totals, None),
+        "events_type_totals": (sev.events_type_totals, sev.EVENTS_TYPE_TOTALS_SQL),
+    }
+
+
 def _outer_join_entries() -> dict[str, tuple[QueryFn, str | None]]:
     """Stream-stream LEFT OUTER interval join (late round-3): registry
     tail — the first-50 window is pinned for this round."""
@@ -443,6 +454,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cap_per_source": (curation.cap_per_source, curation.CAP_PER_SOURCE_SQL),
     "kmv_distinct": (featurize.kmv_distinct, featurize.KMV_DISTINCT_SQL),
     "collated_group": (relational_ext.collated_group, relational_ext.COLLATED_GROUP_SQL),
+    **_complete_mode_entries(),
 }
 
 

@@ -229,12 +229,17 @@ def run_stream_to_batch(
     query_name: str,
     output_mode: str = "append",
     flush_timeout_s: float = 120.0,
+    wait_flush: bool = True,
 ) -> DataFrame:
     """Drive a bounded stream to completion, return the materialized
     result as a batch DataFrame (memory sink).
 
     Waits for the trailing no-data batch so watermark-closed windows
-    are flushed to the sink before the query stops (the r2 flush race)."""
+    are flushed to the sink before the query stops (the r2 flush race).
+    ``wait_flush=False`` is for watermark-free queries (complete-mode
+    aggregations): no watermark ever advances, so no no-data batch
+    fires and ``processAllAvailable()`` alone is already the final
+    state."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -244,9 +249,10 @@ def run_stream_to_batch(
     )
     try:
         q.processAllAvailable()
-        _wait_for_watermark_flush(q, flush_timeout_s)
-        # one more drain so the flush batch's sink commit is visible
-        q.processAllAvailable()
+        if wait_flush:
+            _wait_for_watermark_flush(q, flush_timeout_s)
+            # one more drain so the flush batch's sink commit is visible
+            q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(query_name)
@@ -348,3 +354,50 @@ def dedup_sink_foreachbatch(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --------------------------------------------- complete-mode aggregate
+def _type_totals_agg(ev: DataFrame) -> DataFrame:
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+    )
+
+
+def streaming_complete_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals in COMPLETE output mode — the third output-mode
+    semantics next to append (windows) and foreachBatch (sink-side):
+    every trigger rewrites the FULL aggregate, so a bounded stream's
+    final table equals the batch aggregate exactly — no watermark, no
+    withheld tail, byte-equal to the twin (decimal-summed, so
+    micro-batch arrival order cannot drift the double).
+
+    Scale note: complete mode re-emits the whole result each trigger,
+    so it is only for aggregates with bounded cardinality (here: a
+    handful of event types). Unbounded keys → append/update + state
+    eviction instead.
+    """
+    stream = _event_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_batch(
+        _type_totals_agg(stream),
+        "complete_totals_out",
+        output_mode="complete",
+        wait_flush=False,
+    )
+    out = with_batch_mismatch(out, _type_totals_agg(_batch_events(spark, sf_dir)))
+    return out.orderBy("event_type")
+
+
+def events_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled batch twin of ``streaming_complete_totals``."""
+    return _type_totals_agg(_batch_events(spark, sf_dir)).orderBy("event_type")
+
+
+EVENTS_TYPE_TOTALS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -31,6 +31,7 @@ SKIP = {
     "streaming_join",
     "streaming_static_enrich",
     "streaming_join_outer",
+    "streaming_complete_totals",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY when the broadcast side is

@@ -136,3 +136,22 @@ def test_stream_stream_left_outer_join_subset_of_batch(spark):
     matched = lambda rows: {r for r in rows if r[1] is not None}
     assert matched(stream_rows) == matched(batch_rows)
     assert len(matched(batch_rows)) > 0
+
+
+def test_streaming_complete_totals_equals_batch(spark):
+    """COMPLETE mode on bounded input: the final memory-sink table is
+    the full aggregate — equal to the batch twin exactly (decimal
+    sums, so micro-batch arrival order cannot drift the double)."""
+    from cgtcalc_data_transformer_spark.streaming import events as sev
+
+    got = {
+        r.event_type: (r.n_events, r.total_value, r.batch_mismatch)
+        for r in sev.streaming_complete_totals(spark, SF).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in sev.events_type_totals(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for t, (n, v) in want.items():
+        assert got[t] == (n, v, 0)
