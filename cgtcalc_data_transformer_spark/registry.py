@@ -455,6 +455,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kmv_distinct": (featurize.kmv_distinct, featurize.KMV_DISTINCT_SQL),
     "collated_group": (relational_ext.collated_group, relational_ext.COLLATED_GROUP_SQL),
     **_complete_mode_entries(),
+    "dynamic_partition_overwrite": (
+        partitioned.dynamic_partition_overwrite,
+        partitioned.DPO_SQL,
+    ),
 }
 
 

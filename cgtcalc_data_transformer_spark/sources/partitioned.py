@@ -148,3 +148,71 @@ JOIN dim ON year(o.o_orderdate) = dim.y
 GROUP BY o_year
 ORDER BY o_year
 """
+
+
+# ------------------------------------------ dynamic partition overwrite
+UPDATE_FACTOR = 1.1  # the "restated" partition's price adjustment
+
+
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level restatement via DYNAMIC partition overwrite:
+    rewrite ONLY the partitions present in the incoming frame, leave
+    every other partition's files untouched.
+
+    This is the warehouse backfill primitive — "re-run one day" — and
+    the semantics STATIC overwrite gets catastrophically wrong (it
+    truncates the whole table first). The audit result reads the
+    table back after overwriting the {prune_year} partition with
+    10%-adjusted prices: that year must show adjusted sums with an
+    unchanged row count, all other years byte-identical to the
+    original — which is exactly what the DuckDB oracle computes from
+    the source table with a CASE on the year.
+
+    Scale shape: the overwrite writes one partition's worth of data
+    (shuffle-free append to new files + atomic directory swap); the
+    untouched partitions cost nothing — no read, no rewrite.
+    """
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_part_{os.getpid()}", "orders_dpo"
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    sel = ["o_orderkey", "o_totalprice", "o_year"]
+    orders.select(*sel).write.mode("overwrite").partitionBy("o_year").parquet(path)
+
+    restated = (
+        orders.filter(F.col("o_year") == PRUNE_YEAR)
+        .withColumn("o_totalprice", F.col("o_totalprice") * UPDATE_FACTOR)
+        .select(*sel)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("price_total"),
+        )
+        .orderBy("o_year")
+    )
+
+
+DPO_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN year(o_orderdate) = {PRUNE_YEAR}
+                          THEN o_totalprice * {UPDATE_FACTOR}
+                          ELSE o_totalprice END AS DECIMAL(28,6))) AS DOUBLE) AS price_total
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""

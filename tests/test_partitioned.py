@@ -78,3 +78,35 @@ def test_dynamic_partition_pruning_in_plan(spark):
     assert dim_years < all_years, "fixture must actually prune some years"
     out_years = {r.o_year for r in df.collect()}
     assert out_years <= dim_years
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark):
+    """Dynamic mode must replace ONLY the restated year: other years
+    survive with original totals (static mode would truncate them),
+    the restated year keeps its row count with scaled prices."""
+    from pyspark.sql import functions as F
+
+    from cgtcalc_data_transformer_spark.sources import partitioned as P
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    got = {r.o_year: r for r in P.dynamic_partition_overwrite(spark, SF).collect()}
+    orig = {
+        r.o_year: r
+        for r in load_table(spark, SF, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("price_total"),
+        )
+        .collect()
+    }
+    assert set(got) == set(orig) and len(got) > 1  # nothing truncated
+    for y, o in orig.items():
+        assert got[y].n_orders == o.n_orders
+        if y == P.PRUNE_YEAR:
+            assert got[y].price_total > o.price_total  # restated up 10%
+        else:
+            assert got[y].price_total == o.price_total  # untouched
