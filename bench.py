@@ -131,6 +131,7 @@ HEADLINE: dict[str, str] = {
     "collated_group": "collect",
     "events_type_totals": "collect",
     "dynamic_partition_overwrite": "collect",
+    "contrastive_negatives": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

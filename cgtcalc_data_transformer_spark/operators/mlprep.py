@@ -390,3 +390,85 @@ FROM (
 )
 ORDER BY split
 """
+
+
+# --------------------------------------------- contrastive negatives
+NEG_BUCKETS = 64            # hash-ring size
+NEG_OFFSETS = [7, 19, 33, 49]  # K=4 deterministic ring strides
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    doc is paired with K negatives drawn from a hash ring — the doc's
+    bucket plus K fixed strides, each bucket represented by its
+    min-doc_id member.
+
+    Why not rand(): negatives must be stable across reruns/engines
+    (rand() re-rolls per retry and per engine, silently changing the
+    training set), and must never pair a doc with itself. The ring
+    gives uniform-ish coverage with ZERO shuffle of the doc side:
+    the representatives table is NEG_BUCKETS rows — broadcast — and
+    the K strides are a literal array explode, so the plan is
+    scan → explode(K) → broadcast join → aggregate. Self-collisions
+    (a doc IS its target bucket's representative) are dropped and
+    counted in the audit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    b = hash_bucket(F.col("doc_id"), NEG_BUCKETS)
+    reps = (
+        docs.select(b.alias("bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("neg_id"))
+    )
+    pairs = (
+        docs.select("doc_id", "source", b.alias("my_bucket"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array(*[F.lit(o) for o in NEG_OFFSETS])
+            ).alias("stride"),
+            "my_bucket",
+        )
+        .withColumn("bucket", (F.col("my_bucket") + F.col("stride")) % NEG_BUCKETS)
+        .join(F.broadcast(reps), "bucket")
+    )
+    self_hit = F.col("neg_id") == F.col("doc_id")
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum((~self_hit).cast("long")).alias("n_pairs"),
+            F.sum(self_hit.cast("long")).alias("n_self_dropped"),
+            F.sum(F.when(~self_hit, F.col("neg_id")).otherwise(F.lit(0))).alias(
+                "neg_id_digest"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CONTRASTIVE_NEGATIVES_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % {NEG_BUCKETS} AS my_bucket
+  FROM documents
+),
+reps AS (
+  SELECT my_bucket AS bucket, MIN(doc_id) AS neg_id FROM b GROUP BY 1
+),
+pairs AS (
+  SELECT d.doc_id, d.source, r.neg_id
+  FROM b d
+  CROSS JOIN (SELECT unnest([{", ".join(str(o) for o in NEG_OFFSETS)}]) AS stride) s
+  JOIN reps r ON r.bucket = (d.my_bucket + s.stride) % {NEG_BUCKETS}
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN neg_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN neg_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_self_dropped,
+       CAST(SUM(CASE WHEN neg_id <> doc_id THEN neg_id ELSE 0 END) AS BIGINT) AS neg_id_digest
+FROM pairs
+GROUP BY source
+ORDER BY source
+"""

@@ -459,6 +459,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         partitioned.dynamic_partition_overwrite,
         partitioned.DPO_SQL,
     ),
+    "contrastive_negatives": (
+        mlprep.contrastive_negatives,
+        mlprep.CONTRASTIVE_NEGATIVES_SQL,
+    ),
 }
 
 

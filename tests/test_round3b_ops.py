@@ -199,3 +199,13 @@ def test_collated_group_merges_case_variants(spark):
         assert r.brand_ci == r.brand_ci.lower()
         assert r.n_parts == direct[r.brand_ci]  # collation ≡ lower() grouping
         assert 1 <= r.n_case_variants <= 2  # parity corruption makes ≤2 forms
+
+
+# ------------------------------------------------- contrastive_negatives
+def test_contrastive_negatives_invariants(spark):
+    rows = mlprep.contrastive_negatives(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # K pairs per doc minus the dropped self-collisions
+        assert r.n_pairs + r.n_self_dropped == r.n_docs * len(mlprep.NEG_OFFSETS)
+        assert r.n_pairs > 0 and r.neg_id_digest > 0
