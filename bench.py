@@ -132,6 +132,7 @@ HEADLINE: dict[str, str] = {
     "events_type_totals": "collect",
     "dynamic_partition_overwrite": "collect",
     "contrastive_negatives": "collect",
+    "containment_dedup": "exec",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

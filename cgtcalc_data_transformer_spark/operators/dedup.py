@@ -721,3 +721,67 @@ ORDER BY vec_a, vec_b
 
 
 DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
+
+
+# --------------------------------------------- asymmetric containment
+CONTAIN_THRESHOLD = 0.8  # ≥80% of A's shingles inside B → A ⊂~ B
+CONTAIN_MIN_SH = 5       # ignore trivially small docs
+
+
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-SUBSET detection: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    Jaccard (dedup_ngram_jaccard) is symmetric and misses the
+    copy-paste inclusion case: a short doc quoted whole inside a long
+    one has tiny Jaccard but containment ≈ 1. This is the dedup
+    signal for boilerplate wrappers and quote-expansion chains.
+
+    Same candidate discipline as the Jaccard twin: pairs exist ONLY
+    via the shared-shingle equality join (never doc×doc), per-pair
+    intersection is one map-side-combinable count, and — like the
+    Jaccard op — this exact form is the calibration-scale ground
+    truth; at 100 TB the LSH path generates the candidates and this
+    containment verify runs on candidates only.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_rows(docs).cache()
+    sizes = shingle_sizes(sh)
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.round(F.col("n_common") / F.col("n_a"), 6)
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
+        .filter(F.col("n_a") >= CONTAIN_MIN_SH)
+        .select("a_id", "b_id", "n_common", "n_a", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+CONTAINMENT_SQL = (
+    _SHINGLES_CTE
+    + f"""
+, sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM shingled WHERE len(shingles) > 0
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_common, s.n_sh AS n_a,
+       ROUND(n_common / s.n_sh, 6) AS containment
+FROM inter JOIN sizes s ON s.doc_id = a_id
+WHERE s.n_sh >= {CONTAIN_MIN_SH}
+  AND ROUND(n_common / s.n_sh, 6) >= {CONTAIN_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+)

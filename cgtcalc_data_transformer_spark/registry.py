@@ -200,7 +200,9 @@ FROM orders
 # join_bucketed, sample_stratified, profile_orders,
 # split_leakage_check, temperature_resample, xml_roundtrip,
 # events_variant, events_attribution_outer, jsonl_roundtrip,
-# cap_per_source (+ anything red this round) so every registered
+# cap_per_source, kmv_distinct, collated_group, events_type_totals,
+# dynamic_partition_overwrite, contrastive_negatives,
+# containment_dedup (+ anything red this round) so every registered
 # query has a driver row within two rounds.
 
 
@@ -463,6 +465,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         mlprep.contrastive_negatives,
         mlprep.CONTRASTIVE_NEGATIVES_SQL,
     ),
+    "containment_dedup": (dedup.containment_dedup, dedup.CONTAINMENT_SQL),
 }
 
 

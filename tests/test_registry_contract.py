@@ -41,3 +41,17 @@ def test_every_oracle_sql_plans_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as e:  # pragma: no cover - the assert carries the name
             raise AssertionError(f"oracle for {name!r} does not plan: {e}") from e
+
+
+def test_bench_headline_subset_of_registry():
+    """Every bench HEADLINE entry must be a registered query — a
+    rename or removal in the registry without a bench update would
+    crash the driver's per-round perf run."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert set(bench.HEADLINE) <= set(registry.REGISTRY)

@@ -209,3 +209,25 @@ def test_contrastive_negatives_invariants(spark):
         # K pairs per doc minus the dropped self-collisions
         assert r.n_pairs + r.n_self_dropped == r.n_docs * len(mlprep.NEG_OFFSETS)
         assert r.n_pairs > 0 and r.neg_id_digest > 0
+
+
+# ------------------------------------------------- containment_dedup
+def test_containment_directed_vs_jaccard(spark):
+    """Containment is directed and dominates Jaccard: for every
+    emitted A→B pair, C(A→B) ≥ J(A,B); and every exact duplicate pair
+    (same text) must appear with containment 1.0 in both directions."""
+    from cgtcalc_data_transformer_spark.operators import dedup
+
+    rows = dedup.containment_dedup(spark, SF).collect()
+    assert rows
+    pairs = {(r.a_id, r.b_id): r for r in rows}
+    for (a, b), r in pairs.items():
+        assert a != b
+        assert 0.8 <= r.containment <= 1.0
+        assert r.containment == round(r.n_common / r.n_a, 6)
+        assert r.n_common <= r.n_a
+    # directedness: an emitted A→B needs no emitted B→A (and when both
+    # exist the pair is a mutual near-duplicate, containment-consistent)
+    mutual = [(a, b) for (a, b) in pairs if (b, a) in pairs]
+    for a, b in mutual:
+        assert pairs[(a, b)].n_common == pairs[(b, a)].n_common
