@@ -133,6 +133,7 @@ HEADLINE: dict[str, str] = {
     "dynamic_partition_overwrite": "collect",
     "contrastive_negatives": "collect",
     "containment_dedup": "exec",
+    "ticker_totals": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

@@ -243,6 +243,8 @@ def _complete_mode_entries() -> dict[str, tuple[QueryFn, str | None]]:
     return {
         "streaming_complete_totals": (sev.streaming_complete_totals, None),
         "events_type_totals": (sev.events_type_totals, sev.EVENTS_TYPE_TOTALS_SQL),
+        "streaming_python_source": (sev.streaming_python_source, None),
+        "ticker_totals": (sev.ticker_totals, sev.TICKER_TOTALS_SQL),
     }
 
 

@@ -401,3 +401,57 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# -------------------------------------- pluggable streaming source
+def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end run of the Spark-4 Python STREAMING DataSource
+    (sources/ticker_datasource.py): offsets advance per micro-batch,
+    the bounded tick stream aggregates per bucket in COMPLETE mode,
+    and the final table must equal the batch twin computed from
+    ``range()`` — proving the pluggable source's offset/replay
+    contract delivers exactly the declared rows."""
+    from cgtcalc_data_transformer_spark.sources import ticker_datasource
+
+    ticker_datasource.register(spark)
+    stream = spark.readStream.format("ticker").load()
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_total"),
+    )
+    out = run_stream_to_batch(
+        agg, "ticker_out", output_mode="complete", wait_flush=False
+    )
+    out = with_batch_mismatch(out, ticker_totals(spark, sf_dir))
+    return out.orderBy("bucket")
+
+
+def ticker_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled batch twin: the same tick rows from ``spark.range``."""
+    from cgtcalc_data_transformer_spark.sources.ticker_datasource import (
+        NUM_BUCKETS,
+        TOTAL_TICKS,
+    )
+
+    ticks = spark.range(TOTAL_TICKS).select(
+        (F.col("id") % NUM_BUCKETS).alias("bucket"),
+        ((F.col("id") * 37 % 1000) / 10.0).alias("value"),
+    )
+    return (
+        ticks.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+TICKER_TOTALS_SQL = """
+SELECT i % 8 AS bucket,
+       COUNT(*) AS n_ticks,
+       CAST(SUM(CAST((i * 37 % 1000) / 10.0 AS DECIMAL(28,6))) AS DOUBLE) AS value_total
+FROM range(0, 1000) t(i)
+GROUP BY 1
+ORDER BY 1
+"""

@@ -32,6 +32,7 @@ SKIP = {
     "streaming_static_enrich",
     "streaming_join_outer",
     "streaming_complete_totals",
+    "streaming_python_source",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY when the broadcast side is

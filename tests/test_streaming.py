@@ -155,3 +155,21 @@ def test_streaming_complete_totals_equals_batch(spark):
     assert set(got) == set(want)
     for t, (n, v) in want.items():
         assert got[t] == (n, v, 0)
+
+
+def test_streaming_python_source_matches_range_twin(spark):
+    """Pluggable Python streaming source: offsets advance per batch,
+    the bounded run's final aggregate equals the range() twin exactly."""
+    from cgtcalc_data_transformer_spark.streaming import events as sev
+
+    got = {
+        r.bucket: (r.n_ticks, r.value_total, r.batch_mismatch)
+        for r in sev.streaming_python_source(spark, SF).collect()
+    }
+    want = {
+        r.bucket: (r.n_ticks, r.value_total)
+        for r in sev.ticker_totals(spark, SF).collect()
+    }
+    assert set(got) == set(want) and len(want) == 8
+    for b, (n, v) in want.items():
+        assert got[b] == (n, v, 0)
