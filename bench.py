@@ -134,6 +134,7 @@ HEADLINE: dict[str, str] = {
     "contrastive_negatives": "collect",
     "containment_dedup": "exec",
     "ticker_totals": "collect",
+    "kmv_intersection": "collect",
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }

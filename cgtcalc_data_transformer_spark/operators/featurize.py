@@ -356,3 +356,93 @@ SELECT e.event_type, e.n_exact,
 FROM exact e JOIN kth k USING (event_type)
 ORDER BY e.event_type
 """
+
+
+def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA: estimate |A ∩ B| for two user sets (click
+    users vs purchase users) from the merged sketch — the operation
+    the kmv_distinct docstring promises and HLL cannot do.
+
+    Method: take the k smallest hashes of A ∪ B (a global
+    orderBy+limit — Spark compiles it to TakeOrderedAndProject, a
+    per-partition partial top-k then a k-row merge, never a full
+    sort); within those k, the fraction ρ present in BOTH sets
+    estimates |A∩B| = ρ · (k-1)/h_k. The audit row carries the exact
+    intersection alongside, with a 3σ-ish tolerance flag.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
+        )
+    )
+    h = (
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long") + 1)
+        / F.lit(4294967296.0)
+    ).alias("h")
+    sketch = flags.select("user_id", "in_a", "in_b", h).orderBy("h", "user_id").limit(KMV_K)
+    merged = sketch.groupBy().agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("long")).alias("n_both"),
+    )
+    exact = flags.groupBy().agg(
+        F.sum("in_a").alias("n_a_exact"),
+        F.sum("in_b").alias("n_b_exact"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("long")).alias("n_inter_exact"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(KMV_K) - 1) / F.col("h_k"))
+    inter_est = F.round(F.col("n_both") / F.col("n_kept") * union_est, 4)
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_inter_exact",
+        F.round(union_est, 4).alias("union_est"),
+        inter_est.alias("inter_est"),
+        (
+            F.abs(inter_est - F.col("n_inter_exact"))
+            / F.greatest(F.col("n_inter_exact"), F.lit(1))
+            < 0.5
+        ).alias("within_bound"),
+    )
+
+
+KMV_INTERSECTION_SQL = f"""
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+),
+hashed AS (
+  SELECT user_id, in_a, in_b,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT::BIGINT + 1) / 4294967296.0 AS h
+  FROM flags
+),
+sketch AS (
+  SELECT * FROM hashed ORDER BY h, user_id LIMIT {KMV_K}
+),
+merged AS (
+  SELECT MAX(h) AS h_k, COUNT(*) AS n_kept,
+         SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS n_both
+  FROM sketch
+),
+exact AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n_a_exact,
+         CAST(SUM(in_b) AS BIGINT) AS n_b_exact,
+         CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact
+  FROM flags
+)
+SELECT n_a_exact, n_b_exact, n_inter_exact,
+       ROUND(CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE) ELSE ({KMV_K} - 1) / h_k END, 4) AS union_est,
+       ROUND(n_both / n_kept * (CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE) ELSE ({KMV_K} - 1) / h_k END), 4) AS inter_est,
+       ABS(ROUND(n_both / n_kept * (CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE) ELSE ({KMV_K} - 1) / h_k END), 4) - n_inter_exact)
+         / GREATEST(n_inter_exact, 1) < 0.5 AS within_bound
+FROM exact, merged
+"""

@@ -468,6 +468,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         mlprep.CONTRASTIVE_NEGATIVES_SQL,
     ),
     "containment_dedup": (dedup.containment_dedup, dedup.CONTAINMENT_SQL),
+    "kmv_intersection": (featurize.kmv_intersection, featurize.KMV_INTERSECTION_SQL),
 }
 
 

@@ -54,6 +54,7 @@ BNLJ_OK = {
     "triangle_count_parts",  # two 1-row count scalars crossJoined onto 1 row
     "source_divergence",  # 1-row corpus-stats (V, per-source N) crossJoin
     "temperature_resample",  # 1-row corpus-total scalar crossJoin onto lang counts
+    "kmv_intersection",  # two 1-row sketch/exact aggregates crossJoined
 }
 
 

@@ -231,3 +231,13 @@ def test_containment_directed_vs_jaccard(spark):
     mutual = [(a, b) for (a, b) in pairs if (b, a) in pairs]
     for a, b in mutual:
         assert pairs[(a, b)].n_common == pairs[(b, a)].n_common
+
+
+# ------------------------------------------------- kmv_intersection
+def test_kmv_intersection_estimates(spark):
+    from cgtcalc_data_transformer_spark.operators import featurize
+
+    r = featurize.kmv_intersection(spark, SF).collect()[0]
+    assert r.n_inter_exact <= min(r.n_a_exact, r.n_b_exact)
+    assert r.within_bound
+    assert r.inter_est <= r.union_est
