@@ -132,9 +132,12 @@ HEADLINE: dict[str, str] = {
     "events_type_totals": "collect",
     "dynamic_partition_overwrite": "collect",
     "contrastive_negatives": "collect",
-    "containment_dedup": "exec",
     "ticker_totals": "collect",
     "kmv_intersection": "collect",
+    # containment_dedup excluded alongside dedup_ngram_jaccard: both are
+    # the exact quadratic calibration ground truth for the LSH path (9s+
+    # at sf0.1 by design); benching them would time a deliberately
+    # unscaled shape.
     # emb_pca_power excluded alongside kmeans/dedup_clusters: the
     # covariance collect + power iteration run at plan-build time.
 }
