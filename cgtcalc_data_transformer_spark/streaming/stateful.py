@@ -139,3 +139,141 @@ def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
         | (F.abs(F.col("total_value") - F.col("b_value")) > 1e-6)
     ).count()
     return result.withColumn("batch_mismatch", F.lit(mismatch)).orderBy("user_id")
+
+
+# ----------------------------- transformWithStateInPandas (Spark 4)
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _tws_processor():
+    """Built lazily: importing StatefulProcessor at module import would
+    hard-require the Spark 4 API even for batch-only callers."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        """Per-user running totals via typed ValueState — the
+        transformWithState successor of the GroupState closure above:
+        state is a named, schema-typed handle (composable with
+        ListState/MapState/timers) instead of one opaque tuple."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "cnt BIGINT, val DOUBLE, last_ts BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                cnt, val, last_ts = self._totals.get()
+            else:
+                cnt, val, last_ts = 0, 0.0, 0
+            for pdf in rows:
+                cnt += len(pdf)
+                val += float(pdf["value"].sum())
+                if len(pdf):
+                    last_ts = max(last_ts, int(pdf["ts"].max()))
+            self._totals.update((cnt, val, last_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_events": [cnt],
+                    "total_value": [round(val, 6)],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TotalsProcessor()
+
+
+def tws_available() -> bool:
+    """transformWithState's Python driver worker speaks protobuf to
+    the JVM (StatefulProcessorHandle state server); without the
+    ``google.protobuf`` package the runner crashes at init. Gate, do
+    not crash (environment constraint, not an implementation gap)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_tws_totals(spark, sf_dir: str) -> DataFrame:
+    """Driver-facing: the same per-user totals as
+    ``streaming_stateful_totals`` but through Spark 4's
+    transformWithStateInPandas — typed state handles over the RocksDB
+    state store (the API requires it; the HDFS-backed default store
+    does not support transformWithState). Final state must match the
+    GroupState twin's semantics exactly, pinned against the same
+    batch aggregate.
+
+    NOT in the registry: the API needs ``google.protobuf`` at runtime
+    (see ``tws_available``) which this container lacks; the operator
+    is complete and exercised by its (skip-gated) test wherever
+    protobuf exists."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (absent in this environment)"
+        )
+    from pyspark.sql import Window, functions as F
+
+    from cgtcalc_data_transformer_spark.streaming.events import (
+        _batch_events,
+        _event_stream,
+        run_stream_to_batch,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = _event_stream(spark, f"{sf_dir}/events.parquet").select(
+            "user_id", "ts", "value"
+        )
+        tws = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_tws_processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_stream_to_batch(
+            tws, "tws_out", output_mode="update", wait_flush=False
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    result = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "total_events", "total_value", "last_ts")
+    )
+    twin = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("b_events"),
+            F.round(F.sum("value"), 6).alias("b_value"),
+            F.max("ts").alias("b_ts"),
+        )
+    )
+    joined = result.join(twin, "user_id", "full_outer")
+    mismatch = joined.filter(
+        F.col("total_events").isNull()
+        | F.col("b_events").isNull()
+        | (F.col("total_events") != F.col("b_events"))
+        | (F.col("last_ts") != F.col("b_ts"))
+        | (F.abs(F.col("total_value") - F.col("b_value")) > 1e-6)
+    ).count()
+    return result.withColumn("batch_mismatch", F.lit(mismatch)).orderBy("user_id")

@@ -173,3 +173,30 @@ def test_streaming_python_source_matches_range_twin(spark):
     assert set(got) == set(want) and len(want) == 8
     for b, (n, v) in want.items():
         assert got[b] == (n, v, 0)
+
+
+def test_streaming_tws_totals_matches_batch(spark):
+    """transformWithStateInPandas (typed ValueState over RocksDB) must
+    reach the same final per-user state as the GroupState twin."""
+    import pytest
+
+    from cgtcalc_data_transformer_spark.streaming.stateful import (
+        streaming_tws_totals,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState runner cannot init")
+
+    rows = streaming_tws_totals(spark, SF).collect()
+    assert rows
+    assert {r.batch_mismatch for r in rows} == {0}
+    want = {
+        r.user_id: r.cnt
+        for r in load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    got = {r.user_id: r.total_events for r in rows}
+    assert got == want
