@@ -469,6 +469,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "containment_dedup": (dedup.containment_dedup, dedup.CONTAINMENT_SQL),
     "kmv_intersection": (featurize.kmv_intersection, featurize.KMV_INTERSECTION_SQL),
+    "linkage_sorted_neighborhood": (
+        linkage.linkage_sorted_neighborhood,
+        linkage.SNM_SQL,
+    ),
 }
 
 

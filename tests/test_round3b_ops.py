@@ -241,3 +241,16 @@ def test_kmv_intersection_estimates(spark):
     assert r.n_inter_exact <= min(r.n_a_exact, r.n_b_exact)
     assert r.within_bound
     assert r.inter_est <= r.union_est
+
+
+# ----------------------------------------- linkage_sorted_neighborhood
+def test_snm_finds_matches_across_buckets(spark):
+    from cgtcalc_data_transformer_spark.operators import linkage
+
+    rows = linkage.linkage_sorted_neighborhood(spark, SF).collect()
+    assert len(rows) > 10  # reversed-name bucketing actually distributes
+    total_matched = sum(r.n_matched for r in rows)
+    assert total_matched > 0  # neighborhood recovers dirty→master links
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_pairs
+        assert (r.matched_id_digest > 0) == (r.n_matched > 0)
