@@ -134,6 +134,8 @@ HEADLINE: dict[str, str] = {
     "contrastive_negatives": "collect",
     "ticker_totals": "collect",
     "kmv_intersection": "collect",
+    "linkage_sorted_neighborhood": "collect",
+    "segment_dedup": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -607,3 +607,88 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+# --------------------------------------------- segment-level dedup
+SEG_TOKENS = 8  # pseudo-paragraph width (synthetic docs have no \n\n)
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at SEGMENT granularity — the CCNet recipe:
+    hash fixed spans (here 8-token windows standing in for the
+    paragraphs the synthetic corpus lacks) and measure how much of
+    each source is text that also appears in OTHER documents. Doc-
+    level dedup misses this entirely: two distinct docs sharing one
+    boilerplate paragraph are untouched by any whole-doc fingerprint.
+
+    Plan: tokenize once, integer-div positions into segments, rebuild
+    each segment's text inside the doc-partitioned window shuffle the
+    tokenizer already pays, md5 the segment, then ONE aggregation per
+    granularity: segment-text → distinct-doc count (map-side
+    combinable), joined back and rolled up per source. No pairwise
+    doc×doc anything.
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "tok"),
+    )
+    segs = (
+        tok.withColumn("seg_no", F.floor(F.col("pos") / SEG_TOKENS))
+        .groupBy("doc_id", "source", "seg_no")
+        .agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " ")).alias(
+                "seg_hash"
+            ),
+            F.count(F.lit(1)).alias("seg_len"),
+        )
+        .filter(F.col("seg_len") == SEG_TOKENS)  # drop ragged tails
+    )
+    cross_doc = segs.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_seg")
+    )
+    return (
+        segs.join(cross_doc, "seg_hash")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("n_docs_with_seg") > 1).cast("long")).alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup_segments") / F.col("n_segments"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+SEGMENT_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), segs AS (
+  SELECT doc_id, source,
+         md5(array_to_string(w[(s.seg * {SEG_TOKENS} + 1):(s.seg * {SEG_TOKENS} + {SEG_TOKENS})], ' ')) AS seg_hash
+  FROM toks,
+       LATERAL (SELECT unnest(range(0, CAST(floor(len(w) / {SEG_TOKENS}) AS BIGINT))) AS seg) s
+), cross_doc AS (
+  SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs_with_seg FROM segs GROUP BY 1
+)
+SELECT source,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN c.n_docs_with_seg > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       ROUND(SUM(CASE WHEN c.n_docs_with_seg > 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_fraction
+FROM segs s JOIN cross_doc c USING (seg_hash)
+GROUP BY source
+ORDER BY source
+"""

@@ -202,8 +202,11 @@ FROM orders
 # events_variant, events_attribution_outer, jsonl_roundtrip,
 # cap_per_source, kmv_distinct, collated_group, events_type_totals,
 # dynamic_partition_overwrite, contrastive_negatives,
-# containment_dedup (+ anything red this round) so every registered
-# query has a driver row within two rounds.
+# containment_dedup, kmv_intersection, linkage_sorted_neighborhood,
+# ticker_totals, events_type_totals, streaming_complete_totals,
+# streaming_python_source, streaming_join_outer (+ anything red this
+# round) so every registered query has a driver row within two
+# rounds.
 
 
 def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
@@ -473,6 +476,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         linkage.linkage_sorted_neighborhood,
         linkage.SNM_SQL,
     ),
+    "segment_dedup": (curation.segment_dedup, curation.SEGMENT_DEDUP_SQL),
 }
 
 

@@ -254,3 +254,21 @@ def test_snm_finds_matches_across_buckets(spark):
     for r in rows:
         assert 0 <= r.n_matched <= r.n_pairs
         assert (r.matched_id_digest > 0) == (r.n_matched > 0)
+
+
+# ------------------------------------------------- segment_dedup
+def test_segment_dedup_fractions(spark):
+    rows = curation.segment_dedup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_segments <= r.n_segments
+        assert r.dup_fraction == round(r.n_dup_segments / r.n_segments, 6)
+    # exact whole-doc duplicates guarantee duplicated segments exist
+    # somewhere in the corpus whenever dedup_exact finds dup_count > 1
+    from cgtcalc_data_transformer_spark.operators import dedup
+
+    has_doc_dups = (
+        dedup.dedup_exact(spark, SF).filter(F.col("dup_count") > 1).count() > 0
+    )
+    if has_doc_dups:
+        assert sum(r.n_dup_segments for r in rows) > 0
