@@ -832,3 +832,79 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------ robust (median/MAD) anomaly
+ROBUST_Z = 3.5  # Iglewicz–Hoaglin modified-z cutoff
+
+
+def events_rate_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rate anomalies via median/MAD instead of mean/σ — the
+    robust twin of ``events_rate_anomaly``. A real burst contaminates
+    the trailing mean AND inflates σ, so z-scoring can mask a second
+    spike (masking effect); the median and the median absolute
+    deviation have a 50% breakdown point and don't move.
+
+    Engine-exactness: hourly counts are integers, so each per-type
+    median is k or k+0.5 exactly, |n − med| is exact in double, the
+    MAD is again a median of exact values, and the modified z
+    (0.6745·dev/MAD) is one IEEE multiply+divide — bit-identical in
+    DuckDB. Plan: the same single collapse of the stream to
+    (type, hour) counts, then two tiny per-type aggregates (median,
+    then MAD over the deviations) broadcast back — the raw events are
+    scanned once.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type"), F.expr(f"ts div {HOUR_NS}").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med_n")
+    )
+    devs = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n").cast("double") - F.col("med_n"))
+    )
+    mad = devs.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad_n")
+    )
+    z = F.lit(0.6745) * F.col("dev") / F.col("mad_n")
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad_n") > 0)  # constant-baseline guard, as in the z twin
+        .filter(z > ROBUST_Z)
+        .select(
+            "event_type",
+            (F.col("hour_bucket") * 3600).alias("hour_epoch"),
+            "n",
+            F.col("med_n").alias("median_n"),
+            F.col("mad_n").alias("mad_n"),
+            F.round(z, 6).alias("robust_z"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+EVENTS_ANOMALY_ROBUST_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // {HOUR_NS} AS hour_bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med_n FROM hourly GROUP BY 1
+),
+devs AS (
+  SELECT h.event_type, h.hour_bucket, h.n, m.med_n,
+         ABS(CAST(h.n AS DOUBLE) - m.med_n) AS dev
+  FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad_n FROM devs GROUP BY 1
+)
+SELECT d.event_type,
+       d.hour_bucket * 3600 AS hour_epoch,
+       d.n, d.med_n AS median_n, a.mad_n,
+       ROUND(0.6745 * d.dev / a.mad_n, 6) AS robust_z
+FROM devs d JOIN mad a USING (event_type)
+WHERE a.mad_n > 0 AND 0.6745 * d.dev / a.mad_n > {ROBUST_Z}
+ORDER BY d.event_type, hour_epoch
+"""

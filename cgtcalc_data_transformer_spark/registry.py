@@ -477,6 +477,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         linkage.SNM_SQL,
     ),
     "segment_dedup": (curation.segment_dedup, curation.SEGMENT_DEDUP_SQL),
+    "events_rate_anomaly_robust": (
+        events.events_rate_anomaly_robust,
+        events.EVENTS_ANOMALY_ROBUST_SQL,
+    ),
 }
 
 

@@ -272,3 +272,29 @@ def test_segment_dedup_fractions(spark):
     )
     if has_doc_dups:
         assert sum(r.n_dup_segments for r in rows) > 0
+
+
+# -------------------------------------------- events_rate_anomaly_robust
+def test_robust_anomaly_flags_are_extreme_hours(spark):
+    """Every flagged hour's count must sit beyond the modified-z
+    cutoff relative to ITS type's median/MAD, recomputed directly."""
+    rows = events.events_rate_anomaly_robust(spark, SF).collect()
+    import statistics
+
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    hourly = (
+        load_events(spark, SF)
+        .groupBy("event_type", F.expr(f"ts div {events.HOUR_NS}").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type = {}
+    for r in hourly:
+        by_type.setdefault(r.event_type, []).append(r.n)
+    for r in rows:
+        ns = by_type[r.event_type]
+        med = statistics.median(ns)
+        mad = statistics.median([abs(x - med) for x in ns])
+        assert r.median_n == med and r.mad_n == mad
+        assert 0.6745 * abs(r.n - med) / mad > events.ROBUST_Z
