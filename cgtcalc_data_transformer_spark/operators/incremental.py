@@ -359,3 +359,103 @@ WHERE NOT (matched AND action = 'D')
   AND (t_price IS NOT NULL OR action = 'U')
 ORDER BY o_orderkey
 """
+
+
+# --------------------------------------------------- snapshot diff
+DIFF_DELTA_PCT = 20  # md5 bucket < 20 → row differs in snapshot B
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation: classify every key across two snapshots
+    as unchanged / changed / added / removed in ONE full-outer join —
+    the audit every ingest pipeline runs after a backfill, and the
+    pure-relational twin of ``cogroup_reconcile`` (which demonstrates
+    the cogrouped-UDF route for the same question).
+
+    Snapshot B is derived deterministically from orders: 20% of keys
+    get a price bump (changed), keys with bucket%7==0 are dropped
+    (removed), and synthetic keys beyond the max are appended (added)
+    — so the oracle can replay the exact same derivation. Comparison
+    is on xxhash-free md5 of the value tuple (engine-portable).
+    Output is the per-status rollup: count + key digest.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = hash_bucket(F.col("o_orderkey"))
+    snap_a = orders
+    snap_b = (
+        orders.filter(~(b % 7 == 0))  # removed rows
+        .withColumn(
+            "o_totalprice",
+            F.when(b < DIFF_DELTA_PCT, F.col("o_totalprice") + 50.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(  # added rows: key-shifted clones, disjoint by offset
+            orders.filter(b % 13 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000)
+            )
+        )
+    )
+    val = lambda pfx: F.md5(
+        F.concat_ws("|", F.col(f"{pfx}_price").cast("string"), F.col(f"{pfx}_status"))
+    )
+    a = snap_a.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("a_price"),
+        F.col("o_orderstatus").alias("a_status"),
+    )
+    bdf = snap_b.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("b_price"),
+        F.col("o_orderstatus").alias("b_status"),
+    )
+    joined = a.join(bdf, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.when(F.col("a_price").isNull(), F.lit("added"))
+        .when(F.col("b_price").isNull(), F.lit("removed"))
+        .when(val("a") == val("b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+    return (
+        joined.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("o_orderkey").alias("key_digest"),
+        )
+        .orderBy("status")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (
+  SELECT o_orderkey, o_totalprice AS a_price, o_orderstatus AS a_status FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < {DIFF_DELTA_PCT}
+              THEN o_totalprice + 50.0 ELSE o_totalprice END AS b_price,
+         o_orderstatus AS b_status
+  FROM orders
+  WHERE NOT (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100) % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000000, o_totalprice, o_orderstatus
+  FROM orders
+  WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100) % 13 = 0
+),
+joined AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         CASE WHEN a.a_price IS NULL THEN 'added'
+              WHEN b.b_price IS NULL THEN 'removed'
+              WHEN md5(CAST(a.a_price AS VARCHAR) || '|' || a.a_status)
+                 = md5(CAST(b.b_price AS VARCHAR) || '|' || b.b_status) THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM a FULL OUTER JOIN b USING (o_orderkey)
+)
+SELECT status, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_digest
+FROM joined
+GROUP BY status
+ORDER BY status
+"""

@@ -481,6 +481,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.events_rate_anomaly_robust,
         events.EVENTS_ANOMALY_ROBUST_SQL,
     ),
+    "snapshot_diff": (incremental.snapshot_diff, incremental.SNAPSHOT_DIFF_SQL),
 }
 
 

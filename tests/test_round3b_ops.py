@@ -298,3 +298,24 @@ def test_robust_anomaly_flags_are_extreme_hours(spark):
         mad = statistics.median([abs(x - med) for x in ns])
         assert r.median_n == med and r.mad_n == mad
         assert 0.6745 * abs(r.n - med) / mad > events.ROBUST_Z
+
+
+# ------------------------------------------------- snapshot_diff
+def test_snapshot_diff_partitions_keyspace(spark):
+    from cgtcalc_data_transformer_spark.operators import incremental
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    rows = {r.status: r for r in incremental.snapshot_diff(spark, SF).collect()}
+    assert set(rows) == {"added", "changed", "removed", "unchanged"}
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    buckets = [
+        r.b for r in orders.select(hash_bucket(F.col("o_orderkey")).alias("b")).collect()
+    ]
+    removed = sum(1 for b in buckets if b % 7 == 0)
+    added = sum(1 for b in buckets if b % 13 == 0)
+    changed = sum(1 for b in buckets if b % 7 != 0 and b < incremental.DIFF_DELTA_PCT)
+    assert rows["removed"].n_keys == removed
+    assert rows["added"].n_keys == added
+    assert rows["changed"].n_keys == changed
+    assert rows["unchanged"].n_keys == n - removed - changed
