@@ -908,3 +908,66 @@ FROM devs d JOIN mad a USING (event_type)
 WHERE a.mad_n > 0 AND 0.6745 * d.dev / a.mad_n > {ROBUST_Z}
 ORDER BY d.event_type, hour_epoch
 """
+
+
+# ---------------------------------------------- time-decayed trending
+DECAY_MAX_AGE_DAYS = 30  # older events contribute 0 (2^-31 < any rank gap)
+
+
+def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity score per event type: an event aged
+    d days (vs the corpus max day) weighs 2^-d — the trending-items
+    primitive where yesterday counts half of today.
+
+    Engine-exactness trick: exp()/pow() are NOT correctly-rounded and
+    differ across libms, so the decay is computed entirely in INTEGER
+    arithmetic — each event contributes 2^(MAX_AGE − d) to a BIGINT
+    sum (map-side combinable; no overflow: count·2^30 ≪ 2^63), and
+    one final division by 2^MAX_AGE yields the score as an exact
+    dyadic rational, bit-identical in any IEEE engine. Same
+    one-collapse plan as the anomaly ops: day counts first, then the
+    weighted rollup; the max-day scalar broadcasts.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type"), F.expr(f"ts div {DAY_NS}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    max_day = daily.groupBy().agg(F.max("day").alias("max_day"))
+    aged = daily.crossJoin(F.broadcast(max_day)).withColumn(
+        "age", F.col("max_day") - F.col("day")
+    )
+    # shiftleft() only takes a literal bit count; the SQL form takes a column
+    scaled = F.expr(f"shiftleft(1L, cast({DECAY_MAX_AGE_DAYS} - age as int))")
+    return (
+        aged.filter(F.col("age") <= DECAY_MAX_AGE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.col("n") * scaled).alias("score_scaled"),
+        )
+        .withColumn(
+            "decay_score",
+            F.col("score_scaled").cast("double") / F.lit(float(2**DECAY_MAX_AGE_DAYS)),
+        )
+        .orderBy(F.desc("decay_score"), "event_type")
+    )
+
+
+EVENTS_TRENDING_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // {DAY_NS} AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT MAX(day) AS max_day FROM daily),
+aged AS (
+  SELECT d.event_type, d.n, m.max_day - d.day AS age FROM daily d, m
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(n * (CAST(1 AS BIGINT) << CAST({DECAY_MAX_AGE_DAYS} - age AS INT))) AS BIGINT) AS score_scaled,
+       CAST(SUM(n * (CAST(1 AS BIGINT) << CAST({DECAY_MAX_AGE_DAYS} - age AS INT))) AS DOUBLE) / {float(2**DECAY_MAX_AGE_DAYS)} AS decay_score
+FROM aged
+WHERE age <= {DECAY_MAX_AGE_DAYS}
+GROUP BY event_type
+ORDER BY decay_score DESC, event_type
+"""

@@ -482,6 +482,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.EVENTS_ANOMALY_ROBUST_SQL,
     ),
     "snapshot_diff": (incremental.snapshot_diff, incremental.SNAPSHOT_DIFF_SQL),
+    "events_trending_decay": (
+        events.events_trending_decay,
+        events.EVENTS_TRENDING_SQL,
+    ),
 }
 
 

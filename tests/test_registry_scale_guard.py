@@ -55,6 +55,7 @@ BNLJ_OK = {
     "source_divergence",  # 1-row corpus-stats (V, per-source N) crossJoin
     "temperature_resample",  # 1-row corpus-total scalar crossJoin onto lang counts
     "kmv_intersection",  # two 1-row sketch/exact aggregates crossJoined
+    "events_trending_decay",  # 1-row max-day scalar crossJoin onto day counts
 }
 
 

@@ -319,3 +319,29 @@ def test_snapshot_diff_partitions_keyspace(spark):
     assert rows["added"].n_keys == added
     assert rows["changed"].n_keys == changed
     assert rows["unchanged"].n_keys == n - removed - changed
+
+
+# --------------------------------------------- events_trending_decay
+def test_trending_decay_exact_dyadic(spark):
+    """The decayed score must equal the python-float recompute exactly
+    (2^-d weights are dyadic rationals — no libm, no ulp drift)."""
+    rows = events.events_trending_decay(spark, SF).collect()
+    assert rows
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    daily = (
+        load_events(spark, SF)
+        .groupBy("event_type", F.expr(f"ts div {events.DAY_NS}").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    max_day = max(r.day for r in daily)
+    want = {}
+    for r in daily:
+        age = max_day - r.day
+        if age <= events.DECAY_MAX_AGE_DAYS:
+            want[r.event_type] = want.get(r.event_type, 0.0) + r.n * 2.0 ** (-age)
+    got = {r.event_type: r.decay_score for r in rows}
+    assert set(got) == set(want)
+    for t, v in want.items():
+        assert got[t] == v  # exact equality, not approx
