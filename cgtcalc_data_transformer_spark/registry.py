@@ -204,9 +204,10 @@ FROM orders
 # dynamic_partition_overwrite, contrastive_negatives,
 # containment_dedup, kmv_intersection, linkage_sorted_neighborhood,
 # ticker_totals, events_type_totals, streaming_complete_totals,
-# streaming_python_source, streaming_join_outer (+ anything red this
-# round) so every registered query has a driver row within two
-# rounds.
+# streaming_python_source, streaming_join_outer, segment_dedup,
+# events_rate_anomaly_robust, snapshot_diff, events_trending_decay
+# (+ anything red this round) so every registered query has a driver
+# row within two rounds.
 
 
 def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
