@@ -139,6 +139,7 @@ HEADLINE: dict[str, str] = {
     "events_rate_anomaly_robust": "collect",
     "snapshot_diff": "collect",
     "events_trending_decay": "collect",
+    "events_rfm_segments": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -971,3 +971,92 @@ WHERE age <= {DECAY_MAX_AGE_DAYS}
 GROUP BY event_type
 ORDER BY decay_score DESC, event_type
 """
+
+
+# ---------------------------------------------------- RFM segmentation
+RFM_R_DAYS = (0, 1)   # recency: active today → 3, yesterday → 2, else 1
+RFM_HI = 1.15         # frequency/monetary: ≥ 1.15×corpus mean → 3, ≥ mean → 2
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic lifecycle-marketing rollup: score each user 1-3 per axis,
+    report segment sizes and value.
+
+    Cut-points are corpus-MEAN-relative (mean and 1.15×mean), not
+    quantiles: a mean is one exact integer/decimal ratio — engine-
+    deterministic — where a quantile cut over doubles is
+    interpolation-order bait for cross-engine drift. Monetary sums in
+    decimal so every comparison is exact. One scan → per-user
+    aggregate → broadcast 1-row corpus stats → segment projection →
+    tiny rollup.
+    """
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.expr(f"ts div {DAY_NS}")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("value_sum"),
+    )
+    stats = per_user.groupBy().agg(
+        F.max("last_day").alias("ref_day"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mean_n"),
+        (
+            F.sum(_dec(F.col("value_sum"))).cast("double") / F.count(F.lit(1))
+        ).alias("mean_v"),
+    )
+    scored = per_user.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("ref_day") - F.col("last_day") <= RFM_R_DAYS[0], F.lit(3))
+        .when(F.col("ref_day") - F.col("last_day") <= RFM_R_DAYS[1], F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("r_score"),
+        F.when(F.col("n_events") >= F.col("mean_n") * RFM_HI, F.lit(3))
+        .when(F.col("n_events") >= F.col("mean_n"), F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("f_score"),
+        F.when(F.col("value_sum") >= F.col("mean_v") * RFM_HI, F.lit(3))
+        .when(F.col("value_sum") >= F.col("mean_v"), F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("m_score"),
+        "value_sum",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(_dec(F.col("value_sum"))).cast("double").alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+EVENTS_RFM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(epoch_ns(ts) // {DAY_NS}) AS last_day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT MAX(last_day) AS ref_day,
+         CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n,
+         CAST(SUM(CAST(value_sum AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_v
+  FROM per_user
+),
+scored AS (
+  SELECT CASE WHEN ref_day - last_day <= {RFM_R_DAYS[0]} THEN 3
+              WHEN ref_day - last_day <= {RFM_R_DAYS[1]} THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN n_events >= mean_n * {RFM_HI} THEN 3
+              WHEN n_events >= mean_n THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN value_sum >= mean_v * {RFM_HI} THEN 3
+              WHEN value_sum >= mean_v THEN 2 ELSE 1 END AS m_score,
+         value_sum
+  FROM per_user, stats
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(value_sum AS DECIMAL(28,6))) AS DOUBLE) AS segment_value
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

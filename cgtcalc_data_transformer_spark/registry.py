@@ -487,6 +487,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.events_trending_decay,
         events.EVENTS_TRENDING_SQL,
     ),
+    "events_rfm_segments": (events.events_rfm_segments, events.EVENTS_RFM_SQL),
 }
 
 

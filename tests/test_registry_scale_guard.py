@@ -56,6 +56,7 @@ BNLJ_OK = {
     "temperature_resample",  # 1-row corpus-total scalar crossJoin onto lang counts
     "kmv_intersection",  # two 1-row sketch/exact aggregates crossJoined
     "events_trending_decay",  # 1-row max-day scalar crossJoin onto day counts
+    "events_rfm_segments",  # 1-row reference-day scalar crossJoin onto per-user aggs
 }
 
 

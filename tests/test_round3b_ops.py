@@ -345,3 +345,15 @@ def test_trending_decay_exact_dyadic(spark):
     assert set(got) == set(want)
     for t, v in want.items():
         assert got[t] == v  # exact equality, not approx
+
+
+# ------------------------------------------------- events_rfm_segments
+def test_rfm_segments_cover_all_users(spark):
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = events.events_rfm_segments(spark, SF).collect()
+    assert len(rows) > 1  # mean-relative cutpoints actually segment
+    n_users = load_events(spark, SF).select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert r.r_score in (1, 2, 3) and r.f_score in (1, 2, 3) and r.m_score in (1, 2, 3)
