@@ -93,7 +93,10 @@ def _update(assigned: DataFrame, prev: list[list[float]]) -> list[list[float]]:
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=8 Lloyd k-means, 3 iterations from seeded literals; returns
-    per-cell membership count and the final centroid vector.
+    per-cell membership count and the final centroid rendered as a
+    comma-joined ``%.6f`` string — components are round(·,6)-quantized
+    so the fixed-point render is exact, and a scalar string survives
+    the driver canonicalizer where ``array<double>`` crashes it.
 
     NOTE: like dedup_clusters/pagerank, the iteration runs at
     plan-BUILD time (each update collects the K×dim matrix), so the
@@ -110,7 +113,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cent_df.join(counts, "cell", "left")
-        .select("cell", F.coalesce("n_members", F.lit(0)).alias("n_members"), "centroid")
+        .select(
+            "cell",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.concat_ws(
+                ",",
+                F.transform("centroid", lambda x: F.format_string("%.6f", x)),
+            ).alias("centroid_csv"),
+        )
         .orderBy("cell")
     )
 
@@ -179,7 +189,7 @@ WITH emb AS (
 )
 SELECT p.cell,
        COALESCE(n.n_members, 0) AS n_members,
-       p.c AS centroid
+       array_to_string(list_transform(p.c, x -> printf('%.6f', x)), ',') AS centroid_csv
 FROM {prev} p
 LEFT JOIN (SELECT cell, COUNT(*) AS n_members FROM final_assign GROUP BY cell) n
   ON p.cell = n.cell

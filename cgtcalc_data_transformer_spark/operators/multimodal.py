@@ -318,7 +318,10 @@ WITH assets AS (
     + """ AS feature
   FROM assets
 )
-SELECT asset_id, modality, feature,
+SELECT asset_id, modality,
+       feature[1] AS f0, feature[2] AS f1, feature[3] AS f2,
+       feature[4] AS f3, feature[5] AS f4, feature[6] AS f5,
+       feature[7] AS f6, feature[8] AS f7,
        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), feature),
                          (a, x) -> a + x), 6) AS l1_mass
 FROM feats
@@ -365,14 +368,21 @@ def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature vectors for every asset, plus the L1 mass (≈1 for any
-    non-empty payload) so the rows-only check still pins an
-    invariant column."""
+    """Feature vectors for every asset, flattened to scalar columns
+    f0..f7, plus the L1 mass (≈1 for any non-empty payload) as an
+    invariant column.
+
+    Flattened, not ``array<double>``: the driver's canonicalizer sorts
+    every output column through pandas and list cells are unhashable
+    (round-3 red row). The array shape stays available internally via
+    ``extract_features`` for the similarity/embedding operators; the
+    registry-facing output is scalar-only by contract
+    (tests/test_registry_contract.py enforces this for every query)."""
     feats = extract_features(synthesize_assets(spark, sf_dir))
     return feats.select(
         "asset_id",
         "modality",
-        "feature",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
             "l1_mass"
         ),

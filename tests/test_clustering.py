@@ -24,7 +24,9 @@ def test_kmeans_output_shape(spark):
     rows = kmeans_embeddings(spark, SF).collect()
     assert len(rows) == KMEANS_K
     assert [r["cell"] for r in rows] == list(range(KMEANS_K))
-    assert all(len(r["centroid"]) == 64 for r in rows)
+    # centroid renders as a 64-component %.6f CSV string (scalar-only
+    # output contract: driver canon crashes on array cells)
+    assert all(len(r["centroid_csv"].split(",")) == 64 for r in rows)
     n = load_table(spark, SF, "embeddings").count()
     assert sum(r["n_members"] for r in rows) == n
 

@@ -61,12 +61,41 @@ BNLJ_OK = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
+def dfs(spark):
     return {
-        name: formatted_plan(fn(spark, SF))
+        name: fn(spark, SF)
         for name, fn in registry.queries().items()
         if name not in SKIP
     }
+
+
+@pytest.fixture(scope="module")
+def plans(dfs):
+    return {name: formatted_plan(df) for name, df in dfs.items()}
+
+
+def test_no_complex_types_in_output(dfs):
+    """The DRIVER's canonicalizer crashes on list/struct/map cells
+    (pandas sort_values → 'unhashable type: list' — the round-3
+    multimodal_features red row). Every registry query's OUTPUT must
+    therefore be scalar-only: flatten arrays to f0..fN columns or a
+    formatted string before the final select. Streaming entries are
+    rows-only in the driver (no canon pass) and are pinned by their
+    own tests."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, df in dfs.items():
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        f"complex-typed output columns (driver canon crashes on these): {bad}"
+    )
 
 
 def test_no_cartesian_product(plans):

@@ -33,12 +33,30 @@ from cgtcalc_data_transformer_spark.sources.tpch import TABLES  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+class ComplexCellError(TypeError):
+    """A list/dict/ndarray cell reached the compare — the DRIVER's
+    canonicalizer crashes on these (pandas sort_values: 'unhashable
+    type: list', the round-3 multimodal_features red row), so the
+    local replica must fail identically instead of normalizing."""
+
+
 def _norm(v):
-    """Normalize a pandas cell to (type-tag, value) — type-strict."""
-    if isinstance(v, np.ndarray):  # array cell: BEFORE .item() (which
-        v = v.tolist()             # raises on size != 1)
-    if hasattr(v, "item") and not isinstance(v, (list, tuple)):
+    """Normalize a pandas cell to (type-tag, value) — type-strict.
+
+    Complex cells (list/tuple/dict/ndarray) raise: the driver's canon
+    dies on them, and a local gate that tolerates what the driver
+    rejects ships red rows (round-3 lesson)."""
+    if isinstance(v, (np.ndarray, list, tuple, dict, set)):
+        raise ComplexCellError(
+            f"complex cell {type(v).__name__} — driver canon would crash; "
+            "flatten arrays/structs/maps to scalar columns"
+        )
+    if hasattr(v, "item"):
         v = v.item()  # numpy scalar → python scalar
+        if isinstance(v, (list, tuple, dict)):
+            raise ComplexCellError(
+                f"complex cell {type(v).__name__} — driver canon would crash"
+            )
     if v is None:
         return ("null", None)
     if isinstance(v, float):
@@ -51,8 +69,6 @@ def _norm(v):
         return ("int", v)
     if hasattr(v, "isoformat"):
         return ("ts", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("list", tuple(_norm(x) for x in v))
     return (type(v).__name__, v)
 
 
@@ -116,8 +132,12 @@ def main() -> int:
                 f"columns spark={sorted(spd.columns)} duckdb={sorted(dpd.columns)}"
             )
         if not problems:
-            sk, dk = _frame_key(spd), _frame_key(dpd)
-            if sk != dk:
+            try:
+                sk, dk = _frame_key(spd), _frame_key(dpd)
+            except ComplexCellError as e:
+                problems.append(f"driver-canon crash: {e}")
+                sk = dk = None
+            if sk is not None and sk != dk:
                 diff_s = list((sk - dk).items())[:3]
                 diff_d = list((dk - sk).items())[:3]
                 problems.append(
