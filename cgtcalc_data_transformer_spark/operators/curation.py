@@ -692,3 +692,149 @@ FROM segs s JOIN cross_doc c USING (seg_hash)
 GROUP BY source
 ORDER BY source
 """
+
+
+# --------------------------------- DSIR-style importance resampling
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much more likely
+# its hashed n-gram features are under a small TARGET domain than
+# under the RAW corpus distribution, then keep the top-K. The public
+# recipe hashes features into a small bucket space so both
+# distributions are dense multinomials — no vocabulary state.
+DSIR_BUCKETS = 64          # hashed feature space (public DSIR uses 10k)
+DSIR_TARGET_SOURCE = "src0"  # the "curated domain" exemplar slice
+DSIR_KEEP = 150            # top-K admitted documents
+
+
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K documents by hashed-unigram importance weight
+    log p_target(d) − log p_corpus(d).
+
+    Engine-exactness: the only libm calls are the 2·B per-BUCKET
+    ``ln`` evaluations; each per-bucket log-ratio is quantized to an
+    INTEGER λ = floor(x·1e8 + 0.5) (the emb_quantize recipe — NOT
+    round(double, 8), whose shortest-repr-vs-binary tie behavior
+    differs between engines), so the per-document score Σ c_b·λ_b is
+    exact BIGINT arithmetic — partition/visit order cannot drift it.
+    The final /1e8 is one correctly-rounded IEEE division. Smoothing
+    is +1 on counts, +B on totals: every probability is a ratio of
+    exact integers.
+
+    Plan shape (100 TB): one tokenize+explode pass → per-(doc,
+    bucket) counts (the only corpus-sized shuffle, map-side partial);
+    the two distributions are B-row aggregates with 1-row scalar
+    totals crossJoined on (bounded broadcast); the λ table joins back
+    broadcast, and the final top-K compiles to TakeOrderedAndProject
+    — never a global sort.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " "
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    feat = toks.select(
+        "doc_id", "source", hash_bucket(F.col("tok"), DSIR_BUCKETS).alias("b")
+    )
+    doc_counts = feat.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # corpus + target bucket distributions (B rows; cache — feeds the
+    # per-bucket counts AND is re-derived for the scalar totals)
+    corpus = doc_counts.groupBy("b").agg(F.sum("c").alias("cs"))
+    target = (
+        doc_counts.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    n_s = corpus.agg(F.sum("cs").alias("ns"))
+    n_t = target.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    lam = (
+        corpus.join(target, "b", "left")
+        .crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("nt") + DSIR_BUCKETS)
+                    )
+                    - F.log(
+                        (F.col("cs") + 1).cast("double")
+                        / (F.col("ns") + DSIR_BUCKETS)
+                    )
+                )
+                * 1e8
+                + 0.5
+            )
+            .cast("long")
+            .alias("lam"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.col("c") * F.col("lam")).alias("logw_int"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_toks",
+            (F.col("logw_int") / F.lit(1e8)).alias("log_weight"),
+        )
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(DSIR_KEEP)
+    )
+
+
+DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, tok
+  FROM (
+    SELECT doc_id, source,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+), feat AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT % {DSIR_BUCKETS} AS b
+  FROM toks
+), doc_counts AS (
+  SELECT doc_id, source, b, COUNT(*) AS c FROM feat GROUP BY 1, 2, 3
+), corpus AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS cs FROM doc_counts GROUP BY b
+), target AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM doc_counts
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+), tot AS (
+  SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM corpus) AS ns,
+         (SELECT COALESCE(CAST(SUM(ct) AS BIGINT), 0) FROM target) AS nt
+), lam AS (
+  SELECT corpus.b,
+         CAST(floor((ln((COALESCE(target.ct, 0) + 1) / CAST(tot.nt + {DSIR_BUCKETS} AS DOUBLE))
+                     - ln((corpus.cs + 1) / CAST(tot.ns + {DSIR_BUCKETS} AS DOUBLE))) * 1e8
+                    + 0.5) AS BIGINT) AS lam
+  FROM corpus LEFT JOIN target USING (b) CROSS JOIN tot
+), scored AS (
+  SELECT d.doc_id, d.source,
+         CAST(SUM(d.c) AS BIGINT) AS n_toks,
+         CAST(SUM(d.c * l.lam) AS BIGINT) AS logw_int
+  FROM doc_counts d JOIN lam l USING (b)
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_toks,
+       logw_int / 1e8 AS log_weight
+FROM scored
+ORDER BY log_weight DESC, doc_id
+LIMIT {DSIR_KEEP}
+"""

@@ -289,7 +289,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = entered.select("user_id", F.col(f"t{k}").alias("t_prev"))
     counts = stage_times[0].agg(F.count(F.lit(1)).alias("c0"))
     for k, df in enumerate(stage_times[1:], start=1):
-        counts = counts.crossJoin(df.agg(F.count(F.lit(1)).alias(f"c{k}")))
+        counts = counts.crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias(f"c{k}")))
+        )
     stages = []
     for k, stage in enumerate(FUNNEL_STAGES):
         conv = (
@@ -554,6 +556,11 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle runs the UNBINNED containment join — proving
     the rewrite changes the plan, not the semantics.
+
+    Minimum fixture scale: sf0.01. At sf0.001 no purchase falls
+    inside a multi-event session, so both sides return 0 rows and the
+    oracle gate is vacuous (verified non-vacuous at sf0.01, the
+    driver's scale).
     """
     ev = load_events(spark, sf_dir)
     browse = ev.filter(F.col("event_type") != "purchase")
@@ -853,6 +860,11 @@ def events_rate_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, hour) counts, then two tiny per-type aggregates (median,
     then MAD over the deviations) broadcast back — the raw events are
     scanned once.
+
+    Minimum fixture scale: sf0.01. At sf0.001 no hour clears the
+    modified-z threshold, so the query returns 0 rows and the oracle
+    gate is vacuous (verified non-vacuous at sf0.01, the driver's
+    scale).
     """
     ev = load_events(spark, sf_dir)
     hourly = ev.groupBy(

@@ -177,37 +177,14 @@ FROM orders
 # name → (fn, oracle_sql | None)
 #
 # ORDER MATTERS: the correctness driver checks only the first 50
-# ``queries()`` entries per round. Rounds 1-2 proved the parser and
-# TPC-H/window/setop rows (CORRECTNESS_r01/r02), so round 3 fronts the
-# 49 queries that have never had a driver row — the LLM-pipeline
-# surface (similarity, text, curation, embedding, incremental, events,
-# layout, DQ, skew, multimodal, streaming) — plus canonical_orders
-# (regression-trimmed this round; recheck). Round-4 rotation plan:
-# front agg_approx, doc_similarity_tfidf, partition_pruning,
-# pagerank_suppliers, compact_orders, text_perplexity_bigram,
-# vocab_topk, curate_corpus, dedup_ngram_jaccard, dedup_clusters,
-# kmeans_embeddings, text_hashing_tf, cms_heavy_hitters,
-# text_search_and, parse_bullionvault_pyds, grouped_zscore,
-# split_assign, text_repetition, length_outliers,
-# events_user_sequences, emb_pca_power, ivm_refresh_revenue,
-# orc_roundtrip, events_retention, events_transition_matrix,
-# merge_upsert, histogram_equidepth, sample_weighted, record_linkage,
-# erasure_propagate, bm25_rank, schema_evolution,
-# dynamic_partition_pruning, interval_join_binned, hll_segment_union,
-# triangle_count_parts, bloom_filter_pruned_join, events_top_paths,
-# cogroup_reconcile, join_shuffle_hash_hint, events_rate_anomaly,
-# source_divergence, csv_quarantine, events_static_enrich,
-# join_bucketed, sample_stratified, profile_orders,
-# split_leakage_check, temperature_resample, xml_roundtrip,
-# events_variant, events_attribution_outer, jsonl_roundtrip,
-# cap_per_source, kmv_distinct, collated_group, events_type_totals,
-# dynamic_partition_overwrite, contrastive_negatives,
-# containment_dedup, kmv_intersection, linkage_sorted_neighborhood,
-# ticker_totals, events_type_totals, streaming_complete_totals,
-# streaming_python_source, streaming_join_outer, segment_dedup,
-# events_rate_anomaly_robust, snapshot_diff, events_trending_decay
-# (+ anything red this round) so every registered query has a driver
-# row within two rounds.
+# ``queries()`` entries per round. ``_ALL`` below holds every entry in
+# stable (historical) grouping; the per-round rotation is the explicit
+# ``_ROUND4_WINDOW`` list after it — REGISTRY is built window-first,
+# so reordering a round is a list edit, not a dict rewrite. Rounds 1-2
+# proved the parser/TPC-H/window/setop rows (CORRECTNESS_r01/r02);
+# round 3 proved the LLM-pipeline surface (43/44 green); round 4
+# fronts the multimodal_features recheck (the one r3 red, now
+# flattened) plus the 49 oldest never-driver-checked oracled queries.
 
 
 def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
@@ -266,8 +243,8 @@ def _outer_join_entries() -> dict[str, tuple[QueryFn, str | None]]:
     }
 
 
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-3 driver window (slots 1-50) --------------------------
+_ALL: dict[str, tuple[QueryFn, str | None]] = {
+    # ---- round-3 driver window (slots 1-50 in round 3) ---------------
     "canonical_orders": (canonical_orders, CANONICAL_ORDERS_SQL),
     # skew-join family
     "skew_join_plain": (relational_ext.skew_join_plain, relational_ext.SKEW_JOIN_SQL),
@@ -488,7 +465,113 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.EVENTS_TRENDING_SQL,
     ),
     "events_rfm_segments": (events.events_rfm_segments, events.EVENTS_RFM_SQL),
+    # ---- round-4 additions (tail: enter the round-5 window) ----------
+    "dsir_importance_resample": (
+        curation.dsir_importance_resample,
+        curation.DSIR_SQL,
+    ),
 }
+
+
+# ---- round-4 driver window (slots 1-50) ------------------------------
+# Slot 1: the round-3 red row (array output flattened this round).
+# Slots 2-50: the oldest never-driver-checked oracled queries, per the
+# round-3 verdict's priority order. Rows-only streaming entries are
+# deliberately excluded (they consume slots without hash rows).
+_ROUND4_WINDOW = [
+    "multimodal_features",
+    "agg_approx",
+    "doc_similarity_tfidf",
+    "partition_pruning",
+    "pagerank_suppliers",
+    "compact_orders",
+    "text_perplexity_bigram",
+    "vocab_topk",
+    "curate_corpus",
+    "kmeans_embeddings",
+    "text_hashing_tf",
+    "cms_heavy_hitters",
+    "text_search_and",
+    "parse_bullionvault_pyds",
+    "grouped_zscore",
+    "split_assign",
+    "text_repetition",
+    "length_outliers",
+    "events_user_sequences",
+    "emb_pca_power",
+    "ivm_refresh_revenue",
+    "orc_roundtrip",
+    "events_retention",
+    "dedup_clusters",
+    "events_transition_matrix",
+    "merge_upsert",
+    "histogram_equidepth",
+    "sample_weighted",
+    "record_linkage",
+    "erasure_propagate",
+    "bm25_rank",
+    "schema_evolution",
+    "dynamic_partition_pruning",
+    "interval_join_binned",
+    "hll_segment_union",
+    "triangle_count_parts",
+    "bloom_filter_pruned_join",
+    "events_top_paths",
+    "cogroup_reconcile",
+    "join_shuffle_hash_hint",
+    "events_rate_anomaly",
+    "source_divergence",
+    "csv_quarantine",
+    "events_static_enrich",
+    "join_bucketed",
+    "sample_stratified",
+    "profile_orders",
+    "split_leakage_check",
+    "temperature_resample",
+    "xml_roundtrip",
+]
+
+# Round-5 rotation plan: the remaining never-driver-checked oracled
+# queries, in priority order — front these next round (a list edit
+# above), plus anything red in CORRECTNESS_r04 and any round-4-added
+# queries (which land at the tail of _ROUND5_PLAN by construction):
+_ROUND5_PLAN = [
+    "events_variant",
+    "events_attribution_outer",
+    "jsonl_roundtrip",
+    "cap_per_source",
+    "kmv_distinct",
+    "collated_group",
+    "events_type_totals",
+    "ticker_totals",
+    "dynamic_partition_overwrite",
+    "contrastive_negatives",
+    "containment_dedup",
+    "kmv_intersection",
+    "linkage_sorted_neighborhood",
+    "segment_dedup",
+    "events_rate_anomaly_robust",
+    "snapshot_diff",
+    "events_trending_decay",
+    "events_rfm_segments",
+    "dsir_importance_resample",
+    "dedup_ngram_jaccard",  # quadratic calibration op — run last
+    # rows-only streaming engine runs (no hash rows possible; give
+    # them the driver's rows-only record once the oracled backlog is
+    # cleared): streaming_static_enrich, streaming_complete_totals,
+    # streaming_python_source, streaming_join_outer
+]
+
+assert len(_ROUND4_WINDOW) == 50, len(_ROUND4_WINDOW)
+assert set(_ROUND4_WINDOW) <= set(_ALL), set(_ROUND4_WINDOW) - set(_ALL)
+assert set(_ROUND5_PLAN) <= set(_ALL), set(_ROUND5_PLAN) - set(_ALL)
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    name: _ALL[name] for name in _ROUND4_WINDOW
+}
+# next-round candidates immediately after the window, then the rest
+REGISTRY.update({name: _ALL[name] for name in _ROUND5_PLAN})
+REGISTRY.update({name: v for name, v in _ALL.items() if name not in REGISTRY})
 
 
 def queries() -> dict[str, QueryFn]:

@@ -49,8 +49,11 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSONL copy, the oracle on the parquet original — the md5-sum
     column makes any text mangling (escaping, truncation, encoding)
     break the hash, not just the counts."""
+    # pid-keyed like evolution_path(): two concurrent processes
+    # (parallel pytest/bench) must not race on one scratch dir
     path = os.path.join(
-        tempfile.gettempdir(), f"jsonl_docs_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"jsonl_docs_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     cols = [f.name for f in DOCUMENTS_JSONL_SCHEMA.fields]
     write_jsonl(load_table(spark, sf_dir, "documents").select(*cols), path)

@@ -53,8 +53,11 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet original: equal hashes prove values AND types survive
     the text round-trip (doubles via shortest-repr, names with escaped
     markup characters)."""
+    # pid-keyed like evolution_path(): two concurrent processes
+    # (parallel pytest/bench) must not race on one scratch dir
     path = os.path.join(
-        tempfile.gettempdir(), f"xml_supplier_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"xml_supplier_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     cols = [f.name for f in SUPPLIER_XML_SCHEMA.fields]
     write_xml(load_table(spark, sf_dir, "supplier").select(*cols), path)

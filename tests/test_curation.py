@@ -98,3 +98,25 @@ def test_pack_batches_budget_respected(spark):
             assert d.batch_id == cum // curation.PACK_BUDGET, (src, d.doc_id)
             cum += d.n_tokens
         assert [d.batch_id for d in docs] == sorted(d.batch_id for d in docs)
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR invariants: exactly K rows, ranked by non-increasing
+    importance weight, and the TARGET source is over-represented in
+    the admitted set relative to its corpus share (the whole point of
+    importance resampling toward a target domain)."""
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    rows = curation.dsir_importance_resample(spark, SF).collect()
+    assert len(rows) == curation.DSIR_KEEP
+    weights = [r.log_weight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    docs = load_table(spark, SF, "documents")
+    n_total = docs.count()
+    n_target = docs.filter(F.col("source") == curation.DSIR_TARGET_SOURCE).count()
+    sel_target = sum(1 for r in rows if r.source == curation.DSIR_TARGET_SOURCE)
+    assert sel_target / len(rows) > n_target / n_total
+    # broadcast λ-table join: the corpus-sized side must not shuffle
+    # for the join (one equality shuffle for the groupBy is expected)
+    plan = formatted_plan(curation.dsir_importance_resample(spark, SF))
+    assert "BroadcastHashJoin" in plan

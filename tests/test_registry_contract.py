@@ -55,3 +55,21 @@ def test_bench_headline_subset_of_registry():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     assert set(bench.HEADLINE) <= set(registry.REGISTRY)
+    # every registry query is either benched or has a NAMED exclusion
+    # reason — the bench artifact must never silently truncate
+    excluded = {n for names in bench.EXCLUDED.values() for n in names}
+    assert excluded <= set(registry.REGISTRY)
+    assert not (excluded & set(bench.HEADLINE))
+    unaccounted = set(registry.REGISTRY) - set(bench.HEADLINE) - excluded
+    assert not unaccounted, f"not benched and not excluded: {unaccounted}"
+
+
+def test_round_window_is_contiguous_prefix():
+    """The driver checks the FIRST 50 queries() entries — the rotation
+    only works if the declared window is exactly that prefix."""
+    names = list(registry.REGISTRY)
+    assert names[: len(registry._ROUND4_WINDOW)] == registry._ROUND4_WINDOW
+    assert len(registry._ROUND4_WINDOW) == 50
+    # window entries must all be oracled (hash rows, not rows-only)
+    oracled = set(registry.oracle_sql())
+    assert set(registry._ROUND4_WINDOW) <= oracled

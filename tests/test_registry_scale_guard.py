@@ -57,6 +57,7 @@ BNLJ_OK = {
     "kmv_intersection",  # two 1-row sketch/exact aggregates crossJoined
     "events_trending_decay",  # 1-row max-day scalar crossJoin onto day counts
     "events_rfm_segments",  # 1-row reference-day scalar crossJoin onto per-user aggs
+    "dsir_importance_resample",  # two 1-row total-count scalars crossJoined onto B=64-row λ table
 }
 
 
