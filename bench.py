@@ -191,6 +191,8 @@ HEADLINE: dict[str, str] = {
     "window_ntile": "exec",
     "subquery_scalar": "exec",
     "dsir_importance_resample": "collect",
+    "pareto_frontier": "collect",
+    "events_multitouch_attribution": "exec",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -1072,3 +1072,97 @@ FROM scored
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# ------------------------------------------ multi-touch attribution
+MULTITOUCH_WINDOW_NS = 3_600_000_000_000  # 1 h lookback, matches streaming join
+
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every click
+    of the same user within the hour before a purchase shares that
+    purchase's credit — 40% to the first touch, 40% to the last, the
+    middle touches split the remaining 20% evenly (single touch takes
+    100%, two touches 50/50).
+
+    The single-touch twin is ``streaming/joins.py`` attribution (last
+    click wins); this is the batch marketing-science generalization.
+
+    Engine-exactness: timestamps compared in raw int64 nanos; credits
+    are 0.4 / 0.5 / 1.0 literals or ``0.2 / (n-2)`` — one correctly
+    rounded IEEE division of a literal by an exact integer, identical
+    in DuckDB, so no rounding step is needed anywhere.
+
+    Plan (100 TB): the click×purchase pairing is the same user-keyed
+    EQUALITY join as the streaming interval join (time bound as a
+    residual predicate, never a theta join), then two windows
+    partitioned by purchase_id — no global window, no second shuffle
+    (rank and count share the purchase_id partitioning).
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ns"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ns"),
+    )
+    pairs = clicks.join(purchases, "user_id").filter(
+        (F.col("purchase_ns") >= F.col("click_ns"))
+        & (F.col("purchase_ns") <= F.col("click_ns") + MULTITOUCH_WINDOW_NS)
+    )
+    by_purchase = Window.partitionBy("purchase_id")
+    ordered = by_purchase.orderBy("click_ns", "click_id")
+    n = F.col("n_touches")
+    r = F.col("touch_rank")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((r == 1) | (r == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return (
+        pairs.withColumn("n_touches", F.count(F.lit(1)).over(by_purchase))
+        .withColumn("touch_rank", F.row_number().over(ordered))
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            "touch_rank",
+            "n_touches",
+            credit.alias("credit"),
+        )
+        .orderBy("purchase_id", "touch_rank")
+    )
+
+
+MULTITOUCH_SQL = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_ns(ts) AS click_ns
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS purchase_ns
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT purchase_id, click_id, c.user_id AS user_id, click_ns
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND purchase_ns >= click_ns
+   AND purchase_ns <= click_ns + {MULTITOUCH_WINDOW_NS}
+), ranked AS (
+  SELECT purchase_id, click_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY click_ns, click_id) AS touch_rank,
+         CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+  FROM pairs
+)
+SELECT purchase_id, click_id, user_id, touch_rank, n_touches,
+       CASE WHEN n_touches = 1 THEN 1.0::DOUBLE
+            WHEN n_touches = 2 THEN 0.5::DOUBLE
+            WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4::DOUBLE
+            ELSE 0.2::DOUBLE / (n_touches - 2)
+       END AS credit
+FROM ranked
+ORDER BY purchase_id, touch_rank
+"""

@@ -42,6 +42,7 @@ from cgtcalc_data_transformer_spark.operators import (
     relational_ext,
     sampling,
     similarity,
+    skyline,
     textops,
     tpch_more,
     tpch_shapes2,
@@ -470,6 +471,11 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         curation.dsir_importance_resample,
         curation.DSIR_SQL,
     ),
+    "pareto_frontier": (skyline.pareto_frontier, skyline.PARETO_SQL),
+    "events_multitouch_attribution": (
+        events.events_multitouch_attribution,
+        events.MULTITOUCH_SQL,
+    ),
 }
 
 
@@ -555,6 +561,8 @@ _ROUND5_PLAN = [
     "events_trending_decay",
     "events_rfm_segments",
     "dsir_importance_resample",
+    "pareto_frontier",
+    "events_multitouch_attribution",
     "dedup_ngram_jaccard",  # quadratic calibration op — run last
     # rows-only streaming engine runs (no hash rows possible; give
     # them the driver's rows-only record once the oracled backlog is

@@ -58,6 +58,7 @@ BNLJ_OK = {
     "events_trending_decay",  # 1-row max-day scalar crossJoin onto day counts
     "events_rfm_segments",  # 1-row reference-day scalar crossJoin onto per-user aggs
     "dsir_importance_resample",  # two 1-row total-count scalars crossJoined onto B=64-row λ table
+    "pareto_frontier",  # band_max prefix-max self-join: one row per occupied price band (value-domain-bounded)
 }
 
 
