@@ -193,6 +193,7 @@ HEADLINE: dict[str, str] = {
     "dsir_importance_resample": "collect",
     "pareto_frontier": "collect",
     "events_multitouch_attribution": "exec",
+    "retrieval_recall_audit": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -216,6 +217,7 @@ EXCLUDED = {
     ],
     "plan_build_time_iteration": [
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",
+        "kcore_parts",
     ],
     "quadratic_calibration_ground_truth": [
         "dedup_ngram_jaccard", "containment_dedup",

@@ -228,3 +228,103 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
         JOIN edges e2 ON e2.u = e1.v
         JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
 """
+
+
+# ------------------------------------------------ k-core decomposition
+KCORE_K = 3
+KCORE_ROUNDS = 8  # peeling rounds; a fixpoint reached earlier is stable
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes of the KCORE_K-core of the part co-purchase graph with
+    their within-core degree — iterative peeling: delete every node
+    with degree < k, recompute, repeat.
+
+    Spark shape: KCORE_ROUNDS peeling rounds, each one map-side-
+    combining degree aggregation plus two semi-joins of the adjacency
+    against the survivor set, with the round's result materialized
+    via localCheckpoint. The checkpoint is LOAD-BEARING, not an
+    optimization: each round references the previous adjacency twice
+    (degree agg + filter base), so a fully lazy unroll makes the
+    logical tree double per round — measured 42 s of driver-side
+    ANALYSIS and an execution that never finished at sf0.001 for 8
+    rounds; truncating lineage per round makes both linear. On a
+    real cluster this is `checkpoint()` to durable storage — the
+    canonical iterative-DataFrame discipline (same family as the
+    plan-build-time loops in pagerank/kmeans).
+
+    No driver-side count() convergence probe: extra rounds after the
+    fixpoint are exact no-ops, so the FIXED round count equals
+    run-to-convergence whenever the graph converges within it — and
+    equals the oracle's identical R-round recurrence even when it
+    doesn't.
+
+    At 100 TB: rounds are O(E) equality shuffles; the survivor sets
+    shrink monotonically, so later rounds get cheaper.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    canon = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = (
+        canon.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(canon.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= KCORE_K).select(F.col("src").alias("node"))
+        adj = (
+            adj.join(keep, adj.src == keep.node, "left_semi")
+            .join(keep, F.col("dst") == keep.node, "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        adj.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .orderBy("node")
+    )
+
+
+def _kcore_sql() -> str:
+    sql = f"""
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), canon AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj0 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM canon
+  UNION ALL
+  SELECT v AS src, u AS dst FROM canon
+)"""
+    prev = "adj0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f"""
+, keep{r} AS (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+), adj{r} AS MATERIALIZED (
+  SELECT a.src, a.dst FROM {prev} a
+  JOIN keep{r} s ON a.src = s.node
+  JOIN keep{r} d ON a.dst = d.node
+)"""
+        prev = f"adj{r}"
+    sql += f"""
+SELECT src AS node, COUNT(*) AS core_deg
+FROM {prev}
+GROUP BY src
+ORDER BY node
+"""
+    return sql
+
+
+KCORE_SQL = _kcore_sql()

@@ -355,3 +355,110 @@ ORDER BY query_id, rank
 
 ANN_IVF_SQL = _ann_ivf_sql()
 ANN_LSH_SQL = _ann_lsh_sql()
+
+
+# ------------------------------------------------ recall audit (ANN QA)
+def retrieval_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both ANN paths against the exact brute-force top-k
+    — the quality gate a production two-stage retrieval system ships
+    with: per query and per method ('lsh' / 'ivf'), how many of the
+    true top-k made it through the approximate stage.
+
+    At 100 TB the exact side is infeasible corpus-wide, so this audit
+    runs on the (tiny, broadcast) query panel only.
+
+    Plan shape — UNION + flag aggregation, deliberately JOIN-FREE
+    between the three result sets: all three share the same base
+    lineage (the embeddings scan with ~2k hyperplane/centroid literal
+    expressions), and joining two frames derived from one lineage
+    forces Catalyst's self-join attribute deduplication to rewrite
+    one whole subtree — measured MINUTES of driver-side analysis on
+    this plan before it was restructured. Union branches keep their
+    attribute ids, so the same semantics cost zero analysis work:
+    tag each (query, cand) row with membership flags, one groupBy
+    collapses the three sets, a second computes per-query hit counts
+    (exact rows always exist, so zero-hit queries still report), and
+    a literal 2-element explode emits one row per method.
+    """
+    exact = knn_bruteforce(spark, sf_dir).select(
+        "query_id",
+        "cand_id",
+        F.lit(1).alias("in_exact"),
+        F.lit(0).alias("in_lsh"),
+        F.lit(0).alias("in_ivf"),
+    )
+    lsh = ann_lsh(spark, sf_dir).select(
+        "query_id",
+        "cand_id",
+        F.lit(0).alias("in_exact"),
+        F.lit(1).alias("in_lsh"),
+        F.lit(0).alias("in_ivf"),
+    )
+    ivf = ann_ivf(spark, sf_dir).select(
+        "query_id",
+        "cand_id",
+        F.lit(0).alias("in_exact"),
+        F.lit(0).alias("in_lsh"),
+        F.lit(1).alias("in_ivf"),
+    )
+    flags = (
+        exact.unionByName(lsh)
+        .unionByName(ivf)
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.max("in_exact").alias("in_exact"),
+            F.max("in_lsh").alias("in_lsh"),
+            F.max("in_ivf").alias("in_ivf"),
+        )
+    )
+    per_q = (
+        flags.filter(F.col("in_exact") == 1)
+        .groupBy("query_id")
+        .agg(
+            F.sum("in_lsh").alias("lsh"),
+            F.sum("in_ivf").alias("ivf"),
+        )
+    )
+    return (
+        per_q.select(
+            "query_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("ivf").alias("method"), F.col("ivf").alias("n_hits")),
+                    F.struct(F.lit("lsh").alias("method"), F.col("lsh").alias("n_hits")),
+                )
+            ).alias("mh"),
+        )
+        .select(
+            "query_id",
+            F.col("mh.method").alias("method"),
+            F.col("mh.n_hits").alias("n_hits"),
+            (F.col("mh.n_hits") / F.lit(TOP_K)).alias("recall_at_k"),
+        )
+        .orderBy("query_id", "method")
+    )
+
+
+RECALL_AUDIT_SQL = f"""
+WITH exact AS (
+  SELECT query_id, cand_id FROM ({KNN_BRUTEFORCE_SQL})
+), lsh AS (
+  SELECT query_id, cand_id FROM ({ANN_LSH_SQL})
+), ivf AS (
+  SELECT query_id, cand_id FROM ({ANN_IVF_SQL})
+), spine AS (
+  SELECT DISTINCT query_id, m AS method
+  FROM exact, (SELECT unnest(['lsh', 'ivf']) AS m)
+), hits AS (
+  SELECT e.query_id, 'lsh' AS method, COUNT(*) AS n_hits
+  FROM exact e JOIN lsh USING (query_id, cand_id) GROUP BY 1
+  UNION ALL
+  SELECT e.query_id, 'ivf' AS method, COUNT(*) AS n_hits
+  FROM exact e JOIN ivf USING (query_id, cand_id) GROUP BY 1
+)
+SELECT s.query_id, s.method,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) / {TOP_K} AS recall_at_k
+FROM spine s LEFT JOIN hits h ON s.query_id = h.query_id AND s.method = h.method
+ORDER BY s.query_id, s.method
+"""

@@ -476,6 +476,11 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         events.events_multitouch_attribution,
         events.MULTITOUCH_SQL,
     ),
+    "retrieval_recall_audit": (
+        similarity.retrieval_recall_audit,
+        similarity.RECALL_AUDIT_SQL,
+    ),
+    "kcore_parts": (graph.kcore_parts, graph.KCORE_SQL),
 }
 
 
@@ -563,6 +568,8 @@ _ROUND5_PLAN = [
     "dsir_importance_resample",
     "pareto_frontier",
     "events_multitouch_attribution",
+    "retrieval_recall_audit",
+    "kcore_parts",
     "dedup_ngram_jaccard",  # quadratic calibration op — run last
     # rows-only streaming engine runs (no hash rows possible; give
     # them the driver's rows-only record once the oracled backlog is

@@ -79,3 +79,67 @@ def test_multitouch_touches_within_window(spark):
         | (F.col("p_ns") > F.col("c_ns") + events.MULTITOUCH_WINDOW_NS)
     ).count()
     assert bad == 0
+
+
+def test_kcore_matches_naive_peeling(spark):
+    """The checkpointed round loop must equal naive peel-to-fixpoint
+    on the collected edge set."""
+    from cgtcalc_data_transformer_spark.operators import graph
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                edges.add((u, v))
+    # naive peel to fixpoint
+    cur = set(edges)
+    while True:
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= graph.KCORE_K}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expected = {}
+    for u, v in cur:
+        expected[u] = expected.get(u, 0) + 1
+        expected[v] = expected.get(v, 0) + 1
+    got = {r.node: r.core_deg for r in graph.kcore_parts(spark, SF).collect()}
+    assert got == expected
+    assert all(d >= graph.KCORE_K for d in got.values())
+
+
+def test_recall_audit_bounds_and_consistency(spark):
+    from cgtcalc_data_transformer_spark.operators import similarity
+
+    rows = similarity.retrieval_recall_audit(spark, SF).collect()
+    qids = {r.query_id for r in rows}
+    assert len(rows) == 2 * len(qids)
+    assert {r.method for r in rows} == {"lsh", "ivf"}
+    for r in rows:
+        assert 0 <= r.n_hits <= similarity.TOP_K
+        assert r.recall_at_k == r.n_hits / similarity.TOP_K
+    # spot-check lsh against a direct set intersection
+    exact = {}
+    for r in similarity.knn_bruteforce(spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+    approx = {}
+    for r in similarity.ann_lsh(spark, SF).collect():
+        approx.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in rows:
+        if r.method == "lsh":
+            want = len(exact[r.query_id] & approx.get(r.query_id, set()))
+            assert r.n_hits == want, r.query_id
