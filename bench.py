@@ -194,6 +194,7 @@ HEADLINE: dict[str, str] = {
     "pareto_frontier": "collect",
     "events_multitouch_attribution": "exec",
     "retrieval_recall_audit": "collect",
+    "training_order_shuffle": "exec",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -220,7 +221,7 @@ EXCLUDED = {
         "kcore_parts",
     ],
     "quadratic_calibration_ground_truth": [
-        "dedup_ngram_jaccard", "containment_dedup",
+        "dedup_ngram_jaccard", "containment_dedup", "dedup_lsh_quality",
     ],
     "dedicated_skew_section": [
         "skew_join_plain", "skew_join_salted", "skew_join_salted_partial",

@@ -785,3 +785,77 @@ WHERE s.n_sh >= {CONTAIN_MIN_SH}
 ORDER BY a_id, b_id
 """
 )
+
+
+# --------------------------------------------- LSH banding quality audit
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the MinHash-LSH banding against the exact
+    n-gram Jaccard ground truth: one summary row with candidate
+    volume, verified-duplicate count, RECALL of the banding (true
+    near-dup pairs that survived into some shared bucket) and
+    candidate precision (verified / candidates).
+
+    This is the number that justifies shipping the LSH path at
+    100 TB: banding with 4 bands × 3 rows admits a pair with
+    P = 1-(1-j^3)^4, and this audit measures the realized recall on
+    real data. The exact side is the documented quadratic
+    calibration op (dedup_ngram_jaccard) — this audit inherits its
+    calibration-scale-only status and is excluded from the bench
+    headline with it.
+
+    Composition is UNION + flag aggregation on the pair key, not a
+    join of the two result frames — both share the cached shingle
+    lineage, and self-joining shared lineage pays Catalyst's
+    attribute-dedup rewrite (see retrieval_recall_audit).
+    """
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact"), F.lit(0).alias("in_lsh")
+    )
+    lsh_all = dedup_minhash_lsh(spark, sf_dir)
+    lsh_pos = lsh_all.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit(0).alias("in_exact"), F.lit(1).alias("in_lsh")
+    )
+    flags = (
+        exact.unionByName(lsh_pos)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("in_exact").alias("e"), F.max("in_lsh").alias("l"))
+    )
+    summary = flags.agg(
+        F.sum("e").alias("n_exact_pairs"),
+        F.sum("l").alias("n_verified_dups"),
+        F.sum(F.col("e") * F.col("l")).alias("n_common"),
+    )
+    n_cands = lsh_all.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return summary.crossJoin(F.broadcast(n_cands)).select(
+        "n_exact_pairs",
+        "n_candidates",
+        "n_verified_dups",
+        "n_common",
+        (F.col("n_common") / F.col("n_exact_pairs")).alias("recall"),
+        (F.col("n_verified_dups") / F.col("n_candidates")).alias("candidate_precision"),
+    )
+
+
+DEDUP_LSH_QUALITY_SQL = f"""
+WITH exact_pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_SQL})
+), lsh_all AS (
+  SELECT doc_a, doc_b, jaccard FROM ({DEDUP_MINHASH_SQL})
+), lsh_pos AS (
+  SELECT doc_a, doc_b FROM lsh_all WHERE jaccard >= {JACCARD_THRESHOLD}
+), flags AS (
+  SELECT doc_a, doc_b, MAX(e) AS e, MAX(l) AS l
+  FROM (
+    SELECT doc_a, doc_b, 1 AS e, 0 AS l FROM exact_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, 0 AS e, 1 AS l FROM lsh_pos)
+  GROUP BY doc_a, doc_b
+)
+SELECT CAST(SUM(e) AS BIGINT) AS n_exact_pairs,
+       (SELECT COUNT(*) FROM lsh_all) AS n_candidates,
+       CAST(SUM(l) AS BIGINT) AS n_verified_dups,
+       CAST(SUM(e * l) AS BIGINT) AS n_common,
+       SUM(e * l) / SUM(e) AS recall,
+       SUM(l) / (SELECT COUNT(*) FROM lsh_all) AS candidate_precision
+FROM flags
+"""

@@ -472,3 +472,63 @@ FROM pairs
 GROUP BY source
 ORDER BY source
 """
+
+
+# ------------------------------------------ deterministic global shuffle
+SHUFFLE_EPOCH_SALT = "#ep0"
+SHUFFLE_BUCKETS = 256  # top byte of the md5 key — a PREFIX of the sort key
+
+
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: every document gets a
+    dense 0-based position in the order of md5(doc_id || epoch salt)
+    — the seeded-shuffle step before sequence packing (new epoch =
+    new salt, no RNG state, rerun/engine-stable).
+
+    100 TB shape — a dense global rank WITHOUT a global sort or a
+    single-partition window: the shuffle key's top byte is used as a
+    256-way bucket. Hex is lexicographic in value, so bucket order is
+    a prefix of key order, and global position = (number of docs in
+    strictly-lower buckets) + (rank within the bucket). Ranks are
+    per-bucket windows (256-way parallel); bucket offsets come from a
+    256-row count table whose prefix sum is a broadcast self-join —
+    the same value-domain-bounded trick as pareto_frontier's band
+    prune. One corpus shuffle total (the bucket window).
+
+    The DuckDB oracle is the naive global ROW_NUMBER over the same
+    key — proving the bucketed rewrite reproduces it exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_EPOCH_SALT)))
+    keyed = docs.select(
+        "doc_id",
+        key.alias("k"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("long").alias("bucket"),
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.n"), F.lit(0)).alias("offset"))
+    )
+    w = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("rk") - 1).alias("shuffle_pos"),
+        )
+        .orderBy("shuffle_pos")
+    )
+
+
+TRAINING_ORDER_SQL = f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5(doc_id::VARCHAR || '{SHUFFLE_EPOCH_SALT}'), doc_id
+       ) - 1 AS shuffle_pos
+FROM documents
+ORDER BY shuffle_pos
+"""

@@ -481,6 +481,11 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         similarity.RECALL_AUDIT_SQL,
     ),
     "kcore_parts": (graph.kcore_parts, graph.KCORE_SQL),
+    "training_order_shuffle": (
+        mlprep.training_order_shuffle,
+        mlprep.TRAINING_ORDER_SQL,
+    ),
+    "dedup_lsh_quality": (dedup.dedup_lsh_quality, dedup.DEDUP_LSH_QUALITY_SQL),
 }
 
 
@@ -570,7 +575,9 @@ _ROUND5_PLAN = [
     "events_multitouch_attribution",
     "retrieval_recall_audit",
     "kcore_parts",
+    "training_order_shuffle",
     "dedup_ngram_jaccard",  # quadratic calibration op — run last
+    "dedup_lsh_quality",  # composes the quadratic ground truth — run last
     # rows-only streaming engine runs (no hash rows possible; give
     # them the driver's rows-only record once the oracled backlog is
     # cleared): streaming_static_enrich, streaming_complete_totals,

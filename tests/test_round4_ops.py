@@ -143,3 +143,41 @@ def test_recall_audit_bounds_and_consistency(spark):
         if r.method == "lsh":
             want = len(exact[r.query_id] & approx.get(r.query_id, set()))
             assert r.n_hits == want, r.query_id
+
+
+def test_training_order_shuffle_is_dense_permutation(spark):
+    from cgtcalc_data_transformer_spark.operators import mlprep
+
+    rows = mlprep.training_order_shuffle(spark, SF).collect()
+    n = load_table(spark, SF, "documents").count()
+    assert len(rows) == n
+    assert sorted(r.shuffle_pos for r in rows) == list(range(n))
+    # matches the naive global order over the same key
+    import hashlib
+
+    def key(doc_id):
+        return hashlib.md5(
+            f"{doc_id}{mlprep.SHUFFLE_EPOCH_SALT}".encode()
+        ).hexdigest()
+
+    expected = {
+        d: i
+        for i, d in enumerate(
+            sorted((r.doc_id for r in rows), key=lambda d: (key(d), d))
+        )
+    }
+    assert {r.doc_id: r.shuffle_pos for r in rows} == expected
+
+
+def test_dedup_lsh_quality_bounds(spark):
+    from cgtcalc_data_transformer_spark.operators import dedup
+
+    [r] = dedup.dedup_lsh_quality(spark, SF).collect()
+    assert r.n_exact_pairs >= 1
+    assert 0 <= r.n_common <= r.n_exact_pairs
+    assert r.n_verified_dups <= r.n_candidates
+    # verified LSH positives use the same exact Jaccard and threshold,
+    # so they are a subset of the ground-truth pairs
+    assert r.n_common == r.n_verified_dups
+    assert 0.0 <= r.recall <= 1.0
+    assert 0.0 <= r.candidate_precision <= 1.0
