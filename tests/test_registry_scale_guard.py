@@ -59,6 +59,7 @@ BNLJ_OK = {
     "events_rfm_segments",  # 1-row reference-day scalar crossJoin onto per-user aggs
     "dsir_importance_resample",  # two 1-row total-count scalars crossJoined onto B=64-row λ table
     "pareto_frontier",  # band_max prefix-max self-join: one row per occupied price band (value-domain-bounded)
+    "retrieval_recall_audit",  # inherits knn_bruteforce's N_QUERIES=8 broadcast, != cond
     "dedup_lsh_quality",  # 1-row candidate-count scalar crossJoin onto the 1-row summary
     "training_order_shuffle",  # 256-row bucket-count prefix-sum self-join (value-domain-bounded)
 }
