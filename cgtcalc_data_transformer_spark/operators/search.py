@@ -188,3 +188,150 @@ LIMIT {SEARCH_TOP_K}
 
 
 BM25_RANK_SQL = _bm25_sql()
+
+
+# ------------------------------------------------- ranking evaluation
+EVAL_KS = [5, 10, 20]
+# binary-relevance DCG discounts 1/log2(rank+1), integer-quantized
+# (floor(x*1e8+0.5)) so every metric sum is exact BIGINT arithmetic
+# and NO libm call happens at query time in either engine
+_DCG_INT = [
+    int((10**8) / __import__("math").log2(r + 1) + 0.5) for r in range(1, SEARCH_TOP_K + 1)
+]
+_IDCG_PREFIX = [0]
+for _d in _DCG_INT:
+    _IDCG_PREFIX.append(_IDCG_PREFIX[-1] + _d)
+
+
+def rank_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metrics audit of the BM25 ranking: per cutoff k ∈ {5,10,20},
+    precision@k, recall@k, NDCG@k (binary relevance) and the global
+    MRR, where the relevance oracle is the deterministic conjunctive
+    match set (docs containing ALL query terms — text_search_and's
+    predicate, unbounded).
+
+    This closes the retrieval loop the way retrieval_recall_audit
+    closes the ANN loop: the ranked list is the operator under test,
+    the relevance set is exact, and every metric is a ratio of exact
+    integers (DCG discounts are integer-quantized literals), so the
+    whole audit hash-matches across engines.
+
+    Plan: the ranked list is ≤ SEARCH_TOP_K rows by construction, so
+    the rank window (constant partition key) and the k-explode run on
+    a bounded frame; the relevance set is one aggregation over the
+    posting explode; everything joins broadcast.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    postings = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(QUERY_TERMS))
+    rel = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("matched"))
+        .filter(F.col("matched") == len(QUERY_TERMS))
+        .select("doc_id")
+    )
+    n_rel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
+
+    from pyspark.sql import Window
+
+    ranked = bm25_rank(spark, sf_dir)
+    # bounded frame (LIMIT above): constant partition key is safe here
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    flags = (
+        ranked.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(rel.withColumn("is_rel", F.lit(1))), "doc_id", "left")
+        .select("r", F.coalesce("is_rel", F.lit(0)).alias("is_rel"))
+    )
+    dcg_lit = F.array(*[F.lit(d) for d in _DCG_INT])
+    idcg_lit = F.array(*[F.lit(p) for p in _IDCG_PREFIX[1:]])
+    mrr_row = flags.agg(
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("is_rel") == 1, F.col("r"))),
+            F.lit(0.0),
+        ).alias("mrr")
+    )
+    per_k = (
+        flags.select(
+            "r", "is_rel", F.explode(F.array(*[F.lit(k) for k in EVAL_KS])).alias("k")
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("is_rel")).otherwise(0)).alias(
+                "hits"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("r") <= F.col("k")) & (F.col("is_rel") == 1),
+                    F.element_at(dcg_lit, F.col("r").cast("int")),
+                ).otherwise(F.lit(0))
+            ).alias("dcg_int"),
+        )
+    )
+    return (
+        per_k.crossJoin(F.broadcast(n_rel))
+        .crossJoin(F.broadcast(mrr_row))
+        .select(
+            "k",
+            "n_relevant",
+            "hits",
+            (F.col("hits") / F.col("k")).alias("precision_at_k"),
+            (F.col("hits") / F.col("n_relevant")).alias("recall_at_k"),
+            F.when(F.col("n_relevant") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("dcg_int")
+                / F.element_at(idcg_lit, F.least(F.col("k"), F.col("n_relevant")).cast("int"))
+            )
+            .alias("ndcg_at_k"),
+            "mrr",
+        )
+        .orderBy("k")
+    )
+
+
+def _rank_eval_sql() -> str:
+    dcg_list = ", ".join(str(d) for d in _DCG_INT)
+    idcg_list = ", ".join(str(p) for p in _IDCG_PREFIX[1:])
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, bm25,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM ({BM25_RANK_SQL})
+), toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  WHERE tok IN ({_terms_sql()})
+), rel AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING COUNT(DISTINCT tok) = {len(QUERY_TERMS)}
+), n_rel AS (
+  SELECT COUNT(*) AS n_relevant FROM rel
+), flags AS (
+  SELECT ranked.r,
+         CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM ranked LEFT JOIN rel USING (doc_id)
+), mrr_row AS (
+  SELECT COALESCE(1.0::DOUBLE / MIN(CASE WHEN is_rel = 1 THEN r END), 0.0::DOUBLE) AS mrr
+  FROM flags
+), dcg(arr) AS (SELECT [{dcg_list}]), idcg(arr) AS (SELECT [{idcg_list}]),
+per_k AS (
+  SELECT k,
+         CAST(SUM(CASE WHEN r <= k THEN is_rel ELSE 0 END) AS BIGINT) AS hits,
+         CAST(SUM(CASE WHEN r <= k AND is_rel = 1 THEN dcg.arr[r] ELSE 0 END) AS BIGINT) AS dcg_int
+  FROM flags, (SELECT unnest([{", ".join(str(k) for k in EVAL_KS)}]) AS k), dcg
+  GROUP BY k
+)
+SELECT k, n_relevant, hits,
+       hits / k AS precision_at_k,
+       hits / n_relevant AS recall_at_k,
+       CASE WHEN n_relevant = 0 THEN 0.0::DOUBLE
+            ELSE dcg_int / idcg.arr[LEAST(k, n_relevant)]
+       END AS ndcg_at_k,
+       mrr
+FROM per_k, n_rel, mrr_row, idcg
+ORDER BY k
+"""
+
+
+RANK_EVAL_SQL = _rank_eval_sql()

@@ -486,6 +486,7 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         mlprep.TRAINING_ORDER_SQL,
     ),
     "dedup_lsh_quality": (dedup.dedup_lsh_quality, dedup.DEDUP_LSH_QUALITY_SQL),
+    "rank_eval_bm25": (search.rank_eval_bm25, search.RANK_EVAL_SQL),
 }
 
 
@@ -576,6 +577,7 @@ _ROUND5_PLAN = [
     "retrieval_recall_audit",
     "kcore_parts",
     "training_order_shuffle",
+    "rank_eval_bm25",
     "dedup_ngram_jaccard",  # quadratic calibration op — run last
     "dedup_lsh_quality",  # composes the quadratic ground truth — run last
     # rows-only streaming engine runs (no hash rows possible; give

@@ -62,6 +62,7 @@ BNLJ_OK = {
     "retrieval_recall_audit",  # inherits knn_bruteforce's N_QUERIES=8 broadcast, != cond
     "dedup_lsh_quality",  # 1-row candidate-count scalar crossJoin onto the 1-row summary
     "training_order_shuffle",  # 256-row bucket-count prefix-sum self-join (value-domain-bounded)
+    "rank_eval_bm25",  # 1-row n_relevant/mrr scalars crossJoined onto the 3-row per-k frame
 }
 
 

@@ -181,3 +181,46 @@ def test_dedup_lsh_quality_bounds(spark):
     assert r.n_common == r.n_verified_dups
     assert 0.0 <= r.recall <= 1.0
     assert 0.0 <= r.candidate_precision <= 1.0
+
+
+def test_rank_eval_bm25_metrics_consistent(spark):
+    from cgtcalc_data_transformer_spark.operators import search
+
+    rows = {r.k: r for r in search.rank_eval_bm25(spark, SF).collect()}
+    assert sorted(rows) == search.EVAL_KS
+    # hand-compute from the components
+    ranked = [r.doc_id for r in search.bm25_rank(spark, SF).collect()]
+    import math
+
+    docs = {
+        r.doc_id: r.text.lower()
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    import re
+
+    def toks(t):
+        return re.findall(r"[a-z0-9]+", t)
+
+    rel = {
+        d
+        for d, t in docs.items()
+        if all(q in toks(t) for q in search.QUERY_TERMS)
+    }
+    for k, r in rows.items():
+        hits = sum(1 for d in ranked[:k] if d in rel)
+        assert r.hits == hits
+        assert r.n_relevant == len(rel)
+        assert r.precision_at_k == hits / k
+        assert r.recall_at_k == hits / len(rel)
+        dcg = sum(
+            1.0 / math.log2(i + 2)
+            for i, d in enumerate(ranked[:k])
+            if d in rel
+        )
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(min(k, len(rel))))
+        assert abs(r.ndcg_at_k - dcg / idcg) < 1e-6
+    first_rel = next(
+        (i + 1 for i, d in enumerate(ranked) if d in rel), None
+    )
+    want_mrr = 1.0 / first_rel if first_rel else 0.0
+    assert abs(rows[5].mrr - want_mrr) < 1e-12
