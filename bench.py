@@ -196,6 +196,7 @@ HEADLINE: dict[str, str] = {
     "retrieval_recall_audit": "collect",
     "training_order_shuffle": "exec",
     "rank_eval_bm25": "collect",
+    "collocations_pmi": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

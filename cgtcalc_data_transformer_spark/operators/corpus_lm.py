@@ -254,3 +254,108 @@ ORDER BY src_a, src_b
 
 
 SOURCE_DIVERGENCE_SQL = _divergence_sql()
+
+
+# ------------------------------------------------ PMI collocations
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K collocations by pointwise mutual information:
+    pmi(w1,w2) = ln(c12·N / (c1·c2)) over the corpus bigram stream,
+    restricted to bigrams seen ≥ PMI_MIN_COUNT times — the phrase-
+    mining primitive (word2vec's phrase pass, tokenizer merge-rule
+    candidates).
+
+    Engine-exactness: the ln argument is a ratio of exact integers
+    (one correctly-rounded division), and the score is quantized to
+    an integer with floor(x·1e8 + 0.5) — the repo's portable-
+    quantization recipe — so ordering and emitted values carry no
+    libm tie risk. Plan: ONE bigram explode feeds both the pair
+    counts and (via two model-sized re-aggregations of the count
+    table) the unigram marginals; N is a 1-row broadcast scalar; the
+    final top-K is TakeOrderedAndProject.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    b = _bigrams(docs)
+    # ONE corpus-sized aggregation; the filtered pair table and both
+    # marginals are model-sized derivations of it (cache: three
+    # consumers, vocab²-sized — tiny next to the bigram stream)
+    full = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).cache()
+    c12 = full.filter(F.col("c") >= PMI_MIN_COUNT).select(
+        "bg", F.col("c").alias("c12")
+    )
+    w1 = full.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c").alias("c1")
+    )
+    w2 = full.groupBy(F.substring_index("bg", " ", -1).alias("w2")).agg(
+        F.sum("c").alias("c2")
+    )
+    n = full.agg(F.sum("c").alias("n_bigrams"))
+    scored = (
+        c12.withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(w1, "w1")
+        .join(w2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bg",
+            "c12",
+            "c1",
+            "c2",
+            F.floor(
+                F.log(
+                    (F.col("c12") * F.col("n_bigrams")).cast("double")
+                    / (F.col("c1") * F.col("c2"))
+                )
+                * 1e8
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_int"),
+        )
+    )
+    return (
+        scored.select(
+            "bg", "c12", "c1", "c2", (F.col("pmi_int") / F.lit(1e8)).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(PMI_TOP_K)
+    )
+
+
+COLLOCATIONS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), b AS (
+  SELECT z[1] || ' ' || z[2] AS bg
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM toks WHERE len(t) >= 2)
+), full_counts AS (
+  SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+), w1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS c1
+  FROM full_counts GROUP BY 1
+), w2 AS (
+  SELECT split_part(bg, ' ', 2) AS w2, CAST(SUM(c) AS BIGINT) AS c2
+  FROM full_counts GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_bigrams FROM full_counts
+), scored AS (
+  SELECT bg, CAST(c AS BIGINT) AS c12, c1, c2,
+         CAST(floor(ln(CAST(c * n_bigrams AS DOUBLE) / (c1 * c2)) * 1e8 + 0.5) AS BIGINT) AS pmi_int
+  FROM full_counts
+  JOIN w1 ON split_part(bg, ' ', 1) = w1.w1
+  JOIN w2 ON split_part(bg, ' ', 2) = w2.w2
+  CROSS JOIN n
+  WHERE c >= {PMI_MIN_COUNT}
+)
+SELECT bg, c12, c1, c2, pmi_int / 1e8 AS pmi
+FROM scored
+ORDER BY pmi DESC, bg ASC
+LIMIT {PMI_TOP_K}
+"""

@@ -63,6 +63,7 @@ BNLJ_OK = {
     "dedup_lsh_quality",  # 1-row candidate-count scalar crossJoin onto the 1-row summary
     "training_order_shuffle",  # 256-row bucket-count prefix-sum self-join (value-domain-bounded)
     "rank_eval_bm25",  # 1-row n_relevant/mrr scalars crossJoined onto the 3-row per-k frame
+    "collocations_pmi",  # 1-row total-bigram scalar crossJoin onto the filtered pair table
 }
 
 

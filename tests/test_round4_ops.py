@@ -224,3 +224,35 @@ def test_rank_eval_bm25_metrics_consistent(spark):
     )
     want_mrr = 1.0 / first_rel if first_rel else 0.0
     assert abs(rows[5].mrr - want_mrr) < 1e-12
+
+
+def test_collocations_pmi_matches_handcount(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators import corpus_lm
+
+    rows = corpus_lm.collocations_pmi(spark, SF).collect()
+    assert rows
+    docs = load_table(spark, SF, "documents").collect()
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    n = 0
+    for d in docs:
+        t = [x for x in re.sub(r"[^a-zA-Z0-9 ]", " ", d.text).lower().split() if x]
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+            c2[b] += 1
+            n += 1
+    for r in rows[:10]:
+        a, b = r.bg.split(" ")
+        assert r.c12 == c12[(a, b)]
+        assert r.c1 == c1[a]
+        assert r.c2 == c2[b]
+        want = math.floor(math.log(r.c12 * n / (r.c1 * r.c2)) * 1e8 + 0.5) / 1e8
+        assert abs(r.pmi - want) < 1e-8
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
