@@ -220,7 +220,7 @@ EXCLUDED = {
     ],
     "plan_build_time_iteration": [
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",
-        "kcore_parts",
+        "kcore_parts", "bpe_learn_merges",
     ],
     "quadratic_calibration_ground_truth": [
         "dedup_ngram_jaccard", "containment_dedup", "dedup_lsh_quality",

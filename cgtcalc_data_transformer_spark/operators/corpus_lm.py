@@ -359,3 +359,125 @@ FROM scored
 ORDER BY pmi DESC, bg ASC
 LIMIT {PMI_TOP_K}
 """
+
+
+# ------------------------------------------------ BPE merge learning
+BPE_MERGE_ROUNDS = 3
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGE_ROUNDS byte-pair-encoding merge rules
+    from the corpus — tokenizer TRAINING as a DataFrame program
+    (Sennrich et al. 2016, arXiv:1508.07909): count adjacent symbol
+    pairs over the word-frequency table, merge the most frequent
+    pair, recount, repeat. Output: one row per learned rule
+    (round, left, right, merged, pair_count).
+
+    Plan shape — the classic algorithm's own trick keeps this
+    corpus-scale-safe: the raw corpus is scanned ONCE to build the
+    (word, count) table; every merge round then runs on that
+    vocab-sized table (pair explode weighted by count → one
+    aggregation → global top-1 via TakeOrdered). The selected rule is
+    the round's only driver state (same bounded-scalar discipline as
+    kmeans' centroids), so this is a plan-build-time iterative op.
+
+    Merge application is ONE regexp_replace per round with NO
+    lookarounds (DuckDB's RE2 has none): symbols are joined with TWO
+    spaces and the pattern ' a  b ' consumes one flanking space on
+    each side, so leftmost non-overlapping replacement — exactly
+    BPE's greedy semantics — leaves every neighbour's separator
+    intact ('a a a' + (a,a) → 'aa a', adjacent pairs 'a b a b' both
+    merge). The DuckDB oracle replays the identical recurrence with
+    the round's top-1 pair as a correlated scalar instead of a
+    collected literal; the deterministic (count DESC, pair ASC)
+    tiebreak makes both engines pick the same rule.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # '  a  b  c  ' — leading separator + one per char (double spaces)
+    sym = words.select(
+        F.concat(
+            F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  ")
+        ).alias("s"),
+        "cnt",
+    ).localCheckpoint()  # rounds reference the frame twice; truncate lineage
+
+    rules = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        toks = F.split(F.trim(F.col("s")), "  ")
+        pairs = sym.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ")
+        pc = top[0]["pc"]
+        rules.append((rnd, a, b, a + b, pc))
+        sym = sym.select(
+            F.regexp_replace(
+                F.col("s"), f" {a}  {b} ", f" {a + b} "
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "round int, left string, right string, merged string, pair_count bigint"
+    ).orderBy("round")
+
+
+def _bpe_sql() -> str:
+    sql = r"""
+WITH words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w
+), sym0 AS MATERIALIZED (
+  SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s, cnt FROM words
+)"""
+    prev = "sym0"
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        sql += f"""
+, pairs{r} AS (
+  SELECT z[1] || ' ' || z[2] AS pair, cnt
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z, cnt
+        FROM (SELECT string_split(trim(s), '  ') AS t, cnt FROM {prev}))
+), top{r} AS MATERIALIZED (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM pairs{r} GROUP BY pair
+  ORDER BY SUM(cnt) DESC, pair ASC
+  LIMIT 1
+), sym{r} AS MATERIALIZED (
+  SELECT regexp_replace(s, ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ', 'g') AS s, cnt
+  FROM {prev} CROSS JOIN top{r} t
+)"""
+        prev = f"sym{r}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS left, b AS right, a || b AS merged, pc AS pair_count FROM top{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    sql += f"\n{unions}\nORDER BY round\n"
+    return sql
+
+
+BPE_MERGES_SQL = _bpe_sql()

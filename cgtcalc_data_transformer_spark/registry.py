@@ -488,6 +488,7 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_lsh_quality": (dedup.dedup_lsh_quality, dedup.DEDUP_LSH_QUALITY_SQL),
     "rank_eval_bm25": (search.rank_eval_bm25, search.RANK_EVAL_SQL),
     "collocations_pmi": (corpus_lm.collocations_pmi, corpus_lm.COLLOCATIONS_SQL),
+    "bpe_learn_merges": (corpus_lm.bpe_learn_merges, corpus_lm.BPE_MERGES_SQL),
 }
 
 
@@ -580,6 +581,7 @@ _ROUND5_PLAN = [
     "training_order_shuffle",
     "rank_eval_bm25",
     "collocations_pmi",
+    "bpe_learn_merges",
     "dedup_ngram_jaccard",  # quadratic calibration op — run last
     "dedup_lsh_quality",  # composes the quadratic ground truth — run last
     # rows-only streaming engine runs (no hash rows possible; give

@@ -256,3 +256,46 @@ def test_collocations_pmi_matches_handcount(spark):
         assert abs(r.pmi - want) < 1e-8
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_bpe_learn_merges_matches_naive(spark):
+    """The regexp-based merge recurrence must equal naive Python BPE
+    (Sennrich-style greedy leftmost merge over the word-count table)."""
+    import re
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators import corpus_lm
+
+    rows = corpus_lm.bpe_learn_merges(spark, SF).collect()
+    assert len(rows) == corpus_lm.BPE_MERGE_ROUNDS
+
+    words: Counter = Counter()
+    for d in load_table(spark, SF, "documents").collect():
+        for w in re.sub(r"[^a-zA-Z0-9 ]", " ", d.text).lower().split():
+            words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    expected = []
+    for rnd in range(1, corpus_lm.BPE_MERGE_ROUNDS + 1):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        expected.append((rnd, a, b, a + b, n))
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    got = [(r.round, r.left, r.right, r.merged, r.pair_count) for r in rows]
+    assert got == expected
