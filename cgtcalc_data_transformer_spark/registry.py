@@ -512,7 +512,7 @@ _ROUND4_WINDOW = [
     "cms_heavy_hitters",
     "text_search_and",
     "parse_bullionvault_pyds",
-    "grouped_zscore",
+    "events_variant",  # (grouped_zscore already hash-green in r1 — slot reused)
     "split_assign",
     "text_repetition",
     "length_outliers",
@@ -521,7 +521,7 @@ _ROUND4_WINDOW = [
     "ivm_refresh_revenue",
     "orc_roundtrip",
     "events_retention",
-    "dedup_clusters",
+    "events_attribution_outer",  # (dedup_clusters already hash-green in r1)
     "events_transition_matrix",
     "merge_upsert",
     "histogram_equidepth",
@@ -542,7 +542,7 @@ _ROUND4_WINDOW = [
     "source_divergence",
     "csv_quarantine",
     "events_static_enrich",
-    "join_bucketed",
+    "jsonl_roundtrip",  # (join_bucketed already hash-green in r1)
     "sample_stratified",
     "profile_orders",
     "split_leakage_check",
@@ -555,9 +555,6 @@ _ROUND4_WINDOW = [
 # above), plus anything red in CORRECTNESS_r04 and any round-4-added
 # queries (which land at the tail of _ROUND5_PLAN by construction):
 _ROUND5_PLAN = [
-    "events_variant",
-    "events_attribution_outer",
-    "jsonl_roundtrip",
     "cap_per_source",
     "kmv_distinct",
     "collated_group",
