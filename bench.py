@@ -197,6 +197,7 @@ HEADLINE: dict[str, str] = {
     "training_order_shuffle": "exec",
     "rank_eval_bm25": "collect",
     "collocations_pmi": "collect",
+    "quality_fair_select": "exec",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -838,3 +838,69 @@ FROM scored
 ORDER BY log_weight DESC, doc_id
 LIMIT {DSIR_KEEP}
 """
+
+
+# ------------------------------------- per-source fair quality filter
+FAIR_DROP_FRACTION = 0.2  # drop the bottom 20% of each source
+
+
+def quality_fair_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank-normalized quality filtering: every document is
+    ranked WITHIN its source by the composite quality score and the
+    bottom FAIR_DROP_FRACTION of each source is dropped — the
+    batch-effect-safe form of quality filtering. A single global
+    threshold silently deletes whole sources whose scorer calibration
+    differs (one source's median is another's floor); rank
+    normalization removes exactly the same fraction everywhere, so
+    the corpus mixture is preserved.
+
+    Engine-exactness: percent_rank is (rank-1)/(n-1) — exact integers
+    and one correctly-rounded division, identical in DuckDB; ranking
+    ties break on doc_id. Plan: one window shuffle partitioned BY
+    SOURCE (never a global sort) over the quality projection.
+    """
+    from cgtcalc_data_transformer_spark.operators import textops
+    from pyspark.sql import Window
+
+    quality = textops.text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return (
+        quality.join(src, "doc_id")
+        .withColumn("q_rank", F.row_number().over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            "q_rank",
+            "pct_rank",
+            (F.col("pct_rank") >= FAIR_DROP_FRACTION).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_fair_sql() -> str:
+    from cgtcalc_data_transformer_spark.operators.textops import TEXT_QUALITY_SQL
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, quality_score FROM ({TEXT_QUALITY_SQL})
+), ranked AS (
+  SELECT q.doc_id, d.source, q.quality_score,
+         ROW_NUMBER() OVER w AS q_rank,
+         PERCENT_RANK() OVER w AS pct_rank
+  FROM q JOIN documents d USING (doc_id)
+  WINDOW w AS (PARTITION BY d.source ORDER BY q.quality_score, q.doc_id)
+)
+SELECT doc_id, source, quality_score, q_rank, pct_rank,
+       pct_rank >= {FAIR_DROP_FRACTION} AS keep
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+QUALITY_FAIR_SQL = _quality_fair_sql()

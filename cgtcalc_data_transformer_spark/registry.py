@@ -489,6 +489,7 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "rank_eval_bm25": (search.rank_eval_bm25, search.RANK_EVAL_SQL),
     "collocations_pmi": (corpus_lm.collocations_pmi, corpus_lm.COLLOCATIONS_SQL),
     "bpe_learn_merges": (corpus_lm.bpe_learn_merges, corpus_lm.BPE_MERGES_SQL),
+    "quality_fair_select": (curation.quality_fair_select, curation.QUALITY_FAIR_SQL),
 }
 
 
@@ -579,6 +580,7 @@ _ROUND5_PLAN = [
     "rank_eval_bm25",
     "collocations_pmi",
     "bpe_learn_merges",
+    "quality_fair_select",
     "dedup_ngram_jaccard",  # quadratic calibration op — run last
     "dedup_lsh_quality",  # composes the quadratic ground truth — run last
     # rows-only streaming engine runs (no hash rows possible; give

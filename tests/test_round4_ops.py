@@ -299,3 +299,29 @@ def test_bpe_learn_merges_matches_naive(spark):
         vocab = new_vocab
     got = [(r.round, r.left, r.right, r.merged, r.pair_count) for r in rows]
     assert got == expected
+
+
+def test_quality_fair_select_drops_same_fraction_per_source(spark):
+    from cgtcalc_data_transformer_spark.operators import curation
+
+    rows = curation.quality_fair_select(spark, SF).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        n = len(docs)
+        kept = sum(1 for d in docs if d.keep)
+        # percent_rank >= 0.2 keeps ceil((n-1)*0.8)+... — verify via
+        # the definition instead of a closed form
+        want = sum(
+            1 for d in docs if (d.q_rank - 1) / max(n - 1, 1) >= curation.FAIR_DROP_FRACTION
+        ) if n > 1 else n
+        assert kept == want, src
+        # dropped docs are the lowest-quality ones within the source
+        dropped = [d for d in docs if not d.keep]
+        if dropped:
+            max_dropped = max(
+                (d.quality_score, d.doc_id) for d in dropped
+            )
+            min_kept = min((d.quality_score, d.doc_id) for d in docs if d.keep)
+            assert max_dropped < min_kept, src
