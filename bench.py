@@ -368,16 +368,20 @@ def main() -> None:
     # summarized by count so nothing reads as silently dropped.
     compact = {k: v for k, v in payload.items() if k != "excluded"}
     ranked = sorted(timings, key=timings.get, reverse=True)
-    keep = len(ranked)
-    while keep > 5:
+    compact["n_queries"] = len(timings)
+    compact["detail"] = "BENCH_DETAIL.json"
+    # shrink the shown-query set until the line fits; the floor (0
+    # queries shown) is a minimal summary line that always fits, so
+    # `line` is bound on every path (ADVICE r4: the old while-loop
+    # left it unbound for <=5 queries and could print an oversized
+    # line at its exit boundary)
+    line = ""
+    for keep in list(range(len(ranked), 0, -5)) + [0]:
         compact["queries"] = {n: timings[n] for n in ranked[:keep]}
-        compact["n_queries"] = len(timings)
         compact["queries_shown"] = keep
-        compact["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(compact)
         if len(line) <= 1800:
             break
-        keep -= 5
     print(line)
     spark.stop()
 

