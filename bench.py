@@ -198,6 +198,8 @@ HEADLINE: dict[str, str] = {
     "rank_eval_bm25": "collect",
     "collocations_pmi": "collect",
     "quality_fair_select": "exec",
+    "simjoin_prefix": "collect",
+    "exact_median_2pass": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -221,7 +223,7 @@ EXCLUDED = {
     ],
     "plan_build_time_iteration": [
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",
-        "kcore_parts", "bpe_learn_merges",
+        "kcore_parts", "bpe_learn_merges", "bfs_reach",
     ],
     "quadratic_calibration_ground_truth": [
         "dedup_ngram_jaccard", "containment_dedup", "dedup_lsh_quality",

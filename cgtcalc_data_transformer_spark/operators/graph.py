@@ -328,3 +328,104 @@ ORDER BY node
 
 
 KCORE_SQL = _kcore_sql()
+
+
+# ------------------------------------------------ multi-source BFS
+BFS_ROUNDS = 4
+BFS_SEED_MAX_SUPPKEY = 2  # seeds: suppliers S1, S2
+
+
+def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance profile of a multi-source BFS over the
+    customer-supplier bipartite graph: per hop (0..BFS_ROUNDS), how
+    many nodes are first reached at that hop, plus one `hop = -1` row
+    counting nodes still unreached — the reachability / blast-radius
+    primitive (lineage impact analysis, contamination spread,
+    influence frontiers).
+
+    Spark shape: classic frontier expansion. Each round is ONE
+    equality-join shuffle (edges ⨝ frontier on src) + one min-hop
+    aggregation; the visited set is re-aggregated from the union —
+    at most one row per (node) survives per round. Rounds reference
+    the previous state twice (frontier filter + union base), so each
+    round localCheckpoints — the same load-bearing lineage-truncation
+    discipline as kcore_parts above.
+
+    Engine-exactness: hop counts are pure integers. The oracle
+    replays the identical R-round min-hop recurrence with
+    MATERIALIZED CTEs (default inlining re-opens the parquet 2^R
+    times).
+
+    At 100 TB: frontier expansion is the textbook BSP/Pregel BFS —
+    each round O(E_frontier) shuffle, broadcast-able seed set, no
+    driver-side adjacency, no collect.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    n_nodes = edges.select("src").distinct().count()
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= BFS_SEED_MAX_SUPPKEY)
+        .select(F.concat(F.lit("S"), F.col("s_suppkey")).alias("node"))
+    )
+    dist = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    for r in range(1, BFS_ROUNDS + 1):
+        frontier = dist.filter(F.col("hop") == r - 1).select("node")
+        expanded = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"), F.lit(r).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint()
+        )
+    reached = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
+    unreached = reached.agg(
+        (F.lit(n_nodes) - F.sum("n_nodes")).alias("n_nodes")
+    ).select(F.lit(-1).alias("hop"), "n_nodes")
+    return reached.unionByName(unreached).orderBy("hop")
+
+
+def _bfs_sql() -> str:
+    sql = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT 'C' || o.o_custkey AS c, 'S' || l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM li
+  UNION ALL
+  SELECT s AS src, c AS dst FROM li
+), dist0 AS MATERIALIZED (
+  SELECT 'S' || s_suppkey AS node, 0 AS hop
+  FROM supplier WHERE s_suppkey <= {BFS_SEED_MAX_SUPPKEY}
+)"""
+    prev = "dist0"
+    for r in range(1, BFS_ROUNDS + 1):
+        sql += f"""
+, dist{r} AS MATERIALIZED (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {r} AS hop
+    FROM edges e JOIN {prev} f ON e.src = f.node AND f.hop = {r - 1}
+  ) GROUP BY node
+)"""
+        prev = f"dist{r}"
+    sql += f"""
+, reached AS (
+  SELECT hop, COUNT(*) AS n_nodes FROM {prev} GROUP BY hop
+), total AS (
+  SELECT COUNT(DISTINCT src) AS n FROM edges
+)
+SELECT hop, n_nodes FROM reached
+UNION ALL
+SELECT -1 AS hop,
+       total.n - (SELECT CAST(SUM(n_nodes) AS BIGINT) FROM reached) AS n_nodes
+FROM total
+ORDER BY hop
+"""
+    return sql
+
+
+BFS_REACH_SQL = _bfs_sql()

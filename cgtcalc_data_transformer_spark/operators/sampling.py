@@ -338,3 +338,115 @@ WHERE CAST(draw AS DOUBLE)
         / CAST(w_total AS DOUBLE)
 ORDER BY o_orderkey
 """
+
+
+# ------------------------------------- exact median without a global sort
+MEDIAN_BINS = 65536  # histogram resolution of pass 1
+
+
+def exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (lower order statistic, rank
+    ``(n+1) div 2`` under the total order (o_totalprice, o_orderkey))
+    of orders — computed WITHOUT a global sort via the classic
+    distributed-selection recipe:
+
+    pass 1: per (group, equi-width bin) counts — one map-side-combined
+    aggregation over MEDIAN_BINS bins between the broadcast global
+    (min, max); a prefix-sum window over the BOUNDED bin table
+    (#groups x occupied bins) locates the bin containing the target
+    rank and the number of rows strictly before it.
+
+    pass 2: only rows landing in their group's target bin are ranked
+    (window partitioned by group over ~n/MEDIAN_BINS rows — at 1e10
+    rows/group that is ~150k rows, executor-memory bounded; one more
+    refinement level generalizes log_B(n)-deep, which is the standard
+    production form) and the row at rank ``k - rows_before_bin`` is
+    the exact median element.
+
+    Engine-exactness: the emitted median is a raw stored DOUBLE (no
+    arithmetic), counts are integers. The oracle is the INDEPENDENT
+    direct formulation — ROW_NUMBER selection at the same rank under
+    the same total order — so the hash match cross-checks the entire
+    two-pass selection machinery.
+
+    Ties are bin-consistent: equal values share one bin (floor of the
+    same double expression), so global (value, key) rank equals
+    rows-before-bin + in-bin rank.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(MEDIAN_BINS))
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(MEDIAN_BINS - 1).cast("long"),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        )
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).withColumn("bin", bin_col)
+    from pyspark.sql import Window
+
+    per_bin = binned.groupBy("o_orderpriority", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy("o_orderpriority")
+    located = (
+        per_bin.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_grp))
+        .withColumn("k", F.expr("(n + 1) div 2"))
+        .filter((F.col("cum") - F.col("cnt") < F.col("k")) & (F.col("cum") >= F.col("k")))
+        .select(
+            # renamed: `located` shares lineage with `binned`, and a
+            # same-name equality condition is ambiguous to Catalyst
+            F.col("o_orderpriority").alias("grp"),
+            F.col("bin").alias("target_bin"),
+            (F.col("cum") - F.col("cnt")).alias("before"),
+            "k",
+            "n",
+        )
+    )
+    in_bin = binned.join(
+        F.broadcast(located),
+        (F.col("o_orderpriority") == F.col("grp"))
+        & (F.col("bin") == F.col("target_bin")),
+    ).select(
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        "before",
+        "k",
+        "n",
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        in_bin.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+        .select("o_orderpriority", "n", F.col("o_totalprice").alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# Independent direct formulation: global rank selection.
+EXACT_MEDIAN_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, n, o_totalprice AS median_price
+FROM r
+WHERE rn = (n + 1) // 2
+ORDER BY o_orderpriority
+"""

@@ -490,6 +490,10 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "collocations_pmi": (corpus_lm.collocations_pmi, corpus_lm.COLLOCATIONS_SQL),
     "bpe_learn_merges": (corpus_lm.bpe_learn_merges, corpus_lm.BPE_MERGES_SQL),
     "quality_fair_select": (curation.quality_fair_select, curation.QUALITY_FAIR_SQL),
+    # ---- round-5 additions ------------------------------------------
+    "simjoin_prefix": (dedup.simjoin_prefix, dedup.SIMJOIN_PREFIX_SQL),
+    "bfs_reach": (graph.bfs_reach, graph.BFS_REACH_SQL),
+    "exact_median_2pass": (sampling.exact_median_2pass, sampling.EXACT_MEDIAN_SQL),
 }
 
 
@@ -517,9 +521,6 @@ _ROUND5_RECHECKS = [
     "multimodal_features",  # the r3 red fixed in r4 — confirm stability
     "dedup_embedding_cosine",  # post-LSH-bucket-scaling fix (r4)
     # ---- filler rechecks: swapped out one-for-one as round-5 ops land
-    "dedup_ngram_jaccard",
-    "q1_pricing_summary",
-    "events_funnel",
     "knn_bruteforce",
     "text_tfidf",
     "dedup_minhash_lsh",
@@ -527,6 +528,14 @@ _ROUND5_RECHECKS = [
     "window_running_total",
     "cdc_latest",
     "scd2_intervals",
+]
+
+# Operators added this round (never driver-checked by construction —
+# they occupy the slots freed from the filler rechecks):
+_ROUND5_NEW = [
+    "simjoin_prefix",
+    "bfs_reach",
+    "exact_median_2pass",
 ]
 
 # Rows-only streaming engine runs: 6 already carry an r3 rows-only
@@ -575,6 +584,7 @@ _ROUND5_WINDOW = [
     "dedup_lsh_quality",  # composes the quadratic ground truth — slowest
     # -- rechecks + this round's new operators ------------------------
     *_ROUND5_RECHECKS,
+    *_ROUND5_NEW,
     # -- rows-only streaming records at the tail ----------------------
     *_ROUND5_STREAMING,
 ]

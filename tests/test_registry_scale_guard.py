@@ -64,6 +64,8 @@ BNLJ_OK = {
     "training_order_shuffle",  # 256-row bucket-count prefix-sum self-join (value-domain-bounded)
     "rank_eval_bm25",  # 1-row n_relevant/mrr scalars crossJoined onto the 3-row per-k frame
     "collocations_pmi",  # 1-row total-bigram scalar crossJoin onto the filtered pair table
+    "exact_median_2pass",  # 1-row (min,max) bounds aggregate crossJoin
+    "bfs_reach",  # 1-row unreached-count scalar over the bounded hop table
 }
 
 

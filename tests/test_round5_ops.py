@@ -149,3 +149,68 @@ def test_quality_fair_singleton_source_kept(spark):
     assert out["d1"] is True  # singleton kept
     assert out["d2"] is False  # bottom of a 2-doc source dropped
     assert out["d3"] is True
+
+
+# ---------------------------------------------- round-5 new operators
+def test_simjoin_prefix_equals_quadratic(spark):
+    """Prefix filtering is LOSSLESS: the candidate-restricted exact
+    join must produce byte-identical pairs to the full quadratic
+    shingle self-join at the same threshold."""
+    from cgtcalc_data_transformer_spark.operators import dedup
+
+    fast = {tuple(r) for r in dedup.simjoin_prefix(spark, SF).collect()}
+    slow = {tuple(r) for r in dedup.dedup_ngram_jaccard(spark, SF).collect()}
+    assert fast == slow
+    assert len(fast) > 0, "fixture must contain at least one near-dup pair"
+
+
+def test_bfs_reach_hop_counts(spark):
+    """hop-0 row = seed count; every node is accounted for exactly
+    once (reached hops + unreached); hop-1 equals the directly
+    computed neighbor set of the seeds."""
+    from cgtcalc_data_transformer_spark.operators import graph
+
+    rows = {r.hop: r.n_nodes for r in graph.bfs_reach(spark, SF).collect()}
+    seeds = {
+        f"S{r.s_suppkey}"
+        for r in load_table(spark, SF, "supplier")
+        .filter(F.col("s_suppkey") <= graph.BFS_SEED_MAX_SUPPKEY)
+        .collect()
+    }
+    assert rows[0] == len(seeds)
+    edges = graph._edges(spark, SF)
+    n_nodes = edges.select("src").distinct().count()
+    assert sum(rows.values()) == n_nodes
+    hop1_direct = {
+        r.dst
+        for r in edges.filter(F.col("src").isin(*seeds)).select("dst").collect()
+    } - seeds
+    assert rows.get(1, 0) == len(hop1_direct)
+
+
+def test_exact_median_2pass_matches_direct_selection(spark):
+    """The two-pass selection must equal the direct global-rank
+    formulation computed independently in Spark."""
+    from pyspark.sql import Window
+
+    from cgtcalc_data_transformer_spark.operators.sampling import (
+        exact_median_2pass,
+    )
+
+    got = {
+        r.o_orderpriority: (r.n, r.median_price)
+        for r in exact_median_2pass(spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    direct = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("o_orderpriority", "n", "o_totalprice")
+        .collect()
+    )
+    assert got == {r.o_orderpriority: (r.n, r.o_totalprice) for r in direct}
+    assert len(got) == 5
