@@ -200,6 +200,9 @@ HEADLINE: dict[str, str] = {
     "quality_fair_select": "exec",
     "simjoin_prefix": "collect",
     "exact_median_2pass": "collect",
+    "events_session_stats": "collect",
+    "frequent_pairs": "collect",
+    "drift_ks_binned": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

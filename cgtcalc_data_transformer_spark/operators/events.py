@@ -1166,3 +1166,105 @@ SELECT purchase_id, click_id, user_id, touch_rank, n_touches,
 FROM ranked
 ORDER BY purchase_id, touch_rank
 """
+
+
+# ---------------------------------------------- session entry/exit stats
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry-type session quality profile: for sessions grouped by
+    their ENTRY event type — sessions, bounce count/rate (single-event
+    sessions), exits back to the same type, and mean duration — the
+    landing-page analytics primitive (bounce rate, dwell time) on top
+    of the same 30-min-gap sessionization as ``events_sessionize``.
+
+    Entry/exit are ``min(struct(ts, event_id, event_type))`` /
+    ``max(...)`` — one aggregation, no second window pass; DuckDB
+    mirrors with ordered-aggregate FIRST/LAST. All emitted numbers are
+    exact integers or correctly-rounded int/int divisions (ROUND x,6),
+    so the hash is engine-stable.
+
+    Plan: one user-keyed window shuffle (session index), one
+    session-level aggregation, one entry-type aggregation — cardinality
+    collapses monotonically; nothing driver-side.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_NS, 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("new_sess", gap)
+        .withColumn("session_idx", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+                "entry_type"
+            ),
+            F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+                "exit_type"
+            ),
+            F.expr(f"(max(ts) - min(ts)) div {NS_PER_SEC}").alias("duration_sec"),
+        )
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+            F.sum((F.col("entry_type") == F.col("exit_type")).cast("long")).alias(
+                "n_same_exit"
+            ),
+            F.sum("duration_sec").alias("total_duration_sec"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            F.round(F.col("n_bounces") / F.col("n_sessions"), 6).alias(
+                "bounce_rate"
+            ),
+            "n_same_exit",
+            F.round(
+                F.col("total_duration_sec") / F.col("n_sessions"), 6
+            ).alias("avg_duration_sec"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+EVENTS_SESSION_STATS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx,
+         COUNT(*) AS n_events,
+         FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+         LAST(event_type ORDER BY ts, event_id) AS exit_type,
+         (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // {NS_PER_SEC} AS duration_sec
+  FROM numbered
+  GROUP BY user_id, session_idx
+)
+SELECT entry_type,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS bounce_rate,
+       CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_exit,
+       ROUND(CAST(SUM(duration_sec) AS BIGINT) / COUNT(*), 6)
+         AS avg_duration_sec
+FROM sess
+GROUP BY entry_type
+ORDER BY entry_type
+"""

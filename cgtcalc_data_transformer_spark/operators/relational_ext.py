@@ -616,3 +616,122 @@ FROM mixed
 GROUP BY lower(brand_mixed)
 ORDER BY brand_ci
 """
+
+
+# ------------------------------------------------ frequent pair mining
+PAIR_MIN_SUPPORT = 2
+PAIR_TOP_K = 50
+
+
+def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining (the A-priori candidate
+    step) over order baskets: top-K part pairs by co-occurrence
+    support with their lift — the recommendation / affinity primitive.
+
+    lift(a,b) = sup(a,b)·N / (sup(a)·sup(b)), computed with each
+    factor cast to double BEFORE multiplying (exact below 2^53 and
+    overflow-safe beyond — same discipline as collocations_pmi) and
+    quantized floor(x·1e6 + 0.5) so ordering carries no libm risk.
+
+    Plan shape: the pair generation is a self-equality-join on
+    l_orderkey — fan-out bounded by basket size (TPC-H baskets are
+    <=7 lines; cost O(sum s_i^2), the standard A-priori bound — a
+    99.9th-percentile basket cap belongs upstream for heavy-tailed
+    retail data). Item supports are one aggregation of the SAME
+    distinct basket table (cached: pair side + two marginal lookups);
+    N is a broadcast 1-row scalar; final top-K is
+    TakeOrderedAndProject.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .cache()
+    )
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup_item"))
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= PAIR_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            item_sup.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("sup_item").alias("sup_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            item_sup.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("sup_item").alias("sup_b"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .withColumn(
+            "lift_int",
+            F.floor(
+                (
+                    F.col("support").cast("double")
+                    * F.col("n_baskets").cast("double")
+                )
+                / (F.col("sup_a").cast("double") * F.col("sup_b").cast("double"))
+                * 1e6
+                + 0.5
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.select(
+            "part_a",
+            "part_b",
+            "support",
+            "sup_a",
+            "sup_b",
+            (F.col("lift_int") / F.lit(1e6)).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(PAIR_TOP_K)
+    )
+
+
+FREQUENT_PAIRS_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li
+), item_sup AS (
+  SELECT l_partkey, COUNT(*) AS sup_item FROM li GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {PAIR_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support,
+       sa.sup_item AS sup_a, sb.sup_item AS sup_b,
+       CAST(floor((CAST(support AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+                  / (CAST(sa.sup_item AS DOUBLE) * CAST(sb.sup_item AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) / 1e6 AS lift
+FROM pairs
+JOIN item_sup sa ON sa.l_partkey = part_a
+JOIN item_sup sb ON sb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY support DESC, part_a, part_b
+LIMIT {PAIR_TOP_K}
+"""

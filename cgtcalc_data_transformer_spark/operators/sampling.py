@@ -450,3 +450,146 @@ FROM r
 WHERE rn = (n + 1) // 2
 ORDER BY o_orderpriority
 """
+
+
+# ------------------------------------- two-sample KS drift detection
+KS_BINS = 256  # value-domain resolution of the binned statistic
+KS_CRIT_COEF = 1.358  # alpha = 0.05 two-sample coefficient
+
+
+def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift check between the
+    o_totalprice distributions of open ('O') vs finished ('F') orders
+    — the training-data drift monitor (is this week's corpus shaped
+    like last week's?) in one summary row: segment sizes, the binned
+    KS statistic D, the alpha=0.05 critical value, and the drift flag.
+
+    Exact-D needs a global sort; the BINNED statistic (sup over
+    KS_BINS equi-width bin boundaries) needs only one count
+    aggregation over the bounded bin table and a prefix sum — D_binned
+    <= D_exact with error bounded by the max per-bin mass, the
+    standard monitoring tradeoff. The prefix sum over the bounded bin
+    table is a theta SELF-JOIN (b.bin <= a.bin), NOT a window — the
+    repo's convention for value-domain-bounded prefix scans (see
+    pareto_frontier), keeping the plan free of unpartitioned windows;
+    the BNLJ is 256x256 at worst.
+
+    Engine-exactness: counts are integers; each |cdf1-cdf2| is a
+    difference of two correctly-rounded int/int divisions quantized
+    floor(x·1e9+0.5) BEFORE the max, so sup selection is integer;
+    the critical value is one sqrt of an exact ratio — correctly
+    rounded, identical in DuckDB — quantized the same way.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(KS_BINS))
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(KS_BINS - 1).cast("long"),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        )
+    )
+    per_bin = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "o_orderstatus")
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("c1"),
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("c2"),
+        )
+    )
+    cum = (
+        per_bin.alias("a")
+        .join(F.broadcast(per_bin.alias("b")), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(
+            F.sum(F.col("b.c1")).alias("cum1"),
+            F.sum(F.col("b.c2")).alias("cum2"),
+        )
+    )
+    totals = per_bin.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        F.floor(
+            F.abs(
+                F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2")
+            )
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("d_int"),
+    )
+    crit_int = F.floor(
+        F.lit(KS_CRIT_COEF)
+        * F.sqrt(
+            (F.col("n1") + F.col("n2")).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return (
+        diffs.groupBy("n1", "n2")
+        .agg(F.max("d_int").alias("ks_int"))
+        .select(
+            "n1",
+            "n2",
+            (F.col("ks_int") / F.lit(1e9)).alias("ks_d"),
+            (crit_int / F.lit(1e9)).alias("d_crit"),
+            (F.col("ks_int") > crit_int).alias("drifted"),
+        )
+    )
+
+
+DRIFT_KS_SQL = f"""
+WITH seg AS (
+  SELECT o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+), bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM seg
+), binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST({KS_BINS - 1},
+                         CAST(FLOOR((o_totalprice - lo)
+                                    / ((hi - lo) / {KS_BINS}.0)) AS BIGINT))
+         END AS bin,
+         o_orderstatus
+  FROM seg CROSS JOIN bounds
+), per_bin AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT a.bin,
+         CAST(SUM(b.c1) AS BIGINT) AS cum1,
+         CAST(SUM(b.c2) AS BIGINT) AS cum2
+  FROM per_bin a JOIN per_bin b ON b.bin <= a.bin
+  GROUP BY a.bin
+), totals AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM per_bin
+), diffs AS (
+  SELECT n1, n2,
+         CAST(FLOOR(ABS(cum1 / n1 - cum2 / n2) * 1e9 + 0.5) AS BIGINT) AS d_int
+  FROM cum CROSS JOIN totals
+)
+SELECT n1, n2,
+       MAX(d_int) / 1e9 AS ks_d,
+       CAST(FLOOR({KS_CRIT_COEF} * sqrt(CAST(n1 + n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e9 + 0.5)
+            AS BIGINT) / 1e9 AS d_crit,
+       MAX(d_int) > CAST(FLOOR({KS_CRIT_COEF} * sqrt(CAST(n1 + n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e9 + 0.5)
+            AS BIGINT) AS drifted
+FROM diffs
+GROUP BY n1, n2
+"""

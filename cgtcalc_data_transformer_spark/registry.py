@@ -494,6 +494,9 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "simjoin_prefix": (dedup.simjoin_prefix, dedup.SIMJOIN_PREFIX_SQL),
     "bfs_reach": (graph.bfs_reach, graph.BFS_REACH_SQL),
     "exact_median_2pass": (sampling.exact_median_2pass, sampling.EXACT_MEDIAN_SQL),
+    "events_session_stats": (events.events_session_stats, events.EVENTS_SESSION_STATS_SQL),
+    "frequent_pairs": (relational_ext.frequent_pairs, relational_ext.FREQUENT_PAIRS_SQL),
+    "drift_ks_binned": (sampling.drift_ks_binned, sampling.DRIFT_KS_SQL),
 }
 
 
@@ -521,9 +524,6 @@ _ROUND5_RECHECKS = [
     "multimodal_features",  # the r3 red fixed in r4 — confirm stability
     "dedup_embedding_cosine",  # post-LSH-bucket-scaling fix (r4)
     # ---- filler rechecks: swapped out one-for-one as round-5 ops land
-    "knn_bruteforce",
-    "text_tfidf",
-    "dedup_minhash_lsh",
     "emb_quantize",
     "window_running_total",
     "cdc_latest",
@@ -536,6 +536,9 @@ _ROUND5_NEW = [
     "simjoin_prefix",
     "bfs_reach",
     "exact_median_2pass",
+    "events_session_stats",
+    "frequent_pairs",
+    "drift_ks_binned",
 ]
 
 # Rows-only streaming engine runs: 6 already carry an r3 rows-only

@@ -66,6 +66,8 @@ BNLJ_OK = {
     "collocations_pmi",  # 1-row total-bigram scalar crossJoin onto the filtered pair table
     "exact_median_2pass",  # 1-row (min,max) bounds aggregate crossJoin
     "bfs_reach",  # 1-row unreached-count scalar over the bounded hop table
+    "frequent_pairs",  # 1-row basket-count scalar crossJoin
+    "drift_ks_binned",  # 1-row bounds/totals scalars + 256-row bin-table prefix self-join
 }
 
 

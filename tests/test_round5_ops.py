@@ -214,3 +214,60 @@ def test_exact_median_2pass_matches_direct_selection(spark):
     )
     assert got == {r.o_orderpriority: (r.n, r.o_totalprice) for r in direct}
     assert len(got) == 5
+
+
+def test_events_session_stats_consistency(spark):
+    """Session totals must reconcile with events_sessionize; bounce
+    rows are exactly the single-event sessions."""
+    from cgtcalc_data_transformer_spark.operators import events
+
+    stats = events.events_session_stats(spark, SF).collect()
+    sessions = events.events_sessionize(spark, SF)
+    assert sum(r.n_sessions for r in stats) == sessions.count()
+    assert sum(r.n_bounces for r in stats) == sessions.filter(
+        F.col("n_events") == 1
+    ).count()
+    for r in stats:
+        assert 0.0 <= r.bounce_rate <= 1.0
+        assert r.n_same_exit >= r.n_bounces  # bounces enter==exit trivially
+
+
+def test_frequent_pairs_support_and_order(spark):
+    from cgtcalc_data_transformer_spark.operators.relational_ext import (
+        PAIR_MIN_SUPPORT,
+        frequent_pairs,
+    )
+
+    rows = frequent_pairs(spark, SF).collect()
+    assert rows, "fixture must contain at least one frequent pair"
+    sups = [r.support for r in rows]
+    assert sups == sorted(sups, reverse=True)
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.support >= PAIR_MIN_SUPPORT
+        assert r.lift > 0
+    # spot-verify the top pair's support directly
+    top = rows[0]
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    both = (
+        li.filter(F.col("l_partkey") == top.part_a)
+        .select("l_orderkey")
+        .intersect(li.filter(F.col("l_partkey") == top.part_b).select("l_orderkey"))
+        .count()
+    )
+    assert both == top.support
+
+
+def test_drift_ks_binned_summary(spark):
+    from cgtcalc_data_transformer_spark.operators.sampling import drift_ks_binned
+
+    [r] = drift_ks_binned(spark, SF).collect()
+    orders = load_table(spark, SF, "orders")
+    assert r.n1 == orders.filter(F.col("o_orderstatus") == "O").count()
+    assert r.n2 == orders.filter(F.col("o_orderstatus") == "F").count()
+    assert 0.0 <= r.ks_d <= 1.0
+    assert r.drifted == (r.ks_d > r.d_crit)
