@@ -203,6 +203,7 @@ HEADLINE: dict[str, str] = {
     "events_session_stats": "collect",
     "frequent_pairs": "collect",
     "drift_ks_binned": "collect",
+    "golden_record": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -226,7 +227,7 @@ EXCLUDED = {
     ],
     "plan_build_time_iteration": [
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",
-        "kcore_parts", "bpe_learn_merges", "bfs_reach",
+        "kcore_parts", "bpe_learn_merges", "bfs_reach", "bpe_apply",
     ],
     "quadratic_calibration_ground_truth": [
         "dedup_ngram_jaccard", "containment_dedup", "dedup_lsh_quality",

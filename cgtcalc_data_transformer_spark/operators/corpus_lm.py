@@ -401,6 +401,18 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected literal; the deterministic (count DESC, pair ASC)
     tiebreak makes both engines pick the same rule.
     """
+    rules = _learn_bpe_rules(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "round int, left string, right string, merged string, pair_count bigint"
+    ).orderBy("round")
+
+
+def _learn_bpe_rules(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    """The Sennrich learning loop (see bpe_learn_merges docstring);
+    returns the bounded rule list — the only driver state — so both
+    the learning op and the tokenizer-APPLICATION op share it."""
     docs = scatter(load_table(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
@@ -415,7 +427,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
     ).localCheckpoint()  # rounds reference the frame twice; truncate lineage
 
-    rules = []
+    rules: list[tuple[int, str, str, str, int]] = []
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
         toks = F.split(F.trim(F.col("s")), "  ")
         pairs = sym.select(
@@ -446,9 +458,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "cnt",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        rules, "round int, left string, right string, merged string, pair_count bigint"
-    ).orderBy("round")
+    return rules
 
 
 def _bpe_sql() -> str:
@@ -490,3 +500,130 @@ WITH words AS MATERIALIZED (
 
 
 BPE_MERGES_SQL = _bpe_sql()
+
+
+# ------------------------------------------------ BPE application
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merge rules to the corpus — tokenizer
+    INFERENCE as a DataFrame program, completing the train/apply pair
+    with ``bpe_learn_merges``: per document, word count, character
+    count, and the post-merge token count, with the resulting
+    tokens-per-char compression ratio (quantized).
+
+    The rules come from the shared learning loop (bounded driver
+    state: BPE_MERGE_ROUNDS rows); application is the same
+    lookaround-free double-space merge regex per rule, over the
+    per-document word stream this time — R chained codegen
+    ``regexp_replace`` column expressions, zero Python in the hot
+    path, embarrassingly parallel over documents.
+
+    The DuckDB oracle re-learns the rules with the identical
+    recurrence (same MATERIALIZED top-1 CTEs as BPE_MERGES_SQL) and
+    applies them via CROSS JOINs of those 1-row rule tables — no
+    literals smuggled across engines, so the hash match covers
+    learning AND application end-to-end.
+    """
+    rules = _learn_bpe_rules(spark, sf_dir)
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    dw = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    sym = F.concat(F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  "))
+    for _, a, b, _, _ in rules:
+        sym = F.regexp_replace(sym, f" {a}  {b} ", f" {a + b} ")
+    per_word = dw.select(
+        "doc_id",
+        F.length("w").alias("n_chars"),
+        F.size(F.split(F.trim(sym), "  ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            (
+                F.floor(
+                    F.col("n_tokens") / F.col("n_chars") * 1e6 + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("tokens_per_char"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_apply_sql() -> str:
+    # learning prefix: identical recurrence to BPE_MERGES_SQL
+    sql = r"""
+WITH words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w
+), sym0 AS MATERIALIZED (
+  SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s, cnt FROM words
+)"""
+    prev = "sym0"
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        sql += f"""
+, pairs{r} AS (
+  SELECT z[1] || ' ' || z[2] AS pair, cnt
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z, cnt
+        FROM (SELECT string_split(trim(s), '  ') AS t, cnt FROM {prev}))
+), top{r} AS MATERIALIZED (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM pairs{r} GROUP BY pair
+  ORDER BY SUM(cnt) DESC, pair ASC
+  LIMIT 1
+), sym{r} AS MATERIALIZED (
+  SELECT regexp_replace(s, ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ', 'g') AS s, cnt
+  FROM {prev} CROSS JOIN top{r} t
+)"""
+        prev = f"sym{r}"
+    # application: per-document word stream through the same rules
+    sql += r"""
+, dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), ds0 AS (
+  SELECT doc_id, length(w) AS n_chars,
+         '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s
+  FROM dw
+)"""
+    prev = "ds0"
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        sql += f"""
+, ds{r} AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(s, ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ', 'g') AS s
+  FROM ds{r - 1} CROSS JOIN top{r} t
+)"""
+        prev = f"ds{r}"
+    sql += f"""
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT)
+                  / CAST(SUM(n_chars) AS BIGINT) * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS tokens_per_char
+FROM {prev}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    return sql
+
+
+BPE_APPLY_SQL = _bpe_apply_sql()

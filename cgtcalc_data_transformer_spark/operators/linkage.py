@@ -212,3 +212,110 @@ FROM pairs
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# ------------------------------------------------ survivorship merge
+BAL_REFRESH = 5.25  # deterministic "newer balance" delta on the dirty feed
+
+
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: collapse each linked cluster (master + its
+    matched dirty-feed records from ``record_linkage``) into ONE
+    golden record under explicit field-level rules — the step after
+    entity resolution that every MDM pipeline needs:
+
+    - ``golden_name``    : SOURCE-PRIORITY — trust the master list
+      (the dirty feed's name is, by construction, corrupted).
+    - ``golden_acctbal`` : RECENCY — the dirty feed is the newer
+      extract (its balance is deterministically refreshed by
+      ``BAL_REFRESH``), so the freshest non-null value wins.
+    - ``golden_segment`` : RECENCY + COMPLETENESS — the dirty feed
+      does not carry the segment (NULL), so the rule falls back to
+      the freshest source that HAS one.
+
+    Every rule is one ``max(struct(priority, tiebreak_key, value))``
+    aggregation — a single groupBy over the cluster rows, no windows,
+    no per-field self-joins; DuckDB mirrors with max(struct_pack(...)).
+    Priorities embed a distinct record key so rule selection is total
+    and engine-deterministic even with multiple dirty matches.
+    """
+    links = record_linkage(spark, sf_dir).select("dirty_id", "master_id")
+    cust = load_table(spark, sf_dir, "customer")
+    master_rows = (
+        links.select("master_id")
+        .distinct()
+        .join(cust, F.col("master_id") == F.col("c_custkey"))
+        .select(
+            "master_id",
+            F.col("c_custkey").alias("rec_key"),
+            F.lit(1).alias("recency"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    dirty_rows = links.join(cust, F.col("dirty_id") == F.col("c_custkey")).select(
+        "master_id",
+        F.col("c_custkey").alias("rec_key"),
+        F.lit(2).alias("recency"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, DROP_POS - 1),
+            F.substring(F.col("c_name"), DROP_POS + 1, 1000),
+        ).alias("name"),
+        (F.col("c_acctbal") + F.lit(BAL_REFRESH)).alias("bal"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    cluster = master_rows.unionByName(dirty_rows)
+
+    def _rule(pri, value):
+        return F.max(
+            F.struct(
+                pri.alias("p"), F.col("rec_key").alias("k"), value.alias("v")
+            )
+        )["v"]
+
+    return (
+        cluster.groupBy("master_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            _rule(F.lit(3) - F.col("recency"), F.col("name")).alias("golden_name"),
+            _rule(
+                F.when(F.col("bal").isNotNull(), F.col("recency")).otherwise(-1),
+                F.col("bal"),
+            ).alias("golden_acctbal"),
+            _rule(
+                F.when(F.col("seg").isNotNull(), F.col("recency")).otherwise(-1),
+                F.col("seg"),
+            ).alias("golden_segment"),
+        )
+        .orderBy("master_id")
+    )
+
+
+GOLDEN_RECORD_SQL = f"""
+WITH links AS (
+  SELECT dirty_id, master_id FROM ({RECORD_LINKAGE_SQL})
+), cluster AS (
+  SELECT l.master_id, c.c_custkey AS rec_key, 1 AS recency,
+         c.c_name AS name, c.c_acctbal AS bal, c.c_mktsegment AS seg
+  FROM (SELECT DISTINCT master_id FROM links) l
+  JOIN customer c ON c.c_custkey = l.master_id
+  UNION ALL
+  SELECT l.master_id, c.c_custkey, 2,
+         substr(c.c_name, 1, {DROP_POS - 1}) || substr(c.c_name, {DROP_POS + 1}),
+         c.c_acctbal + {BAL_REFRESH},
+         NULL
+  FROM links l JOIN customer c ON c.c_custkey = l.dirty_id
+)
+SELECT master_id,
+       COUNT(*) AS n_records,
+       (MAX(struct_pack(p := 3 - recency, k := rec_key, v := name))).v
+         AS golden_name,
+       (MAX(struct_pack(p := CASE WHEN bal IS NOT NULL THEN recency ELSE -1 END,
+                        k := rec_key, v := bal))).v AS golden_acctbal,
+       (MAX(struct_pack(p := CASE WHEN seg IS NOT NULL THEN recency ELSE -1 END,
+                        k := rec_key, v := seg))).v AS golden_segment
+FROM cluster
+GROUP BY master_id
+ORDER BY master_id
+"""

@@ -497,6 +497,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "events_session_stats": (events.events_session_stats, events.EVENTS_SESSION_STATS_SQL),
     "frequent_pairs": (relational_ext.frequent_pairs, relational_ext.FREQUENT_PAIRS_SQL),
     "drift_ks_binned": (sampling.drift_ks_binned, sampling.DRIFT_KS_SQL),
+    "bpe_apply": (corpus_lm.bpe_apply, corpus_lm.BPE_APPLY_SQL),
+    "golden_record": (linkage.golden_record, linkage.GOLDEN_RECORD_SQL),
 }
 
 
@@ -524,8 +526,6 @@ _ROUND5_RECHECKS = [
     "multimodal_features",  # the r3 red fixed in r4 — confirm stability
     "dedup_embedding_cosine",  # post-LSH-bucket-scaling fix (r4)
     # ---- filler rechecks: swapped out one-for-one as round-5 ops land
-    "emb_quantize",
-    "window_running_total",
     "cdc_latest",
     "scd2_intervals",
 ]
@@ -539,6 +539,8 @@ _ROUND5_NEW = [
     "events_session_stats",
     "frequent_pairs",
     "drift_ks_binned",
+    "bpe_apply",
+    "golden_record",
 ]
 
 # Rows-only streaming engine runs: 6 already carry an r3 rows-only

@@ -271,3 +271,69 @@ def test_drift_ks_binned_summary(spark):
     assert r.n2 == orders.filter(F.col("o_orderstatus") == "F").count()
     assert 0.0 <= r.ks_d <= 1.0
     assert r.drifted == (r.ks_d > r.d_crit)
+
+
+def test_bpe_apply_matches_naive_python(spark):
+    """Tokenizer application must equal a naive Python BPE encode of
+    the same rules on sample documents."""
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        _learn_bpe_rules,
+        bpe_apply,
+    )
+
+    rules = _learn_bpe_rules(spark, SF)
+    assert rules, "learning must find at least one merge rule"
+    got = {r.doc_id: r for r in bpe_apply(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").limit(5).collect()
+    for d in docs:
+        words = re.findall(r"[a-z0-9]+", d.text.lower())
+        n_tokens = 0
+        for w in words:
+            syms = list(w)
+            for _, a, b, merged, _ in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n_tokens += len(syms)
+        r = got[d.doc_id]
+        assert r.n_words == len(words)
+        assert r.n_chars == sum(len(w) for w in words)
+        assert r.n_tokens == n_tokens
+        assert r.n_tokens <= r.n_chars
+
+
+def test_golden_record_rules(spark):
+    """Survivorship rules recomputed directly from the linkage result:
+    name from master, balance from the freshest (highest-key) linked
+    dirty record, segment from master (dirty carries none)."""
+    from cgtcalc_data_transformer_spark.operators.linkage import (
+        BAL_REFRESH,
+        golden_record,
+        record_linkage,
+    )
+
+    golden = {r.master_id: r for r in golden_record(spark, SF).collect()}
+    links = record_linkage(spark, SF).collect()
+    assert golden and links
+    cust = {
+        r.c_custkey: r for r in load_table(spark, SF, "customer").collect()
+    }
+    by_master: dict[int, list[int]] = {}
+    for lk in links:
+        by_master.setdefault(lk.master_id, []).append(lk.dirty_id)
+    assert set(golden) == set(by_master)
+    for mid, dirties in by_master.items():
+        g = golden[mid]
+        assert g.n_records == 1 + len(dirties)
+        assert g.golden_name == cust[mid].c_name
+        freshest = max(dirties)
+        assert g.golden_acctbal == cust[freshest].c_acctbal + BAL_REFRESH
+        assert g.golden_segment == cust[mid].c_mktsegment
