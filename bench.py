@@ -204,6 +204,8 @@ HEADLINE: dict[str, str] = {
     "frequent_pairs": "collect",
     "drift_ks_binned": "collect",
     "golden_record": "collect",
+    "weighted_sample_wor": "collect",
+    "kfold_assign": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -532,3 +532,62 @@ SELECT doc_id,
 FROM documents
 ORDER BY shuffle_pos
 """
+
+
+# --------------------------------------------------- k-fold CV folds
+KFOLD_K = 5
+
+
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-fold cross-validation assignment with the
+    per-fold train/eval audit: fold = md5(doc_id) mod K (row-local
+    codegen, append-stable like split_assign), and for each fold the
+    eval size, the complementary train size, eval character volume,
+    and the eval share (quantized int/int ratio) — the balance
+    evidence a CV harness needs before trusting fold estimates.
+
+    One groupBy over the scan plus a 1-row broadcast total; the fold
+    table is K rows. Appending documents never moves an existing doc
+    between folds (the property RNG-based folds lack).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(hash_bucket(F.col("doc_id"), 1000), F.lit(KFOLD_K))
+    per_fold = docs.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum("n_chars").alias("eval_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_fold.crossJoin(F.broadcast(totals))
+        .select(
+            "fold",
+            "n_eval",
+            (F.col("n_total") - F.col("n_eval")).alias("n_train"),
+            "eval_chars",
+            "n_sources",
+            F.round(F.col("n_eval") / F.col("n_total"), 6).alias("eval_share"),
+        )
+        .orderBy("fold")
+    )
+
+
+KFOLD_ASSIGN_SQL = f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 1000)
+          % {KFOLD_K}) AS fold
+  FROM documents
+), per_fold AS (
+  SELECT fold, COUNT(*) AS n_eval,
+         CAST(SUM(n_chars) AS BIGINT) AS eval_chars,
+         COUNT(DISTINCT source) AS n_sources
+  FROM assigned GROUP BY fold
+), totals AS (
+  SELECT COUNT(*) AS n_total FROM documents
+)
+SELECT fold, n_eval, n_total - n_eval AS n_train, eval_chars, n_sources,
+       ROUND(n_eval / n_total, 6) AS eval_share
+FROM per_fold CROSS JOIN totals
+ORDER BY fold
+"""

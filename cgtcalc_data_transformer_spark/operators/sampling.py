@@ -593,3 +593,66 @@ SELECT n1, n2,
 FROM diffs
 GROUP BY n1, n2
 """
+
+
+# ------------------------------- fixed-size weighted sample (WOR)
+WOR_K = 100  # sample size
+_WOR_U_BUCKETS = 4294967296.0  # 2^32 — md5-derived uniform resolution
+
+
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis exponential-keys method (IPL 2006): each row
+    draws key u^(1/w) for uniform u and the global top-K keys form
+    the sample — the fixed-budget companion to the Bernoulli
+    ``sample_weighted`` above (that one's size is only ~TARGET in
+    expectation; a training-data budget is usually exact).
+
+    Determinism + engine-portability: u derives from md5(o_orderkey)
+    (same bytes in both engines) as (bucket+0.5)/2^32; the ordering
+    key uses the monotone-equivalent form ln(u)/w, QUANTIZED to
+    floor(x·1e8+0.5) because ln is a libm call (not IEEE-guaranteed
+    across engines — the repo's standard derived-double recipe, same
+    as collocations_pmi), with o_orderkey as the total-order
+    tiebreak. The quantized key is part of the operator's spec, so
+    both engines select the identical sample.
+
+    Plan: one row-local codegen projection (hash, ln, divide) and a
+    global top-K = TakeOrderedAndProject — no shuffle of the
+    population, no RNG state, append-stable except at the key-K
+    boundary (the WOR tradeoff).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = F.greatest(F.lit(1), F.floor(F.col("o_totalprice")).cast("long"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(_WOR_U_BUCKETS)
+    key_int = F.floor(F.log(u) / w.cast("double") * 1e8 + 0.5).cast("long")
+    return (
+        orders.select(
+            "o_orderkey",
+            w.alias("weight"),
+            key_int.alias("key_int"),
+        )
+        .orderBy(F.desc("key_int"), F.asc("o_orderkey"))
+        .limit(WOR_K)
+    )
+
+
+WEIGHTED_WOR_SQL = f"""
+WITH keyed AS (
+  SELECT o_orderkey,
+         GREATEST(1, CAST(FLOOR(o_totalprice) AS BIGINT)) AS weight,
+         CAST(FLOOR(
+           ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT
+               + 0.5) / {_WOR_U_BUCKETS})
+           / CAST(GREATEST(1, CAST(FLOOR(o_totalprice) AS BIGINT)) AS DOUBLE)
+           * 1e8 + 0.5) AS BIGINT) AS key_int
+  FROM orders
+)
+SELECT o_orderkey, weight, key_int
+FROM keyed
+ORDER BY key_int DESC, o_orderkey ASC
+LIMIT {WOR_K}
+"""

@@ -499,6 +499,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "drift_ks_binned": (sampling.drift_ks_binned, sampling.DRIFT_KS_SQL),
     "bpe_apply": (corpus_lm.bpe_apply, corpus_lm.BPE_APPLY_SQL),
     "golden_record": (linkage.golden_record, linkage.GOLDEN_RECORD_SQL),
+    "weighted_sample_wor": (sampling.weighted_sample_wor, sampling.WEIGHTED_WOR_SQL),
+    "kfold_assign": (mlprep.kfold_assign, mlprep.KFOLD_ASSIGN_SQL),
 }
 
 
@@ -525,9 +527,6 @@ _ROUND5_RECHECKS = [
     "canonical_orders",  # flagship entry() twin — keep a fresh row
     "multimodal_features",  # the r3 red fixed in r4 — confirm stability
     "dedup_embedding_cosine",  # post-LSH-bucket-scaling fix (r4)
-    # ---- filler rechecks: swapped out one-for-one as round-5 ops land
-    "cdc_latest",
-    "scd2_intervals",
 ]
 
 # Operators added this round (never driver-checked by construction —
@@ -541,6 +540,8 @@ _ROUND5_NEW = [
     "drift_ks_binned",
     "bpe_apply",
     "golden_record",
+    "weighted_sample_wor",
+    "kfold_assign",
 ]
 
 # Rows-only streaming engine runs: 6 already carry an r3 rows-only

@@ -68,6 +68,7 @@ BNLJ_OK = {
     "bfs_reach",  # 1-row unreached-count scalar over the bounded hop table
     "frequent_pairs",  # 1-row basket-count scalar crossJoin
     "drift_ks_binned",  # 1-row bounds/totals scalars + 256-row bin-table prefix self-join
+    "kfold_assign",  # 1-row corpus-total scalar crossJoin onto the K-row fold table
 }
 
 

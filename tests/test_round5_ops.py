@@ -337,3 +337,47 @@ def test_golden_record_rules(spark):
         freshest = max(dirties)
         assert g.golden_acctbal == cust[freshest].c_acctbal + BAL_REFRESH
         assert g.golden_segment == cust[mid].c_mktsegment
+
+
+def test_weighted_sample_wor_properties(spark):
+    """Exactly K rows; keys recompute correctly for the selected rows;
+    selection favors heavy weights vs the unweighted baseline."""
+    import math
+
+    from cgtcalc_data_transformer_spark.operators.sampling import (
+        WOR_K,
+        weighted_sample_wor,
+    )
+
+    rows = weighted_sample_wor(spark, SF).collect()
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    assert len(rows) == min(WOR_K, n)
+    import hashlib
+
+    for r in rows[:10]:
+        bucket = int(hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[:8], 16)
+        u = (bucket + 0.5) / 4294967296.0
+        expect = math.floor(math.log(u) / r.weight * 1e8 + 0.5)
+        assert r.key_int == expect
+    # weighted sample's mean weight should exceed the population mean
+    pop_mean = orders.agg(
+        F.avg(F.greatest(F.lit(1), F.floor(F.col("o_totalprice")).cast("long")))
+    ).collect()[0][0]
+    samp_mean = sum(r.weight for r in rows) / len(rows)
+    assert samp_mean > pop_mean
+
+
+def test_kfold_assign_partition(spark):
+    from cgtcalc_data_transformer_spark.operators.mlprep import (
+        KFOLD_K,
+        kfold_assign,
+    )
+
+    rows = kfold_assign(spark, SF).collect()
+    docs_n = load_table(spark, SF, "documents").count()
+    assert {r.fold for r in rows} == set(range(KFOLD_K))
+    assert sum(r.n_eval for r in rows) == docs_n
+    for r in rows:
+        assert r.n_train == docs_n - r.n_eval
+        assert abs(r.eval_share - r.n_eval / docs_n) < 1e-6
