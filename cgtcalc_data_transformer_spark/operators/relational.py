@@ -694,11 +694,23 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _within(approx, exact, tol):
         return F.abs(approx - exact) / exact < tol
 
+    # THREE separate small aggregations, joined on the 5-row group key.
+    # Load-bearing split, not style: putting count_distinct in the
+    # same agg as percentile_approx triggers the distinct-rewrite
+    # (Expand) and drags the percentile sketch through the expanded
+    # path — measured 28 s for that one combined aggregation at sf0.1
+    # vs 0.3 s + 0.2 s split. Deriving the sample-rate _n from the
+    # sketch agg would likewise execute the sketches twice.
     full = orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx_cust"),
-        F.count_distinct("o_custkey").alias("exact_customers"),
-        F.count(F.lit(1)).alias("_n"),
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("_qa"),
+    )
+    distincts = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    full = full.join(F.broadcast(distincts), "o_orderpriority")
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n")
     )
     in_sample = (
         hash_bucket(F.col("o_orderkey"), _AGG_APPROX_BUCKETS) * F.col("_n")
@@ -706,7 +718,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(_AGG_APPROX_BUCKETS).cast("long")
     )
     exact = (
-        orders.join(F.broadcast(full.select("o_orderpriority", "_n")), "o_orderpriority")
+        orders.join(F.broadcast(counts), "o_orderpriority")
         .filter(in_sample)
         .groupBy("o_orderpriority")
         .agg(
