@@ -256,13 +256,25 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "n_sh")
+    # length filter (also lossless): jaccard(A,B) >= t requires
+    # t*|A| <= |B| <= |A|/t, so size-mismatched prefix collisions are
+    # dropped BEFORE the distinct/verify stages (the other half of the
+    # AllPairs bound; prunes the hot-shingle fan-out further)
     cands = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("b.n_sh")
+                >= F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("a.n_sh"))
+            )
+            & (
+                F.col("b.n_sh") * F.lit(JACCARD_THRESHOLD)
+                <= F.col("a.n_sh")
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
