@@ -240,6 +240,28 @@ EXCLUDED = {
 }
 
 
+def compact_line(payload: dict, timings: dict[str, float]) -> str:
+    """ONE stdout line pruned until it fits the driver's 2000-char
+    tail window: slowest queries first, the rest summarized by count
+    so nothing reads as silently dropped. The floor (0 queries shown)
+    is a minimal summary line that always fits, so the return is
+    bound on every path (ADVICE r4; floor pinned by
+    tests/test_bench_contract.py as the registry passes 200 queries).
+    """
+    compact = {k: v for k, v in payload.items() if k != "excluded"}
+    ranked = sorted(timings, key=timings.get, reverse=True)
+    compact["n_queries"] = len(timings)
+    compact["detail"] = "BENCH_DETAIL.json"
+    line = ""
+    for keep in list(range(len(ranked), 0, -5)) + [0]:
+        compact["queries"] = {n: timings[n] for n in ranked[:keep]}
+        compact["queries_shown"] = keep
+        line = json.dumps(compact)
+        if len(line) <= 1800:
+            break
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -371,26 +393,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
-    # stdout gets ONE compact line, pruned until it is guaranteed to
-    # fit the driver's tail window: slowest queries first, the rest
-    # summarized by count so nothing reads as silently dropped.
-    compact = {k: v for k, v in payload.items() if k != "excluded"}
-    ranked = sorted(timings, key=timings.get, reverse=True)
-    compact["n_queries"] = len(timings)
-    compact["detail"] = "BENCH_DETAIL.json"
-    # shrink the shown-query set until the line fits; the floor (0
-    # queries shown) is a minimal summary line that always fits, so
-    # `line` is bound on every path (ADVICE r4: the old while-loop
-    # left it unbound for <=5 queries and could print an oversized
-    # line at its exit boundary)
-    line = ""
-    for keep in list(range(len(ranked), 0, -5)) + [0]:
-        compact["queries"] = {n: timings[n] for n in ranked[:keep]}
-        compact["queries_shown"] = keep
-        line = json.dumps(compact)
-        if len(line) <= 1800:
-            break
-    print(line)
+    print(compact_line(payload, timings))
     spark.stop()
 
 

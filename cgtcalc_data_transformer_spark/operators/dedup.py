@@ -107,9 +107,20 @@ ORDER BY keep_doc_id
 
 
 # ----------------------------------------------- exact n-gram Jaccard
-def _jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+def _jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame, threshold: float | None = None
+) -> DataFrame:
     """Exact Jaccard for given (doc_a, doc_b) pairs via exploded-row
-    intersection counts (no arrays; zero-overlap pairs get 0)."""
+    intersection counts (no arrays; zero-overlap pairs get 0).
+
+    ``threshold`` filters on the UNROUNDED ratio via the multiply
+    form ``inter >= t * union`` — exact in double for t=0.5 (power of
+    two) and integer operands < 2^53, so the emitted predicate
+    coincides with the prefix/length filters' "true jaccard >= t"
+    guarantee (ADVICE r5: filtering the ROUND(...,6) value admitted
+    pairs in [t - 5e-7, t) that the lossless filters may prune).
+    ``jaccard`` stays rounded for display only.
+    """
     sizes = shingle_sizes(shingles)
     inter = (
         pairs.join(
@@ -122,19 +133,24 @@ def _jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .withColumn("inter", F.coalesce("inter", F.lit(0)))
         .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-            ),
-        )
-        .select("doc_a", "doc_b", "jaccard")
     )
+    if threshold is not None:
+        out = out.filter(
+            F.col("inter")
+            >= F.lit(threshold)
+            * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+    return out.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+        ),
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,13 +176,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        # unrounded threshold (multiply form, exact for t=0.5) — the
+        # display column rounds, the predicate must not (ADVICE r5)
+        .filter(
+            F.col("inter")
+            >= F.lit(JACCARD_THRESHOLD)
+            * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -205,7 +227,10 @@ SELECT doc_a, doc_b,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+-- unrounded threshold (multiply form, exact for t=0.5): must match
+-- the Spark predicate AND the prefix/length filters' true-jaccard
+-- guarantee; ROUND is display-only (ADVICE r5)
+WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)
 ORDER BY doc_a, doc_b
 """
 )
@@ -281,11 +306,9 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
-        _jaccard_for_pairs(cands, shingles)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _jaccard_for_pairs(
+        cands, shingles, threshold=JACCARD_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
 
 
 # Lossless filter ⇒ same rows as the quadratic ground truth; using the

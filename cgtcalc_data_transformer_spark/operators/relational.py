@@ -653,10 +653,14 @@ ORDER BY l_returnflag
 # ------------------------------------------------ approximate aggs
 # Per-group target size for the exact-percentile AUDIT side. The
 # audit sample is deterministic (md5 of the row key) with a rate that
-# ADAPTS to group size — keep iff bucket/B < TARGET/n — so the
-# aggregation buffer is bounded at ~TARGET values per group no matter
-# how large the group grows (VERDICT r4: the previous full-data exact
-# percentile buffered N/5 values per buffer, a genuine OOM at 100x).
+# ADAPTS to group size — keep iff bucket <= (TARGET*B - 1) div n,
+# which is integer-equivalent to bucket*n < TARGET*B but never
+# overflows: TARGET*B = 2^32 is a constant and n only ever DIVIDES it
+# (ADVICE r5: the multiply form wrapped silently past n ~ 8.8e12 in
+# non-ANSI Spark). The aggregation buffer stays bounded at ~TARGET
+# values per group no matter how large the group grows (VERDICT r4:
+# the previous full-data exact percentile buffered N/5 values per
+# buffer, a genuine OOM at 100x).
 # Whenever the group is smaller than TARGET the rate is 1 and the
 # emitted percentiles are the full-data exact values — which holds at
 # every oracle-checked scale (sf0.01: ~3k orders/priority).
@@ -712,11 +716,13 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("_n")
     )
-    in_sample = (
-        hash_bucket(F.col("o_orderkey"), _AGG_APPROX_BUCKETS) * F.col("_n")
-        < F.lit(AGG_APPROX_SAMPLE_TARGET).cast("long")
-        * F.lit(_AGG_APPROX_BUCKETS).cast("long")
-    )
+    # bucket*n < T*B  ⇔  bucket <= floor((T*B - 1) / n): identical row
+    # set (bucket, n integers), but the only product is the constant
+    # T*B = 2^32 — no int64 overflow at any group size (ADVICE r5)
+    _cap = AGG_APPROX_SAMPLE_TARGET * _AGG_APPROX_BUCKETS - 1
+    in_sample = hash_bucket(
+        F.col("o_orderkey"), _AGG_APPROX_BUCKETS
+    ) <= F.expr(f"CAST({_cap} AS BIGINT) div _n")
     exact = (
         orders.join(F.broadcast(counts), "o_orderpriority")
         .filter(in_sample)
@@ -758,8 +764,8 @@ WITH g AS (
   SELECT o.o_orderpriority, o.o_totalprice
   FROM orders o JOIN g USING (o_orderpriority)
   WHERE (('0x' || substr(md5(o.o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT
-         % {_AGG_APPROX_BUCKETS}) * g.n
-        < {AGG_APPROX_SAMPLE_TARGET}::BIGINT * {_AGG_APPROX_BUCKETS}
+         % {_AGG_APPROX_BUCKETS})
+        <= ({AGG_APPROX_SAMPLE_TARGET}::BIGINT * {_AGG_APPROX_BUCKETS} - 1) // g.n
 ), p AS (
   SELECT o_orderpriority,
          ROUND(quantile_cont(o_totalprice, 0.5), 6) AS price_p50,

@@ -504,50 +504,94 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# ---- round-5 driver window (slots 1-50) ------------------------------
-# Slots 1-26: EVERY remaining never-driver-checked oracled query (the
-# r4 verdict's `_ROUND5_PLAN`) — a green round closes driver proof of
-# all oracled registry entries. Then deliberate RECHECKS of already-
-# green queries whose code changed this round or whose r3 fix deserves
-# a fresh row, then this round's new operators, and finally the 10
-# rows-only streaming entries (no oracle is possible for an engine
-# run; the driver records spark_rows + err=no_oracle, and each output
-# carries the falsifiable batch_mismatch=0 invariant).
+# ---- round-6 driver window (slots 1-50) ------------------------------
+# Round 5 closed the proof backlog: every oracled query in the
+# registry has a driver hash-green row (r1-r5) and all 10 streaming
+# engine runs a rows-only record (CORRECTNESS_r05 — 40/40 green).
+# Round 6's window is therefore NEW operators first, then declared
+# rechecks: queries whose code changed this round, then the OLDEST
+# driver rows (r1/r2-proven relational core) for a freshness sweep.
 #
-# Slot accounting is MECHANICAL now: tests/test_registry_contract.py
-# recomputes never-driver-green from the committed CORRECTNESS_r0*.json
-# artifacts and asserts (a) every never-checked oracled query is in
-# the window and (b) every window slot burned on an already-green name
-# is declared in _ROUND5_RECHECKS below (VERDICT r4 item 5).
+# Slot accounting stays mechanical: tests/test_registry_contract.py
+# recomputes driver-green from the CORRECTNESS artifacts of rounds
+# STRICTLY BEFORE `CURRENT_ROUND` (the current round's artifact lands
+# on disk mid-round and must not count — VERDICT r5 item 1) and
+# asserts every already-green window slot is a declared recheck.
 
-# Already driver-green names deliberately re-burned this round:
-_ROUND5_RECHECKS = [
-    "agg_approx",  # exact-percentile audit side moved to a bounded
-                   # deterministic sample this round (VERDICT r4 #3)
-    "canonical_orders",  # flagship entry() twin — keep a fresh row
-    "multimodal_features",  # the r3 red fixed in r4 — confirm stability
-    "dedup_embedding_cosine",  # post-LSH-bucket-scaling fix (r4)
-]
+CURRENT_ROUND = 6
 
-# Operators added this round (never driver-checked by construction —
-# they occupy the slots freed from the filler rechecks):
-_ROUND5_NEW = [
+# Operators added this round (never driver-checked by construction).
+# Adding a name here automatically drops the last recheck below —
+# the window stays exactly 50 slots.
+_ROUND6_NEW: list[str] = []
+
+# Priority-ordered recheck pool: code-changed-this-round first, then
+# the oldest green rows. Only the first 50-len(_ROUND6_NEW) burn slots.
+_ROUND6_RECHECK_POOL = [
+    # code changed this round (ADVICE r5): threshold now unrounded
     "simjoin_prefix",
-    "bfs_reach",
-    "exact_median_2pass",
-    "events_session_stats",
-    "frequent_pairs",
-    "drift_ks_binned",
-    "bpe_apply",
-    "golden_record",
-    "weighted_sample_wor",
-    "kfold_assign",
+    "dedup_ngram_jaccard",
+    # code changed this round (ADVICE r5): overflow-safe sample pred
+    "agg_approx",
+    # flagship entry() twin — keep a fresh row every round
+    "canonical_orders",
+    # oldest rows (r1/r2): relational core freshness sweep
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_dormant_value",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_nation_year",
+    "q13_customer_distribution",
+    "sql_frontend_q13",
+    "q11_important_value",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_geo",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "window_running_total",
+    "window_topk",
+    "window_lag_gap",
+    "topk_orders",
+    "setop_intersect",
+    "setop_except",
+    "pivot_status",
+    "unpivot_status",
+    "range_join_bands",
+    "window_range_frame",
+    "window_ntile",
+    "join_salted",
+    "subquery_scalar",
+    "parse_freetrade",
+    "parse_ii",
 ]
 
-# Rows-only streaming engine runs: 6 already carry an r3 rows-only
-# record; all 10 get the driver's record this round now that the
-# oracled backlog fits alongside them.
-_ROUND5_STREAMING = [
+_ROUND6_RECHECKS = _ROUND6_RECHECK_POOL[: 50 - len(_ROUND6_NEW)]
+
+_ROUND6_WINDOW = [*_ROUND6_NEW, *_ROUND6_RECHECKS]
+
+# Rows-only streaming engine runs (all carry an r5 record; kept out of
+# the round-6 window — oracled slots are stronger):
+_STREAMING_ROWS_ONLY = [
     "streaming_tumbling",
     "streaming_sliding",
     "streaming_session",
@@ -560,51 +604,12 @@ _ROUND5_STREAMING = [
     "streaming_python_source",
 ]
 
-_ROUND5_WINDOW = [
-    # -- the 26 never-driver-checked oracled queries ------------------
-    "cap_per_source",
-    "kmv_distinct",
-    "collated_group",
-    "events_type_totals",
-    "ticker_totals",
-    "dynamic_partition_overwrite",
-    "contrastive_negatives",
-    "containment_dedup",
-    "kmv_intersection",
-    "linkage_sorted_neighborhood",
-    "segment_dedup",
-    "events_rate_anomaly_robust",
-    "snapshot_diff",
-    "events_trending_decay",
-    "events_rfm_segments",
-    "dsir_importance_resample",
-    "pareto_frontier",
-    "events_multitouch_attribution",
-    "retrieval_recall_audit",
-    "kcore_parts",
-    "training_order_shuffle",
-    "rank_eval_bm25",
-    "collocations_pmi",
-    "bpe_learn_merges",
-    "quality_fair_select",
-    "dedup_lsh_quality",  # composes the quadratic ground truth — slowest
-    # -- rechecks + this round's new operators ------------------------
-    *_ROUND5_RECHECKS,
-    *_ROUND5_NEW,
-    # -- rows-only streaming records at the tail ----------------------
-    *_ROUND5_STREAMING,
-]
-
-# Round-6 plan: with a green round 5, every oracled query has a driver
-# hash row and all 10 streaming entries a rows-only record — round 6's
-# window is free for new operators plus rechecks of anything red here.
-
-assert len(_ROUND5_WINDOW) == 50, len(_ROUND5_WINDOW)
-assert set(_ROUND5_WINDOW) <= set(_ALL), set(_ROUND5_WINDOW) - set(_ALL)
-assert len(set(_ROUND5_WINDOW)) == 50
+assert len(_ROUND6_WINDOW) == 50, len(_ROUND6_WINDOW)
+assert set(_ROUND6_WINDOW) <= set(_ALL), set(_ROUND6_WINDOW) - set(_ALL)
+assert len(set(_ROUND6_WINDOW)) == 50
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    name: _ALL[name] for name in _ROUND5_WINDOW
+    name: _ALL[name] for name in _ROUND6_WINDOW
 }
 REGISTRY.update({name: v for name, v in _ALL.items() if name not in REGISTRY})
 

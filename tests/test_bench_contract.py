@@ -1,0 +1,68 @@
+"""bench.py stdout-contract guards (no Spark).
+
+The driver records only the LAST 2000 chars of bench stdout; a line
+longer than that arrives head-truncated and parses as null (the
+BENCH_r03 lesson). These tests pin the pruning floor as the registry
+grows past 200 queries (VERDICT r5 item 5).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def _payload(bench, timings):
+    # mirror main()'s payload shape, worst-case field widths
+    return {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "skew_join": {
+            f"skew_{label}": 9999.999
+            for label in ("plain", "aqe_split", "salted", "salted_partial")
+        },
+        "sf": 1.0,
+        "methodology": "min-of-3 fresh-plan full executions "
+        "(r1/r2 re-collected memoized plans; 10-20x under-reported)",
+        "excluded": bench.EXCLUDED,
+    }
+
+
+def test_bench_line_fits_at_current_headline():
+    """The real HEADLINE set with worst-case timing widths must emit
+    one parseable line within the tail window."""
+    bench = _load_bench()
+    timings = {n: 9999.999 for n in bench.HEADLINE}
+    line = bench.compact_line(_payload(bench, timings), timings)
+    assert 0 < len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert "excluded" not in parsed  # detail lives in BENCH_DETAIL.json
+
+
+def test_bench_line_floor_keep_zero_fits():
+    """Pathological query names force the pruning loop to its keep=0
+    floor — the minimal line must still fit and parse (a silent
+    oversized line at the floor would null the round's BENCH record).
+    """
+    bench = _load_bench()
+    # ~450-char names: even keep=5 overflows 1800, forcing the floor
+    timings = {f"query_with_a_very_long_name_{i:04d}" * 15: 9999.999 for i in range(300)}
+    line = bench.compact_line(_payload(bench, timings), timings)
+    assert 0 < len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["queries_shown"] == 0
+    assert parsed["queries"] == {}
+    assert parsed["n_queries"] == 300

@@ -68,28 +68,36 @@ def test_round_window_is_contiguous_prefix():
     """The driver checks the FIRST 50 queries() entries — the rotation
     only works if the declared window is exactly that prefix."""
     names = list(registry.REGISTRY)
-    assert names[: len(registry._ROUND5_WINDOW)] == registry._ROUND5_WINDOW
-    assert len(registry._ROUND5_WINDOW) == 50
+    assert names[: len(registry._ROUND6_WINDOW)] == registry._ROUND6_WINDOW
+    assert len(registry._ROUND6_WINDOW) == 50
     # every window entry is oracled (hash row) or a declared rows-only
     # streaming engine run
     oracled = set(registry.oracle_sql())
-    assert set(registry._ROUND5_WINDOW) <= oracled | set(
-        registry._ROUND5_STREAMING
+    assert set(registry._ROUND6_WINDOW) <= oracled | set(
+        registry._STREAMING_ROWS_ONLY
     )
-    assert set(registry._ROUND5_STREAMING) & oracled == set()
+    assert set(registry._STREAMING_ROWS_ONLY) & oracled == set()
 
 
 def _driver_green_names() -> set[str]:
     """Union of hash-green names across the committed per-round
-    driver correctness artifacts — the ground truth for 'already
-    proven', recomputed instead of hand-maintained."""
+    driver correctness artifacts from rounds STRICTLY BEFORE the
+    active window's round — the ground truth for 'already proven',
+    recomputed instead of hand-maintained. The current round's
+    artifact lands on disk mid-round; counting it would flag every
+    name that went green THIS round as an undeclared reburn the
+    moment it is committed (VERDICT r5 item 1)."""
     import glob
     import json
     import os
+    import re as _re
 
     root = os.path.join(os.path.dirname(__file__), "..")
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) >= registry.CURRENT_ROUND:
+            continue
         with open(path) as fh:
             for name, rec in json.load(fh).items():
                 if rec.get("hash_match") is True:
@@ -105,7 +113,7 @@ def test_window_slot_accounting():
     queries or orphan an unproven one."""
     green = _driver_green_names()
     oracled = set(registry.oracle_sql())
-    window = set(registry._ROUND5_WINDOW)
+    window = set(registry._ROUND6_WINDOW)
     never_green = oracled - green
     # (a) nothing oracled-and-unproven is left outside the window
     assert never_green <= window, (
@@ -114,8 +122,10 @@ def test_window_slot_accounting():
     )
     # (b) already-green window slots are exactly the declared rechecks
     reburned = window & green & oracled
-    assert reburned == set(registry._ROUND5_RECHECKS), (
-        f"undeclared recheck slots: {sorted(reburned - set(registry._ROUND5_RECHECKS))}; "
+    assert reburned == set(registry._ROUND6_RECHECKS), (
+        f"undeclared recheck slots: {sorted(reburned - set(registry._ROUND6_RECHECKS))}; "
         f"declared but not green/in-window: "
-        f"{sorted(set(registry._ROUND5_RECHECKS) - reburned)}"
+        f"{sorted(set(registry._ROUND6_RECHECKS) - reburned)}"
     )
+    # (c) this round's new operators are never-green by construction
+    assert set(registry._ROUND6_NEW) & green == set()

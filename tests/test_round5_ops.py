@@ -38,14 +38,14 @@ def test_no_other_registry_query_empty_at_its_scale(spark):
     Streaming entries are exercised by their own tests."""
     from cgtcalc_data_transformer_spark import registry
 
-    slow_or_streaming = set(registry._ROUND5_STREAMING) | {
+    slow_or_streaming = set(registry._STREAMING_ROWS_ONLY) | {
         # quadratic calibration composition — minutes at sf0.01;
         # its non-emptiness is pinned by test_dedup_lsh_quality
         "dedup_lsh_quality",
     }
     names = [
         n
-        for n in registry._ROUND5_WINDOW
+        for n in registry._ROUND6_WINDOW
         if n not in slow_or_streaming
     ][:8]
     # spot-check the first 8 (full coverage comes from the per-op
