@@ -206,6 +206,9 @@ HEADLINE: dict[str, str] = {
     "golden_record": "collect",
     "weighted_sample_wor": "collect",
     "kfold_assign": "collect",
+    # round-6 additions
+    "substring_dedup": "collect",
+    "rrf_fusion": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

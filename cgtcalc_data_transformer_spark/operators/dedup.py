@@ -317,6 +317,148 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMJOIN_PREFIX_SQL = DEDUP_NGRAM_SQL
 
 
+# ---------------------------------- repeated-substring (span) dedup
+SUBSTR_K = 8  # minimum duplicated span length, in tokens
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): find every maximal span of >= SUBSTR_K tokens
+    that occurs at more than one site in the corpus (cross-doc or
+    within-doc) and report per-doc span statistics. ``segment_dedup``
+    (curation.py) hashes FIXED 8-token aligned segments; this is the
+    sliding-window form, which catches arbitrary-length repeats at
+    arbitrary offsets — any repeated substring of length L >= K shows
+    up as a run of L-K+1 consecutive duplicated K-grams, so merging
+    consecutive duplicated positions reconstructs the maximal spans
+    Lee et al.'s suffix array emits, without ever building one.
+
+    Plan: posexplode tokens → K-gram per position via lead() inside
+    the doc-partitioned window (one shuffle by doc_id, reused by the
+    island windows below) → md5 the gram so the big shuffle moves
+    32-byte hashes, not K-token strings → ONE map-side-combinable
+    count per gram → duplicated positions join (equality, shingle-
+    rarity-bounded fan-out) → per-doc interval merge (lag/cumsum
+    windows, doc-bounded partitions) → per-doc rollup. Linear in
+    corpus tokens with a K× working-set blowup at the gram stage —
+    the classic space/shuffle tradeoff vs. the O(n) suffix array,
+    which is the single-machine formulation, not the distributed one.
+
+    Two positions join the same island iff their K-gram windows
+    OVERLAP (pos - prev < K); merely adjacent duplicated spans stay
+    separate spans.
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, SUBSTR_K)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.when(parts[-1].isNotNull(), F.md5(F.concat_ws(" ", *parts))).alias(
+                "g"
+            ),
+        )
+        .filter(F.col("g").isNotNull())
+        .cache()  # feeds the dup-count agg AND the join back
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("sites"))
+        .filter(F.col("sites") > 1)
+        .select("g")
+    )
+    dpos = grams.join(dup_g, "g").select("doc_id", "pos")
+    islands = (
+        dpos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") >= SUBSTR_K)
+            ).cast("long"),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(SUBSTR_K - 1)).alias("e"),
+    )
+    # positions run 0..n-K, so n_tokens = max(pos) + K — read it off
+    # the cached gram frame instead of a second tokenize pass (docs
+    # with < K tokens have no grams, no spans, and no output row)
+    n_toks = grams.groupBy("doc_id").agg(
+        (F.max("pos") + F.lit(SUBSTR_K)).alias("n_tokens")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        )
+        .join(n_toks, "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, s.i - 1 AS pos,
+         md5(array_to_string(w[s.i:s.i + {SUBSTR_K - 1}], ' ')) AS g
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, len(w) - {SUBSTR_K} + 2)) AS i) s
+  WHERE len(w) >= {SUBSTR_K}
+), dup_g AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+), dpos AS (
+  SELECT doc_id, pos FROM grams JOIN dup_g USING (g)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w >= {SUBSTR_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl2 AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, MIN(pos) AS lo, MAX(pos) + {SUBSTR_K - 1} AS hi
+  FROM isl2 GROUP BY doc_id, island
+), n_toks AS (
+  SELECT doc_id, MAX(pos) + {SUBSTR_K} AS n_tokens FROM grams GROUP BY doc_id
+)
+SELECT sp.doc_id,
+       COUNT(*) AS n_dup_spans,
+       CAST(SUM(hi - lo + 1) AS BIGINT) AS dup_tokens,
+       ANY_VALUE(n_tokens) AS n_tokens,
+       ROUND(CAST(SUM(hi - lo + 1) AS BIGINT) / ANY_VALUE(n_tokens), 6) AS dup_fraction
+FROM spans sp JOIN n_toks USING (doc_id)
+GROUP BY sp.doc_id
+ORDER BY sp.doc_id
+"""
+
+
 # --------------------------------------------------- MinHash + LSH
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + LSH(4 bands × 3 rows) candidate pairs, verified

@@ -335,3 +335,137 @@ ORDER BY k
 
 
 RANK_EVAL_SQL = _rank_eval_sql()
+
+
+# ------------------------------------------- reciprocal-rank fusion
+RRF_C = 60          # the standard RRF constant (Cormack et al., SIGIR'09)
+RRF_TOP = 20        # fused list size
+RRF_DENSE_TOP = 50  # dense candidate list size
+RRF_SCALE = 10**8   # integer quantization of 1/(C+rank)
+
+
+def _rrf_contrib(rank: "Column") -> "Column":
+    """floor(SCALE/(C+rank) + 0.5) as BIGINT — the RRF term as exact
+    integer arithmetic (one correctly-rounded double division of two
+    integers, identically computed by DuckDB), so the fused score is
+    an integer SUM with no float-aggregation-order hazard. rank = 0
+    encodes 'absent from this list' and contributes nothing."""
+    return F.when(
+        rank > 0,
+        F.floor(F.lit(RRF_SCALE) / (F.lit(RRF_C) + rank) + F.lit(0.5)).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    ranking (``bm25_rank``, QUERY_TERMS) with a dense embedding
+    ranking (cosine against the vec_id=0 query vector — ``vec_id``
+    is the documents table's parallel vector key). score(d) =
+    sum over lists of 1/(C + rank_list(d)), the Cormack et al.
+    SIGIR'09 recipe that needs no score calibration between rankers.
+
+    Scale shape: each ranker ends in TakeOrdered (orderBy+limit — no
+    global sort, no unpartitioned window over unbounded input); rank
+    assignment happens on the BOUNDED top lists (<= 50 rows), the
+    fusion join is list-sized, and at 100 TB the dense side swaps in
+    ann_lsh/ann_ivf candidates without touching the fusion. RRF terms
+    are integer-quantized so the fused score is exact cross-engine.
+    """
+    from pyspark.sql import Window
+
+    from cgtcalc_data_transformer_spark.operators.similarity import (
+        _as_double,
+        cosine_expr,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_table as _lt
+
+    lex_top = bm25_rank(spark, sf_dir)  # <= SEARCH_TOP_K rows
+    # lit(0) partition over a LIMIT-bounded (<=20 row) frame — audited
+    # in WINDOW_CONST_OK (same idiom as rank_eval_bm25)
+    w_lex = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    emb = _as_double(_lt(spark, sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dense_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_DENSE_TOP)
+    )
+    w_dense = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(w_dense).alias("dense_rank")
+    )
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        )
+        .withColumn(
+            "rrf_score",
+            _rrf_contrib(F.col("lex_rank")) + _rrf_contrib(F.col("dense_rank")),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf_score")
+    )
+
+
+def _rrf_sql() -> str:
+    def contrib(col: str) -> str:
+        return (
+            f"CASE WHEN {col} > 0 THEN "
+            f"CAST(floor({RRF_SCALE} / ({RRF_C} + {col}) + 0.5) AS BIGINT) "
+            f"ELSE 0 END"
+        )
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+           AS lex_rank
+  FROM ({BM25_RANK_SQL})
+), dense_scored AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cosine
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0) q,
+       (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0) c
+), dense AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS INTEGER)
+           AS dense_rank
+  FROM dense_scored
+  QUALIFY dense_rank <= {RRF_DENSE_TOP}
+), fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(d.dense_rank, 0) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       ({contrib('lex_rank')} + {contrib('dense_rank')}) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
+RRF_FUSION_SQL = _rrf_sql()

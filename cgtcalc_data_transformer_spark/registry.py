@@ -501,6 +501,9 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "golden_record": (linkage.golden_record, linkage.GOLDEN_RECORD_SQL),
     "weighted_sample_wor": (sampling.weighted_sample_wor, sampling.WEIGHTED_WOR_SQL),
     "kfold_assign": (mlprep.kfold_assign, mlprep.KFOLD_ASSIGN_SQL),
+    # ---- round-6 additions ------------------------------------------
+    "substring_dedup": (dedup.substring_dedup, dedup.SUBSTRING_DEDUP_SQL),
+    "rrf_fusion": (search.rrf_fusion, search.RRF_FUSION_SQL),
 }
 
 
@@ -523,7 +526,10 @@ CURRENT_ROUND = 6
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
-_ROUND6_NEW: list[str] = []
+_ROUND6_NEW: list[str] = [
+    "substring_dedup",
+    "rrf_fusion",
+]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then
 # the oldest green rows. Only the first 50-len(_ROUND6_NEW) burn slots.

@@ -69,6 +69,7 @@ BNLJ_OK = {
     "frequent_pairs",  # 1-row basket-count scalar crossJoin
     "drift_ks_binned",  # 1-row bounds/totals scalars + 256-row bin-table prefix self-join
     "kfold_assign",  # 1-row corpus-total scalar crossJoin onto the K-row fold table
+    "rrf_fusion",  # 1-row query-vector crossJoin + inherited bm25 corpus-stats scalar
 }
 
 
@@ -122,6 +123,8 @@ def test_no_cartesian_product(plans):
 WINDOW_CONST_OK = {
     "rank_eval_bm25",  # per-k metric frame: LIMIT-bounded to <=20 rows
                        # before the lit(0) window (search.py rank_eval)
+    "rrf_fusion",  # rank assignment over LIMIT-bounded top lists
+                   # (<=20 lexical / <=50 dense rows)
 }
 
 

@@ -1,0 +1,172 @@
+"""Round-6 operator tests + round-6 contract fixes.
+
+Covers: the ADVICE r5 fixes (unrounded similarity threshold,
+overflow-safe agg_approx sample predicate) and the new round-6
+operators as they land — each new op gets an independent-formulation
+cross-check in-engine, mirroring test_simjoin_prefix_equals_quadratic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------- ADVICE r5 fixes
+def test_agg_approx_predicate_forms_identical():
+    """bucket <= (T*B-1) div n must select exactly the rows the old
+    bucket*n < T*B form did, for every bucket and any group size —
+    including sizes where the old form overflows int64 (the reason it
+    was replaced). Pure-integer property check with Python bigints as
+    the unbounded reference."""
+    from cgtcalc_data_transformer_spark.operators.relational import (
+        AGG_APPROX_SAMPLE_TARGET,
+        _AGG_APPROX_BUCKETS,
+    )
+
+    cap = AGG_APPROX_SAMPLE_TARGET * _AGG_APPROX_BUCKETS
+    assert cap == 1 << 32  # fits int64 with huge headroom
+    for n in [1, 2, 3, 1000, 1_048_576, 8_800_000_000_000, 10**15, 10**18]:
+        cut = (cap - 1) // n
+        for bucket in [0, 1, cut - 1, cut, cut + 1, _AGG_APPROX_BUCKETS - 1]:
+            if not 0 <= bucket < _AGG_APPROX_BUCKETS:
+                continue
+            assert (bucket <= cut) == (bucket * n < cap), (bucket, n)
+
+
+def test_similarity_threshold_unrounded():
+    """The emitted predicate must be 'true jaccard >= t', not
+    'ROUND(jaccard,6) >= t' — a pair whose true ratio sits in
+    [t - 5e-7, t) must be EXCLUDED (the prefix/length filters may
+    legitimately prune it, so including it would break the
+    prefix ≡ quadratic identity at large union sizes)."""
+    t = 0.5
+    # inter/union = 0.4999996 → ROUND(...,6) == 0.5 but true < t
+    inter, union = 4_999_996, 10_000_000
+    assert round(inter / union, 6) >= t  # the old predicate admitted it
+    assert not (inter >= t * union)  # the new predicate excludes it
+    # boundary: exactly t stays included
+    assert 5_000_000 >= t * union
+
+
+# ---------------------------------------------- substring_dedup
+def _naive_substring_spans(texts: dict[int, str], k: int):
+    """Independent quadratic reference: for each doc, duplicated
+    k-gram positions (corpus-wide site count > 1), merged into
+    islands where consecutive positions overlap (gap < k)."""
+    import re
+    from collections import Counter
+
+    toks = {
+        d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in texts.items()
+    }
+    grams: dict[int, list[str]] = {
+        d: [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+        for d, w in toks.items()
+        if len(w) >= k
+    }
+    counts = Counter(g for gs in grams.values() for g in gs)
+    out = {}
+    for d, gs in grams.items():
+        pos = [i for i, g in enumerate(gs) if counts[g] > 1]
+        if not pos:
+            continue
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev >= k:
+                spans.append((start, prev + k - 1))
+                start = p
+            prev = p
+        spans.append((start, prev + k - 1))
+        dup_tokens = sum(e - s + 1 for s, e in spans)
+        out[d] = (len(spans), dup_tokens, len(toks[d]))
+    return out
+
+
+def test_substring_dedup_equals_naive(spark):
+    """Spark sliding-gram + island-merge ≡ the independent Python
+    quadratic formulation, on the full sf0.001 documents table."""
+    from cgtcalc_data_transformer_spark.operators.dedup import (
+        SUBSTR_K,
+        substring_dedup,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    expected = _naive_substring_spans(texts, SUBSTR_K)
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["n_tokens"])
+        for r in substring_dedup(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # non-vacuous at test scale
+
+
+def test_substring_dedup_catches_unaligned_repeat(spark):
+    """The sliding form must catch a repeat that crosses segment
+    alignment — the exact case fixed-segment dedup (segment_dedup)
+    misses by construction."""
+    from cgtcalc_data_transformer_spark.operators.dedup import SUBSTR_K
+
+    k = SUBSTR_K
+    base = [f"w{i}" for i in range(k)]
+    # doc 0: repeat at offset 0; doc 1: same k tokens at offset 3
+    texts = {
+        0: " ".join(base + ["x0", "x1", "x2"]),
+        1: " ".join(["y0", "y1", "y2"] + base),
+    }
+    naive = _naive_substring_spans(texts, k)
+    assert naive == {
+        0: (1, k, k + 3),
+        1: (1, k, k + 3),
+    }
+
+
+# --------------------------------------------------- rrf_fusion
+def test_rrf_fusion_consistent_with_component_rankers(spark):
+    """Fused scores must be recomputable from the component ranks,
+    and the lexical ranks must agree with bm25_rank's own ordering."""
+    from cgtcalc_data_transformer_spark.operators.search import (
+        RRF_C,
+        RRF_SCALE,
+        RRF_TOP,
+        bm25_rank,
+        rrf_fusion,
+    )
+
+    fused = rrf_fusion(spark, SF01).collect()
+    assert 0 < len(fused) <= RRF_TOP
+
+    def contrib(rank: int) -> int:
+        return int(math.floor(RRF_SCALE / (RRF_C + rank) + 0.5)) if rank else 0
+
+    for r in fused:
+        assert r["rrf_score"] == contrib(r["lex_rank"]) + contrib(
+            r["dense_rank"]
+        )
+        assert r["lex_rank"] > 0 or r["dense_rank"] > 0
+
+    lex_order = [
+        r["doc_id"]
+        for r in bm25_rank(spark, SF01)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .collect()
+    ]
+    lex_ranks = {d: i + 1 for i, d in enumerate(lex_order)}
+    for r in fused:
+        if r["lex_rank"]:
+            assert lex_ranks[r["doc_id"]] == r["lex_rank"]
+    # fused output is ordered by score desc
+    scores = [r["rrf_score"] for r in fused]
+    assert scores == sorted(scores, reverse=True)
