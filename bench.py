@@ -209,6 +209,8 @@ HEADLINE: dict[str, str] = {
     # round-6 additions
     "substring_dedup": "collect",
     "rrf_fusion": "collect",
+    "contamination_minhash": "collect",
+    "drift_psi": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

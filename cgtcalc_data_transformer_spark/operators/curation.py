@@ -914,3 +914,159 @@ ORDER BY doc_id
 
 
 QUALITY_FAIR_SQL = _quality_fair_sql()
+
+
+# ----------------------------- MinHash benchmark contamination
+# Banding: 12 minhashes as 12 single-row bands — a train doc becomes
+# a candidate against a bench doc iff ANY minhash agrees. At 5-gram
+# granularity P(candidate) = 1-(1-j)^12, so even j~0.2 partial
+# contamination surfaces with ~93% probability, vs the steep j^3
+# curve of the dedup-tuned 4x3 banding; recall is the point for a
+# contamination gate, and the exact containment verify keeps
+# precision. The band count is the recall/cost dial at 100 TB.
+CONTAM_MH_K = 12
+
+
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-based benchmark contamination at n-gram granularity —
+    the probabilistic companion of ``contamination_check``'s exact
+    join. Signatures (min(md5(shingle||seed)), CONTAM_N-grams) for
+    every doc; train x bench candidates from single-hash band
+    collisions; candidates verified with EXACT containment
+    |train ∩ bench| / |train| — the directional measure that flags a
+    doc which swallowed an eval item whole even when Jaccard is
+    diluted by surrounding text.
+
+    Scale shape: signature is one map-side-combinable groupBy over
+    the shingle rows already shuffled by doc_id; banding turns
+    train x bench into equality joins on (band, hash); only the
+    candidate pairs — bounded by actual signature agreement — pay
+    the exact verify. The bench side is eval-sized (~5%), so its
+    postings broadcast in practice.
+    """
+    from cgtcalc_data_transformer_spark.operators.dedup import shingle_rows
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    is_bench = hash_bucket(F.col("doc_id")) < CONTAM_BENCH_PCT
+    sh = shingle_rows(docs, n=CONTAM_N).withColumn(
+        "is_bench", is_bench
+    ).cache()
+    sig = sh.groupBy("doc_id", "is_bench").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#seed{k}")))).alias(
+                f"h{k}"
+            )
+            for k in range(CONTAM_MH_K)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        "is_bench",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"h{k}").alias("hval")
+                    )
+                    for k in range(CONTAM_MH_K)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "is_bench", "bh.band", "bh.hval")
+    cands = (
+        banded.filter(~F.col("is_bench"))
+        .alias("t")
+        .join(
+            banded.filter(F.col("is_bench")).alias("b"),
+            (F.col("t.band") == F.col("b.band"))
+            & (F.col("t.hval") == F.col("b.hval")),
+        )
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("bench_doc_id"),
+        )
+        .distinct()
+    )
+    train_sh = sh.filter(~F.col("is_bench")).select("doc_id", "shingle")
+    bench_sh = sh.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    inter = (
+        cands.join(train_sh, "doc_id")
+        .join(bench_sh, ["bench_doc_id", "shingle"])
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ratio = F.round(F.col("n_overlap") / F.col("n_sh"), 6)
+    return (
+        cands.join(inter, ["doc_id", "bench_doc_id"], "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            "n_sh",
+            "n_overlap",
+            ratio.alias("containment"),
+            (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+        .orderBy("doc_id", "bench_doc_id")
+    )
+
+
+def _contam_mh_sql() -> str:
+    sig_cols = ",\n         ".join(
+        f"MIN(md5(shingle || '#seed{k}')) AS h{k}" for k in range(CONTAM_MH_K)
+    )
+    cand_unions = "\n  UNION\n".join(
+        f"""  SELECT t.doc_id AS doc_id, b.doc_id AS bench_doc_id
+  FROM sig t JOIN sig b ON NOT t.is_bench AND b.is_bench AND t.h{k} = b.h{k}"""
+        for k in range(CONTAM_MH_K)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100
+           < {CONTAM_BENCH_PCT} AS is_bench,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), shingled AS (
+  SELECT doc_id, is_bench,
+         CASE WHEN len(w) >= {CONTAM_N}
+              THEN list_distinct([array_to_string(w[i:i+{CONTAM_N - 1}], ' ')
+                                  FOR i IN range(1, len(w) - {CONTAM_N - 2})])
+              ELSE [] END AS shingles
+  FROM toks
+), exploded AS (
+  SELECT doc_id, is_bench, unnest(shingles) AS shingle
+  FROM shingled WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id, is_bench,
+         {sig_cols}
+  FROM exploded GROUP BY doc_id, is_bench
+), cands AS (
+{cand_unions}
+), inter AS (
+  SELECT c.doc_id, c.bench_doc_id, COUNT(*) AS n_overlap
+  FROM cands c
+  JOIN exploded t ON t.doc_id = c.doc_id
+  JOIN exploded b ON b.doc_id = c.bench_doc_id AND b.shingle = t.shingle
+  GROUP BY c.doc_id, c.bench_doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM exploded WHERE NOT is_bench GROUP BY doc_id
+)
+SELECT c.doc_id, c.bench_doc_id, s.n_sh,
+       COALESCE(i.n_overlap, 0) AS n_overlap,
+       ROUND(COALESCE(i.n_overlap, 0) / s.n_sh, 6) AS containment,
+       ROUND(COALESCE(i.n_overlap, 0) / s.n_sh, 6) >= {CONTAM_THRESHOLD}
+         AS contaminated
+FROM cands c
+LEFT JOIN inter i USING (doc_id, bench_doc_id)
+JOIN sizes s ON s.doc_id = c.doc_id
+ORDER BY c.doc_id, c.bench_doc_id
+"""
+
+
+CONTAM_MINHASH_SQL = _contam_mh_sql()

@@ -656,3 +656,121 @@ FROM keyed
 ORDER BY key_int DESC, o_orderkey ASC
 LIMIT {WOR_K}
 """
+
+
+# -------------------------- PSI / Jensen-Shannon binned drift twins
+PSI_BINS = 64          # value-domain resolution of the binned divergences
+PSI_SCALE = 10**6      # per-bin term quantization (see below)
+PSI_ALERT_INT = int(0.2 * PSI_SCALE)   # the standard PSI "major shift" bar
+JS_ALERT_INT = int(0.05 * PSI_SCALE)   # JS (nats) alert bar
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index + Jensen-Shannon drift between the
+    o_totalprice distributions of open ('O') vs finished ('F') orders
+    — the divergence-valued twins of ``drift_ks_binned``'s sup-norm
+    statistic, over the same equi-width binning. PSI is the industry
+    monitoring standard (sum over bins of (p-q)·ln(p/q)); JS is the
+    bounded symmetric KL mixture. Both use add-one (Laplace)
+    smoothing p_i=(c_i+1)/(n+B) so empty bins are defined, and the
+    full B-row bin table is generated (range ⨝ left-join) so absent
+    bins still contribute their smoothed mass.
+
+    Engine-exactness: p and q are correctly-rounded int/int
+    divisions; each bin's term is quantized floor(x·PSI_SCALE + 0.5)
+    BEFORE summation, so the reported divergence is an exact integer
+    SUM (no float-aggregation-order hazard) and the drift flags are
+    integer comparisons. Bounded state everywhere: a B=64-row bin
+    table, 1-row bounds/totals scalars (audited in BNLJ_OK).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(PSI_BINS))
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(PSI_BINS - 1).cast("long"),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        )
+    )
+    per_bin = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "o_orderstatus")
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("c1"),
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("c2"),
+        )
+    )
+    totals = per_bin.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    full = (
+        bins.join(per_bin, "bin", "left")
+        .fillna(0, subset=["c1", "c2"])
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (F.col("c1") + 1) / (F.col("n1") + F.lit(PSI_BINS))
+    q = (F.col("c2") + 1) / (F.col("n2") + F.lit(PSI_BINS))
+    m = (p + q) / F.lit(2.0)
+
+    def _q(x):
+        return F.floor(x * F.lit(float(PSI_SCALE)) + F.lit(0.5)).cast("long")
+
+    terms = full.select(
+        "n1",
+        "n2",
+        _q((p - q) * F.log(p / q)).alias("psi_t"),
+        _q(F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)).alias(
+            "js_t"
+        ),
+    )
+    return terms.groupBy("n1", "n2").agg(
+        (F.sum("psi_t") / F.lit(float(PSI_SCALE))).alias("psi"),
+        (F.sum("js_t") / F.lit(float(PSI_SCALE))).alias("js_div"),
+        (F.sum("psi_t") > F.lit(PSI_ALERT_INT)).alias("psi_drifted"),
+        (F.sum("js_t") > F.lit(JS_ALERT_INT)).alias("js_drifted"),
+    )
+
+
+DRIFT_PSI_SQL = f"""
+WITH src AS (
+  SELECT o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus IN ('O','F')
+), bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM src
+), per_bin AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST({PSI_BINS - 1},
+                         CAST(floor((o_totalprice - lo) / ((hi - lo) / {PSI_BINS}.0)) AS BIGINT))
+         END AS bin,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM src, bounds GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM per_bin
+), full_bins AS (
+  SELECT r.range AS bin, COALESCE(p.c1, 0) AS c1, COALESCE(p.c2, 0) AS c2, n1, n2
+  FROM range({PSI_BINS}) r LEFT JOIN per_bin p ON p.bin = r.range, totals
+), terms AS (
+  SELECT n1, n2,
+         CAST(floor(((c1 + 1) / (n1 + {PSI_BINS}.0) - (c2 + 1) / (n2 + {PSI_BINS}.0))
+                    * ln(((c1 + 1) / (n1 + {PSI_BINS}.0)) / ((c2 + 1) / (n2 + {PSI_BINS}.0)))
+                    * {PSI_SCALE} + 0.5) AS BIGINT) AS psi_t,
+         CAST(floor((0.5 * ((c1 + 1) / (n1 + {PSI_BINS}.0))
+                       * ln(((c1 + 1) / (n1 + {PSI_BINS}.0))
+                            / ((((c1 + 1) / (n1 + {PSI_BINS}.0)) + ((c2 + 1) / (n2 + {PSI_BINS}.0))) / 2.0))
+                     + 0.5 * ((c2 + 1) / (n2 + {PSI_BINS}.0))
+                       * ln(((c2 + 1) / (n2 + {PSI_BINS}.0))
+                            / ((((c1 + 1) / (n1 + {PSI_BINS}.0)) + ((c2 + 1) / (n2 + {PSI_BINS}.0))) / 2.0)))
+                    * {PSI_SCALE} + 0.5) AS BIGINT) AS js_t
+  FROM full_bins
+)
+SELECT n1, n2,
+       CAST(SUM(psi_t) AS BIGINT) / {PSI_SCALE}.0 AS psi,
+       CAST(SUM(js_t) AS BIGINT) / {PSI_SCALE}.0 AS js_div,
+       CAST(SUM(psi_t) AS BIGINT) > {PSI_ALERT_INT} AS psi_drifted,
+       CAST(SUM(js_t) AS BIGINT) > {JS_ALERT_INT} AS js_drifted
+FROM terms GROUP BY n1, n2
+"""

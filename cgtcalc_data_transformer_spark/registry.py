@@ -504,6 +504,11 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-6 additions ------------------------------------------
     "substring_dedup": (dedup.substring_dedup, dedup.SUBSTRING_DEDUP_SQL),
     "rrf_fusion": (search.rrf_fusion, search.RRF_FUSION_SQL),
+    "contamination_minhash": (
+        curation.contamination_minhash,
+        curation.CONTAM_MINHASH_SQL,
+    ),
+    "drift_psi": (sampling.drift_psi, sampling.DRIFT_PSI_SQL),
 }
 
 
@@ -529,6 +534,8 @@ CURRENT_ROUND = 6
 _ROUND6_NEW: list[str] = [
     "substring_dedup",
     "rrf_fusion",
+    "contamination_minhash",
+    "drift_psi",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -70,6 +70,7 @@ BNLJ_OK = {
     "drift_ks_binned",  # 1-row bounds/totals scalars + 256-row bin-table prefix self-join
     "kfold_assign",  # 1-row corpus-total scalar crossJoin onto the K-row fold table
     "rrf_fusion",  # 1-row query-vector crossJoin + inherited bm25 corpus-stats scalar
+    "drift_psi",  # 1-row bounds/totals scalars onto the B=64-row bin table
 }
 
 

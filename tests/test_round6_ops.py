@@ -170,3 +170,97 @@ def test_rrf_fusion_consistent_with_component_rankers(spark):
     # fused output is ordered by score desc
     scores = [r["rrf_score"] for r in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+# -------------------------------------------- contamination_minhash
+def test_contamination_minhash_exact_containment(spark):
+    """Every emitted candidate's containment must equal the exact
+    Python recomputation over distinct CONTAM_N-gram shingles, and
+    every candidate must genuinely share >= 1 shingle (a single-hash
+    band collision implies the argmin shingle is common)."""
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.curation import (
+        CONTAM_BENCH_PCT,
+        CONTAM_N,
+        contamination_minhash,
+    )
+
+    rows = contamination_minhash(spark, SF01).collect()
+    assert len(rows) > 0
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF01, "documents").collect()
+    }
+
+    def shingles(t: str) -> set:
+        w = re.findall(r"[a-z0-9]+", t.lower())
+        return {
+            " ".join(w[i : i + CONTAM_N]) for i in range(len(w) - CONTAM_N + 1)
+        }
+
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    for r in rows:
+        assert bucket(r["doc_id"]) >= CONTAM_BENCH_PCT      # train side
+        assert bucket(r["bench_doc_id"]) < CONTAM_BENCH_PCT  # bench side
+        a, b = shingles(docs[r["doc_id"]]), shingles(docs[r["bench_doc_id"]])
+        assert r["n_sh"] == len(a)
+        assert r["n_overlap"] == len(a & b)
+        assert r["n_overlap"] >= 1
+        assert r["containment"] == round(len(a & b) / len(a), 6)
+
+
+# ------------------------------------------------------- drift_psi
+def test_drift_psi_matches_python_reference(spark):
+    """PSI / JS from the engine must equal an independent Python
+    recomputation of the smoothed binned divergences at sf0.001."""
+    from cgtcalc_data_transformer_spark.operators.sampling import (
+        PSI_BINS,
+        PSI_SCALE,
+        drift_psi,
+    )
+
+    got = drift_psi(spark, SF).collect()
+    assert len(got) == 1
+    got = got[0]
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    lo = min(r["o_totalprice"] for r in rows)
+    hi = max(r["o_totalprice"] for r in rows)
+    width = (hi - lo) / float(PSI_BINS)
+    c1 = [0] * PSI_BINS
+    c2 = [0] * PSI_BINS
+    for r in rows:
+        b = 0 if hi == lo else min(
+            PSI_BINS - 1, int(math.floor((r["o_totalprice"] - lo) / width))
+        )
+        (c1 if r["o_orderstatus"] == "O" else c2)[b] += 1
+    n1, n2 = sum(c1), sum(c2)
+    psi_int = js_int = 0
+    for i in range(PSI_BINS):
+        p = (c1[i] + 1) / (n1 + PSI_BINS)
+        q = (c2[i] + 1) / (n2 + PSI_BINS)
+        m = (p + q) / 2.0
+        psi_int += int(math.floor((p - q) * math.log(p / q) * PSI_SCALE + 0.5))
+        js_int += int(
+            math.floor(
+                (0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+                * PSI_SCALE
+                + 0.5
+            )
+        )
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["psi"] == psi_int / PSI_SCALE
+    assert got["js_div"] == js_int / PSI_SCALE
+    assert got["psi"] >= -1e-6  # PSI is nonnegative up to quantization
+    assert got["js_div"] >= -1e-6
