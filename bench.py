@@ -211,6 +211,9 @@ HEADLINE: dict[str, str] = {
     "rrf_fusion": "collect",
     "contamination_minhash": "collect",
     "drift_psi": "collect",
+    "gopher_quality_flags": "collect",
+    "char_entropy": "exec",
+    "ppl_bucket_ccnet": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

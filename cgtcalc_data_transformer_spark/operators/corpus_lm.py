@@ -45,10 +45,10 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     return docs.filter(n >= 2).select("doc_id", F.explode(pairs).alias("bg"))
 
 
-def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc perplexity under the corpus bigram model:
-    ppl(d) = exp(-mean_{(w1,w2) in d} ln(c(w1 w2) / c(w1 ·)))."""
-    docs = scatter(load_table(spark, sf_dir, "documents"))
+def _doc_ppl(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, ppl): per-doc perplexity under the corpus
+    bigram model — the shared scoring core of
+    ``text_perplexity_bigram`` and ``ppl_bucket_ccnet``."""
     # cache: the bigram stream feeds the count model AND the per-doc
     # scoring join — without it the tokenize+lead pipeline (the
     # expensive part) runs twice end to end (same pattern as the
@@ -67,7 +67,7 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = c12.join(
         c1, F.substring_index(F.col("bg"), " ", 1) == F.col("w1")
     ).select("bg", F.log(F.col("c12") / F.col("c1")).alias("lp"))
-    scored = (
+    return (
         b.join(model, "bg")
         .groupBy("doc_id")
         .agg(
@@ -78,7 +78,13 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl"),
         )
     )
-    return scored.orderBy("doc_id")
+
+
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under the corpus bigram model:
+    ppl(d) = exp(-mean_{(w1,w2) in d} ln(c(w1 w2) / c(w1 ·)))."""
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    return _doc_ppl(docs).orderBy("doc_id")
 
 
 TEXT_PPL_SQL = r"""
@@ -627,3 +633,84 @@ ORDER BY doc_id
 
 
 BPE_APPLY_SQL = _bpe_apply_sql()
+
+
+# ----------------------------------- CCNet perplexity bucketing
+PPL_BUCKETS = 3       # head / middle / tail
+PPL_SCALE = 10**6     # per-doc ppl quantization for the exact sum
+
+
+def ppl_bucket_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per LANGUAGE, split documents into
+    head/middle/tail terciles by LM perplexity — head (lowest ppl)
+    is the "looks like the LM's training domain" slice that CCNet
+    keeps preferentially. Buckets come from ntile(3) over
+    (ppl, doc_id) inside each language partition, so assignment is
+    exact and deterministic; the rollup reports per-(lang, bucket)
+    counts, the ppl range, and an exact integer sum of quantized
+    ppls (mean derivable without a float-order hazard).
+
+    Scale shape: one window shuffle partitioned by lang. Language
+    cardinality is tiny but skewed ('en' dominates) — at 100 TB the
+    tercile CUTOFFS would come from a per-lang percentile sketch
+    broadcast back (one agg, no full sort); ntile keeps the exact
+    semantics the oracle can replay at gate scale.
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    scored = _doc_ppl(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("ppl"), F.asc("doc_id"))
+    bucketed = scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+    ppl_q = F.floor(F.col("ppl") * F.lit(float(PPL_SCALE)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl").alias("ppl_lo"),
+            F.max("ppl").alias("ppl_hi"),
+            F.sum(ppl_q).alias("sum_ppl_q"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+PPL_BUCKET_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), b AS (
+  SELECT doc_id, z[1] || ' ' || z[2] AS bg
+  FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM toks WHERE len(t) >= 2)
+), c12 AS (
+  SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+), c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS c FROM c12 GROUP BY w1
+), scored AS (
+  SELECT b.doc_id,
+         ROUND(exp(-SUM(ln(CAST(c12.c AS DOUBLE) / c1.c)) / COUNT(*)), 6) AS ppl
+  FROM b JOIN c12 USING (bg) JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+  GROUP BY b.doc_id
+), bucketed AS (
+  SELECT d.lang, s.ppl,
+         NTILE({PPL_BUCKETS}) OVER (PARTITION BY d.lang
+                                    ORDER BY s.ppl ASC, s.doc_id ASC) AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket,
+       COUNT(*) AS n_docs,
+       MIN(ppl) AS ppl_lo,
+       MAX(ppl) AS ppl_hi,
+       CAST(SUM(CAST(floor(ppl * {PPL_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS sum_ppl_q
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""

@@ -1070,3 +1070,125 @@ ORDER BY c.doc_id, c.bench_doc_id
 
 
 CONTAM_MINHASH_SQL = _contam_mh_sql()
+
+
+# ------------------------------------ Gopher-style quality rule gate
+# Rule thresholds after Rae et al. 2021 (Gopher, arXiv:2112.11446
+# table A1), adapted to the corpus scale: each rule is an INTEGER
+# comparison (mean bounds cross-multiplied), so the gate is exact
+# cross-engine with no float in any predicate.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3   # mean word length bounds (chars)
+GOPHER_MAX_MEAN_WL = 10
+GOPHER_MIN_STOPWORDS = 2  # distinct stopword hits required
+GOPHER_MAX_SYMBOL_PER10 = 1  # '#'/'...' symbols per 10 words allowed
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule gate: named pass/fail heuristics per document
+    (word-count bounds, mean-word-length bounds, stopword presence,
+    symbol density), rolled up per source. ``text_quality``
+    (textops.py) emits a continuous composite score; this is the
+    hard-rule GATE a production pipeline runs first — each rule named
+    so the rollup answers "what are we dropping and why".
+
+    All predicates are integer arithmetic: mean-word-length bounds as
+    sum_len vs bound*word_count cross-multiplications, symbol density
+    as 10*symbols vs word_count — no division anywhere until the one
+    display ratio. Zero-shuffle per-doc scan + one rollup aggregation.
+    """
+    from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+    from cgtcalc_data_transformer_spark.operators.textops import STOPWORDS
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    wc = F.size(toks)
+    sum_len = F.length(F.concat_ws("", toks))  # total token chars
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )  # distinct stopwords present
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0)
+    )
+    flags = docs.select(
+        "source",
+        (
+            (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
+        ).alias("ok_words"),
+        (
+            (sum_len >= GOPHER_MIN_MEAN_WL * wc)
+            & (sum_len <= GOPHER_MAX_MEAN_WL * wc)
+        ).alias("ok_mean_wl"),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
+        (n_sym * 10 <= wc * GOPHER_MAX_SYMBOL_PER10).alias("ok_symbols"),
+    )
+    pass_all = (
+        F.col("ok_words")
+        & F.col("ok_mean_wl")
+        & F.col("ok_stopwords")
+        & F.col("ok_symbols")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("ok_words")).cast("long")).alias("fail_words"),
+            F.sum((~F.col("ok_mean_wl")).cast("long")).alias("fail_mean_wl"),
+            F.sum((~F.col("ok_stopwords")).cast("long")).alias(
+                "fail_stopwords"
+            ),
+            F.sum((~F.col("ok_symbols")).cast("long")).alias("fail_symbols"),
+            F.sum(pass_all.cast("long")).alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate", F.round(F.col("n_pass") / F.col("n_docs"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+def _gopher_sql() -> str:
+    from cgtcalc_data_transformer_spark.operators.textops import STOPWORDS
+
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return rf"""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+  FROM documents
+), f AS (
+  SELECT source,
+         len(toks) AS wc,
+         length(array_to_string(toks, '')) AS sum_len,
+         len(list_intersect(toks, {stop_list})) AS n_stop,
+         n_sym
+  FROM t
+), flags AS (
+  SELECT source,
+         wc >= {GOPHER_MIN_WORDS} AND wc <= {GOPHER_MAX_WORDS} AS ok_words,
+         sum_len >= {GOPHER_MIN_MEAN_WL} * wc
+           AND sum_len <= {GOPHER_MAX_MEAN_WL} * wc AS ok_mean_wl,
+         n_stop >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+         n_sym * 10 <= wc * {GOPHER_MAX_SYMBOL_PER10} AS ok_symbols
+  FROM f
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+       CAST(SUM(CASE WHEN NOT ok_mean_wl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_wl,
+       CAST(SUM(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
+       CAST(SUM(CASE WHEN ok_words AND ok_mean_wl AND ok_stopwords AND ok_symbols
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(SUM(CASE WHEN ok_words AND ok_mean_wl AND ok_stopwords AND ok_symbols
+                 THEN 1 ELSE 0 END) / COUNT(*), 6) AS pass_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+GOPHER_QUALITY_SQL = _gopher_sql()

@@ -544,3 +544,81 @@ JOIN norms nb ON nb.doc_id = doc_b
 ORDER BY cosine DESC, doc_a ASC, doc_b ASC
 LIMIT {DOC_SIM_TOP_K}
 """
+
+
+# ------------------------------------------- character-level entropy
+ENTROPY_SCALE = 10**6       # per-char-class term quantization
+ENTROPY_LOW_BAR = 3.5       # bits; below = suspiciously repetitive
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) —
+    the CCNet/Gopher-family "is this text or noise" signal: natural
+    prose sits ~4 bits/char, while repeated boilerplate, padding, or
+    generator loops collapse toward 0.
+
+    H = log2(n) - (1/n)·Σ_c n_c·log2(n_c). The Σ over a doc's char
+    classes is an AGGREGATION, so each class term is quantized
+    floor(n_c·log2(n_c)·SCALE + 0.5) to an integer BEFORE the sum —
+    the per-doc state is exact and engine-portable regardless of
+    aggregation order. One explode (linear in corpus chars — at
+    100 TB this is the mapper-side histogram you'd fold into the
+    ingest scan), one (doc, char) agg that reuses the doc_id
+    partitioning, one per-doc rollup.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    chars = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.col("text"), F.lit("."), 0)).alias("ch")
+    )
+    per_class = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    term_int = F.floor(
+        F.col("n_c").cast("double")
+        * F.log2(F.col("n_c").cast("double"))
+        * F.lit(float(ENTROPY_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = per_class.groupBy("doc_id").agg(
+        F.sum("n_c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(term_int).alias("t_int"),
+    )
+    entropy = F.log2(F.col("n_chars").cast("double")) - F.col("t_int") / (
+        F.col("n_chars").cast("double") * F.lit(float(ENTROPY_SCALE))
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_chars",
+            "n_classes",
+            F.round(entropy, 6).alias("entropy_bits"),
+            (entropy < F.lit(ENTROPY_LOW_BAR)).alias("low_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+), per_class AS (
+  SELECT doc_id, ch, COUNT(*) AS n_c FROM chars GROUP BY doc_id, ch
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_c) AS BIGINT) AS n_chars,
+         COUNT(*) AS n_classes,
+         CAST(SUM(CAST(floor(CAST(n_c AS DOUBLE) * log2(CAST(n_c AS DOUBLE))
+                             * {ENTROPY_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS t_int
+  FROM per_class GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_classes,
+       ROUND(log2(CAST(n_chars AS DOUBLE))
+             - t_int / (CAST(n_chars AS DOUBLE) * {ENTROPY_SCALE}.0), 6)
+         AS entropy_bits,
+       (log2(CAST(n_chars AS DOUBLE))
+        - t_int / (CAST(n_chars AS DOUBLE) * {ENTROPY_SCALE}.0))
+         < {ENTROPY_LOW_BAR} AS low_entropy
+FROM per_doc
+ORDER BY doc_id
+"""

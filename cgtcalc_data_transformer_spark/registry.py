@@ -509,6 +509,12 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         curation.CONTAM_MINHASH_SQL,
     ),
     "drift_psi": (sampling.drift_psi, sampling.DRIFT_PSI_SQL),
+    "gopher_quality_flags": (
+        curation.gopher_quality_flags,
+        curation.GOPHER_QUALITY_SQL,
+    ),
+    "char_entropy": (textops.char_entropy, textops.CHAR_ENTROPY_SQL),
+    "ppl_bucket_ccnet": (corpus_lm.ppl_bucket_ccnet, corpus_lm.PPL_BUCKET_SQL),
 }
 
 
@@ -536,6 +542,9 @@ _ROUND6_NEW: list[str] = [
     "rrf_fusion",
     "contamination_minhash",
     "drift_psi",
+    "gopher_quality_flags",
+    "char_entropy",
+    "ppl_bucket_ccnet",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then
@@ -546,6 +555,9 @@ _ROUND6_RECHECK_POOL = [
     "dedup_ngram_jaccard",
     # code changed this round (ADVICE r5): overflow-safe sample pred
     "agg_approx",
+    # code changed this round: per-doc ppl extracted into _doc_ppl
+    # (shared with ppl_bucket_ccnet) — identical plan, fresh row
+    "text_perplexity_bigram",
     # flagship entry() twin — keep a fresh row every round
     "canonical_orders",
     # oldest rows (r1/r2): relational core freshness sweep

@@ -264,3 +264,132 @@ def test_drift_psi_matches_python_reference(spark):
     assert got["js_div"] == js_int / PSI_SCALE
     assert got["psi"] >= -1e-6  # PSI is nonnegative up to quantization
     assert got["js_div"] >= -1e-6
+
+
+# ---------------------------------------------- gopher_quality_flags
+def test_gopher_flags_match_python_reference(spark):
+    """Per-source rollup must equal an independent per-doc Python
+    evaluation of the four integer-arithmetic rules."""
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.curation import (
+        GOPHER_MAX_MEAN_WL,
+        GOPHER_MAX_SYMBOL_PER10,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WL,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        gopher_quality_flags,
+    )
+    from cgtcalc_data_transformer_spark.operators.textops import STOPWORDS
+
+    rows = load_table(spark, SF, "documents").collect()
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        wc, sl = len(toks), sum(len(t) for t in toks)
+        n_stop = len(set(toks) & set(STOPWORDS))
+        n_sym = len(re.findall(r"#|\.\.\.", r["text"]))
+        ok = [
+            GOPHER_MIN_WORDS <= wc <= GOPHER_MAX_WORDS,
+            GOPHER_MIN_MEAN_WL * wc <= sl <= GOPHER_MAX_MEAN_WL * wc,
+            n_stop >= GOPHER_MIN_STOPWORDS,
+            n_sym * 10 <= wc * GOPHER_MAX_SYMBOL_PER10,
+        ]
+        a = agg.setdefault(r["source"], [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        for i in range(4):
+            a[1 + i] += 0 if ok[i] else 1
+        a[5] += 1 if all(ok) else 0
+
+    got = gopher_quality_flags(spark, SF).collect()
+    assert {r["source"] for r in got} == set(agg)
+    for r in got:
+        a = agg[r["source"]]
+        assert [
+            r["n_docs"],
+            r["fail_words"],
+            r["fail_mean_wl"],
+            r["fail_stopwords"],
+            r["fail_symbols"],
+            r["n_pass"],
+        ] == a
+        assert r["pass_rate"] == round(a[5] / a[0], 6)
+
+
+# ------------------------------------------------------ char_entropy
+def test_char_entropy_matches_python_reference(spark):
+    """Quantized-term entropy must equal the Python recomputation,
+    and sit in [0, log2(n_classes)]."""
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.textops import (
+        ENTROPY_SCALE,
+        char_entropy,
+    )
+
+    got = {r["doc_id"]: r for r in char_entropy(spark, SF).collect()}
+    rows = load_table(spark, SF, "documents").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        c = Counter(r["text"])
+        n = sum(c.values())
+        t_int = sum(
+            int(math.floor(v * math.log2(v) * ENTROPY_SCALE + 0.5))
+            for v in c.values()
+        )
+        ent = math.log2(n) - t_int / (n * ENTROPY_SCALE)
+        g = got[r["doc_id"]]
+        assert g["n_chars"] == n
+        assert g["n_classes"] == len(c)
+        assert g["entropy_bits"] == round(ent, 6)
+        assert -1e-6 <= g["entropy_bits"] <= math.log2(len(c)) + 1e-6
+
+
+# ------------------------------------------------- ppl_bucket_ccnet
+def test_ppl_bucket_terciles_balanced_and_consistent(spark):
+    """Bucket sizes must be ntile-balanced per lang, ranges must be
+    non-overlapping in bucket order, and the quantized sums must
+    equal the per-doc scores from text_perplexity_bigram."""
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        PPL_BUCKETS,
+        PPL_SCALE,
+        ppl_bucket_ccnet,
+        text_perplexity_bigram,
+    )
+
+    got = ppl_bucket_ccnet(spark, SF).collect()
+    per_doc = text_perplexity_bigram(spark, SF).collect()
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    by_lang = defaultdict(list)
+    for r in per_doc:
+        by_lang[langs[r["doc_id"]]].append((r["ppl"], r["doc_id"]))
+
+    rows_by_lang = defaultdict(list)
+    for r in got:
+        rows_by_lang[r["lang"]].append(r)
+    assert set(rows_by_lang) == set(by_lang)
+    for lang, rows in rows_by_lang.items():
+        rows.sort(key=lambda r: r["bucket"])
+        docs = sorted(by_lang[lang])
+        n = len(docs)
+        # ntile sizing: first (n % B) buckets get the extra row
+        base, extra = divmod(n, PPL_BUCKETS)
+        sizes = [base + (1 if i < extra else 0) for i in range(PPL_BUCKETS)]
+        sizes = [s for s in sizes if s > 0]
+        assert [r["n_docs"] for r in rows] == sizes
+        # ranges follow the sorted order; quantized sums match
+        i = 0
+        for r, size in zip(rows, sizes):
+            chunk = docs[i : i + size]
+            i += size
+            assert r["ppl_lo"] == min(p for p, _ in chunk)
+            assert r["ppl_hi"] == max(p for p, _ in chunk)
+            assert r["sum_ppl_q"] == sum(
+                int(math.floor(p * PPL_SCALE + 0.5)) for p, _ in chunk
+            )
