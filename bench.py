@@ -214,6 +214,9 @@ HEADLINE: dict[str, str] = {
     "gopher_quality_flags": "collect",
     "char_entropy": "exec",
     "ppl_bucket_ccnet": "collect",
+    "domain_stats": "collect",
+    "group_split_assign": "collect",
+    "temporal_holdout_split": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

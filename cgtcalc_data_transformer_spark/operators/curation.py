@@ -1192,3 +1192,115 @@ ORDER BY source
 
 
 GOPHER_QUALITY_SQL = _gopher_sql()
+
+
+# ------------------------------------- per-domain source extraction
+# The synthetic corpus carries no URL column, so one is DERIVED
+# deterministically (both engines build the identical string) and the
+# OPERATOR under test is the web-pipeline extraction+rollup itself:
+# host/path parsing, registered-domain grouping, per-domain stats.
+_TLD_BY_LANG = {"en": "com", "de": "de", "fr": "fr", "es": "es", "zh": "cn"}
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl statistics — the "what did we ingest, from
+    where" rollup every web-scale corpus needs before mixing: docs,
+    distinct subdomains and path prefixes, char volume per registered
+    domain. Host comes from Spark's ``parse_url`` builtin (JVM-side
+    codegen); the registered domain is the last two host labels
+    (``substring_index(host, '.', -2)``); the oracle replays the same
+    extraction with regexes.
+
+    Scale shape: URL synthesis + parsing is row-local codegen inside
+    the scan; ONE map-side-combinable aggregation on the domain key.
+    At 100 TB the domain key is heavy-tailed (real crawls: ~50% of
+    docs under a few thousand domains) — the count-distinct on
+    subdomains is the shuffle to watch; swap in approx_count_distinct
+    per the agg_approx pattern when exactness isn't required.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    tld = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(t))
+            for lang, t in _TLD_BY_LANG.items()
+        ],
+        F.lit("org"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    path = F.parse_url(url, F.lit("PATH"))
+    domain = F.substring_index(host, ".", -2)
+    subdomain = F.substring_index(host, ".", 1)
+    section = F.regexp_extract(path, r"^/([^/]+)/", 1)
+    ext = F.regexp_extract(path, r"\.([a-z0-9]+)$", 1)
+    return (
+        docs.select(
+            domain.alias("domain"),
+            subdomain.alias("subdomain"),
+            section.alias("section"),
+            ext.alias("ext"),
+            "n_chars",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("subdomain").alias("n_subdomains"),
+            F.countDistinct("section").alias("n_sections"),
+            F.countDistinct("ext").alias("n_exts"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
+def _domain_stats_sql() -> str:
+    tld_case = " ".join(
+        f"WHEN '{lang}' THEN '{t}'" for lang, t in _TLD_BY_LANG.items()
+    )
+    return rf"""
+WITH urls AS (
+  SELECT 'https://' || source || '.example.' ||
+         (CASE lang {tld_case} ELSE 'org' END) ||
+         '/' || lang || '/doc-' || doc_id || '.html' AS url,
+         n_chars
+  FROM documents
+), parsed AS (
+  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+         regexp_extract(url, '^https://[^/]+(/.*)$', 1) AS path,
+         n_chars
+  FROM urls
+), parts AS (
+  SELECT array_to_string(string_split(host, '.')[-2:], '.') AS domain,
+         string_split(host, '.')[1] AS subdomain,
+         regexp_extract(path, '^/([^/]+)/', 1) AS section,
+         regexp_extract(path, '\.([a-z0-9]+)$', 1) AS ext,
+         n_chars
+  FROM parsed
+)
+SELECT domain,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT subdomain) AS n_subdomains,
+       COUNT(DISTINCT section) AS n_sections,
+       COUNT(DISTINCT ext) AS n_exts,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(SUM(n_chars) / COUNT(*), 6) AS avg_chars
+FROM parts
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+DOMAIN_STATS_SQL = _domain_stats_sql()

@@ -591,3 +591,156 @@ SELECT fold, n_eval, n_total - n_eval AS n_train, eval_chars, n_sources,
 FROM per_fold CROSS JOIN totals
 ORDER BY fold
 """
+
+
+# -------------------------------------- group-leakage-safe split
+def group_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split hashed on the GROUP key (source), not the
+    row key: every document of a source lands in the same split, so
+    near-duplicate documents within a source can never straddle the
+    train/test boundary — the group-wise split sklearn calls
+    GroupShuffleSplit, as a pure column expression.
+    ``split_assign`` (row-hash) optimizes balance; this one optimizes
+    leakage-safety; ``split_leakage_check`` measures what row-hash
+    splitting leaks. Same md5 bucketing, so the assignment is
+    append-stable and engine-exact.
+
+    One row-local hash inside the scan + one map-side-combinable agg;
+    the source->split function needs no table, no broadcast, no
+    shuffle of its own.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("source"))
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+GROUP_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE
+           WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT::BIGINT % 100 < {TRAIN_PCT}
+             THEN 'train'
+           WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT::BIGINT % 100 < {VAL_PCT}
+             THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+# ------------------------------------------ temporal holdout split
+HOLDOUT_DAYS = 7
+_HOLDOUT_NS = HOLDOUT_DAYS * 86_400 * 10**9
+
+
+def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/holdout split over events — the evaluation
+    protocol for anything forecasting-shaped: train on everything
+    before (max_ts - HOLDOUT_DAYS), hold out the final week, and
+    report the COLD-START exposure (holdout users never seen in
+    train), the number the offline metric silently hinges on.
+
+    All cutoff arithmetic is int64 nanoseconds (epoch nanos exceed
+    2^53 — a double round-trip corrupts boundaries). Plan: 1-row max
+    scalar broadcast back onto the scan, one per-split agg, and a
+    distinct-users anti-join for the cold count — no window, no sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    flagged = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("ts") < F.col("mx") - F.lit(_HOLDOUT_NS).cast("long"),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+            "user_id",
+            "ts",
+        )
+        .cache()
+    )
+    per_split = flagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("MIN(ts) div 1000000000").alias("first_epoch"),
+        F.expr("MAX(ts) div 1000000000").alias("last_epoch"),
+    )
+    cold = (
+        flagged.filter(F.col("split") == "holdout")
+        .select("user_id")
+        .distinct()
+        .join(
+            flagged.filter(F.col("split") == "train")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("cold"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(cold))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "first_epoch",
+            "last_epoch",
+            F.when(F.col("split") == "holdout", F.col("cold"))
+            .otherwise(F.lit(0))
+            .alias("n_cold_users"),
+        )
+        .orderBy("split")
+    )
+
+
+TEMPORAL_HOLDOUT_SQL = f"""
+WITH ev AS (
+  SELECT epoch_ns(ts) AS tsn, user_id FROM events
+), mx AS (
+  SELECT MAX(tsn) AS mx FROM ev
+), flagged AS (
+  SELECT CASE WHEN tsn < mx - {_HOLDOUT_NS} THEN 'train' ELSE 'holdout' END AS split,
+         user_id, tsn
+  FROM ev, mx
+), per_split AS (
+  SELECT split, COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         MIN(tsn) // 1000000000 AS first_epoch,
+         MAX(tsn) // 1000000000 AS last_epoch
+  FROM flagged GROUP BY split
+), cold AS (
+  SELECT COUNT(*) AS cold FROM (
+    SELECT DISTINCT user_id FROM flagged WHERE split = 'holdout'
+    EXCEPT
+    SELECT DISTINCT user_id FROM flagged WHERE split = 'train'
+  )
+)
+SELECT split, n_events, n_users, first_epoch, last_epoch,
+       CASE WHEN split = 'holdout' THEN cold ELSE 0 END AS n_cold_users
+FROM per_split, cold
+ORDER BY split
+"""

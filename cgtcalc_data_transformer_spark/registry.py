@@ -515,6 +515,12 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "char_entropy": (textops.char_entropy, textops.CHAR_ENTROPY_SQL),
     "ppl_bucket_ccnet": (corpus_lm.ppl_bucket_ccnet, corpus_lm.PPL_BUCKET_SQL),
+    "domain_stats": (curation.domain_stats, curation.DOMAIN_STATS_SQL),
+    "group_split_assign": (mlprep.group_split_assign, mlprep.GROUP_SPLIT_SQL),
+    "temporal_holdout_split": (
+        mlprep.temporal_holdout_split,
+        mlprep.TEMPORAL_HOLDOUT_SQL,
+    ),
 }
 
 
@@ -545,6 +551,9 @@ _ROUND6_NEW: list[str] = [
     "gopher_quality_flags",
     "char_entropy",
     "ppl_bucket_ccnet",
+    "domain_stats",
+    "group_split_assign",
+    "temporal_holdout_split",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

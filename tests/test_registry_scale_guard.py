@@ -71,6 +71,7 @@ BNLJ_OK = {
     "kfold_assign",  # 1-row corpus-total scalar crossJoin onto the K-row fold table
     "rrf_fusion",  # 1-row query-vector crossJoin + inherited bm25 corpus-stats scalar
     "drift_psi",  # 1-row bounds/totals scalars onto the B=64-row bin table
+    "temporal_holdout_split",  # 1-row max-ts + 1-row cold-count scalars
 }
 
 

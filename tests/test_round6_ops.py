@@ -393,3 +393,98 @@ def test_ppl_bucket_terciles_balanced_and_consistent(spark):
             assert r["sum_ppl_q"] == sum(
                 int(math.floor(p * PPL_SCALE + 0.5)) for p, _ in chunk
             )
+
+
+# ------------------------------------------------------ domain_stats
+def test_domain_stats_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.curation import (
+        _TLD_BY_LANG,
+        domain_stats,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+    agg = defaultdict(lambda: [0, set(), set(), set(), 0])
+    for r in rows:
+        dom = "example." + _TLD_BY_LANG.get(r["lang"], "org")
+        a = agg[dom]
+        a[0] += 1
+        a[1].add(r["source"])   # subdomain == source label
+        a[2].add(r["lang"])     # section == lang path segment
+        a[3].add("html")
+        a[4] += r["n_chars"]
+    got = domain_stats(spark, SF).collect()
+    assert {r["domain"] for r in got} == set(agg)
+    for r in got:
+        a = agg[r["domain"]]
+        assert r["n_docs"] == a[0]
+        assert r["n_subdomains"] == len(a[1])
+        assert r["n_sections"] == len(a[2])
+        assert r["n_exts"] == len(a[3])
+        assert r["total_chars"] == a[4]
+        assert r["avg_chars"] == round(a[4] / a[0], 6)
+
+
+# ----------------------------------------------- group_split_assign
+def test_group_split_is_leakage_safe_and_complete(spark):
+    """Every source maps to exactly one split (the operator's whole
+    point), and the rollup conserves docs/chars."""
+    import hashlib
+
+    from cgtcalc_data_transformer_spark.operators.mlprep import (
+        TRAIN_PCT,
+        VAL_PCT,
+        group_split_assign,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+
+    def split_of(source: str) -> str:
+        b = int(hashlib.md5(source.encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < TRAIN_PCT else ("val" if b < VAL_PCT else "test")
+
+    from collections import defaultdict
+
+    ref = defaultdict(lambda: [set(), 0, 0])
+    for r in rows:
+        a = ref[split_of(r["source"])]
+        a[0].add(r["source"])
+        a[1] += 1
+        a[2] += r["n_chars"]
+    got = group_split_assign(spark, SF).collect()
+    assert {r["split"] for r in got} == set(ref)
+    for r in got:
+        a = ref[r["split"]]
+        assert (r["n_sources"], r["n_docs"], r["total_chars"]) == (
+            len(a[0]),
+            a[1],
+            a[2],
+        )
+    # conservation
+    assert sum(r["n_docs"] for r in got) == len(rows)
+
+
+# -------------------------------------------- temporal_holdout_split
+def test_temporal_holdout_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.mlprep import (
+        _HOLDOUT_NS,
+        temporal_holdout_split,
+    )
+
+    ev = load_table(spark, SF, "events").select("ts", "user_id").collect()
+    mx = max(r["ts"] for r in ev)
+    cut = mx - _HOLDOUT_NS
+    train = [r for r in ev if r["ts"] < cut]
+    hold = [r for r in ev if r["ts"] >= cut]
+    cold = {r["user_id"] for r in hold} - {r["user_id"] for r in train}
+    got = {r["split"]: r for r in temporal_holdout_split(spark, SF).collect()}
+    assert set(got) == {"train", "holdout"}
+    for name, part in [("train", train), ("holdout", hold)]:
+        g = got[name]
+        assert g["n_events"] == len(part)
+        assert g["n_users"] == len({r["user_id"] for r in part})
+        assert g["first_epoch"] == min(r["ts"] for r in part) // 10**9
+        assert g["last_epoch"] == max(r["ts"] for r in part) // 10**9
+    assert got["holdout"]["n_cold_users"] == len(cold)
+    assert got["train"]["n_cold_users"] == 0
