@@ -217,6 +217,8 @@ HEADLINE: dict[str, str] = {
     "domain_stats": "collect",
     "group_split_assign": "collect",
     "temporal_holdout_split": "collect",
+    "winnow_fingerprints": "exec",
+    "zipf_tail_alpha": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

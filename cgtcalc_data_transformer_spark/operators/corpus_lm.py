@@ -714,3 +714,110 @@ FROM bucketed
 GROUP BY lang, bucket
 ORDER BY lang, bucket
 """
+
+
+# --------------------------------------------- Zipf tail exponent
+ZIPF_TOP = 500        # regression over the top-N ranks per language
+ZIPF_S1 = 10**6       # quantization of ln terms
+ZIPF_S2 = 10**12      # quantization of ln-product terms
+
+
+def zipf_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf exponent: least-squares slope of
+    ln(freq) ~ ln(rank) over the top ZIPF_TOP token ranks — the
+    classic corpus health check (natural language sits near
+    alpha ≈ 1; generator loops, boilerplate floods, or broken
+    tokenization bend the tail). Emits alpha = -slope and R² per
+    language.
+
+    Engine-exactness: ln inputs are exact integers (rank, count), and
+    every regression moment (x, y, xy, x², y²) is quantized to an
+    integer PER TERM before the SUM, so the five sufficient
+    statistics are exact integers and the closed-form slope/R² are
+    identical IEEE expressions on both engines. Scale shape: one
+    token aggregation, a per-lang top-N window (real partition key —
+    lang), and a 5-number-per-lang rollup; nothing global.
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select("lang", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = counts.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= ZIPF_TOP
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def _q(expr, scale):
+        return F.floor(expr * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+    stats = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(_q(x, ZIPF_S1)).alias("sx"),
+        F.sum(_q(y, ZIPF_S1)).alias("sy"),
+        F.sum(_q(x * y, ZIPF_S2)).alias("sxy"),
+        F.sum(_q(x * x, ZIPF_S2)).alias("sxx"),
+        F.sum(_q(y * y, ZIPF_S2)).alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx") / F.lit(float(ZIPF_S1))
+    sy = F.col("sy") / F.lit(float(ZIPF_S1))
+    sxy = F.col("sxy") / F.lit(float(ZIPF_S2))
+    sxx = F.col("sxx") / F.lit(float(ZIPF_S2))
+    syy = F.col("syy") / F.lit(float(ZIPF_S2))
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    return stats.select(
+        "lang",
+        "n_terms",
+        F.round(-(num / denx), 6).alias("alpha"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    ).orderBy("lang")
+
+
+ZIPF_SQL = rf"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok
+), ranked AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS r
+  FROM counts
+  QUALIFY r <= {ZIPF_TOP}
+), terms AS (
+  SELECT lang,
+         ln(CAST(r AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM ranked
+), stats AS (
+  SELECT lang,
+         COUNT(*) AS n_terms,
+         CAST(SUM(CAST(floor(x * {ZIPF_S1} + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(floor(y * {ZIPF_S1} + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(floor(x * y * {ZIPF_S2} + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(floor(x * x * {ZIPF_S2} + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(floor(y * y * {ZIPF_S2} + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM terms GROUP BY lang
+)
+SELECT lang, n_terms,
+       ROUND(-(
+         (n_terms * (sxy / {ZIPF_S2}.0) - (sx / {ZIPF_S1}.0) * (sy / {ZIPF_S1}.0))
+         / (n_terms * (sxx / {ZIPF_S2}.0) - (sx / {ZIPF_S1}.0) * (sx / {ZIPF_S1}.0))
+       ), 6) AS alpha,
+       ROUND(
+         (n_terms * (sxy / {ZIPF_S2}.0) - (sx / {ZIPF_S1}.0) * (sy / {ZIPF_S1}.0))
+         * (n_terms * (sxy / {ZIPF_S2}.0) - (sx / {ZIPF_S1}.0) * (sy / {ZIPF_S1}.0))
+         / ((n_terms * (sxx / {ZIPF_S2}.0) - (sx / {ZIPF_S1}.0) * (sx / {ZIPF_S1}.0))
+            * (n_terms * (syy / {ZIPF_S2}.0) - (sy / {ZIPF_S1}.0) * (sy / {ZIPF_S1}.0))),
+       6) AS r2
+FROM stats
+ORDER BY lang
+"""

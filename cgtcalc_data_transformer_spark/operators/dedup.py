@@ -1118,3 +1118,149 @@ SELECT CAST(SUM(e) AS BIGINT) AS n_exact_pairs,
        SUM(l) / (SELECT COUNT(*) FROM lsh_all) AS candidate_precision
 FROM flags
 """
+
+
+# ----------------------------------------- winnowing fingerprints
+WINNOW_K = 5   # gram width (tokens)
+WINNOW_W = 4   # winnowing window (grams)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): from each doc's K-gram hash
+    sequence, select the RIGHTMOST MINIMUM of every W-gram window;
+    the selected set is a position-robust fingerprint with the
+    guarantee that any shared run of >= W+K-1 tokens yields a shared
+    fingerprint. Reported per doc: grams, fingerprints selected,
+    fingerprints shared with other docs, and the shared ratio — the
+    plagiarism/overlap signal.
+
+    The per-window argmin loop is re-expressed CLOSED-FORM so no
+    per-window iteration exists anywhere: position q is selected iff
+    some window admits it, which reduces to
+    ``max(q-di+1, 0) <= min(q+dj-w, n-w)`` where di/dj are the
+    distances (capped at W) to the nearest strictly-smaller hash on
+    the left / smaller-or-equal hash on the right — both read from W-1
+    lag/lead columns inside the doc-partitioned window the gram
+    builder already shuffled for. Proof sketch in the test's naive
+    reference; identical lag/lead logic in the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w_doc) for i in range(1, WINNOW_K)
+    ]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.when(parts[-1].isNotNull(), F.md5(F.concat_ws(" ", *parts))).alias(
+                "h"
+            ),
+        )
+        .filter(F.col("h").isNotNull())
+        .cache()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+
+    h = F.col("h")
+    di = F.lit(WINNOW_W)
+    dj = F.lit(WINNOW_W)
+    # nearest left strictly-smaller / right smaller-or-equal hash
+    # (null lag/lead comparisons are null -> when() skips them)
+    for d in range(WINNOW_W - 1, 0, -1):
+        di = F.when(F.lag("h", d).over(w_doc) < h, F.lit(d)).otherwise(di)
+        dj = F.when(F.lead("h", d).over(w_doc) <= h, F.lit(d)).otherwise(dj)
+    annotated = (
+        grams.join(sizes, "doc_id")
+        .withColumn("di", di)
+        .withColumn("dj", dj)
+    )
+    selected = annotated.filter(
+        (F.col("n_grams") >= WINNOW_W)
+        & (
+            F.greatest(F.col("pos") - F.col("di") + 1, F.lit(0))
+            <= F.least(
+                F.col("pos") + F.col("dj") - F.lit(WINNOW_W),
+                F.col("n_grams") - F.lit(WINNOW_W),
+            )
+        )
+    )
+    fp = selected.select("doc_id", "h").distinct().cache()
+    sharing = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs_fp"))
+    per_doc = (
+        fp.join(sharing, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("n_docs_fp") > 1).cast("long")).alias("n_shared_fp"),
+        )
+    )
+    return (
+        per_doc.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fp",
+            "n_shared_fp",
+            F.round(F.col("n_shared_fp") / F.col("n_fp"), 6).alias(
+                "shared_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_sql() -> str:
+    di = f"{WINNOW_W}"
+    dj = f"{WINNOW_W}"
+    for d in range(WINNOW_W - 1, 0, -1):
+        di = f"CASE WHEN lag(h, {d}) OVER w < h THEN {d} ELSE {di} END"
+        dj = f"CASE WHEN lead(h, {d}) OVER w <= h THEN {d} ELSE {dj} END"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, s.i - 1 AS pos,
+         md5(array_to_string(w[s.i:s.i + {WINNOW_K - 1}], ' ')) AS h
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, len(w) - {WINNOW_K} + 2)) AS i) s
+  WHERE len(w) >= {WINNOW_K}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), annotated AS (
+  SELECT g.doc_id, g.pos, g.h, s.n_grams,
+         {di} AS di,
+         {dj} AS dj
+  FROM grams g JOIN sizes s USING (doc_id)
+  WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.pos)
+), fp AS (
+  SELECT DISTINCT doc_id, h
+  FROM annotated
+  WHERE n_grams >= {WINNOW_W}
+    AND GREATEST(pos - di + 1, 0)
+        <= LEAST(pos + dj - {WINNOW_W}, n_grams - {WINNOW_W})
+), sharing AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs_fp FROM fp GROUP BY h
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_fp,
+         CAST(SUM(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_fp
+  FROM fp JOIN sharing USING (h) GROUP BY doc_id
+)
+SELECT p.doc_id, s.n_grams, p.n_fp, p.n_shared_fp,
+       ROUND(p.n_shared_fp / p.n_fp, 6) AS shared_ratio
+FROM per_doc p JOIN sizes s USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+WINNOW_FP_SQL = _winnow_sql()

@@ -521,6 +521,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         mlprep.temporal_holdout_split,
         mlprep.TEMPORAL_HOLDOUT_SQL,
     ),
+    "winnow_fingerprints": (dedup.winnow_fingerprints, dedup.WINNOW_FP_SQL),
+    "zipf_tail_alpha": (corpus_lm.zipf_tail_alpha, corpus_lm.ZIPF_SQL),
 }
 
 
@@ -554,6 +556,8 @@ _ROUND6_NEW: list[str] = [
     "domain_stats",
     "group_split_assign",
     "temporal_holdout_split",
+    "winnow_fingerprints",
+    "zipf_tail_alpha",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

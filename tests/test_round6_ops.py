@@ -488,3 +488,125 @@ def test_temporal_holdout_matches_python_reference(spark):
         assert g["last_epoch"] == max(r["ts"] for r in part) // 10**9
     assert got["holdout"]["n_cold_users"] == len(cold)
     assert got["train"]["n_cold_users"] == 0
+
+
+# ----------------------------------------------- winnow_fingerprints
+def _naive_winnow(texts: dict[int, str], k: int, w: int):
+    """Direct SIGMOD'03 winnowing: every full window of w gram
+    hashes selects its rightmost minimum; fingerprints are the
+    distinct selected hashes per doc."""
+    import hashlib
+    import re
+
+    out = {}
+    grams_by_doc = {}
+    for d, t in texts.items():
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        grams_by_doc[d] = hs
+        if len(hs) < w:
+            continue
+        sel = set()
+        for p in range(len(hs) - w + 1):
+            window = hs[p : p + w]
+            mn = min(window)
+            q = max(i for i, v in enumerate(window) if v == mn)
+            sel.add(hs[p + q])
+        out[d] = sel
+    return out, grams_by_doc
+
+
+def test_winnow_closed_form_equals_naive(spark):
+    """The lag/lead closed form must select exactly the fingerprints
+    the per-window argmin loop selects, on the full sf0.001 corpus —
+    including the doc-boundary windows the closed form special-cases.
+    """
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    sel, grams = _naive_winnow(texts, WINNOW_K, WINNOW_W)
+    doc_count = Counter()
+    for d, fps in sel.items():
+        for h in fps:
+            doc_count[h] += 1
+    got = {r["doc_id"]: r for r in winnow_fingerprints(spark, SF).collect()}
+    assert set(got) == set(sel)
+    for d, fps in sel.items():
+        g = got[d]
+        assert g["n_grams"] == len(grams[d])
+        assert g["n_fp"] == len(fps)
+        expected_shared = sum(1 for h in fps if doc_count[h] > 1)
+        assert g["n_shared_fp"] == expected_shared
+        assert g["shared_ratio"] == round(expected_shared / len(fps), 6)
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fp():
+    """The winnowing guarantee: two docs sharing a run of
+    >= W+K-1 tokens must share at least one fingerprint."""
+    from cgtcalc_data_transformer_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    run = [f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1)]
+    texts = {
+        0: " ".join(["aaa", "bbb", "ccc"] + run + ["ddd", "eee", "fff"]),
+        1: " ".join(["ggg", "hhh"] + run + ["iii", "jjj", "kkk", "lll"]),
+    }
+    sel, _ = _naive_winnow(texts, WINNOW_K, WINNOW_W)
+    assert sel[0] & sel[1]
+
+
+# --------------------------------------------------- zipf_tail_alpha
+def test_zipf_alpha_matches_python_reference(spark):
+    from collections import Counter, defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        ZIPF_S1,
+        ZIPF_S2,
+        ZIPF_TOP,
+        zipf_tail_alpha,
+    )
+    import re
+
+    rows = load_table(spark, SF, "documents").collect()
+    by_lang = defaultdict(Counter)
+    for r in rows:
+        by_lang[r["lang"]].update(re.findall(r"[a-z0-9]+", r["text"].lower()))
+    got = {r["lang"]: r for r in zipf_tail_alpha(spark, SF).collect()}
+    assert set(got) == set(by_lang)
+    for lang, cnt in by_lang.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+        n = len(ranked)
+        sx = sy = sxy = sxx = syy = 0
+        for r_, (tok, c) in enumerate(ranked, start=1):
+            x, y = math.log(r_), math.log(c)
+            sx += int(math.floor(x * ZIPF_S1 + 0.5))
+            sy += int(math.floor(y * ZIPF_S1 + 0.5))
+            sxy += int(math.floor(x * y * ZIPF_S2 + 0.5))
+            sxx += int(math.floor(x * x * ZIPF_S2 + 0.5))
+            syy += int(math.floor(y * y * ZIPF_S2 + 0.5))
+        fx, fy = sx / ZIPF_S1, sy / ZIPF_S1
+        fxy, fxx, fyy = sxy / ZIPF_S2, sxx / ZIPF_S2, syy / ZIPF_S2
+        num = n * fxy - fx * fy
+        denx = n * fxx - fx * fx
+        deny = n * fyy - fy * fy
+        g = got[lang]
+        assert g["n_terms"] == n
+        assert g["alpha"] == round(-(num / denx), 6)
+        assert g["r2"] == round(num * num / (denx * deny), 6)
+        # sanity: a word-frequency corpus should be Zipf-ish
+        assert 0.1 < g["alpha"] < 3.0
+        assert 0.0 <= g["r2"] <= 1.0
