@@ -219,6 +219,8 @@ HEADLINE: dict[str, str] = {
     "temporal_holdout_split": "collect",
     "winnow_fingerprints": "exec",
     "zipf_tail_alpha": "collect",
+    "knn_label_audit": "collect",
+    "chi2_label_shift": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

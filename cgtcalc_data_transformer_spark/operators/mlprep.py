@@ -744,3 +744,123 @@ SELECT split, n_events, n_users, first_epoch, last_epoch,
 FROM per_split, cold
 ORDER BY split
 """
+
+
+# -------------------------------------- label-distribution shift test
+CHI2_SCALE = 10**6
+# chi-square 0.95 quantiles by dof (standard public table) — the CASE
+# lookup keeps the drift flag exact on both engines for any label
+# cardinality the corpus can produce
+_CHI2_CRIT_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
+    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 11: 19.675,
+    12: 21.026, 13: 22.362, 14: 23.685, 15: 24.996, 16: 26.296,
+    17: 27.587, 18: 28.869, 19: 30.144,
+}
+
+
+def chi2_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of label-distribution homogeneity
+    between two deterministic halves of the embeddings table (md5
+    split of vec_id) — the drift gate a labeling pipeline runs on
+    every new batch: has the class balance moved? One summary row:
+    chi2, dof, the alpha=0.05 critical value, and the shift flag.
+
+    The label x split contingency table is ONE map-side-combinable
+    aggregation; expected counts come from the 1-row broadcast
+    marginals; each cell's (o-e)^2/e term is quantized to an integer
+    BEFORE the final sum, so chi2 and its flag are exact
+    cross-engine. On the hash-split halves of an unshifted corpus
+    the statistic should sit well under the critical value — the
+    audit's own sanity check.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = (hash_bucket(F.col("vec_id")) < 50).cast("int")
+    cells = emb.groupBy(F.col("label")).agg(
+        F.sum(half).alias("c1"),
+        F.sum(F.lit(1) - half).alias("c2"),
+    )
+    totals = cells.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    joined = cells.crossJoin(F.broadcast(totals))
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    row_tot = (F.col("c1") + F.col("c2")).cast("double")
+    term = F.lit(0.0)
+    for c, m in (("c1", "n1"), ("c2", "n2")):
+        e = row_tot * F.col(m).cast("double") / n
+        d = F.col(c).cast("double") - e
+        term = term + d * d / e
+    t_int = F.floor(term * F.lit(float(CHI2_SCALE)) + F.lit(0.5)).cast("long")
+    # dof -> critical-value lookup as a 19-element array literal indexed
+    # by dof (contiguous from 1), NOT a nested when-chain: the chained
+    # CaseWhen tree serializes catastrophically (1.3 GB analyzed-plan
+    # JSON at depth 19, breaking the registry plan audit) while the
+    # array literal is a single bounded expression
+    crit_arr = F.array(*[F.lit(v) for _, v in sorted(_CHI2_CRIT_95.items())])
+    dof_col = (F.col("n_labels") - 1).cast("int")
+    crit = F.when(
+        (dof_col >= 1) & (dof_col <= len(_CHI2_CRIT_95)),
+        F.element_at(crit_arr, dof_col),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.select("n1", "n2", "n_labels", t_int.alias("t_int"))
+        .groupBy("n1", "n2", "n_labels")
+        .agg(F.sum("t_int").alias("chi2_int"))
+        .select(
+            "n1",
+            "n2",
+            (F.col("n_labels") - 1).alias("dof"),
+            (F.col("chi2_int") / F.lit(float(CHI2_SCALE))).alias("chi2"),
+            crit.alias("crit_95"),
+            (
+                F.col("chi2_int")
+                > F.floor(crit * F.lit(float(CHI2_SCALE)) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("shifted"),
+        )
+    )
+
+
+def _chi2_sql() -> str:
+    crit_case = " ".join(
+        f"WHEN {dof} THEN {v}" for dof, v in sorted(_CHI2_CRIT_95.items())
+    )
+    term = " + ".join(
+        f"(CAST({c} AS DOUBLE) - (CAST(c1 + c2 AS DOUBLE) * CAST({m} AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))"
+        f" * (CAST({c} AS DOUBLE) - (CAST(c1 + c2 AS DOUBLE) * CAST({m} AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))"
+        f" / (CAST(c1 + c2 AS DOUBLE) * CAST({m} AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+        for c, m in (("c1", "n1"), ("c2", "n2"))
+    )
+    return f"""
+WITH cells AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < 50
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 < 50
+                  THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM embeddings GROUP BY label
+), totals AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         COUNT(*) AS n_labels
+  FROM cells
+), terms AS (
+  SELECT n1, n2, n_labels,
+         CAST(floor(({term}) * {CHI2_SCALE} + 0.5) AS BIGINT) AS t_int
+  FROM cells, totals
+)
+SELECT n1, n2, n_labels - 1 AS dof,
+       CAST(SUM(t_int) AS BIGINT) / {CHI2_SCALE}.0 AS chi2,
+       CAST((CASE n_labels - 1 {crit_case} ELSE 0.0 END) AS DOUBLE) AS crit_95,
+       CAST(SUM(t_int) AS BIGINT)
+         > CAST(floor(CAST((CASE n_labels - 1 {crit_case} ELSE 0.0 END) AS DOUBLE) * {CHI2_SCALE} + 0.5) AS BIGINT)
+         AS shifted
+FROM terms
+GROUP BY n1, n2, n_labels
+"""
+
+
+CHI2_LABEL_SHIFT_SQL = _chi2_sql()

@@ -462,3 +462,109 @@ SELECT s.query_id, s.method,
 FROM spine s LEFT JOIN hits h ON s.query_id = h.query_id AND s.method = h.method
 ORDER BY s.query_id, s.method
 """
+
+
+# ------------------------------------- kNN label-consistency audit
+KNN_EVAL_QUERIES = 64   # vec_id < 64 form the leave-one-out eval set
+KNN_EVAL_K = 5
+
+
+def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit via leave-one-out kNN classification:
+    for each eval vector, majority-vote the labels of its K nearest
+    neighbors (cosine) and score against its true label, reported
+    per label. A sane embedding space classifies well above the
+    label-frequency baseline; a collapsed or shuffled one doesn't —
+    this is the standard "are these embeddings worth their bytes"
+    gate before ANN indexing or embedding dedup.
+
+    Determinism: cosine rounded at 6 before ranking, doc_id
+    tiebreaks, majority = (count desc, label asc) — every decision
+    integer. Scale shape: the eval set is a bounded broadcast
+    (KNN_EVAL_QUERIES rows); candidates stream past it with no
+    shuffle until the per-query top-K window (keyed by query_id);
+    vote/majority/accuracy aggregations are eval-sized.
+    """
+    from pyspark.sql import Window
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("cand_label"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_EVAL_K
+    )
+    votes = top.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_maj = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("cand_label")
+    )
+    majority = votes.withColumn("mrk", F.row_number().over(w_maj)).filter(
+        F.col("mrk") == 1
+    )
+    return (
+        majority.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("cand_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_eval"), 6)
+        )
+        .orderBy("true_label")
+    )
+
+
+KNN_LABEL_AUDIT_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM emb q JOIN emb c ON q.vec_id < {KNN_EVAL_QUERIES} AND c.vec_id <> q.vec_id
+), top AS (
+  SELECT query_id, true_label, cand_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rk
+  FROM scored
+  QUALIFY rk <= {KNN_EVAL_K}
+), votes AS (
+  SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+  FROM top GROUP BY query_id, true_label, cand_label
+), majority AS (
+  SELECT query_id, true_label, cand_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, cand_label ASC) AS mrk
+  FROM votes
+  QUALIFY mrk = 1
+)
+SELECT true_label,
+       COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS accuracy
+FROM majority
+GROUP BY true_label
+ORDER BY true_label
+"""

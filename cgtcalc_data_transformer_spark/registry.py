@@ -523,6 +523,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "winnow_fingerprints": (dedup.winnow_fingerprints, dedup.WINNOW_FP_SQL),
     "zipf_tail_alpha": (corpus_lm.zipf_tail_alpha, corpus_lm.ZIPF_SQL),
+    "knn_label_audit": (similarity.knn_label_audit, similarity.KNN_LABEL_AUDIT_SQL),
+    "chi2_label_shift": (mlprep.chi2_label_shift, mlprep.CHI2_LABEL_SHIFT_SQL),
 }
 
 
@@ -558,6 +560,8 @@ _ROUND6_NEW: list[str] = [
     "temporal_holdout_split",
     "winnow_fingerprints",
     "zipf_tail_alpha",
+    "knn_label_audit",
+    "chi2_label_shift",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -72,6 +72,8 @@ BNLJ_OK = {
     "rrf_fusion",  # 1-row query-vector crossJoin + inherited bm25 corpus-stats scalar
     "drift_psi",  # 1-row bounds/totals scalars onto the B=64-row bin table
     "temporal_holdout_split",  # 1-row max-ts + 1-row cold-count scalars
+    "knn_label_audit",  # KNN_EVAL_QUERIES=64 bounded eval broadcast, != cond
+    "chi2_label_shift",  # 1-row marginals scalar onto the label-cardinality cells
 }
 
 

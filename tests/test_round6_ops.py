@@ -610,3 +610,84 @@ def test_zipf_alpha_matches_python_reference(spark):
         # sanity: a word-frequency corpus should be Zipf-ish
         assert 0.1 < g["alpha"] < 3.0
         assert 0.0 <= g["r2"] <= 1.0
+
+
+# --------------------------------------------------- knn_label_audit
+def test_knn_label_audit_matches_python_reference(spark):
+    """Leave-one-out kNN majority vote recomputed in numpy must give
+    the same per-label accuracies."""
+    import numpy as np
+    from collections import Counter, defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.similarity import (
+        KNN_EVAL_K,
+        KNN_EVAL_QUERIES,
+        knn_label_audit,
+    )
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    ref = defaultdict(lambda: [0, 0])
+    for q in sorted(vecs):
+        if q >= KNN_EVAL_QUERIES:
+            continue
+        qv = vecs[q]
+        scored = []
+        for c, cv in vecs.items():
+            if c == q:
+                continue
+            cos = round(
+                float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))), 6
+            )
+            scored.append((-cos, c))
+        scored.sort()
+        top = [labels[c] for _, c in scored[:KNN_EVAL_K]]
+        votes = Counter(top)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        ref[labels[q]][0] += 1
+        ref[labels[q]][1] += 1 if pred == labels[q] else 0
+    got = {r["true_label"]: r for r in knn_label_audit(spark, SF).collect()}
+    assert set(got) == set(ref)
+    for lab, (n, correct) in ref.items():
+        g = got[lab]
+        assert (g["n_eval"], g["n_correct"]) == (n, correct)
+        assert g["accuracy"] == round(correct / n, 6)
+
+
+# -------------------------------------------------- chi2_label_shift
+def test_chi2_label_shift_matches_python_reference(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.mlprep import (
+        _CHI2_CRIT_95,
+        CHI2_SCALE,
+        chi2_label_shift,
+    )
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    cells = defaultdict(lambda: [0, 0])
+    for r in rows:
+        b = int(hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:8], 16) % 100
+        cells[r["label"]][0 if b < 50 else 1] += 1
+    n1 = sum(c[0] for c in cells.values())
+    n2 = sum(c[1] for c in cells.values())
+    n = n1 + n2
+    chi2_int = 0
+    for c1, c2 in cells.values():
+        rt = c1 + c2
+        t = 0.0
+        for o, m in ((c1, n1), (c2, n2)):
+            e = rt * m / n
+            t += (o - e) ** 2 / e
+        chi2_int += int(math.floor(t * CHI2_SCALE + 0.5))
+    dof = len(cells) - 1
+    got = chi2_label_shift(spark, SF).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g["n1"], g["n2"], g["dof"]) == (n1, n2, dof)
+    assert g["chi2"] == chi2_int / CHI2_SCALE
+    assert g["crit_95"] == _CHI2_CRIT_95.get(dof, 0.0)
+    # a deterministic hash split of one population must NOT shift
+    assert g["shifted"] is False
