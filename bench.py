@@ -221,6 +221,11 @@ HEADLINE: dict[str, str] = {
     "zipf_tail_alpha": "collect",
     "knn_label_audit": "collect",
     "chi2_label_shift": "collect",
+    "heaps_vocab_growth": "collect",
+    "ngram_novelty": "collect",
+    "ab_test_ztest": "collect",
+    "woe_iv_binning": "collect",
+    "source_overlap_jaccard": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

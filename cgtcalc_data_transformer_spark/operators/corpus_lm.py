@@ -821,3 +821,255 @@ SELECT lang, n_terms,
 FROM stats
 ORDER BY lang
 """
+
+
+# ------------------------------------------- Heaps' law vocab growth
+HEAPS_BUCKETS = 32    # corpus-growth checkpoints per language
+HEAPS_S1 = 10**6      # quantization of ln terms
+HEAPS_S2 = 10**12     # quantization of ln-product terms
+
+
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Heaps'-law exponent: least-squares slope beta of
+    ln V(N) ~ ln N over HEAPS_BUCKETS cumulative corpus checkpoints,
+    where N is tokens ingested and V distinct types seen — the
+    vocabulary-growth twin of `zipf_tail_alpha`. Natural text sits
+    near beta ≈ 0.5; beta → 1 means near-disjoint shards (no shared
+    vocabulary: OCR noise, random IDs), beta → 0 a vocabulary that
+    stopped growing (template/boilerplate floods). Emits beta, R²,
+    and the endpoint totals per language.
+
+    Checkpoint order is md5(doc_id) — a deterministic random-like
+    ingest order, exactly what a growth fit wants. Scale shape: one
+    (lang, bucket) occurrence count, one per-type min(bucket) ("first
+    seen") aggregation, and cumulative sums via the repo's bounded
+    theta self-join convention (b.bucket <= a.bucket on the
+    32-row-per-lang checkpoint table — see drift_ks_binned), NOT an
+    unpartitioned window; the OLS rollup is 32 rows per lang.
+
+    Engine-exactness: checkpoint counts are exact integers; each ln
+    term is quantized floor(x*S + 0.5)::long BEFORE the sums, so the
+    five regression moments are exact integers and slope/R² are the
+    same IEEE expression on both engines.
+    """
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang",
+        hash_bucket(F.col("doc_id"), HEAPS_BUCKETS).alias("bucket"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    )
+    per_bucket = toks.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    new_types = (
+        toks.groupBy("lang", "tok")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy("lang", F.col("fb").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("vb"))
+    )
+    ck = per_bucket.join(new_types, ["lang", "bucket"], "left").select(
+        "lang", "bucket", "nb", F.coalesce(F.col("vb"), F.lit(0)).alias("vb")
+    )
+    cum = (
+        ck.alias("a")
+        .join(
+            F.broadcast(ck.alias("b")),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.bucket") <= F.col("a.bucket")),
+        )
+        .groupBy(F.col("a.lang").alias("lang"), F.col("a.bucket").alias("bucket"))
+        .agg(F.sum("b.nb").alias("cum_n"), F.sum("b.vb").alias("cum_v"))
+    )
+    x = F.log(F.col("cum_n").cast("double"))
+    y = F.log(F.col("cum_v").cast("double"))
+
+    def _q(expr, scale):
+        return F.floor(expr * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+    stats = cum.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_checkpoints"),
+        F.max("cum_n").alias("total_tokens"),
+        F.max("cum_v").alias("total_types"),
+        F.sum(_q(x, HEAPS_S1)).alias("sx"),
+        F.sum(_q(y, HEAPS_S1)).alias("sy"),
+        F.sum(_q(x * y, HEAPS_S2)).alias("sxy"),
+        F.sum(_q(x * x, HEAPS_S2)).alias("sxx"),
+        F.sum(_q(y * y, HEAPS_S2)).alias("syy"),
+    )
+    n = F.col("n_checkpoints").cast("double")
+    sx = F.col("sx") / F.lit(float(HEAPS_S1))
+    sy = F.col("sy") / F.lit(float(HEAPS_S1))
+    sxy = F.col("sxy") / F.lit(float(HEAPS_S2))
+    sxx = F.col("sxx") / F.lit(float(HEAPS_S2))
+    syy = F.col("syy") / F.lit(float(HEAPS_S2))
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    return stats.select(
+        "lang",
+        "n_checkpoints",
+        "total_tokens",
+        "total_types",
+        F.round(num / denx, 6).alias("beta"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    ).orderBy("lang")
+
+
+HEAPS_SQL = rf"""
+WITH toks AS (
+  SELECT lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+           % {HEAPS_BUCKETS} AS bucket,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), per_bucket AS (
+  SELECT lang, bucket, COUNT(*) AS nb FROM toks GROUP BY lang, bucket
+), first_seen AS (
+  SELECT lang, tok, MIN(bucket) AS fb FROM toks GROUP BY lang, tok
+), new_types AS (
+  SELECT lang, fb AS bucket, COUNT(*) AS vb FROM first_seen GROUP BY lang, fb
+), ck AS (
+  SELECT p.lang, p.bucket, p.nb, COALESCE(n.vb, 0) AS vb
+  FROM per_bucket p LEFT JOIN new_types n
+    ON p.lang = n.lang AND p.bucket = n.bucket
+), cum AS (
+  SELECT a.lang, a.bucket,
+         CAST(SUM(b.nb) AS BIGINT) AS cum_n,
+         CAST(SUM(b.vb) AS BIGINT) AS cum_v
+  FROM ck a JOIN ck b ON a.lang = b.lang AND b.bucket <= a.bucket
+  GROUP BY a.lang, a.bucket
+), terms AS (
+  SELECT lang, cum_n, cum_v,
+         ln(CAST(cum_n AS DOUBLE)) AS x,
+         ln(CAST(cum_v AS DOUBLE)) AS y
+  FROM cum
+), stats AS (
+  SELECT lang,
+         COUNT(*) AS n_checkpoints,
+         CAST(MAX(cum_n) AS BIGINT) AS total_tokens,
+         CAST(MAX(cum_v) AS BIGINT) AS total_types,
+         CAST(SUM(CAST(floor(x * {HEAPS_S1} + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(floor(y * {HEAPS_S1} + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(floor(x * y * {HEAPS_S2} + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(floor(x * x * {HEAPS_S2} + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(floor(y * y * {HEAPS_S2} + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM terms GROUP BY lang
+)
+SELECT lang, n_checkpoints, total_tokens, total_types,
+       ROUND(
+         (n_checkpoints * (sxy / {HEAPS_S2}.0) - (sx / {HEAPS_S1}.0) * (sy / {HEAPS_S1}.0))
+         / (n_checkpoints * (sxx / {HEAPS_S2}.0) - (sx / {HEAPS_S1}.0) * (sx / {HEAPS_S1}.0)),
+       6) AS beta,
+       ROUND(
+         (n_checkpoints * (sxy / {HEAPS_S2}.0) - (sx / {HEAPS_S1}.0) * (sy / {HEAPS_S1}.0))
+         * (n_checkpoints * (sxy / {HEAPS_S2}.0) - (sx / {HEAPS_S1}.0) * (sy / {HEAPS_S1}.0))
+         / ((n_checkpoints * (sxx / {HEAPS_S2}.0) - (sx / {HEAPS_S1}.0) * (sx / {HEAPS_S1}.0))
+            * (n_checkpoints * (syy / {HEAPS_S2}.0) - (sy / {HEAPS_S1}.0) * (sy / {HEAPS_S1}.0))),
+       6) AS r2
+FROM stats
+ORDER BY lang
+"""
+
+
+# --------------------------------------------- held-out n-gram novelty
+NOVELTY_TRAIN_PCT = 90   # md5(doc_id) bucket < 90 -> train, else heldout
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty: split the corpus 90/10 by md5(doc_id),
+    then measure, per language, what fraction of the held-out split's
+    distinct word trigrams never appear in the train split — the
+    memorization-risk / generalization-pressure audit run before eval
+    harness construction (novelty ~ 0 means every eval n-gram is in
+    the training set: the eval measures recall, not generalization;
+    `contamination_check`/`contamination_minhash` detect *injected*
+    eval text, this quantifies *organic* overlap).
+
+    Scale shape: the trigram stream reuses `dedup.shingle_rows`
+    (codegen posexplode+lead, doc_id-partitioned window); each split
+    collapses to distinct (lang, shingle) with map-side partial
+    dedup, and novelty is ONE left-anti equality join on
+    (lang, shingle) plus a lang-sized rollup. All counts integer;
+    the rate is one int/int division, correctly rounded on both
+    engines.
+    """
+    from cgtcalc_data_transformer_spark.operators.dedup import shingle_rows
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    split = docs.select(
+        "doc_id",
+        "lang",
+        (hash_bucket(F.col("doc_id")) < NOVELTY_TRAIN_PCT).alias("is_train"),
+    )
+    grams = shingle_rows(docs).join(split, "doc_id")
+    train_g = (
+        grams.filter(F.col("is_train")).select("lang", "shingle").distinct()
+    )
+    held_g = (
+        grams.filter(~F.col("is_train")).select("lang", "shingle").distinct()
+    )
+    novel = held_g.join(train_g, ["lang", "shingle"], "left_anti")
+    held_counts = held_g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_held_grams")
+    )
+    train_counts = train_g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train_grams")
+    )
+    novel_counts = novel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        held_counts.join(train_counts, "lang", "left")
+        .join(novel_counts, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_train_grams"), F.lit(0)).alias("n_train_grams"),
+            "n_held_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_held_grams"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+NGRAM_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+           % 100 < {NOVELTY_TRAIN_PCT} AS is_train,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT lang, is_train, sh
+  FROM (SELECT lang, is_train,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                      ELSE [] END) AS sh
+        FROM toks)
+), train_g AS (
+  SELECT DISTINCT lang, sh FROM grams WHERE is_train
+), held_g AS (
+  SELECT DISTINCT lang, sh FROM grams WHERE NOT is_train
+), novel AS (
+  SELECT h.lang, h.sh FROM held_g h ANTI JOIN train_g t USING (lang, sh)
+)
+SELECT h.lang,
+       COALESCE(t.n_train_grams, 0) AS n_train_grams,
+       h.n_held_grams,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       ROUND(COALESCE(n.n_novel, 0) / h.n_held_grams, 6) AS novelty_rate
+FROM (SELECT lang, COUNT(*) AS n_held_grams FROM held_g GROUP BY lang) h
+LEFT JOIN (SELECT lang, COUNT(*) AS n_train_grams FROM train_g GROUP BY lang) t
+  ON h.lang = t.lang
+LEFT JOIN (SELECT lang, COUNT(*) AS n_novel FROM novel GROUP BY lang) n
+  ON h.lang = n.lang
+ORDER BY h.lang
+"""

@@ -1304,3 +1304,95 @@ ORDER BY domain
 
 
 DOMAIN_STATS_SQL = _domain_stats_sql()
+
+
+# ------------------------------------------ source vocabulary overlap
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between every pair of ingest
+    sources — the redundancy map a curation pipeline draws before
+    setting mix weights: two feeds with near-1 vocabulary overlap are
+    probably mirrors of each other (candidates for source-level
+    dedup), near-0 means genuinely complementary coverage.
+    `source_divergence` measures distributional *shape* on a fixed
+    panel; this measures set overlap across ALL sources.
+
+    Plan shape: one tokenize pass collapsed to distinct
+    (source, token) with map-side partial dedup; per-source vocab
+    sizes are a bounded aggregate (|sources| rows, broadcast twice);
+    the intersection is ONE equality self-join on token. Per-token
+    fan-out is bounded by |sources|² — the join output is
+    intersection-sized, never corpus-sized. Jaccard from exact
+    integers, rounded for display.
+    """
+    from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")).withColumnRenamed(
+                "n_vocab", "vocab_a"
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")).withColumnRenamed(
+                "n_vocab", "vocab_b"
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+), sizes AS (
+  SELECT source, COUNT(*) AS n_vocab FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+  FROM vocab a JOIN vocab b
+    ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b, n_inter,
+       ROUND(n_inter / (sa.n_vocab + sb.n_vocab - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""

@@ -1268,3 +1268,99 @@ FROM sess
 GROUP BY entry_type
 ORDER BY entry_type
 """
+
+
+# ------------------------------------------------ A/B two-proportion z
+AB_Z_SCALE = 10**6
+AB_Z_CRIT_INT = 1959964  # floor(1.959964e6): two-sided alpha=0.05
+
+
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split —
+    the experimentation readout every product-analytics stack ships:
+    arm = md5(user_id) bucket, conversion = purchases make up > 20%
+    of the user's events (every user in this corpus fires >= 1
+    purchase, so bare did-purchase is vacuous; an above-baseline
+    share has real variance at every scale and stays integer-exact),
+    z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) with the
+    pooled proportion. On a hash split of one population this is an
+    A/A test: the audit asserts the pipeline does NOT flag
+    significance (|z| <= 1.96) — the standard sanity gate run before
+    trusting any real experiment readout.
+
+    One per-user max() aggregation (map-side combinable), one 2-row
+    arm rollup pivoted into a single row by conditional aggregation —
+    no joins at all. Engine-exactness: all inputs are exact integers;
+    /, sqrt, * are IEEE correctly-rounded, so the identical
+    expression tree yields the identical double on both engines; the
+    significance compare quantizes z to an integer first.
+    """
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    events = load_events(spark, sf_dir)
+    users = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+    ).select(
+        "user_id", (F.col("np") * 5 > F.col("n_ev")).cast("long").alias("conv")
+    )
+    arms = users.select(
+        F.pmod(hash_bucket(F.col("user_id")), F.lit(2)).alias("arm"), "conv"
+    )
+    flat = arms.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c1"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c2"),
+    )
+    p1 = F.col("c1") / F.col("n1")
+    p2 = F.col("c2") / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")) / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    z_int = F.floor((p1 - p2) / se * F.lit(float(AB_Z_SCALE)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return flat.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.round(p1, 6).alias("rate1"),
+        F.round(p2, 6).alias("rate2"),
+        (z_int / F.lit(float(AB_Z_SCALE))).alias("z"),
+        (F.abs(z_int) > F.lit(AB_Z_CRIT_INT)).alias("significant"),
+    )
+
+
+AB_TEST_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                   > COUNT(*) THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100 % 2 AS arm,
+         conv
+  FROM users
+), flat AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+  FROM arms
+)
+SELECT n1, c1, n2, c2,
+       ROUND(c1 / n1, 6) AS rate1,
+       ROUND(c2 / n2, 6) AS rate2,
+       CAST(floor((c1 / n1 - c2 / n2)
+         / sqrt(((c1 + c2) / (n1 + n2)) * (1.0 - (c1 + c2) / (n1 + n2))
+                * (1.0 / n1 + 1.0 / n2))
+         * {AB_Z_SCALE} + 0.5) AS BIGINT) / {AB_Z_SCALE}.0 AS z,
+       abs(CAST(floor((c1 / n1 - c2 / n2)
+         / sqrt(((c1 + c2) / (n1 + n2)) * (1.0 - (c1 + c2) / (n1 + n2))
+                * (1.0 / n1 + 1.0 / n2))
+         * {AB_Z_SCALE} + 0.5) AS BIGINT)) > {AB_Z_CRIT_INT} AS significant
+FROM flat
+"""

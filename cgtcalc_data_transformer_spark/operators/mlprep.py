@@ -864,3 +864,117 @@ GROUP BY n1, n2, n_labels
 
 
 CHI2_LABEL_SHIFT_SQL = _chi2_sql()
+
+
+# ------------------------------------------- WOE / IV feature binning
+WOE_BINS = 10
+WOE_S1 = 10**6   # quantization of per-bin woe
+WOE_S2 = 10**9   # quantization of per-bin IV contributions
+
+
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning of o_totalprice
+    against the binary outcome o_orderstatus = 'F' — the classic
+    scorecard feature-screening transform (credit-risk lineage, now a
+    standard tabular-feature audit): per equal-width bin,
+    event/non-event counts and WOE = ln(dist_event/dist_nonevent)
+    with 0.5 continuity correction, plus the feature's total IV
+    repeated on every row (IV < 0.02 = useless, > 0.5 = suspiciously
+    strong — leakage check).
+
+    Equal-WIDTH bins from a 1-row broadcast min/max scalar, NOT
+    ntile: decile binning needs a global sort / unpartitioned window,
+    the exact thing the registry's scale guard bans; equi-width keeps
+    the bin id a pure codegen expression that rides the scan. One
+    count aggregation over WOE_BINS rows, a 1-row totals broadcast,
+    and a WOE_BINS-row rollup for IV.
+
+    Engine-exactness: counts + 0.5 are exact doubles; each bin's woe
+    and IV contribution are quantized to integers BEFORE any
+    cross-bin sum (ln is the only non-correctly-rounded op; the
+    quantized-term recipe proven by zipf/drift_psi/char_entropy).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(WOE_BINS))
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(WOE_BINS - 1).cast("long"),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        )
+    )
+    per_bin = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "o_orderstatus")
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_event"),
+            F.sum((F.col("o_orderstatus") != "F").cast("long")).alias(
+                "n_nonevent"
+            ),
+        )
+    )
+    totals = per_bin.agg(
+        F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")
+    )
+    j = per_bin.crossJoin(F.broadcast(totals))
+    de = (F.col("n_event").cast("double") + F.lit(0.5)) / F.col("te")
+    dn = (F.col("n_nonevent").cast("double") + F.lit(0.5)) / F.col("tn")
+    woe_int = F.floor(F.log(de / dn) * F.lit(float(WOE_S1)) + F.lit(0.5)).cast(
+        "long"
+    )
+    iv_term_int = F.floor(
+        (de - dn) * F.log(de / dn) * F.lit(float(WOE_S2)) + F.lit(0.5)
+    ).cast("long")
+    binned = j.select(
+        "bin",
+        "n_event",
+        "n_nonevent",
+        (woe_int / F.lit(float(WOE_S1))).alias("woe"),
+        iv_term_int.alias("iv_term_int"),
+    )
+    iv = binned.agg(
+        (F.sum("iv_term_int") / F.lit(float(WOE_S2))).alias("iv_total")
+    )
+    return (
+        binned.crossJoin(F.broadcast(iv))
+        .select("bin", "n_event", "n_nonevent", "woe", "iv_total")
+        .orderBy("bin")
+    )
+
+
+WOE_IV_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+), per_bin AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST({WOE_BINS - 1},
+                         CAST(floor((o_totalprice - lo) / ((hi - lo) / {WOE_BINS})) AS BIGINT))
+         END AS bin,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS n_nonevent
+  FROM orders, bounds
+  GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(n_event) AS BIGINT) AS te,
+         CAST(SUM(n_nonevent) AS BIGINT) AS tn
+  FROM per_bin
+), binned AS (
+  SELECT bin, n_event, n_nonevent,
+         CAST(floor(ln(((n_event + 0.5) / te) / ((n_nonevent + 0.5) / tn))
+                    * {WOE_S1} + 0.5) AS BIGINT) AS woe_int,
+         CAST(floor(((n_event + 0.5) / te - (n_nonevent + 0.5) / tn)
+                    * ln(((n_event + 0.5) / te) / ((n_nonevent + 0.5) / tn))
+                    * {WOE_S2} + 0.5) AS BIGINT) AS iv_term_int
+  FROM per_bin, totals
+), iv AS (
+  SELECT CAST(SUM(iv_term_int) AS BIGINT) / {WOE_S2}.0 AS iv_total FROM binned
+)
+SELECT bin, n_event, n_nonevent,
+       woe_int / {WOE_S1}.0 AS woe,
+       iv_total
+FROM binned, iv
+ORDER BY bin
+"""

@@ -525,6 +525,14 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "zipf_tail_alpha": (corpus_lm.zipf_tail_alpha, corpus_lm.ZIPF_SQL),
     "knn_label_audit": (similarity.knn_label_audit, similarity.KNN_LABEL_AUDIT_SQL),
     "chi2_label_shift": (mlprep.chi2_label_shift, mlprep.CHI2_LABEL_SHIFT_SQL),
+    "heaps_vocab_growth": (corpus_lm.heaps_vocab_growth, corpus_lm.HEAPS_SQL),
+    "ngram_novelty": (corpus_lm.ngram_novelty, corpus_lm.NGRAM_NOVELTY_SQL),
+    "ab_test_ztest": (events.ab_test_ztest, events.AB_TEST_SQL),
+    "woe_iv_binning": (mlprep.woe_iv_binning, mlprep.WOE_IV_SQL),
+    "source_overlap_jaccard": (
+        curation.source_overlap_jaccard,
+        curation.SOURCE_OVERLAP_SQL,
+    ),
 }
 
 
@@ -562,6 +570,11 @@ _ROUND6_NEW: list[str] = [
     "zipf_tail_alpha",
     "knn_label_audit",
     "chi2_label_shift",
+    "heaps_vocab_growth",
+    "ngram_novelty",
+    "ab_test_ztest",
+    "woe_iv_binning",
+    "source_overlap_jaccard",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -74,6 +74,7 @@ BNLJ_OK = {
     "temporal_holdout_split",  # 1-row max-ts + 1-row cold-count scalars
     "knn_label_audit",  # KNN_EVAL_QUERIES=64 bounded eval broadcast, != cond
     "chi2_label_shift",  # 1-row marginals scalar onto the label-cardinality cells
+    "woe_iv_binning",  # 1-row bounds/totals/iv scalars onto the 10-row bin table
 }
 
 

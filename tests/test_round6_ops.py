@@ -691,3 +691,219 @@ def test_chi2_label_shift_matches_python_reference(spark):
     assert g["crit_95"] == _CHI2_CRIT_95.get(dof, 0.0)
     # a deterministic hash split of one population must NOT shift
     assert g["shifted"] is False
+
+
+# ------------------------------------------------ heaps_vocab_growth
+def test_heaps_vocab_growth_matches_python_reference(spark):
+    """Cumulative checkpoint construction + quantized OLS recomputed
+    in pure Python must reproduce beta/R² exactly. On this synthetic
+    corpus the vocabulary saturates in the first checkpoint (~31
+    types), so beta ≈ 0 — the template-flood signature Heaps' law
+    exists to flag, asserted as a semantic floor."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        HEAPS_BUCKETS,
+        HEAPS_S1,
+        HEAPS_S2,
+        heaps_vocab_growth,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+    nb = defaultdict(lambda: defaultdict(int))
+    first = {}
+    for r in rows:
+        b = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            % HEAPS_BUCKETS
+        )
+        for tok in re.findall(r"[a-z0-9]+", r["text"].lower()):
+            nb[r["lang"]][b] += 1
+            k = (r["lang"], tok)
+            if k not in first or b < first[k]:
+                first[k] = b
+    got = {r["lang"]: r for r in heaps_vocab_growth(spark, SF).collect()}
+    for lang, buckets in nb.items():
+        vb = defaultdict(int)
+        for (lg, _t), fb in first.items():
+            if lg == lang:
+                vb[fb] += 1
+        pts = []
+        for b in sorted(buckets):
+            cn = sum(c for bb, c in buckets.items() if bb <= b)
+            cv = sum(c for bb, c in vb.items() if bb <= b)
+            pts.append((cn, cv))
+        n = len(pts)
+        sx = sum(math.floor(math.log(cn) * HEAPS_S1 + 0.5) for cn, _ in pts)
+        sy = sum(math.floor(math.log(cv) * HEAPS_S1 + 0.5) for _, cv in pts)
+        sxy = sum(
+            math.floor(math.log(cn) * math.log(cv) * HEAPS_S2 + 0.5)
+            for cn, cv in pts
+        )
+        sxx = sum(
+            math.floor(math.log(cn) ** 2 * HEAPS_S2 + 0.5) for cn, _ in pts
+        )
+        syy = sum(
+            math.floor(math.log(cv) ** 2 * HEAPS_S2 + 0.5) for _, cv in pts
+        )
+        num = n * (sxy / HEAPS_S2) - (sx / HEAPS_S1) * (sy / HEAPS_S1)
+        denx = n * (sxx / HEAPS_S2) - (sx / HEAPS_S1) ** 2
+        deny = n * (syy / HEAPS_S2) - (sy / HEAPS_S1) ** 2
+        g = got[lang]
+        assert g["n_checkpoints"] == n
+        assert g["total_tokens"] == pts[-1][0]
+        assert g["total_types"] == pts[-1][1]
+        assert g["beta"] == round(num / denx, 6)
+        assert g["r2"] == round(num * num / (denx * deny), 6)
+        # saturated-vocab corpus: growth exponent must sit near zero
+        assert abs(g["beta"]) < 0.25
+
+
+# ----------------------------------------------------- ngram_novelty
+def test_ngram_novelty_matches_python_reference(spark):
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        NOVELTY_TRAIN_PCT,
+        ngram_novelty,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+    train, held = defaultdict(set), defaultdict(set)
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 100
+        (train if b < NOVELTY_TRAIN_PCT else held)[r["lang"]].update(grams)
+    got = {r["lang"]: r for r in ngram_novelty(spark, SF).collect()}
+    assert set(got) == set(held)
+    for lang in held:
+        novel = len(held[lang] - train[lang])
+        g = got[lang]
+        assert g["n_train_grams"] == len(train[lang])
+        assert g["n_held_grams"] == len(held[lang])
+        assert g["n_novel"] == novel
+        assert g["novelty_rate"] == round(novel / len(held[lang]), 6)
+
+
+# ----------------------------------------------------- ab_test_ztest
+def test_ab_test_ztest_matches_python_reference(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.events import (
+        AB_Z_CRIT_INT,
+        AB_Z_SCALE,
+        ab_test_ztest,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("user_id", "event_type").collect()
+    per_user = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per_user[r["user_id"]][0] += 1
+        per_user[r["user_id"]][1] += r["event_type"] == "purchase"
+    arms = defaultdict(lambda: [0, 0])
+    for uid, (n_ev, np_) in per_user.items():
+        arm = (
+            int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 100
+        ) % 2
+        arms[arm][0] += 1
+        arms[arm][1] += 1 if np_ * 5 > n_ev else 0
+    (n1, c1), (n2, c2) = arms[0], arms[1]
+    pp = (c1 + c2) / (n1 + n2)
+    z = (c1 / n1 - c2 / n2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    z_int = math.floor(z * AB_Z_SCALE + 0.5)
+    g = ab_test_ztest(spark, SF).collect()[0]
+    assert (g["n1"], g["c1"], g["n2"], g["c2"]) == (n1, c1, n2, c2)
+    assert g["z"] == z_int / AB_Z_SCALE
+    assert g["significant"] == (abs(z_int) > AB_Z_CRIT_INT)
+    # A/A hash split of one population: must NOT read significant
+    assert g["significant"] is False
+
+
+# ---------------------------------------------------- woe_iv_binning
+def test_woe_iv_binning_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.mlprep import (
+        WOE_BINS,
+        WOE_S1,
+        WOE_S2,
+        woe_iv_binning,
+    )
+
+    rows = load_table(spark, SF, "orders").collect()
+    lo = min(r["o_totalprice"] for r in rows)
+    hi = max(r["o_totalprice"] for r in rows)
+    cells = defaultdict(lambda: [0, 0])
+    for r in rows:
+        b = (
+            0
+            if hi == lo
+            else min(
+                WOE_BINS - 1,
+                int(math.floor((r["o_totalprice"] - lo) / ((hi - lo) / WOE_BINS))),
+            )
+        )
+        cells[b][0 if r["o_orderstatus"] == "F" else 1] += 1
+    te = sum(c[0] for c in cells.values())
+    tn = sum(c[1] for c in cells.values())
+    iv_int = 0
+    ref = {}
+    for b, (ne, nn) in cells.items():
+        de = (ne + 0.5) / te
+        dn = (nn + 0.5) / tn
+        woe_int = math.floor(math.log(de / dn) * WOE_S1 + 0.5)
+        iv_int += math.floor((de - dn) * math.log(de / dn) * WOE_S2 + 0.5)
+        ref[b] = (ne, nn, woe_int / WOE_S1)
+    got = woe_iv_binning(spark, SF).collect()
+    assert len(got) == len(cells)
+    for g in got:
+        ne, nn, woe = ref[g["bin"]]
+        assert (g["n_event"], g["n_nonevent"]) == (ne, nn)
+        assert g["woe"] == woe
+        assert g["iv_total"] == iv_int / WOE_S2
+
+
+# -------------------------------------------- source_overlap_jaccard
+def test_source_overlap_jaccard_matches_python_reference(spark):
+    import re
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.curation import (
+        source_overlap_jaccard,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+    vocab = defaultdict(set)
+    for r in rows:
+        vocab[r["source"]].update(re.findall(r"[a-z0-9]+", r["text"].lower()))
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_jaccard(spark, SF).collect()
+    }
+    srcs = sorted(vocab)
+    expected_pairs = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                continue  # no shared token -> no joined row
+            expected_pairs += 1
+            g = got[(a, b)]
+            assert (g["vocab_a"], g["vocab_b"], g["n_inter"]) == (
+                len(vocab[a]),
+                len(vocab[b]),
+                inter,
+            )
+            assert g["jaccard"] == round(
+                inter / (len(vocab[a]) + len(vocab[b]) - inter), 6
+            )
+    assert len(got) == expected_pairs
