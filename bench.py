@@ -226,6 +226,9 @@ HEADLINE: dict[str, str] = {
     "ab_test_ztest": "collect",
     "woe_iv_binning": "collect",
     "source_overlap_jaccard": "collect",
+    "gini_concentration": "collect",
+    "corr_matrix_lineitem": "collect",
+    "seasonality_profile": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -1364,3 +1364,65 @@ SELECT n1, c1, n2, c2,
          * {AB_Z_SCALE} + 0.5) AS BIGINT)) > {AB_Z_CRIT_INT} AS significant
 FROM flat
 """
+
+
+# --------------------------------------------- day-of-week seasonality
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: event count,
+    share of the type's volume, and the seasonal index (observed /
+    expected-under-uniform, >1 = over-indexed day) — the calendar
+    fingerprint an ops/analytics stack baselines before anomaly
+    thresholds, since a Monday spike is only a spike relative to
+    Mondays.
+
+    dow comes from pure BIGINT nanos arithmetic ((epoch_days + 4) %
+    7 — 1970-01-01 was a Thursday), never from engine-local timezone
+    calendars, so the grouping key is engine-exact. One map-side-
+    combinable count over (type, dow), a per-type total via a second
+    bounded aggregation joined back (|types| rows, broadcast), and
+    exact int/int divisions rounded for display.
+    """
+    events = load_events(spark, sf_dir)
+    dow = F.pmod(F.expr(f"ts div {DAY_NS}") + F.lit(4), F.lit(7))
+    per = events.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = per.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        per.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("n_days").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SEASONALITY_SQL = """
+WITH per AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days
+  FROM per GROUP BY event_type
+)
+SELECT per.event_type, dow, n,
+       ROUND(n / total, 6) AS share,
+       ROUND(CAST(n AS DOUBLE) * CAST(n_days AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS seasonal_index
+FROM per JOIN totals ON per.event_type = totals.event_type
+ORDER BY per.event_type, dow
+"""

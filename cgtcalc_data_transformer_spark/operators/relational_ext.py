@@ -735,3 +735,103 @@ CROSS JOIN n
 ORDER BY support DESC, part_a, part_b
 LIMIT {PAIR_TOP_K}
 """
+
+
+# ------------------------------------------- Pearson correlation matrix
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures — the standard profiling step before feature selection
+    or drift baselining (collinear measures, broken derivations).
+    One row per unordered column pair with n and corr.
+
+    ONE aggregation computes all sufficient statistics (Σx, Σx²,
+    Σxy for every pair) map-side-combinable; the matrix assembly is a
+    literal 6-row projection, no second scan, no shuffle beyond the
+    single agg. Exactness (the repo's q1 recipe): products are
+    computed in DOUBLE — exact, not merely correctly rounded, because
+    every input has <= 2 decimals and every product < 2^53 — then
+    cast to decimal(28,6) before SUM, so the cross-partition sum is
+    associative integer arithmetic and order-insensitive; the
+    closed-form corr is then one identical IEEE expression per engine
+    (/, sqrt, * correctly rounded). decimal(38,6) headroom covers
+    ~1e24 of summed price²-scale mass — far past 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(_dec(F.col(c))).alias(f"s_{c}"))
+        aggs.append(F.sum(_dec(F.col(c) * F.col(c))).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(_dec(F.col(a) * F.col(b))).alias(f"sp_{a}_{b}"))
+    stats = li.agg(*aggs)
+
+    rows = []
+    for a, b in pairs:
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        corr = (n * sab - sa * sb) / F.sqrt(
+            (n * ssa - sa * sa) * (n * ssb - sb * sb)
+        )
+        rows.append(
+            stats.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n"),
+                F.round(corr, 6).alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")
+
+
+def _corr_sql() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    sums = ",\n         ".join(
+        f"SUM(CAST({c} AS DECIMAL(28,6))) AS s_{c},\n         "
+        f"SUM(CAST({c} * {c} AS DECIMAL(28,6))) AS ss_{c}"
+        for c in _CORR_COLS
+    )
+    prods = ",\n         ".join(
+        f"SUM(CAST({a} * {b} AS DECIMAL(28,6))) AS sp_{a}_{b}"
+        for a, b in pairs
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+              - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                     - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                       - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6) AS corr
+FROM stats"""
+        for a, b in pairs
+    )
+    return f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n,
+         {sums},
+         {prods}
+  FROM lineitem
+)
+{selects}
+ORDER BY col_a, col_b
+"""
+
+
+CORR_MATRIX_SQL = _corr_sql()

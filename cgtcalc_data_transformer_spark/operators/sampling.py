@@ -774,3 +774,87 @@ SELECT n1, n2,
        CAST(SUM(js_t) AS BIGINT) > {JS_ALERT_INT} AS js_drifted
 FROM terms GROUP BY n1, n2
 """
+
+
+# ---------------------------------------------- Gini concentration
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of document length (n_chars) per
+    source — the inequality audit a curation pipeline runs on corpus
+    composition: G ≈ 0 means uniform contribution, G → 1 means a few
+    giant docs dominate the source's token budget (length-outlier /
+    boilerplate risk that mean/p99 profiling understates).
+
+    Exactness WITHOUT a global sort: Gini needs value ranks, but
+    n_chars is an integer with a bounded value domain (a document
+    length), so ranks come from the per-VALUE count table — for each
+    distinct value v with count c and cum-below C, the tied-average-
+    rank contribution is c·v·(2C + c + 1), an exact integer. The
+    cum-below prefix sum uses the repo's value-domain-bounded theta
+    self-join convention (b.v < a.v within source — see
+    drift_ks_binned/pareto_frontier), NOT an unpartitioned window;
+    the join is |distinct lengths|² per source, bounded by the length
+    cap, not the corpus. Final G = (2R - (n+1)S) / (nS) is one
+    integer-ratio division per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = (
+        vals.alias("a")
+        .join(
+            vals.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.v") < F.col("a.v")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.v").alias("v"),
+            F.col("a.c").alias("c"),
+        )
+        .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("cum_below"))
+    )
+    # 2R = sum over values of c*v*(2*cum_below + c + 1)  (exact BIGINT)
+    per_src = cum.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("s"),
+        F.sum(
+            F.col("c") * F.col("v") * (F.lit(2) * F.col("cum_below") + F.col("c") + F.lit(1))
+        ).alias("two_r"),
+    )
+    g = (
+        F.col("two_r").cast("double")
+        - (F.col("n") + F.lit(1)).cast("double") * F.col("s").cast("double")
+    ) / (F.col("n").cast("double") * F.col("s").cast("double"))
+    return per_src.select(
+        "source",
+        "n",
+        F.col("s").alias("total_chars"),
+        F.round(g, 6).alias("gini"),
+    ).orderBy("source")
+
+
+GINI_SQL = """
+WITH vals AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c
+  FROM documents GROUP BY source, n_chars
+), cum AS (
+  SELECT a.source, a.v, a.c,
+         CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS cum_below
+  FROM vals a LEFT JOIN vals b
+    ON a.source = b.source AND b.v < a.v
+  GROUP BY a.source, a.v, a.c
+), per_src AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * v) AS BIGINT) AS s,
+         CAST(SUM(c * v * (2 * cum_below + c + 1)) AS BIGINT) AS two_r
+  FROM cum GROUP BY source
+)
+SELECT source, n, s AS total_chars,
+       ROUND((CAST(two_r AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+FROM per_src
+ORDER BY source
+"""

@@ -533,6 +533,12 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         curation.source_overlap_jaccard,
         curation.SOURCE_OVERLAP_SQL,
     ),
+    "gini_concentration": (sampling.gini_concentration, sampling.GINI_SQL),
+    "corr_matrix_lineitem": (
+        relational_ext.corr_matrix_lineitem,
+        relational_ext.CORR_MATRIX_SQL,
+    ),
+    "seasonality_profile": (events.seasonality_profile, events.SEASONALITY_SQL),
 }
 
 
@@ -575,6 +581,9 @@ _ROUND6_NEW: list[str] = [
     "ab_test_ztest",
     "woe_iv_binning",
     "source_overlap_jaccard",
+    "gini_concentration",
+    "corr_matrix_lineitem",
+    "seasonality_profile",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

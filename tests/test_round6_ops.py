@@ -907,3 +907,93 @@ def test_source_overlap_jaccard_matches_python_reference(spark):
                 inter / (len(vocab[a]) + len(vocab[b]) - inter), 6
             )
     assert len(got) == expected_pairs
+
+
+# ------------------------------------------------ gini_concentration
+def test_gini_concentration_matches_python_reference(spark):
+    """Tied-average-rank Gini recomputed from a plain sort must match
+    the value-domain aggregation formulation exactly."""
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.sampling import (
+        gini_concentration,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["n_chars"])
+    got = {r["source"]: r for r in gini_concentration(spark, SF).collect()}
+    assert set(got) == set(by_src)
+    for src, xs in by_src.items():
+        xs.sort()
+        n, s = len(xs), sum(xs)
+        # average ranks for ties
+        ranks = {}
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[j] == xs[i]:
+                j += 1
+            avg_rank = (i + 1 + j) / 2  # mean of ranks i+1..j
+            ranks[xs[i]] = avg_rank
+            i = j
+        two_r = round(sum(2 * ranks[x] * x for x in xs))
+        gini = (two_r - (n + 1) * s) / (n * s)
+        g = got[src]
+        assert (g["n"], g["total_chars"]) == (n, s)
+        assert g["gini"] == round(gini, 6)
+        assert 0.0 <= g["gini"] < 1.0
+
+
+# ---------------------------------------------- corr_matrix_lineitem
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from cgtcalc_data_transformer_spark.operators.relational_ext import (
+        _CORR_COLS,
+        corr_matrix_lineitem,
+    )
+
+    rows = load_table(spark, SF, "lineitem").select(*_CORR_COLS).collect()
+    cols = {c: np.array([r[c] for r in rows], dtype=np.float64) for c in _CORR_COLS}
+    got = {(r["col_a"], r["col_b"]): r for r in corr_matrix_lineitem(spark, SF).collect()}
+    assert len(got) == 6
+    for (a, b), g in got.items():
+        ref = np.corrcoef(cols[a], cols[b])[0, 1]
+        assert g["n"] == len(rows)
+        # numpy uses a different (non-decimal-exact) accumulation:
+        # agree to 1e-9, while the engine pair agrees bit-exactly
+        assert abs(g["corr"] - ref) < 1e-6
+    # discount is applied to extendedprice-scale revenue downstream,
+    # but the raw columns are independently generated: no |corr| ~ 1
+    assert all(abs(g["corr"]) < 0.99 for g in got.values())
+
+
+# ----------------------------------------------- seasonality_profile
+def test_seasonality_profile_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.events import (
+        DAY_NS,
+        seasonality_profile,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("event_type", "ts").collect()
+    cells = defaultdict(int)
+    for r in rows:
+        # Java `div` truncates toward zero; epochs here are positive
+        cells[(r["event_type"], (r["ts"] // DAY_NS + 4) % 7)] += 1
+    totals = defaultdict(int)
+    days = defaultdict(set)
+    for (et, dow), n in cells.items():
+        totals[et] += n
+        days[et].add(dow)
+    got = {(r["event_type"], r["dow"]): r for r in seasonality_profile(spark, SF).collect()}
+    assert set(got) == set(cells)
+    for (et, dow), n in cells.items():
+        g = got[(et, dow)]
+        assert g["n"] == n
+        assert g["share"] == round(n / totals[et], 6)
+        assert g["seasonal_index"] == round(n * len(days[et]) / totals[et], 6)
