@@ -229,6 +229,12 @@ HEADLINE: dict[str, str] = {
     "gini_concentration": "collect",
     "corr_matrix_lineitem": "collect",
     "seasonality_profile": "collect",
+    "ece_calibration": "collect",
+    "interarrival_burstiness": "collect",
+    "transition_entropy": "collect",
+    "semdedup_embedding": "collect",
+    "cusum_changepoint": "collect",
+    "bootstrap_ci_mean": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

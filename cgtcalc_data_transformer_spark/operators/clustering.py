@@ -199,3 +199,196 @@ ORDER BY p.cell
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+# ------------------------------------------------- SemDeDup (semantic)
+SEMDEDUP_T = 0.4    # demo threshold — production SemDeDup uses ~0.95+;
+                    # this corpus's random-ish embeddings never reach it
+SEMDEDUP_NLIST = 16
+SEMDEDUP_SEED = 23
+
+
+def _semdedup_centroids(dim: int = DIM) -> list[list[float]]:
+    """NLIST × dim deterministic random-DIRECTION centroids (seeded
+    plan literals). Assignment is by COSINE, so direction is all that
+    matters and cells stay balanced on isotropic data — the
+    Euclidean kmeans loop (clustering above) collapses here because
+    its standard-normal inits have norm ~8 vs data norm ~1, which on
+    this corpus funnels every vector into one cell and turns the
+    within-cell pair scan quadratic. SemDeDup's own recipe clusters
+    NORMALIZED embeddings (Abbas et al. 2023 §2), i.e. cosine cells;
+    on real data you swap trained spherical-kmeans centers into this
+    list (same pattern as similarity._ivf_centroids)."""
+    rng = np.random.default_rng(SEMDEDUP_SEED)
+    return rng.standard_normal((SEMDEDUP_NLIST, dim)).round(6).tolist()
+
+
+def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup that only compares embeddings WITHIN a cluster of the
+    (direction-normalized) embedding space — pairs above the cosine
+    threshold are duplicate candidates, and the member CLOSER to its
+    cluster centroid is removed (boundary samples carry more
+    training signal than prototypical ones — the paper's keep rule).
+    Per-cell audit row: members, dup pairs, removed count, removal
+    rate.
+
+    Scale shape: assignment is a pure per-row argmax against
+    NLIST literal directions (rides the scan, no shuffle); the
+    pairwise stage is an equality self-join ON CELL, so cost is
+    Σ|cell|² — the SemDeDup contract; production runs scale NLIST
+    with n to bound cluster sizes (the paper uses 50k clusters for
+    LAION), which this constant documents rather than hides.
+
+    Determinism: cell = argmax of round(cosine,6) with ties to the
+    LOWEST cell id; pair cosine and centroid cosine are round(·,6);
+    removal ties (equal centroid-sim) drop the larger vec_id.
+    """
+    cents = _semdedup_centroids()
+    emb = _as_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v"
+    )
+    vnorm = F.sqrt(dot_expr(F.col("v"), F.col("v")))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    dot_expr(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                    / (vnorm * F.lit(float(np.sqrt(sum(x * x for x in c))))),
+                    6,
+                ).alias("cos"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    assigned = emb.select(
+        "vec_id", "v", (-F.array_max(scored)["ni"]).alias("cell")
+    )
+    cent_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        )
+    )
+    csim = assigned.join(cent_df, "cell").select(
+        "cell",
+        "vec_id",
+        "v",
+        F.round(
+            dot_expr(F.col("v"), F.col("centroid"))
+            / (
+                F.sqrt(dot_expr(F.col("v"), F.col("v")))
+                * F.sqrt(dot_expr(F.col("centroid"), F.col("centroid")))
+            ),
+            6,
+        ).alias("csim"),
+    )
+    a, b = csim.alias("a"), csim.alias("b")
+    pair_cos = F.round(
+        dot_expr(F.col("a.v"), F.col("b.v"))
+        / (
+            F.sqrt(dot_expr(F.col("a.v"), F.col("a.v")))
+            * F.sqrt(dot_expr(F.col("b.v"), F.col("b.v")))
+        ),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= F.lit(SEMDEDUP_T))
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.csim").alias("sa"),
+            F.col("b.csim").alias("sb"),
+        )
+    )
+    removed = pairs.select(
+        "cell",
+        F.when(F.col("sa") > F.col("sb"), F.col("va"))
+        .when(F.col("sb") > F.col("sa"), F.col("vb"))
+        .otherwise(F.greatest("va", "vb"))
+        .alias("rid"),
+    ).distinct()
+    members = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    pair_counts = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    removed_counts = removed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        members.join(pair_counts, "cell", "left")
+        .join(removed_counts, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.round(
+                F.coalesce("n_removed", F.lit(0)) / F.col("n_members"), 6
+            ).alias("removal_rate"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _semdedup_cent_values() -> str:
+    return ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(_semdedup_centroids())
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents(cell, c) AS (
+  VALUES
+    {_semdedup_cent_values()}
+), cellscore AS (
+  SELECT vec_id, v, cell,
+         ROUND(list_dot_product(v, c)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 6) AS cos
+  FROM emb CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM cellscore)
+  WHERE rn = 1
+), csim AS (
+  SELECT a.cell, a.vec_id, a.v,
+         ROUND(list_dot_product(a.v, cents.c)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM assigned a JOIN cents ON a.cell = cents.cell
+), pairs AS (
+  SELECT a.cell, a.vec_id AS va, b.vec_id AS vb, a.csim AS sa, b.csim AS sb
+  FROM csim a JOIN csim b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {SEMDEDUP_T}
+), removed AS (
+  SELECT DISTINCT cell,
+         CASE WHEN sa > sb THEN va
+              WHEN sb > sa THEN vb
+              ELSE GREATEST(va, vb) END AS rid
+  FROM pairs
+)
+SELECT m.cell, m.n_members,
+       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       ROUND(COALESCE(r.n_removed, 0) / m.n_members, 6) AS removal_rate
+FROM (SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell) m
+LEFT JOIN (SELECT cell, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cell) p
+  ON m.cell = p.cell
+LEFT JOIN (SELECT cell, COUNT(*) AS n_removed FROM removed GROUP BY cell) r
+  ON m.cell = r.cell
+ORDER BY m.cell
+"""

@@ -217,3 +217,154 @@ FROM dists
 GROUP BY label
 ORDER BY label
 """
+
+
+# -------------------------------------------- calibration audit (ECE)
+ECE_BINS = 10
+ECE_SD = 10**12   # quantization of per-component dot/norm terms
+ECE_SC = 10**6    # quantization of cosine confidence
+
+
+def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the nearest-centroid classifier
+    over the embedding space: per confidence bin, count, accuracy,
+    mean confidence and |acc − conf|, plus the corpus ECE repeated on
+    every row — the reliability-diagram audit (Guo et al. 2017,
+    "On Calibration of Modern Neural Networks") that tells a
+    labeling/routing pipeline whether its scores can be thresholded.
+
+    Scale shape: centroids are a |labels|·dim aggregate (broadcast);
+    scoring joins the exploded component stream against them on idx
+    (fan-out = |labels|, bounded); argmax/conf is one max(struct)
+    per vector; bins are an ECE_BINS-row rollup. No windows, no
+    driver state.
+
+    Engine-exactness: centroid components are rounded(6) once, then
+    every per-component product is quantized floor(x·c·1e12+0.5) to
+    an integer BEFORE the sums, so dot/norms are exact integers, the
+    cosine is one identical IEEE expression, the confidence is an
+    exact 1e-6 rational, and per-bin |acc − conf| reduces to integer
+    arithmetic: ece = Σ_b |corr_b·1e6 − Σconf_b| / (1e6·N) with one
+    final division.
+    """
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode(F.col("v")).alias("idx", "x")
+    )
+    cent = (
+        exploded.groupBy(F.col("label").alias("clabel"), "idx")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+
+    def _q(expr):
+        return F.floor(expr * F.lit(float(ECE_SD)) + F.lit(0.5)).cast("long")
+
+    scored = (
+        exploded.join(F.broadcast(cent), "idx")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(_q(F.col("x") * F.col("c"))).alias("dot_i"),
+            F.sum(_q(F.col("c") * F.col("c"))).alias("cc_i"),
+            F.sum(_q(F.col("x") * F.col("x"))).alias("xx_i"),
+        )
+    )
+    cos = F.col("dot_i") / F.sqrt(
+        F.col("cc_i").cast("double") * F.col("xx_i").cast("double")
+    )
+    cos_i = F.floor(cos * F.lit(float(ECE_SC)) + F.lit(0.5)).cast("long")
+    per_vec = (
+        scored.select(
+            "vec_id",
+            "label",
+            F.struct(
+                cos_i.alias("ci"), (-F.col("clabel")).alias("nl")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("s").alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.ci").alias("conf_i"),
+            ((-F.col("m.nl")) == F.col("label")).cast("long").alias("correct"),
+        )
+    )
+    bin_col = F.least(
+        F.lit(ECE_BINS - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(F.col("conf_i") * F.lit(ECE_BINS) / F.lit(ECE_SC)),
+        ),
+    )
+    bins = per_vec.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("correct").alias("n_correct"),
+        F.sum("conf_i").alias("sum_conf_i"),
+    )
+    totals = bins.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.abs(F.col("n_correct") * F.lit(ECE_SC) - F.col("sum_conf_i"))
+        ).alias("gap_i"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("n_correct") / F.col("n"), 6).alias("accuracy"),
+            F.round(
+                F.col("sum_conf_i") / (F.col("n") * F.lit(ECE_SC)), 6
+            ).alias("avg_conf"),
+            F.round(
+                F.col("gap_i") / (F.col("n_total") * F.lit(ECE_SC)), 6
+            ).alias("ece_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+ECE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), exploded AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM e
+), cent AS (
+  SELECT label AS clabel, idx, ROUND(AVG(x), 6) AS c
+  FROM exploded GROUP BY label, idx
+), scored AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(CAST(floor(x * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS dot_i,
+         CAST(SUM(CAST(floor(c * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS cc_i,
+         CAST(SUM(CAST(floor(x * x * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS xx_i
+  FROM exploded JOIN cent USING (idx)
+  GROUP BY vec_id, label, clabel
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(struct_pack(
+           ci := CAST(floor(dot_i / sqrt(CAST(cc_i AS DOUBLE) * CAST(xx_i AS DOUBLE))
+                            * {ECE_SC} + 0.5) AS BIGINT),
+           nl := -clabel)) AS m
+  FROM scored GROUP BY vec_id, label
+), flat AS (
+  SELECT vec_id, m.ci AS conf_i,
+         CASE WHEN -m.nl = label THEN 1 ELSE 0 END AS correct
+  FROM per_vec
+), bins AS (
+  SELECT LEAST({ECE_BINS - 1}, GREATEST(0,
+           CAST(floor(conf_i * {ECE_BINS} / {ECE_SC}) AS BIGINT))) AS bin,
+         COUNT(*) AS n,
+         CAST(SUM(correct) AS BIGINT) AS n_correct,
+         CAST(SUM(conf_i) AS BIGINT) AS sum_conf_i
+  FROM flat GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(abs(n_correct * {ECE_SC} - sum_conf_i)) AS BIGINT) AS gap_i
+  FROM bins
+)
+SELECT bin, n,
+       ROUND(n_correct / n, 6) AS accuracy,
+       ROUND(sum_conf_i / (n * {ECE_SC}.0), 6) AS avg_conf,
+       ROUND(gap_i / (n_total * {ECE_SC}.0), 6) AS ece_total
+FROM bins, totals
+ORDER BY bin
+"""

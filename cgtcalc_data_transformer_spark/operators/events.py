@@ -1426,3 +1426,266 @@ SELECT per.event_type, dow, n,
 FROM per JOIN totals ON per.event_type = totals.event_type
 ORDER BY per.event_type, dow
 """
+
+
+# ------------------------------------------- inter-arrival burstiness
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of
+    within-user inter-arrival gaps, per event type — the canonical
+    "is this traffic Poisson or bursty" fingerprint (B → −1 metronome,
+    0 Poisson, → 1 bursty) that anomaly thresholds and capacity
+    models are calibrated against.
+
+    Gaps come from one lag window per (user, type) — a real
+    partition key — in whole SECONDS (gap div 1e9): second-granular
+    gaps keep Σgap² within int64 for any realistic horizon (ns-scale
+    squares overflow at ~3 hours), and burstiness is a shape
+    statistic, not a latency metric. μ and σ then derive from three
+    exact integer sums (n, Σg, Σg²) so the final B is one identical
+    IEEE expression per engine.
+    """
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "event_type",
+            (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
+        )
+        .filter(F.col("gap_ns").isNotNull())
+        # integer `div`, NOT double /: a correctly-rounded double
+        # quotient and BIGINT floor-div can disagree at boundaries,
+        # and the DuckDB twin uses `//`
+        .select("event_type", F.expr(f"gap_ns div {NS_PER_SEC}").alias("gap_s"))
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("sg").cast("double") / n
+    var = (n * F.col("sgg").cast("double") - F.col("sg").cast("double") * F.col("sg").cast("double")) / (n * n)
+    sigma = F.sqrt(var)
+    return stats.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST((epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY epoch_ns(ts), event_id)) // 1000000000 AS BIGINT) AS gap_s
+  FROM events
+), stats AS (
+  SELECT event_type,
+         COUNT(*) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sg,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       ROUND(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+       ROUND(sqrt((n_gaps * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                  / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))), 6) AS std_gap_s,
+       ROUND((sqrt((n_gaps * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                   / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+              - CAST(sg AS DOUBLE) / n_gaps)
+             / (sqrt((n_gaps * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                     / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
+FROM stats
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------- transition entropy rate
+TRANS_ENT_S = 10**9
+
+
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per current event type:
+    H(next | cur) = −Σ_j p(j|cur)·ln p(j|cur) over the within-user
+    first-order transition counts — the predictability summary of
+    `events_transition_matrix` (H → 0: the journey is deterministic
+    from this state; H → ln|types|: anything can happen). The
+    per-state entropy is what session-prefetch and next-action
+    models sanity-check before training.
+
+    One lag window per user (real partition key), one (cur, next)
+    count aggregation, one |types|²-row rollup. ln inputs are exact
+    integer ratios; each −c·ln(c/tot) term is quantized to an
+    integer BEFORE the per-state sum (the zipf/woe recipe), making
+    the reported nats an exact 1e-9 rational.
+    """
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = trans.groupBy("cur").agg(F.sum("c").alias("tot"))
+    term_i = F.floor(
+        -F.col("c").cast("double")
+        * F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+        / F.col("tot").cast("double")
+        * F.lit(float(TRANS_ENT_S))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        trans.join(F.broadcast(tot), "cur")
+        .select("cur", "tot", term_i.alias("t_i"))
+        .groupBy("cur", "tot")
+        .agg(F.sum("t_i").alias("h_i"))
+        .select(
+            "cur",
+            F.col("tot").alias("n_transitions"),
+            (F.col("h_i") / F.lit(float(TRANS_ENT_S))).alias("entropy_nats"),
+        )
+        .orderBy("cur")
+    )
+
+
+TRANSITION_ENTROPY_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS nxt
+  FROM events
+), trans AS (
+  SELECT cur, nxt, COUNT(*) AS c FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), tot AS (
+  SELECT cur, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY cur
+), terms AS (
+  SELECT t.cur, tot,
+         CAST(floor(-CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                    / CAST(tot AS DOUBLE) * {TRANS_ENT_S} + 0.5) AS BIGINT) AS t_i
+  FROM trans t JOIN tot ON t.cur = tot.cur
+)
+SELECT cur, tot AS n_transitions,
+       CAST(SUM(t_i) AS BIGINT) / {TRANS_ENT_S}.0 AS entropy_nats
+FROM terms
+GROUP BY cur, tot
+ORDER BY cur
+"""
+
+
+# ------------------------------------------------ CUSUM changepoint
+CUSUM_K_NUM = 21    # reference drift: x - mu*(1 + 1/20)  ->  20nx - 21S
+CUSUM_H_MULT = 100  # alarm when scaled CUSUM exceeds 5*mu  (=100*S units)
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM (1954) upper changepoint detector over the daily
+    event-count series: S_t = max(0, S_{t-1} + (x_t − μ − k)) with
+    slack k = μ/20 and alarm at 5μ — the sequential shift detector
+    ops teams run on volume series where a level change, not a single
+    spike, is the failure mode (`events_rate_anomaly` flags points;
+    CUSUM accumulates small sustained drifts).
+
+    The recurrence is NOT sequential here: S_t = cum_t − min_{j≤t}
+    cum_j over the drift prefix sum, so it becomes two bounded
+    theta-join prefix scans (b.day ≤ a.day) over the |days|-row
+    daily table — the repo's value-domain prefix convention
+    (drift_ks_binned), no unpartitioned window, no driver loop.
+
+    Exactness: everything is scaled by 20n — e_i = 20n·x_i − 21S is
+    an exact BIGINT, so cum, prefix-min, S_t and the 5μ alarm
+    compare (S_t_scaled > 100S) are pure integer arithmetic; the
+    reported cusum value is one final division, rounded.
+    """
+    events = load_events(spark, sf_dir)
+    daily = events.groupBy(F.expr(f"ts div {DAY_NS}").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    totals = daily.agg(
+        F.sum("x").alias("s_tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    scaled = daily.crossJoin(F.broadcast(totals)).select(
+        "day",
+        "x",
+        "s_tot",
+        "n_days",
+        (
+            F.lit(20) * F.col("n_days") * F.col("x")
+            - F.lit(CUSUM_K_NUM) * F.col("s_tot")
+        ).alias("e"),
+    )
+    cum = (
+        scaled.alias("a")
+        .join(
+            F.broadcast(scaled.alias("b")),
+            F.col("b.day") <= F.col("a.day"),
+        )
+        .groupBy(
+            F.col("a.day").alias("day"),
+            F.col("a.x").alias("x"),
+            F.col("a.s_tot").alias("s_tot"),
+            F.col("a.n_days").alias("n_days"),
+        )
+        .agg(F.sum("b.e").alias("cum"))
+    )
+    smax = (
+        cum.alias("a")
+        .join(F.broadcast(cum.alias("b")), F.col("b.day") <= F.col("a.day"))
+        .groupBy(
+            F.col("a.day").alias("day"),
+            F.col("a.x").alias("x"),
+            F.col("a.s_tot").alias("s_tot"),
+            F.col("a.n_days").alias("n_days"),
+            F.col("a.cum").alias("cum"),
+        )
+        .agg(F.min("b.cum").alias("prefix_min"))
+    )
+    # the empty prefix (cum_0 = 0) participates in the min — without
+    # it S_1 would always read 0 and the recurrence identity breaks
+    s_scaled = F.greatest(
+        F.lit(0), F.col("cum") - F.least(F.lit(0), F.col("prefix_min"))
+    )
+    return smax.select(
+        "day",
+        "x",
+        F.round(
+            s_scaled / (F.lit(20.0) * F.col("n_days").cast("double")), 6
+        ).alias("cusum"),
+        (s_scaled > F.lit(CUSUM_H_MULT) * F.col("s_tot")).alias("alarm"),
+    ).orderBy("day")
+
+
+CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT epoch_ns(ts) // {DAY_NS} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS s_tot, COUNT(*) AS n_days FROM daily
+), scaled AS (
+  SELECT day, x, s_tot, n_days,
+         CAST(20 * n_days * x - {CUSUM_K_NUM} * s_tot AS BIGINT) AS e
+  FROM daily, totals
+), cum AS (
+  SELECT a.day, a.x, a.s_tot, a.n_days, CAST(SUM(b.e) AS BIGINT) AS cum
+  FROM scaled a JOIN scaled b ON b.day <= a.day
+  GROUP BY a.day, a.x, a.s_tot, a.n_days
+), smax AS (
+  SELECT a.day, a.x, a.s_tot, a.n_days, a.cum,
+         CAST(MIN(b.cum) AS BIGINT) AS prefix_min
+  FROM cum a JOIN cum b ON b.day <= a.day
+  GROUP BY a.day, a.x, a.s_tot, a.n_days, a.cum
+)
+SELECT day, x,
+       ROUND(GREATEST(0, cum - LEAST(0, prefix_min)) / (20.0 * n_days), 6) AS cusum,
+       GREATEST(0, cum - LEAST(0, prefix_min)) > {CUSUM_H_MULT} * s_tot AS alarm
+FROM smax
+ORDER BY day
+"""

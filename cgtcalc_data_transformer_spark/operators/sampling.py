@@ -858,3 +858,118 @@ SELECT source, n, s AS total_chars,
 FROM per_src
 ORDER BY source
 """
+
+
+# --------------------------------------------- Poisson bootstrap CI
+BOOT_B = 32                 # resamples
+BOOT_U = 10**6              # md5-uniform resolution
+# Poisson(1) CDF cutoffs at 1e-6 resolution: weight k iff u < cut[k]
+BOOT_POISSON_CUTS = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+
+
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean document
+    length (Chamandy et al. 2012, "Estimating Uncertainty for
+    Massive Data Streams" — the bootstrap that works at warehouse
+    scale): each of BOOT_B resamples weights every doc by an
+    independent Poisson(1) draw, so a resample is one weighted
+    aggregation instead of a shuffle-the-corpus resample; the CI is
+    the 2nd-smallest / 2nd-largest of the 32 resample means
+    (rank-based 93.75% coverage, reported as-is).
+
+    Determinism at scale: the Poisson draw is an integer CDF-table
+    lookup on md5(doc_id‖b) — no RNG state, append-stable, identical
+    on every engine. The per-resample means are exact-integer
+    ratios; rank selection over the bounded 32-row resample table
+    uses the theta-join count convention (no unpartitioned window).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b_ids = F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b")
+    u = hash_bucket(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#boot"), F.col("b").cast("string")
+        ),
+        BOOT_U,
+    )
+    w = F.lit(len(BOOT_POISSON_CUTS))
+    for k in range(len(BOOT_POISSON_CUTS) - 1, -1, -1):
+        w = F.when(u < BOOT_POISSON_CUTS[k], F.lit(k)).otherwise(w)
+    means = (
+        docs.select("doc_id", "n_chars", b_ids)
+        .select("b", w.alias("w"), "n_chars")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .select("b", (F.col("ws") / F.col("wn")).alias("m"))
+    )
+    ranked = (
+        means.alias("a")
+        .join(
+            F.broadcast(means.alias("b2")),
+            (F.col("b2.m") < F.col("a.m"))
+            | ((F.col("b2.m") == F.col("a.m")) & (F.col("b2.b") < F.col("a.b"))),
+            "left",
+        )
+        .groupBy(F.col("a.b").alias("b"), F.col("a.m").alias("m"))
+        .agg((F.count(F.col("b2.b")) + F.lit(1)).alias("rk"))
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.round("m", 6).alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(
+        F.round("m", 6).alias("ci_hi")
+    )
+    full = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("mean_chars"),
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_docs",
+            "mean_chars",
+            "ci_lo",
+            "ci_hi",
+            F.lit(BOOT_B).alias("n_resamples"),
+        )
+    )
+
+
+def _boot_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(BOOT_POISSON_CUTS)
+    )
+    return f"CASE {cases} ELSE {len(BOOT_POISSON_CUTS)} END"
+
+
+BOOTSTRAP_CI_SQL = f"""
+WITH reps AS (
+  SELECT unnest(range(0, {BOOT_B})) AS b
+), drawn AS (
+  SELECT b, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#boot' || b::VARCHAR), 1, 8))::UBIGINT::BIGINT
+           % {BOOT_U} AS u
+  FROM documents, reps
+), weighted AS (
+  SELECT b, {_boot_weight_sql()} AS w, n_chars FROM drawn
+), means AS (
+  SELECT b,
+         CAST(SUM(w * n_chars) AS BIGINT) / CAST(SUM(w) AS BIGINT) AS m
+  FROM weighted GROUP BY b
+), ranked AS (
+  SELECT a.b, a.m, COUNT(b2.b) + 1 AS rk
+  FROM means a LEFT JOIN means b2
+    ON b2.m < a.m OR (b2.m = a.m AND b2.b < a.b)
+  GROUP BY a.b, a.m
+), whole AS (
+  SELECT COUNT(*) AS n_docs,
+         ROUND(CAST(SUM(n_chars) AS BIGINT) / COUNT(*), 6) AS mean_chars
+  FROM documents
+)
+SELECT n_docs, mean_chars,
+       (SELECT ROUND(m, 6) FROM ranked WHERE rk = 2) AS ci_lo,
+       (SELECT ROUND(m, 6) FROM ranked WHERE rk = {BOOT_B - 1}) AS ci_hi,
+       {BOOT_B} AS n_resamples
+FROM whole
+"""

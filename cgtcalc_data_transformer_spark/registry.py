@@ -539,6 +539,18 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         relational_ext.CORR_MATRIX_SQL,
     ),
     "seasonality_profile": (events.seasonality_profile, events.SEASONALITY_SQL),
+    "ece_calibration": (embedding_ops.ece_calibration, embedding_ops.ECE_SQL),
+    "interarrival_burstiness": (
+        events.interarrival_burstiness,
+        events.BURSTINESS_SQL,
+    ),
+    "transition_entropy": (
+        events.transition_entropy,
+        events.TRANSITION_ENTROPY_SQL,
+    ),
+    "semdedup_embedding": (clustering.semdedup_embedding, clustering.SEMDEDUP_SQL),
+    "cusum_changepoint": (events.cusum_changepoint, events.CUSUM_SQL),
+    "bootstrap_ci_mean": (sampling.bootstrap_ci_mean, sampling.BOOTSTRAP_CI_SQL),
 }
 
 
@@ -584,6 +596,12 @@ _ROUND6_NEW: list[str] = [
     "gini_concentration",
     "corr_matrix_lineitem",
     "seasonality_profile",
+    "ece_calibration",
+    "interarrival_burstiness",
+    "transition_entropy",
+    "semdedup_embedding",
+    "cusum_changepoint",
+    "bootstrap_ci_mean",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

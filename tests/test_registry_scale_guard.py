@@ -75,6 +75,9 @@ BNLJ_OK = {
     "knn_label_audit",  # KNN_EVAL_QUERIES=64 bounded eval broadcast, != cond
     "chi2_label_shift",  # 1-row marginals scalar onto the label-cardinality cells
     "woe_iv_binning",  # 1-row bounds/totals/iv scalars onto the 10-row bin table
+    "ece_calibration",  # 1-row N/ECE totals scalar onto the 10-row bin table
+    "cusum_changepoint",  # 1-row totals scalar + bounded |days|-row theta prefix scans
+    "bootstrap_ci_mean",  # 1-row full-mean x 1-row ci_lo x 1-row ci_hi scalars
 }
 
 

@@ -997,3 +997,282 @@ def test_seasonality_profile_matches_python_reference(spark):
         assert g["n"] == n
         assert g["share"] == round(n / totals[et], 6)
         assert g["seasonal_index"] == round(n * len(days[et]) / totals[et], 6)
+
+
+# -------------------------------------------------- ece_calibration
+def test_ece_calibration_matches_python_reference(spark):
+    import numpy as np
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        ECE_BINS,
+        ECE_SC,
+        ECE_SD,
+        ece_calibration,
+    )
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    by_label = defaultdict(list)
+    for vid, v in vecs.items():
+        by_label[labels[vid]].append(v)
+    cents = {
+        lab: np.round(np.mean(np.stack(vs), axis=0), 6)
+        for lab, vs in by_label.items()
+    }
+    bins = defaultdict(lambda: [0, 0, 0])  # n, n_correct, sum_conf_i
+    for vid, v in vecs.items():
+        best = None
+        for lab in sorted(cents):
+            c = cents[lab]
+            dot_i = sum(int(math.floor(x * cc * ECE_SD + 0.5)) for x, cc in zip(v, c))
+            cc_i = sum(int(math.floor(cc * cc * ECE_SD + 0.5)) for cc in c)
+            xx_i = sum(int(math.floor(x * x * ECE_SD + 0.5)) for x in v)
+            cos = dot_i / math.sqrt(cc_i * xx_i)
+            ci = int(math.floor(cos * ECE_SC + 0.5))
+            key = (ci, -lab)
+            if best is None or key > best:
+                best = key
+        conf_i, pred = best[0], -best[1]
+        b = min(ECE_BINS - 1, max(0, int(math.floor(conf_i * ECE_BINS / ECE_SC))))
+        bins[b][0] += 1
+        bins[b][1] += 1 if pred == labels[vid] else 0
+        bins[b][2] += conf_i
+    n_total = sum(v[0] for v in bins.values())
+    gap_i = sum(abs(v[1] * ECE_SC - v[2]) for v in bins.values())
+    got = {r["bin"]: r for r in ece_calibration(spark, SF).collect()}
+    assert set(got) == set(bins)
+    for b, (n, nc, sc_) in bins.items():
+        g = got[b]
+        assert g["n"] == n
+        assert g["accuracy"] == round(nc / n, 6)
+        assert g["avg_conf"] == round(sc_ / (n * ECE_SC), 6)
+        assert g["ece_total"] == round(gap_i / (n_total * ECE_SC), 6)
+
+
+# ------------------------------------------- interarrival_burstiness
+def test_interarrival_burstiness_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.events import (
+        interarrival_burstiness,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[(r["user_id"], r["event_type"])].append((r["ts"], r["event_id"]))
+    gaps = defaultdict(list)
+    for (uid, et), evs in per.items():
+        evs.sort()
+        for (t1, _), (t0, _) in zip(evs[1:], evs[:-1]):
+            gaps[et].append((t1 - t0) // 10**9)
+    got = {r["event_type"]: r for r in interarrival_burstiness(spark, SF).collect()}
+    assert set(got) == set(gaps)
+    for et, gs in gaps.items():
+        n, sg, sgg = len(gs), sum(gs), sum(g * g for g in gs)
+        mu = sg / n
+        sigma = math.sqrt((n * sgg - sg * sg) / (n * n))
+        g = got[et]
+        assert g["n_gaps"] == n
+        assert g["mean_gap_s"] == round(mu, 6)
+        assert g["std_gap_s"] == round(sigma, 6)
+        assert g["burstiness"] == round((sigma - mu) / (sigma + mu), 6)
+        assert -1.0 <= g["burstiness"] <= 1.0
+
+
+# ---------------------------------------------- transition_entropy
+def test_transition_entropy_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.events import (
+        TRANS_ENT_S,
+        transition_entropy,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts = defaultdict(int)
+    for uid, evs in per.items():
+        evs.sort()
+        for (a, b) in zip(evs[:-1], evs[1:]):
+            counts[(a[2], b[2])] += 1
+    tot = defaultdict(int)
+    for (cur, _), c in counts.items():
+        tot[cur] += c
+    h_i = defaultdict(int)
+    for (cur, _), c in counts.items():
+        h_i[cur] += int(
+            math.floor(-c * math.log(c / tot[cur]) / tot[cur] * TRANS_ENT_S + 0.5)
+        )
+    got = {r["cur"]: r for r in transition_entropy(spark, SF).collect()}
+    assert set(got) == set(tot)
+    n_types = len(tot)
+    for cur in tot:
+        g = got[cur]
+        assert g["n_transitions"] == tot[cur]
+        assert g["entropy_nats"] == h_i[cur] / TRANS_ENT_S
+        # 5 next-states: entropy bounded by ln(5); near-uniform corpus
+        assert 0.0 < g["entropy_nats"] <= math.log(n_types) + 1e-6
+
+
+# ------------------------------------------------ semdedup_embedding
+def test_semdedup_matches_python_reference(spark):
+    """Cosine cell assignment + within-cluster pair scan + SemDeDup
+    keep rule recomputed fully in numpy."""
+    import numpy as np
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.clustering import (
+        SEMDEDUP_T,
+        _as_double,
+        _semdedup_centroids,
+        semdedup_embedding,
+    )
+
+    emb = _as_double(load_table(spark, SF, "embeddings")).select("vec_id", "v")
+    vecs = {
+        r["vec_id"]: np.array(r["v"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    cents = _semdedup_centroids()
+    cents_np = {i: np.array(c) for i, c in enumerate(cents)}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    assigned = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((cos(v, cents_np[i]), -i) for i in cents_np),
+        )
+        assigned[vid] = -best[1]
+    cells = defaultdict(list)
+    for vid, cell in assigned.items():
+        cells[cell].append(vid)
+    # the whole point of the cosine cells: no single-cell collapse
+    assert len(cells) > 1
+
+    ref = {}
+    for cell, vids in cells.items():
+        vids.sort()
+        pairs = 0
+        removed = set()
+        for i, va in enumerate(vids):
+            for vb in vids[i + 1 :]:
+                if cos(vecs[va], vecs[vb]) >= SEMDEDUP_T:
+                    pairs += 1
+                    sa = cos(vecs[va], cents_np[cell])
+                    sb = cos(vecs[vb], cents_np[cell])
+                    removed.add(
+                        va if sa > sb else vb if sb > sa else max(va, vb)
+                    )
+        ref[cell] = (len(vids), pairs, len(removed))
+    got = {r["cell"]: r for r in semdedup_embedding(spark, SF).collect()}
+    assert set(got) == set(ref)
+    total_pairs = 0
+    for cell, (n, pairs, nrem) in ref.items():
+        g = got[cell]
+        assert (g["n_members"], g["n_dup_pairs"], g["n_removed"]) == (
+            n,
+            pairs,
+            nrem,
+        )
+        assert g["removal_rate"] == round(nrem / n, 6)
+        total_pairs += pairs
+    # threshold must bite on this corpus or the audit is vacuous
+    assert total_pairs > 0
+
+
+# ------------------------------------------------- cusum_changepoint
+def test_cusum_changepoint_matches_python_reference(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.events import (
+        CUSUM_H_MULT,
+        CUSUM_K_NUM,
+        DAY_NS,
+        cusum_changepoint,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("ts").collect()
+    daily = Counter(r["ts"] // DAY_NS for r in rows)
+    days = sorted(daily)
+    s_tot, n = sum(daily.values()), len(days)
+    ref = {}
+    cum, prefix_min, s_prev = 0, 0, 0  # empty prefix: cum_0 = 0
+    for d in days:
+        e = 20 * n * daily[d] - CUSUM_K_NUM * s_tot
+        cum += e
+        prefix_min = min(prefix_min, cum)
+        s_scaled = max(0, cum - prefix_min)
+        # cross-check the classic recurrence against the prefix form
+        s_prev = max(0, s_prev + e)
+        assert s_scaled == s_prev
+        ref[d] = (
+            daily[d],
+            round(s_scaled / (20.0 * n), 6),
+            s_scaled > CUSUM_H_MULT * s_tot,
+        )
+    got = {r["day"]: r for r in cusum_changepoint(spark, SF).collect()}
+    assert set(got) == set(ref)
+    for d, (x, cv, alarm) in ref.items():
+        g = got[d]
+        assert (g["x"], g["cusum"], g["alarm"]) == (x, cv, alarm)
+    # a stationary synthetic series must not alarm at 5*mu
+    assert not any(r[2] for r in ref.values())
+
+
+# ------------------------------------------------- bootstrap_ci_mean
+def test_bootstrap_ci_matches_python_reference(spark):
+    import hashlib
+
+    from cgtcalc_data_transformer_spark.operators.sampling import (
+        BOOT_B,
+        BOOT_POISSON_CUTS,
+        BOOT_U,
+        bootstrap_ci_mean,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+
+    def weight(doc_id, b):
+        u = (
+            int(
+                hashlib.md5(f"{doc_id}#boot{b}".encode()).hexdigest()[:8], 16
+            )
+            % BOOT_U
+        )
+        for k, c in enumerate(BOOT_POISSON_CUTS):
+            if u < c:
+                return k
+        return len(BOOT_POISSON_CUTS)
+
+    means = []
+    for b in range(BOOT_B):
+        ws = wn = 0
+        for r in rows:
+            w = weight(r["doc_id"], b)
+            ws += w * r["n_chars"]
+            wn += w
+        means.append((ws / wn, b))
+    means.sort()
+    lo = round(means[1][0], 6)
+    hi = round(means[BOOT_B - 2][0], 6)
+    g = bootstrap_ci_mean(spark, SF).collect()[0]
+    n = len(rows)
+    assert g["n_docs"] == n
+    assert g["mean_chars"] == round(sum(r["n_chars"] for r in rows) / n, 6)
+    assert (g["ci_lo"], g["ci_hi"]) == (lo, hi)
+    assert g["ci_lo"] <= g["mean_chars"] <= g["ci_hi"]
+    assert g["n_resamples"] == BOOT_B
