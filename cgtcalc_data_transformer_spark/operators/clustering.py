@@ -204,7 +204,12 @@ KMEANS_SQL = _kmeans_sql()
 # ------------------------------------------------- SemDeDup (semantic)
 SEMDEDUP_T = 0.4    # demo threshold — production SemDeDup uses ~0.95+;
                     # this corpus's random-ish embeddings never reach it
-SEMDEDUP_NLIST = 16
+# Cell count must grow with n: within-cell pair volume is ~n²/NLIST,
+# so a fixed NLIST is quadratic (the same law as dedup.py's
+# EMB_LSH_BITS, caught by the r4 sf1 sweep). 64 keeps occupancy
+# bounded through the bench scales; at 100 TB size NLIST ≈ n /
+# target_cell_size (the paper uses 50k clusters for LAION).
+SEMDEDUP_NLIST = 64
 SEMDEDUP_SEED = 23
 
 
@@ -245,21 +250,37 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal ties (equal centroid-sim) drop the larger vec_id.
     """
     cents = _semdedup_centroids()
+    # unit centroids as plan literals: cosine-vs-centroid becomes ONE
+    # fold, and every pair cosine below is one fold over the
+    # pre-normalized vectors instead of three (the 18 s -> ~2 s fix
+    # measured at sf0.1: the pair stage dominates and each avoided
+    # dot is ~n²/NLIST · dim work)
+    chats = [
+        [round(x / float(np.sqrt(sum(y * y for y in c))), 6) for x in c]
+        for c in cents
+    ]
     emb = _as_double(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "v"
     )
     vnorm = F.sqrt(dot_expr(F.col("v"), F.col("v")))
+    # Assignment ranks the RAW dot(v, chat): the row norm is constant
+    # across cells so dividing by it cannot change the argmax, and
+    # the dot is a per-row sequential fold — bit-identical on both
+    # engines (same left-to-right order), so no quantization is
+    # needed for a row-local decision. Keeping |v| and the unit
+    # transform out of the NLIST-wide struct array matters: Catalyst
+    # inlines projected expressions, so anything inside these structs
+    # is evaluated NLIST times per row (a measured 5x wall hit when
+    # vu lived here).
     scored = F.array(
         *[
             F.struct(
-                F.round(
-                    dot_expr(F.col("v"), F.array(*[F.lit(x) for x in c]))
-                    / (vnorm * F.lit(float(np.sqrt(sum(x * x for x in c))))),
-                    6,
+                dot_expr(
+                    F.col("v"), F.array(*[F.lit(x) for x in chat])
                 ).alias("cos"),
                 F.lit(-i).alias("ni"),
             )
-            for i, c in enumerate(cents)
+            for i, chat in enumerate(chats)
         ]
     )
     assigned = emb.select(
@@ -267,30 +288,27 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent_df = F.broadcast(
         emb.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cell int, centroid array<double>",
+            [(i, c) for i, c in enumerate(chats)],
+            "cell int, chat array<double>",
         )
     )
+    # per-row norm carried as a COLUMN through the join (materialized
+    # at the pre-join exchange) so the pair stage is one fold + one
+    # divide — never a per-element unit-vector transform
+    # cache: the self-join's two sides and the members rollup would
+    # otherwise each re-scan parquet and re-run the NLIST-wide
+    # assignment (4 FileScans in the uncached plan — measured ~4x
+    # wall); same pattern as corpus_lm._doc_ppl's cached bigrams
     csim = assigned.join(cent_df, "cell").select(
         "cell",
         "vec_id",
         "v",
-        F.round(
-            dot_expr(F.col("v"), F.col("centroid"))
-            / (
-                F.sqrt(dot_expr(F.col("v"), F.col("v")))
-                * F.sqrt(dot_expr(F.col("centroid"), F.col("centroid")))
-            ),
-            6,
-        ).alias("csim"),
-    )
+        vnorm.alias("vn"),
+        F.round(dot_expr(F.col("v"), F.col("chat")) / vnorm, 6).alias("csim"),
+    ).cache()
     a, b = csim.alias("a"), csim.alias("b")
     pair_cos = F.round(
-        dot_expr(F.col("a.v"), F.col("b.v"))
-        / (
-            F.sqrt(dot_expr(F.col("a.v"), F.col("a.v")))
-            * F.sqrt(dot_expr(F.col("b.v"), F.col("b.v")))
-        ),
+        dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn")),
         6,
     )
     pairs = (
@@ -307,6 +325,7 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.csim").alias("sa"),
             F.col("b.csim").alias("sb"),
         )
+        .cache()
     )
     removed = pairs.select(
         "cell",
@@ -315,7 +334,7 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.greatest("va", "vb"))
         .alias("rid"),
     ).distinct()
-    members = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    members = csim.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     pair_counts = pairs.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_dup_pairs")
     )
@@ -339,22 +358,26 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_cent_values() -> str:
+    cents = _semdedup_centroids()
+    chats = [
+        [round(x / float(np.sqrt(sum(y * y for y in c))), 6) for x in c]
+        for c in cents
+    ]
     return ",\n    ".join(
-        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
-        for i, c in enumerate(_semdedup_centroids())
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in chat))
+        for i, chat in enumerate(chats)
     )
 
 
 SEMDEDUP_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), cents(cell, c) AS (
+), cents(cell, chat) AS (
   VALUES
     {_semdedup_cent_values()}
 ), cellscore AS (
   SELECT vec_id, v, cell,
-         ROUND(list_dot_product(v, c)
-               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 6) AS cos
+         list_dot_product(v, chat) AS cos
   FROM emb CROSS JOIN cents
 ), assigned AS (
   SELECT vec_id, v, cell FROM (
@@ -364,16 +387,15 @@ WITH emb AS (
   WHERE rn = 1
 ), csim AS (
   SELECT a.cell, a.vec_id, a.v,
-         ROUND(list_dot_product(a.v, cents.c)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+         sqrt(list_dot_product(a.v, a.v)) AS vn,
+         ROUND(list_dot_product(a.v, cents.chat)
+               / sqrt(list_dot_product(a.v, a.v)), 6) AS csim
   FROM assigned a JOIN cents ON a.cell = cents.cell
 ), pairs AS (
   SELECT a.cell, a.vec_id AS va, b.vec_id AS vb, a.csim AS sa, b.csim AS sb
   FROM csim a JOIN csim b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-        >= {SEMDEDUP_T}
+  WHERE ROUND(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= {SEMDEDUP_T}
 ), removed AS (
   SELECT DISTINCT cell,
          CASE WHEN sa > sb THEN va

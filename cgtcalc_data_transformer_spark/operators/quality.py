@@ -206,3 +206,86 @@ SELECT 'lineitem', COUNT(*),
 FROM l_flag
 ORDER BY table_name
 """
+
+
+# ----------------------------------------- k-anonymity / l-diversity
+KANON_K = 5      # a QI group smaller than K is re-identifiable
+KANON_L = 3      # a group with < L distinct sensitive values leaks
+KANON_BAL_BUCKET = 1000  # sensitive attribute: acctbal coarsened to $1k
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) of the customer table under the quasi-identifier set
+    (nation, market segment), with account balance coarsened to $1k
+    buckets as the sensitive attribute — the release-gate check a
+    governance pipeline runs before sharing 'anonymized' extracts:
+    rows in QI groups smaller than K are linkable; groups where the
+    sensitive attribute takes < L distinct values leak it even when
+    k-anonymous. One summary row per nation: groups, rows, rows at
+    k-risk, k-risk rate, groups failing l-diversity.
+
+    Two aggregations end to end — (QI, sensitive) distinct counts
+    fold into the QI group pass, then a per-nation rollup; every
+    metric is exact integer arithmetic. The QI group count is
+    bounded by the QI value domain, not the table.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bal_bucket = F.floor(F.col("c_acctbal") / F.lit(float(KANON_BAL_BUCKET)))
+    groups = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", bal_bucket.alias("sens")
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("sens")).alias("n_sens"),
+        )
+    )
+    return (
+        groups.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum(
+                F.when(F.col("n_rows") < KANON_K, F.col("n_rows")).otherwise(0)
+            ).alias("rows_at_k_risk"),
+            F.sum((F.col("n_sens") < KANON_L).cast("long")).alias(
+                "groups_low_diversity"
+            ),
+        )
+        .select(
+            "c_nationkey",
+            "n_groups",
+            "n_rows",
+            "rows_at_k_risk",
+            F.round(F.col("rows_at_k_risk") / F.col("n_rows"), 6).alias(
+                "k_risk_rate"
+            ),
+            "groups_low_diversity",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT CAST(floor(c_acctbal / {KANON_BAL_BUCKET}) AS BIGINT)) AS n_sens
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_groups,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n_rows < {KANON_K} THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_at_k_risk,
+       ROUND(SUM(CASE WHEN n_rows < {KANON_K} THEN n_rows ELSE 0 END)
+             / SUM(n_rows), 6) AS k_risk_rate,
+       CAST(SUM(CASE WHEN n_sens < {KANON_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_low_diversity
+FROM groups
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

@@ -835,3 +835,94 @@ ORDER BY col_a, col_b
 
 
 CORR_MATRIX_SQL = _corr_sql()
+
+
+# ---------------------------------------------- join-key skew profile
+SKEW_HOT_MULT = 10  # a key holding > 10x the mean group size is "hot"
+
+
+def _one_key_profile(df: DataFrame, table: str, key: str) -> DataFrame:
+    sizes = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    totals = sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("sz").alias("n_rows")
+    )
+    flagged = sizes.crossJoin(F.broadcast(totals)).select(
+        "sz",
+        "n_keys",
+        "n_rows",
+        # sz > MULT * n_rows/n_keys, integer-exact multiply form
+        (F.col("sz") * F.col("n_keys") > F.lit(SKEW_HOT_MULT) * F.col("n_rows"))
+        .cast("long")
+        .alias("hot"),
+    )
+    return flagged.groupBy("n_keys", "n_rows").agg(
+        F.max("sz").alias("max_size"),
+        F.sum(F.col("hot") * F.col("sz")).alias("hot_rows"),
+        F.sum("hot").alias("hot_keys"),
+    ).select(
+        F.lit(table).alias("tbl"),
+        F.lit(key).alias("key"),
+        "n_keys",
+        "n_rows",
+        "max_size",
+        F.round(F.col("max_size") / F.col("n_rows"), 6).alias("top_share"),
+        "hot_keys",
+        F.round(F.col("hot_rows") / F.col("n_rows"), 6).alias("hot_row_share"),
+    )
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the fact tables' main join keys —
+    the pre-flight check behind every skew mitigation this repo
+    ships (`skew_join_salted`, AQE split): per (table, key), the key
+    count, max group size, the top key's row share, and how many
+    rows sit in 'hot' keys (> 10x the mean group size). A planner
+    reads this BEFORE choosing broadcast/salt/AQE, instead of
+    discovering the hot key from a straggler task at hour three.
+
+    One count aggregation per key (map-side combinable — the shuffle
+    carries one row per key) + a 1-row totals broadcast; the hot
+    test is an integer cross-multiply, no division, no quantiles.
+    All three profiles union into one bounded result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    out = _one_key_profile(li, "lineitem", "l_orderkey")
+    out = out.unionByName(_one_key_profile(li, "lineitem", "l_suppkey"))
+    out = out.unionByName(_one_key_profile(orders, "orders", "o_custkey"))
+    return out.orderBy("tbl", "key")
+
+
+def _skew_profile_sql(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}' AS tbl, '{key}' AS key, n_keys, n_rows, max_size,
+       ROUND(max_size / n_rows, 6) AS top_share,
+       hot_keys,
+       ROUND(hot_rows / n_rows, 6) AS hot_row_share
+FROM (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(sz) AS BIGINT) AS n_rows,
+         MAX(sz) AS max_size,
+         CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys,
+         CAST(SUM(CASE WHEN hot THEN sz ELSE 0 END) AS BIGINT) AS hot_rows
+  FROM (
+    SELECT sz,
+           sz * (SELECT COUNT(*) FROM
+                 (SELECT {key} FROM {table} GROUP BY {key}))
+             > {SKEW_HOT_MULT} * (SELECT COUNT(*) FROM {table}) AS hot
+    FROM (SELECT {key}, COUNT(*) AS sz FROM {table} GROUP BY {key})
+  )
+)
+"""
+
+
+KEY_SKEW_SQL = (
+    _skew_profile_sql("lineitem", "l_orderkey")
+    + "UNION ALL"
+    + _skew_profile_sql("lineitem", "l_suppkey")
+    + "UNION ALL"
+    + _skew_profile_sql("orders", "o_custkey")
+    + "ORDER BY tbl, key"
+)

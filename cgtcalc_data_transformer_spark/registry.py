@@ -551,6 +551,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "semdedup_embedding": (clustering.semdedup_embedding, clustering.SEMDEDUP_SQL),
     "cusum_changepoint": (events.cusum_changepoint, events.CUSUM_SQL),
     "bootstrap_ci_mean": (sampling.bootstrap_ci_mean, sampling.BOOTSTRAP_CI_SQL),
+    "k_anonymity_audit": (quality.k_anonymity_audit, quality.K_ANONYMITY_SQL),
+    "key_skew_profile": (relational_ext.key_skew_profile, relational_ext.KEY_SKEW_SQL),
 }
 
 
@@ -602,6 +604,8 @@ _ROUND6_NEW: list[str] = [
     "semdedup_embedding",
     "cusum_changepoint",
     "bootstrap_ci_mean",
+    "k_anonymity_audit",
+    "key_skew_profile",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -78,6 +78,7 @@ BNLJ_OK = {
     "ece_calibration",  # 1-row N/ECE totals scalar onto the 10-row bin table
     "cusum_changepoint",  # 1-row totals scalar + bounded |days|-row theta prefix scans
     "bootstrap_ci_mean",  # 1-row full-mean x 1-row ci_lo x 1-row ci_hi scalars
+    "key_skew_profile",  # 3x 1-row per-key totals scalar onto the key-size table
 }
 
 

@@ -1145,16 +1145,19 @@ def test_semdedup_matches_python_reference(spark):
         for r in emb.collect()
     }
     cents = _semdedup_centroids()
-    cents_np = {i: np.array(c) for i, c in enumerate(cents)}
+    chats = {
+        i: np.round(np.array(c) / np.linalg.norm(c), 6)
+        for i, c in enumerate(cents)
+    }
+    units = {vid: v / np.linalg.norm(v) for vid, v in vecs.items()}
 
     def cos(a, b):
-        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        return round(float(a @ b), 6)
 
     assigned = {}
     for vid, v in vecs.items():
-        best = max(
-            ((cos(v, cents_np[i]), -i) for i in cents_np),
-        )
+        # engine ranks the raw dot (row norm is argmax-invariant)
+        best = max((float(v @ chats[i]), -i) for i in chats)
         assigned[vid] = -best[1]
     cells = defaultdict(list)
     for vid, cell in assigned.items():
@@ -1169,10 +1172,10 @@ def test_semdedup_matches_python_reference(spark):
         removed = set()
         for i, va in enumerate(vids):
             for vb in vids[i + 1 :]:
-                if cos(vecs[va], vecs[vb]) >= SEMDEDUP_T:
+                if cos(units[va], units[vb]) >= SEMDEDUP_T:
                     pairs += 1
-                    sa = cos(vecs[va], cents_np[cell])
-                    sb = cos(vecs[vb], cents_np[cell])
+                    sa = cos(units[va], chats[cell])
+                    sb = cos(units[vb], chats[cell])
                     removed.add(
                         va if sa > sb else vb if sb > sa else max(va, vb)
                     )
@@ -1276,3 +1279,62 @@ def test_bootstrap_ci_matches_python_reference(spark):
     assert (g["ci_lo"], g["ci_hi"]) == (lo, hi)
     assert g["ci_lo"] <= g["mean_chars"] <= g["ci_hi"]
     assert g["n_resamples"] == BOOT_B
+
+
+# ------------------------------------------------- k_anonymity_audit
+def test_k_anonymity_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        KANON_BAL_BUCKET,
+        KANON_K,
+        KANON_L,
+        k_anonymity_audit,
+    )
+
+    rows = load_table(spark, SF, "customer").collect()
+    groups = defaultdict(lambda: [0, set()])
+    for r in rows:
+        g = groups[(r["c_nationkey"], r["c_mktsegment"])]
+        g[0] += 1
+        g[1].add(math.floor(r["c_acctbal"] / KANON_BAL_BUCKET))
+    per_nation = defaultdict(lambda: [0, 0, 0, 0])  # groups, rows, at_risk, low_div
+    for (nat, _seg), (n, sens) in groups.items():
+        p = per_nation[nat]
+        p[0] += 1
+        p[1] += n
+        p[2] += n if n < KANON_K else 0
+        p[3] += 1 if len(sens) < KANON_L else 0
+    got = {r["c_nationkey"]: r for r in k_anonymity_audit(spark, SF).collect()}
+    assert set(got) == set(per_nation)
+    for nat, (ng, nr, risk, lowdiv) in per_nation.items():
+        g = got[nat]
+        assert (g["n_groups"], g["n_rows"], g["rows_at_k_risk"]) == (ng, nr, risk)
+        assert g["k_risk_rate"] == round(risk / nr, 6)
+        assert g["groups_low_diversity"] == lowdiv
+
+
+# -------------------------------------------------- key_skew_profile
+def test_key_skew_profile_matches_python_reference(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.relational_ext import (
+        SKEW_HOT_MULT,
+        key_skew_profile,
+    )
+
+    got = {(r["tbl"], r["key"]): r for r in key_skew_profile(spark, SF).collect()}
+    assert len(got) == 3
+    for tbl, key in [("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
+                     ("orders", "o_custkey")]:
+        rows = load_table(spark, SF, tbl).select(key).collect()
+        sizes = Counter(r[key] for r in rows)
+        n_keys, n_rows = len(sizes), sum(sizes.values())
+        hot = {k: sz for k, sz in sizes.items()
+               if sz * n_keys > SKEW_HOT_MULT * n_rows}
+        g = got[(tbl, key)]
+        assert (g["n_keys"], g["n_rows"], g["max_size"]) == (
+            n_keys, n_rows, max(sizes.values()))
+        assert g["top_share"] == round(max(sizes.values()) / n_rows, 6)
+        assert g["hot_keys"] == len(hot)
+        assert g["hot_row_share"] == round(sum(hot.values()) / n_rows, 6)
