@@ -622,3 +622,125 @@ SELECT doc_id, n_chars, n_classes,
 FROM per_doc
 ORDER BY doc_id
 """
+
+
+# ----------------------------------- char-ngram language ID (textcat)
+NGRAM_LANGID_TRAIN_PCT = 90   # md5(doc_id) < 90 trains the profiles
+NGRAM_LANGID_TOP = 64         # profile size per language (Cavnar-Trenkle)
+
+
+def langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar & Trenkle 1994 textcat,
+    the recipe behind fastText-era langid baselines) evaluated as a
+    confusion matrix: per-language trigram profiles are learned from
+    the 90% md5 train split, every held-out doc is classified by
+    profile-overlap argmax, and the output is (true lang, predicted
+    lang, n) — the mislabeled-language audit for a corpus whose
+    `lang` column came from an upstream crawler. `text_langid` is the
+    marker-word heuristic; this is the statistical path.
+
+    Scale shape: trigram explode is codegen (sequence + substring, no
+    HOF lambdas); profiles are a per-lang top-P window (real
+    partition key) collapsed to a P·|langs|-row broadcast; scoring is
+    ONE equality join on the trigram + a per-doc argmax window keyed
+    by doc_id. Counts are integers end to end.
+    """
+    from pyspark.sql import Window
+
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    docs = scatter(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.lower(F.col("text")).alias("t"),
+        (hash_bucket(F.col("doc_id")) < NGRAM_LANGID_TRAIN_PCT).alias(
+            "is_train"
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        "t",
+        F.explode(F.expr("sequence(1, greatest(char_length(t) - 2, 0))")).alias(
+            "p"
+        ),
+    ).select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.expr("substring(t, p, 3)").alias("g"),
+    )
+    w = Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("g"))
+    profile = (
+        grams.filter(F.col("is_train"))
+        .groupBy(F.col("lang").alias("plang"), "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NGRAM_LANGID_TOP)
+        .select("plang", "g")
+    )
+    held = grams.filter(~F.col("is_train")).select("doc_id", "lang", "g").distinct()
+    hits = (
+        held.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("overlap"), F.asc("plang")
+    )
+    pred = (
+        hits.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("plang").alias("pred_lang"))
+    )
+    held_docs = docs.filter(~F.col("is_train")).select("doc_id", "lang")
+    return (
+        held_docs.join(pred, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+LANGID_NGRAM_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, lower(text) AS t,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 100
+           < {NGRAM_LANGID_TRAIN_PCT} AS is_train
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, is_train, substr(t, i, 3) AS g
+  FROM docs, unnest(range(1, GREATEST(len(t) - 2, 0) + 1)) AS u(i)
+), profile AS (
+  SELECT plang, g FROM (
+    SELECT lang AS plang, g, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g ASC) AS rk
+    FROM grams WHERE is_train GROUP BY lang, g)
+  WHERE rk <= {NGRAM_LANGID_TOP}
+), held AS (
+  SELECT DISTINCT doc_id, lang, g FROM grams WHERE NOT is_train
+), hits AS (
+  SELECT doc_id, lang, plang, COUNT(*) AS overlap
+  FROM held JOIN profile USING (g)
+  GROUP BY doc_id, lang, plang
+), pred AS (
+  SELECT doc_id, plang AS pred_lang FROM (
+    SELECT doc_id, plang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, plang ASC) AS rk
+    FROM hits)
+  WHERE rk = 1
+), held_docs AS (
+  SELECT doc_id, lang FROM docs WHERE NOT is_train
+)
+SELECT h.lang AS true_lang,
+       COALESCE(p.pred_lang, 'und') AS pred_lang,
+       COUNT(*) AS n
+FROM held_docs h LEFT JOIN pred p ON h.doc_id = p.doc_id
+GROUP BY h.lang, COALESCE(p.pred_lang, 'und')
+ORDER BY true_lang, pred_lang
+"""

@@ -553,6 +553,10 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "bootstrap_ci_mean": (sampling.bootstrap_ci_mean, sampling.BOOTSTRAP_CI_SQL),
     "k_anonymity_audit": (quality.k_anonymity_audit, quality.K_ANONYMITY_SQL),
     "key_skew_profile": (relational_ext.key_skew_profile, relational_ext.KEY_SKEW_SQL),
+    "langid_ngram_confusion": (
+        textops.langid_ngram_confusion,
+        textops.LANGID_NGRAM_SQL,
+    ),
 }
 
 
@@ -606,6 +610,7 @@ _ROUND6_NEW: list[str] = [
     "bootstrap_ci_mean",
     "k_anonymity_audit",
     "key_skew_profile",
+    "langid_ngram_confusion",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -1338,3 +1338,50 @@ def test_key_skew_profile_matches_python_reference(spark):
         assert g["top_share"] == round(max(sizes.values()) / n_rows, 6)
         assert g["hot_keys"] == len(hot)
         assert g["hot_row_share"] == round(sum(hot.values()) / n_rows, 6)
+
+
+# --------------------------------------------- langid_ngram_confusion
+def test_langid_ngram_confusion_matches_python_reference(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.textops import (
+        NGRAM_LANGID_TOP,
+        NGRAM_LANGID_TRAIN_PCT,
+        langid_ngram_confusion,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+    train_counts = defaultdict(Counter)
+    held = []
+    for r in rows:
+        t = r["text"].lower()
+        grams = [t[i : i + 3] for i in range(len(t) - 2)]
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 100
+        if b < NGRAM_LANGID_TRAIN_PCT:
+            train_counts[r["lang"]].update(grams)
+        else:
+            held.append((r["lang"], set(grams)))
+    profiles = {
+        lang: set(
+            g
+            for g, _c in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :NGRAM_LANGID_TOP
+            ]
+        )
+        for lang, c in train_counts.items()
+    }
+    ref = Counter()
+    for true_lang, grams in held:
+        scores = sorted(
+            ((len(grams & p), lang) for lang, p in profiles.items()
+             if len(grams & p) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )
+        pred = scores[0][1] if scores else "und"
+        ref[(true_lang, pred)] += 1
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in langid_ngram_confusion(spark, SF).collect()
+    }
+    assert got == dict(ref)
