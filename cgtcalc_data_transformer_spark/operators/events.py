@@ -1689,3 +1689,129 @@ SELECT day, x,
 FROM smax
 ORDER BY day
 """
+
+
+# -------------------------------------------- retention decay curve fit
+RET_FIT_S1 = 10**6
+RET_FIT_S2 = 10**12
+
+
+def retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of the pooled retention curve:
+    r(d) ≈ a·e^(−λ·d) over day offsets 1..RETENTION_MAX_OFFSET,
+    fitted as a quantized OLS of ln r(d) on d — the one-number
+    summary (λ, half-life) growth teams track instead of eyeballing
+    the whole `events_retention` triangle. Only COMPLETE cohorts
+    (first day early enough to observe every offset) enter the pool,
+    so the triangle's truncated tail cannot bias the curve.
+
+    Pooled r(d) values are exact int/int ratios over a bounded
+    |offsets|-row table; each ln term is quantized
+    floor(x·S + 0.5)::long before the 7-point regression moments
+    (the zipf recipe), so λ, half-life and R² are identical IEEE
+    expressions on both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts div {DAY_NS}").alias("day")
+    activity = ev.select("user_id", day).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    max_day = activity.agg(F.max("day").alias("max_day"))
+    complete = (
+        cohorts.crossJoin(F.broadcast(max_day))
+        .filter(
+            F.col("cohort_day")
+            <= F.col("max_day") - F.lit(RETENTION_MAX_OFFSET)
+        )
+        .select("user_id", "cohort_day")
+    )
+    base = complete.agg(F.count(F.lit(1)).alias("n_users"))
+    ret = (
+        activity.join(complete, "user_id")
+        .select((F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .filter(F.col("day_offset").between(1, RETENTION_MAX_OFFSET))
+        .groupBy("day_offset")
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+    pts = ret.crossJoin(F.broadcast(base))
+    x = F.col("day_offset").cast("double")
+    y = F.log(F.col("active").cast("double") / F.col("n_users").cast("double"))
+
+    def _q(expr, scale):
+        return F.floor(expr * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+    stats = pts.groupBy("n_users").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(_q(x, RET_FIT_S1)).alias("sx"),
+        F.sum(_q(y, RET_FIT_S1)).alias("sy"),
+        F.sum(_q(x * y, RET_FIT_S2)).alias("sxy"),
+        F.sum(_q(x * x, RET_FIT_S2)).alias("sxx"),
+        F.sum(_q(y * y, RET_FIT_S2)).alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    sx = F.col("sx") / F.lit(float(RET_FIT_S1))
+    sy = F.col("sy") / F.lit(float(RET_FIT_S1))
+    sxy = F.col("sxy") / F.lit(float(RET_FIT_S2))
+    sxx = F.col("sxx") / F.lit(float(RET_FIT_S2))
+    syy = F.col("syy") / F.lit(float(RET_FIT_S2))
+    num = k * sxy - sx * sy
+    denx = k * sxx - sx * sx
+    deny = k * syy - sy * sy
+    lam = -(num / denx)
+    return stats.select(
+        F.col("n_users"),
+        F.col("k").alias("n_points"),
+        F.round(lam, 6).alias("decay_lambda"),
+        F.round(F.lit(float(__import__("math").log(2))) / lam, 6).alias(
+            "halflife_days"
+        ),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+RETENTION_FIT_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+), max_day AS (
+  SELECT MAX(day) AS max_day FROM activity
+), complete AS (
+  SELECT user_id, cohort_day FROM cohorts, max_day
+  WHERE cohort_day <= max_day - {{RETENTION_MAX_OFFSET}}
+), base AS (
+  SELECT COUNT(*) AS n_users FROM complete
+), ret AS (
+  SELECT a.day - c.cohort_day AS day_offset, COUNT(*) AS active
+  FROM activity a JOIN complete c ON a.user_id = c.user_id
+  WHERE a.day - c.cohort_day BETWEEN 1 AND {{RETENTION_MAX_OFFSET}}
+  GROUP BY a.day - c.cohort_day
+), pts AS (
+  SELECT day_offset, active, n_users,
+         CAST(day_offset AS DOUBLE) AS x,
+         ln(CAST(active AS DOUBLE) / CAST(n_users AS DOUBLE)) AS y
+  FROM ret, base
+), stats AS (
+  SELECT n_users,
+         COUNT(*) AS k,
+         CAST(SUM(CAST(floor(x * {RET_FIT_S1} + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(floor(y * {RET_FIT_S1} + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(floor(x * y * {RET_FIT_S2} + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(floor(x * x * {RET_FIT_S2} + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(floor(y * y * {RET_FIT_S2} + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM pts GROUP BY n_users
+)
+SELECT n_users, k AS n_points,
+       ROUND(-((k * (sxy / {RET_FIT_S2}.0) - (sx / {RET_FIT_S1}.0) * (sy / {RET_FIT_S1}.0))
+               / (k * (sxx / {RET_FIT_S2}.0) - (sx / {RET_FIT_S1}.0) * (sx / {RET_FIT_S1}.0))), 6) AS decay_lambda,
+       ROUND({__import__("math").log(2)!r}
+             / -((k * (sxy / {RET_FIT_S2}.0) - (sx / {RET_FIT_S1}.0) * (sy / {RET_FIT_S1}.0))
+                 / (k * (sxx / {RET_FIT_S2}.0) - (sx / {RET_FIT_S1}.0) * (sx / {RET_FIT_S1}.0))), 6) AS halflife_days,
+       ROUND((k * (sxy / {RET_FIT_S2}.0) - (sx / {RET_FIT_S1}.0) * (sy / {RET_FIT_S1}.0))
+             * (k * (sxy / {RET_FIT_S2}.0) - (sx / {RET_FIT_S1}.0) * (sy / {RET_FIT_S1}.0))
+             / ((k * (sxx / {RET_FIT_S2}.0) - (sx / {RET_FIT_S1}.0) * (sx / {RET_FIT_S1}.0))
+                * (k * (syy / {RET_FIT_S2}.0) - (sy / {RET_FIT_S1}.0) * (sy / {RET_FIT_S1}.0))), 6) AS r2
+FROM stats
+"""
+RETENTION_FIT_SQL = RETENTION_FIT_SQL.replace(
+    "{RETENTION_MAX_OFFSET}", str(RETENTION_MAX_OFFSET)
+)

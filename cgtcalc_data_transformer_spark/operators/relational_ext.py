@@ -926,3 +926,78 @@ KEY_SKEW_SQL = (
     + _skew_profile_sql("orders", "o_custkey")
     + "ORDER BY tbl, key"
 )
+
+
+# ------------------------------------------------ closed-form OLS fit
+def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (closed form):
+    l_extendedprice ~ l_quantity within each l_returnflag — slope,
+    intercept and R² straight from the five sufficient statistics,
+    the normal-equations shape every in-warehouse regression uses.
+    On real TPC-H data extendedprice = unitprice·quantity, so R²
+    would be high; this driver fixture generates the two columns
+    INDEPENDENTLY and the fit correctly reports R² ≈ 0 — the broken
+    derived-column detection this audit exists for, demonstrated.
+
+    ONE map-side-combinable aggregation per group; like
+    `corr_matrix_lineitem`, products are computed in DOUBLE (exact:
+    <= 2-decimal inputs, < 2^53) and cast decimal(28,6) BEFORE the
+    sums, so the statistics are order-insensitive integers and the
+    closed-form coefficients are one identical IEEE expression per
+    engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(x)).alias("sx"),
+        F.sum(_dec(y)).alias("sy"),
+        F.sum(_dec(x * y)).alias("sxy"),
+        F.sum(_dec(x * x)).alias("sxx"),
+        F.sum(_dec(y * y)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+OLS_REGRESSION_SQL = """
+WITH stats AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM stats
+ORDER BY l_returnflag
+"""

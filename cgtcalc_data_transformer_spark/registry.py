@@ -557,6 +557,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         textops.langid_ngram_confusion,
         textops.LANGID_NGRAM_SQL,
     ),
+    "ols_regression": (relational_ext.ols_regression, relational_ext.OLS_REGRESSION_SQL),
+    "retention_curve_fit": (events.retention_curve_fit, events.RETENTION_FIT_SQL),
 }
 
 
@@ -611,6 +613,8 @@ _ROUND6_NEW: list[str] = [
     "k_anonymity_audit",
     "key_skew_profile",
     "langid_ngram_confusion",
+    "ols_regression",
+    "retention_curve_fit",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -79,6 +79,7 @@ BNLJ_OK = {
     "cusum_changepoint",  # 1-row totals scalar + bounded |days|-row theta prefix scans
     "bootstrap_ci_mean",  # 1-row full-mean x 1-row ci_lo x 1-row ci_hi scalars
     "key_skew_profile",  # 3x 1-row per-key totals scalar onto the key-size table
+    "retention_curve_fit",  # 1-row max-day + 1-row n_users scalars, bounded offsets
 }
 
 

@@ -1385,3 +1385,85 @@ def test_langid_ngram_confusion_matches_python_reference(spark):
         for r in langid_ngram_confusion(spark, SF).collect()
     }
     assert got == dict(ref)
+
+
+# ----------------------------------------------------- ols_regression
+def test_ols_regression_matches_numpy(spark):
+    import numpy as np
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.relational_ext import (
+        ols_regression,
+    )
+
+    rows = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups = defaultdict(lambda: ([], []))
+    for r in rows:
+        groups[r["l_returnflag"]][0].append(r["l_quantity"])
+        groups[r["l_returnflag"]][1].append(r["l_extendedprice"])
+    got = {r["l_returnflag"]: r for r in ols_regression(spark, SF).collect()}
+    assert set(got) == set(groups)
+    for flag, (xs, ys) in groups.items():
+        x, y = np.array(xs), np.array(ys)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        g = got[flag]
+        assert g["n"] == len(xs)
+        assert abs(g["slope"] - slope) < 1e-4
+        assert abs(g["intercept"] - intercept) < 1e-2
+        assert abs(g["r2"] - r * r) < 1e-6
+        # fixture generates price INDEPENDENTLY of quantity: the
+        # audit must report a (near-)zero fit, not hallucinate one
+        assert 0.0 <= g["r2"] < 0.05
+
+
+# ------------------------------------------------ retention_curve_fit
+def test_retention_curve_fit_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.events import (
+        DAY_NS,
+        RET_FIT_S1,
+        RET_FIT_S2,
+        RETENTION_MAX_OFFSET,
+        retention_curve_fit,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in rows:
+        days[r["user_id"]].add(r["ts"] // DAY_NS)
+    max_day = max(d for ds in days.values() for d in ds)
+    complete = {
+        u: min(ds)
+        for u, ds in days.items()
+        if min(ds) <= max_day - RETENTION_MAX_OFFSET
+    }
+    n_users = len(complete)
+    active = defaultdict(int)
+    for u, cohort in complete.items():
+        for d in days[u]:
+            off = d - cohort
+            if 1 <= off <= RETENTION_MAX_OFFSET:
+                active[off] += 1
+    pts = [(off, math.log(a / n_users)) for off, a in sorted(active.items())]
+    k = len(pts)
+    sx = sum(math.floor(x * RET_FIT_S1 + 0.5) for x, _ in pts) / RET_FIT_S1
+    sy = sum(math.floor(y * RET_FIT_S1 + 0.5) for _, y in pts) / RET_FIT_S1
+    sxy = sum(math.floor(x * y * RET_FIT_S2 + 0.5) for x, y in pts) / RET_FIT_S2
+    sxx = sum(math.floor(x * x * RET_FIT_S2 + 0.5) for x, _ in pts) / RET_FIT_S2
+    syy = sum(math.floor(y * y * RET_FIT_S2 + 0.5) for _, y in pts) / RET_FIT_S2
+    num = k * sxy - sx * sy
+    denx = k * sxx - sx * sx
+    deny = k * syy - sy * sy
+    lam = -(num / denx)
+    g = retention_curve_fit(spark, SF).collect()
+    assert len(g) == 1
+    g = g[0]
+    assert (g["n_users"], g["n_points"]) == (n_users, k)
+    assert g["decay_lambda"] == round(lam, 6)
+    assert g["halflife_days"] == round(math.log(2) / lam, 6)
+    assert g["r2"] == round(num * num / (denx * deny), 6)
