@@ -1815,3 +1815,129 @@ FROM stats
 RETENTION_FIT_SQL = RETENTION_FIT_SQL.replace(
     "{RETENTION_MAX_OFFSET}", str(RETENTION_MAX_OFFSET)
 )
+
+
+# --------------------------------------------- Kaplan-Meier survival
+KM_CENSOR_GAP = 3   # still active within 3 days of horizon = censored
+KM_S = 10**9        # quantization of per-day ln(1 - d/n) terms
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user churn (Kaplan & Meier
+    1958 — THE censoring-aware time-to-event estimator): duration =
+    last-active − first-active day per user; a user whose last
+    activity is within KM_CENSOR_GAP days of the observation horizon
+    is right-CENSORED (we haven't seen them churn), everyone else is
+    a churn event at their duration. Per duration t with >= 1 event:
+    n_at_risk, n_churned, n_censored and S(t) = Π_{u<=t}
+    (1 − d_u/n_u) — naive churn curves that ignore censoring
+    overstate early churn, which is exactly what KM corrects.
+
+    Scale shape: one distinct user-day pass, one per-user min/max
+    rollup, then EVERYTHING operates on the bounded duration-domain
+    table: at-risk counts and the product via prefix sums over that
+    table (the theta-join convention, not a window). The product is
+    exp of a prefix sum of per-day ln terms, each quantized
+    floor(x·1e9+0.5)::long BEFORE summing, so S(t) is exp of an
+    exact integer rational — identical IEEE on both engines after
+    round(6).
+    """
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts div {DAY_NS}").alias("day")
+    activity = ev.select("user_id", day).distinct()
+    horizon = activity.agg(F.max("day").alias("h"))
+    users = (
+        activity.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("last_day") - F.col("first_day")).alias("t"),
+            (F.col("last_day") < F.col("h") - F.lit(KM_CENSOR_GAP))
+            .cast("long")
+            .alias("event"),
+        )
+    )
+    per_t = users.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.lit(1) - F.col("event")).alias("c"),
+    )
+    # n_at_risk(t) = users with duration >= t  (bounded theta join)
+    at_risk = (
+        per_t.alias("a")
+        .join(
+            F.broadcast(per_t.alias("b")), F.col("b.t") >= F.col("a.t")
+        )
+        .groupBy(F.col("a.t").alias("t"), F.col("a.d").alias("d"), F.col("a.c").alias("c"))
+        .agg(F.sum(F.col("b.d") + F.col("b.c")).alias("n_risk"))
+    )
+    term_i = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            * F.lit(float(KM_S))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = at_risk.select("t", "d", "c", "n_risk", term_i.alias("li"))
+    # S(t) = exp(prefix sum of li up to and including t); a day where
+    # d == n_risk would send S to exact 0 — excluded by construction
+    # here (the censor gap keeps the longest durations censored)
+    surv = (
+        terms.alias("a")
+        .join(F.broadcast(terms.alias("b")), F.col("b.t") <= F.col("a.t"))
+        .groupBy(
+            F.col("a.t").alias("t"),
+            F.col("a.d").alias("n_churned"),
+            F.col("a.c").alias("n_censored"),
+            F.col("a.n_risk").alias("n_at_risk"),
+        )
+        .agg(F.sum("b.li").alias("ls"))
+        .select(
+            "t",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            F.round(F.exp(F.col("ls") / F.lit(float(KM_S))), 6).alias(
+                "survival"
+            ),
+        )
+        .orderBy("t")
+    )
+    return surv
+
+
+KAPLAN_MEIER_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), horizon AS (
+  SELECT MAX(day) AS h FROM activity
+), users AS (
+  SELECT last_day - first_day AS t,
+         CASE WHEN last_day < h - {KM_CENSOR_GAP} THEN 1 ELSE 0 END AS event
+  FROM (SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+        FROM activity GROUP BY user_id), horizon
+), per_t AS (
+  SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM users GROUP BY t
+), at_risk AS (
+  SELECT a.t, a.d, a.c, CAST(SUM(b.d + b.c) AS BIGINT) AS n_risk
+  FROM per_t a JOIN per_t b ON b.t >= a.t
+  GROUP BY a.t, a.d, a.c
+), terms AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d > 0 AND n_risk > d
+              THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                              * {KM_S} + 0.5) AS BIGINT)
+              ELSE 0 END AS li
+  FROM at_risk
+)
+SELECT a.t, a.n_risk AS n_at_risk, a.d AS n_churned, a.c AS n_censored,
+       ROUND(exp(CAST(SUM(b.li) AS BIGINT) / {KM_S}.0), 6) AS survival
+FROM terms a JOIN terms b ON b.t <= a.t
+GROUP BY a.t, a.n_risk, a.d, a.c
+ORDER BY a.t
+"""

@@ -289,3 +289,114 @@ FROM groups
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+# ------------------------------------------------- Benford's-law audit
+BENFORD_SCALE = 10**6
+# P(first digit = d) = log10(1 + 1/d), quantized at 1e-6
+BENFORD_P_INT = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+BENFORD_CHI2_CRIT_INT = 15507000  # chi2(0.95, dof=8) = 15.507, at 1e-6
+
+
+def benfords_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the forensic
+    screen (Nigrini's fraud-detection staple) for fabricated or
+    re-scaled numeric columns: naturally-occurring multi-magnitude
+    amounts follow P(d) = log10(1+1/d); uniform generators and
+    manual entry don't. Per digit: observed count, observed vs
+    expected share; plus the chi-square statistic and its alpha=.05
+    flag repeated on each row. (This fixture's prices are uniform
+    within a band, so the audit CORRECTLY flags them — asserted in
+    the test; on organic ledgers it clears.)
+
+    First digit via regexp on the canonical string form — no
+    float log10 near power-of-ten boundaries. One 9-row count
+    aggregation; expected counts from the 1-row total broadcast and
+    integer Benford probabilities; each (o-e)²/e term is quantized
+    to an integer BEFORE the final sum (the chi2_label_shift
+    recipe).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dstr = F.regexp_extract(
+        F.abs(F.col("o_totalprice")).cast("string"), r"^([1-9])", 1
+    )
+    # '' (no match) must be dropped BEFORE the int cast: ANSI mode
+    # turns cast('' as int) into a runtime error, not a null
+    digit = F.when(dstr != "", dstr).cast("int")
+    per = (
+        orders.select(digit.alias("d"))
+        .filter(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    total = per.agg(F.sum("obs").alias("n"))
+    p_arr = F.array(*[F.lit(p) for p in BENFORD_P_INT])
+    j = per.crossJoin(F.broadcast(total))
+    expected = (
+        F.element_at(p_arr, F.col("d")).cast("double")
+        * F.col("n").cast("double")
+        / F.lit(float(BENFORD_SCALE))
+    )
+    diff = F.col("obs").cast("double") - expected
+    t_int = F.floor(
+        diff * diff / expected * F.lit(float(BENFORD_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    cells = j.select(
+        "d",
+        "obs",
+        "n",
+        F.round(F.col("obs") / F.col("n"), 6).alias("obs_share"),
+        (F.element_at(p_arr, F.col("d")) / F.lit(float(BENFORD_SCALE))).alias(
+            "benford_share"
+        ),
+        t_int.alias("t_int"),
+    )
+    chi2 = cells.agg(F.sum("t_int").alias("chi2_int"))
+    return (
+        cells.crossJoin(F.broadcast(chi2))
+        .select(
+            "d",
+            "obs",
+            "obs_share",
+            "benford_share",
+            (F.col("chi2_int") / F.lit(float(BENFORD_SCALE))).alias("chi2"),
+            (F.col("chi2_int") > F.lit(BENFORD_CHI2_CRIT_INT)).alias(
+                "deviates"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+def _benford_p_sql() -> str:
+    return "[" + ", ".join(str(p) for p in BENFORD_P_INT) + "]"
+
+
+BENFORD_SQL = f"""
+WITH per AS (
+  SELECT CAST(regexp_extract(CAST(abs(o_totalprice) AS VARCHAR), '^([1-9])', 1) AS INTEGER) AS d,
+         COUNT(*) AS obs
+  FROM orders
+  WHERE regexp_extract(CAST(abs(o_totalprice) AS VARCHAR), '^([1-9])', 1) <> ''
+  GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS n FROM per
+), cells AS (
+  SELECT d, obs, n,
+         ROUND(obs / n, 6) AS obs_share,
+         {_benford_p_sql()}[d] / {BENFORD_SCALE}.0 AS benford_share,
+         CAST(floor(
+           (CAST(obs AS DOUBLE) - {_benford_p_sql()}[d] * CAST(n AS DOUBLE) / {BENFORD_SCALE})
+           * (CAST(obs AS DOUBLE) - {_benford_p_sql()}[d] * CAST(n AS DOUBLE) / {BENFORD_SCALE})
+           / ({_benford_p_sql()}[d] * CAST(n AS DOUBLE) / {BENFORD_SCALE})
+           * {BENFORD_SCALE} + 0.5) AS BIGINT) AS t_int
+  FROM per, total
+), chi AS (
+  SELECT CAST(SUM(t_int) AS BIGINT) AS chi2_int FROM cells
+)
+SELECT d, obs, obs_share, benford_share,
+       chi2_int / {BENFORD_SCALE}.0 AS chi2,
+       chi2_int > {BENFORD_CHI2_CRIT_INT} AS deviates
+FROM cells, chi
+ORDER BY d
+"""

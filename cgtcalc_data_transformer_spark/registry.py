@@ -559,6 +559,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ols_regression": (relational_ext.ols_regression, relational_ext.OLS_REGRESSION_SQL),
     "retention_curve_fit": (events.retention_curve_fit, events.RETENTION_FIT_SQL),
+    "benfords_law_audit": (quality.benfords_law_audit, quality.BENFORD_SQL),
+    "kaplan_meier_churn": (events.kaplan_meier_churn, events.KAPLAN_MEIER_SQL),
 }
 
 
@@ -615,6 +617,8 @@ _ROUND6_NEW: list[str] = [
     "langid_ngram_confusion",
     "ols_regression",
     "retention_curve_fit",
+    "benfords_law_audit",
+    "kaplan_meier_churn",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

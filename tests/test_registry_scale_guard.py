@@ -80,6 +80,8 @@ BNLJ_OK = {
     "bootstrap_ci_mean",  # 1-row full-mean x 1-row ci_lo x 1-row ci_hi scalars
     "key_skew_profile",  # 3x 1-row per-key totals scalar onto the key-size table
     "retention_curve_fit",  # 1-row max-day + 1-row n_users scalars, bounded offsets
+    "benfords_law_audit",  # 1-row total + 1-row chi2 scalars onto the 9-digit table
+    "kaplan_meier_churn",  # 1-row horizon scalar + bounded duration-domain theta scans
 }
 
 

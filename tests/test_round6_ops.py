@@ -1467,3 +1467,94 @@ def test_retention_curve_fit_matches_python_reference(spark):
     assert g["decay_lambda"] == round(lam, 6)
     assert g["halflife_days"] == round(math.log(2) / lam, 6)
     assert g["r2"] == round(num * num / (denx * deny), 6)
+
+
+# ------------------------------------------------- benfords_law_audit
+def test_benford_matches_python_reference(spark):
+    import re
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        BENFORD_CHI2_CRIT_INT,
+        BENFORD_P_INT,
+        BENFORD_SCALE,
+        benfords_law_audit,
+    )
+
+    rows = load_table(spark, SF, "orders").select("o_totalprice").collect()
+    obs = Counter()
+    for r in rows:
+        m = re.match(r"^([1-9])", str(abs(r["o_totalprice"])))
+        if m:
+            obs[int(m.group(1))] += 1
+    n = sum(obs.values())
+    chi2_int = 0
+    for d in obs:
+        e = BENFORD_P_INT[d - 1] * n / BENFORD_SCALE
+        chi2_int += math.floor((obs[d] - e) ** 2 / e * BENFORD_SCALE + 0.5)
+    got = {r["d"]: r for r in benfords_law_audit(spark, SF).collect()}
+    assert set(got) == set(obs)
+    for d in obs:
+        g = got[d]
+        assert g["obs"] == obs[d]
+        assert g["obs_share"] == round(obs[d] / n, 6)
+        assert g["benford_share"] == BENFORD_P_INT[d - 1] / BENFORD_SCALE
+        assert g["chi2"] == chi2_int / BENFORD_SCALE
+        assert g["deviates"] == (chi2_int > BENFORD_CHI2_CRIT_INT)
+    # uniform-band synthetic prices are NOT Benford: must flag
+    assert got[1]["deviates"] is True
+
+
+# ------------------------------------------------- kaplan_meier_churn
+def test_kaplan_meier_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.events import (
+        DAY_NS,
+        KM_CENSOR_GAP,
+        KM_S,
+        kaplan_meier_churn,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in rows:
+        days[r["user_id"]].add(r["ts"] // DAY_NS)
+    h = max(d for ds in days.values() for d in ds)
+    users = [
+        (max(ds) - min(ds), 1 if max(ds) < h - KM_CENSOR_GAP else 0)
+        for ds in days.values()
+    ]
+    per_t = defaultdict(lambda: [0, 0])
+    for t, e in users:
+        per_t[t][0] += e
+        per_t[t][1] += 1 - e
+    ref = {}
+    for t in sorted(per_t):
+        n_risk = sum(d + c for tt, (d, c) in per_t.items() if tt >= t)
+        d, c = per_t[t]
+        ls = 0
+        for tt in sorted(per_t):
+            if tt > t:
+                continue
+            dd = per_t[tt][0]
+            nn = sum(x + y for t3, (x, y) in per_t.items() if t3 >= tt)
+            if dd > 0 and nn > dd:
+                ls += math.floor(math.log(1 - dd / nn) * KM_S + 0.5)
+        ref[t] = (n_risk, d, c, round(math.exp(ls / KM_S), 6))
+    got = {r["t"]: r for r in kaplan_meier_churn(spark, SF).collect()}
+    assert set(got) == set(ref)
+    prev_s = 1.0
+    for t in sorted(ref):
+        n_risk, d, c, s = ref[t]
+        g = got[t]
+        assert (g["n_at_risk"], g["n_churned"], g["n_censored"]) == (
+            n_risk,
+            d,
+            c,
+        )
+        assert g["survival"] == s
+        # survival must be monotone non-increasing
+        assert g["survival"] <= prev_s + 1e-9
+        prev_s = g["survival"]
