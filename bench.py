@@ -242,6 +242,7 @@ HEADLINE: dict[str, str] = {
     "retention_curve_fit": "collect",
     "benfords_law_audit": "collect",
     "kaplan_meier_churn": "collect",
+    "hhi_concentration": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

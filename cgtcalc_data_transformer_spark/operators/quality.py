@@ -400,3 +400,94 @@ SELECT d, obs, obs_share, benford_share,
 FROM cells, chi
 ORDER BY d
 """
+
+
+# ------------------------------------------ Herfindahl concentration
+HHI_SCALE = 10**8   # shares quantized at 1e-4 -> share^2 terms at 1e-8
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index over two supply
+    dimensions — documents per corpus source and lineitem volume per
+    supplier: HHI = Σ share² (0 → atomized, 1 → single supplier),
+    with the antitrust bands (<0.15 unconcentrated, 0.15-0.25
+    moderate, >0.25 concentrated) as the verdict column. The
+    single-number complement to `gini_concentration` (inequality of
+    contribution) and `key_skew_profile` (hot-key planning): is the
+    corpus/supply chain dangerously dependent on one feed?
+
+    One count aggregation per dimension (map-side combinable), a
+    1-row total broadcast, and an integer-quantized Σ share² — each
+    term floor((c·10⁴/N)² rounded)::long BEFORE the sum, so the
+    index and its band are exact cross-engine.
+    """
+
+    def one(df: DataFrame, dim: str, key: str) -> DataFrame:
+        per = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        totals = per.agg(
+            F.count(F.lit(1)).alias("n_entities"), F.sum("c").alias("n_rows")
+        )
+        term = F.floor(
+            (F.col("c").cast("double") / F.col("n_rows").cast("double"))
+            * (F.col("c").cast("double") / F.col("n_rows").cast("double"))
+            * F.lit(float(HHI_SCALE))
+            + F.lit(0.5)
+        ).cast("long")
+        agg = (
+            per.crossJoin(F.broadcast(totals))
+            .select("n_entities", "n_rows", term.alias("t"))
+            .groupBy("n_entities", "n_rows")
+            .agg(F.sum("t").alias("hhi_int"))
+        )
+        hhi = F.col("hhi_int") / F.lit(float(HHI_SCALE))
+        band = (
+            F.when(F.col("hhi_int") < 15 * 10**6, F.lit("unconcentrated"))
+            .when(F.col("hhi_int") <= 25 * 10**6, F.lit("moderate"))
+            .otherwise(F.lit("concentrated"))
+        )
+        return agg.select(
+            F.lit(dim).alias("dim"),
+            "n_entities",
+            "n_rows",
+            F.round(hhi, 6).alias("hhi"),
+            band.alias("band"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        one(docs, "documents_by_source", "source")
+        .unionByName(one(li, "lineitem_by_supplier", "l_suppkey"))
+        .orderBy("dim")
+    )
+
+
+def _hhi_one_sql(dim: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{dim}' AS dim, n_entities, n_rows,
+       ROUND(hhi_int / {HHI_SCALE}.0, 6) AS hhi,
+       CASE WHEN hhi_int < {15 * 10**6} THEN 'unconcentrated'
+            WHEN hhi_int <= {25 * 10**6} THEN 'moderate'
+            ELSE 'concentrated' END AS band
+FROM (
+  SELECT n_entities, n_rows,
+         CAST(SUM(CAST(floor(
+           (CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           * (CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           * {HHI_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS hhi_int
+  FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY {key}),
+       (SELECT COUNT(*) AS n_entities, CAST(SUM(c2) AS BIGINT) AS n_rows
+        FROM (SELECT COUNT(*) AS c2 FROM {table} GROUP BY {key}))
+  GROUP BY n_entities, n_rows
+)
+"""
+
+
+HHI_SQL = (
+    _hhi_one_sql("documents_by_source", "documents", "source")
+    + "UNION ALL"
+    + _hhi_one_sql("lineitem_by_supplier", "lineitem", "l_suppkey")
+    + "ORDER BY dim"
+)

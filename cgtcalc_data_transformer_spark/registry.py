@@ -561,6 +561,7 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "retention_curve_fit": (events.retention_curve_fit, events.RETENTION_FIT_SQL),
     "benfords_law_audit": (quality.benfords_law_audit, quality.BENFORD_SQL),
     "kaplan_meier_churn": (events.kaplan_meier_churn, events.KAPLAN_MEIER_SQL),
+    "hhi_concentration": (quality.hhi_concentration, quality.HHI_SQL),
 }
 
 
@@ -619,6 +620,7 @@ _ROUND6_NEW: list[str] = [
     "retention_curve_fit",
     "benfords_law_audit",
     "kaplan_meier_churn",
+    "hhi_concentration",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -82,6 +82,7 @@ BNLJ_OK = {
     "retention_curve_fit",  # 1-row max-day + 1-row n_users scalars, bounded offsets
     "benfords_law_audit",  # 1-row total + 1-row chi2 scalars onto the 9-digit table
     "kaplan_meier_churn",  # 1-row horizon scalar + bounded duration-domain theta scans
+    "hhi_concentration",  # 2x 1-row totals scalar onto the per-entity count table
 }
 
 

@@ -1558,3 +1558,36 @@ def test_kaplan_meier_matches_python_reference(spark):
         # survival must be monotone non-increasing
         assert g["survival"] <= prev_s + 1e-9
         prev_s = g["survival"]
+
+
+# -------------------------------------------------- hhi_concentration
+def test_hhi_matches_python_reference(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        HHI_SCALE,
+        hhi_concentration,
+    )
+
+    got = {r["dim"]: r for r in hhi_concentration(spark, SF).collect()}
+    assert set(got) == {"documents_by_source", "lineitem_by_supplier"}
+    for dim, tbl, key in [
+        ("documents_by_source", "documents", "source"),
+        ("lineitem_by_supplier", "lineitem", "l_suppkey"),
+    ]:
+        rows = load_table(spark, SF, tbl).select(key).collect()
+        counts = Counter(r[key] for r in rows)
+        n = sum(counts.values())
+        hhi_int = sum(
+            math.floor((c / n) * (c / n) * HHI_SCALE + 0.5)
+            for c in counts.values()
+        )
+        g = got[dim]
+        assert (g["n_entities"], g["n_rows"]) == (len(counts), n)
+        assert g["hhi"] == round(hhi_int / HHI_SCALE, 6)
+        band = (
+            "unconcentrated"
+            if hhi_int < 15 * 10**6
+            else "moderate" if hhi_int <= 25 * 10**6 else "concentrated"
+        )
+        assert g["band"] == band
