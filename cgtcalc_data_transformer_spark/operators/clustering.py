@@ -206,11 +206,37 @@ SEMDEDUP_T = 0.4    # demo threshold — production SemDeDup uses ~0.95+;
                     # this corpus's random-ish embeddings never reach it
 # Cell count must grow with n: within-cell pair volume is ~n²/NLIST,
 # so a fixed NLIST is quadratic (the same law as dedup.py's
-# EMB_LSH_BITS, caught by the r4 sf1 sweep). 64 keeps occupancy
-# bounded through the bench scales; at 100 TB size NLIST ≈ n /
-# target_cell_size (the paper uses 50k clusters for LAION).
+# EMB_LSH_BITS, caught by the r4 sf1 sweep — and VERDICT r6 item 2
+# for this operator). The effective cell count is NLIST · 2^bits:
+# 64 base centroid cells, each subdivided by `bits` seeded random
+# hyperplanes where bits is derived from a cheap COUNT so that mean
+# occupancy stays ≤ SEMDEDUP_TARGET_OCC — n ≤ 2048 keeps bits = 0
+# (identical cells to the pre-subdivision operator), 20k vectors get
+# 4 bits (1024 cells, ~20/cell). Pair volume is then ~n·TARGET_OCC/2:
+# LINEAR in n, the SemDeDup production contract (the paper sizes 50k
+# clusters for LAION the same way).
 SEMDEDUP_NLIST = 64
+SEMDEDUP_TARGET_OCC = 32
+SEMDEDUP_MAX_BITS = 12
 SEMDEDUP_SEED = 23
+
+
+def _semdedup_bits(n: int) -> int:
+    """Smallest b with n ≤ NLIST·TARGET_OCC·2^b, capped at MAX_BITS —
+    pure integer comparisons so Spark (driver-side count) and the
+    DuckDB oracle (scalar subquery over a caps table) always agree."""
+    cap = SEMDEDUP_NLIST * SEMDEDUP_TARGET_OCC
+    b = 0
+    while n > cap * (1 << b) and b < SEMDEDUP_MAX_BITS:
+        b += 1
+    return b
+
+
+def _semdedup_planes(dim: int = DIM) -> list[list[float]]:
+    """MAX_BITS × dim seeded subdivision hyperplanes (plan literals,
+    distinct stream from the centroids)."""
+    rng = np.random.default_rng(SEMDEDUP_SEED + 1)
+    return rng.standard_normal((SEMDEDUP_MAX_BITS, dim)).round(6).tolist()
 
 
 def _semdedup_centroids(dim: int = DIM) -> list[list[float]]:
@@ -228,7 +254,9 @@ def _semdedup_centroids(dim: int = DIM) -> list[list[float]]:
     return rng.standard_normal((SEMDEDUP_NLIST, dim)).round(6).tolist()
 
 
-def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_embedding(
+    spark: SparkSession, sf_dir: str, bits: int | None = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup that only compares embeddings WITHIN a cluster of the
     (direction-normalized) embedding space — pairs above the cosine
@@ -239,15 +267,22 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate.
 
     Scale shape: assignment is a pure per-row argmax against
-    NLIST literal directions (rides the scan, no shuffle); the
-    pairwise stage is an equality self-join ON CELL, so cost is
-    Σ|cell|² — the SemDeDup contract; production runs scale NLIST
-    with n to bound cluster sizes (the paper uses 50k clusters for
-    LAION), which this constant documents rather than hides.
+    NLIST literal directions plus `bits` hyperplane sign bits (rides
+    the scan, no shuffle); the pairwise stage is an equality
+    self-join ON the SUBDIVIDED cell, so cost is Σ|cell|² with
+    occupancy held at ~TARGET_OCC by deriving bits from a cheap
+    count (VERDICT r6 item 2) — pair volume stays LINEAR in n. The
+    centroid-similarity keep rule still scores against the BASE
+    centroid; subdivision only prunes candidate pairs (the same
+    documented recall trade as dedup_embedding_cosine's LSH bits).
 
-    Determinism: cell = argmax of round(cosine,6) with ties to the
-    LOWEST cell id; pair cosine and centroid cosine are round(·,6);
-    removal ties (equal centroid-sim) drop the larger vec_id.
+    Determinism: base cell = argmax of the raw dot (row-norm
+    invariant) with ties to the LOWEST cell id; sign bits compare a
+    sequential-fold dot against 0 (bit-identical across engines);
+    pair cosine and centroid cosine are round(·,6); removal ties
+    (equal centroid-sim) drop the larger vec_id. `bits=None` derives
+    from the count; tests pass an explicit value to exercise the
+    subdivision path on small data.
     """
     cents = _semdedup_centroids()
     # unit centroids as plan literals: cosine-vs-centroid becomes ONE
@@ -283,13 +318,32 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, chat in enumerate(chats)
         ]
     )
+    if bits is None:
+        # one cheap count job (parquet metadata scan) sizes the cell
+        # grid before the plan is built — the oracle mirrors it with
+        # a scalar COUNT(*) subquery and the same integer caps rule
+        bits = _semdedup_bits(emb.count())
+    planes = _semdedup_planes()[:bits]
+    subkey = F.lit(0).cast("long")
+    for h, p in enumerate(planes):
+        subkey = subkey + (
+            dot_expr(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0
+        ).cast("long") * F.lit(1 << h)
     assigned = emb.select(
-        "vec_id", "v", (-F.array_max(scored)["ni"]).alias("cell")
+        "vec_id",
+        "v",
+        (-F.array_max(scored)["ni"]).alias("bcell"),
+        subkey.alias("subkey"),
+    ).select(
+        "vec_id",
+        "v",
+        "bcell",
+        (F.col("bcell") * F.lit(1 << bits) + F.col("subkey")).alias("cell"),
     )
     cent_df = F.broadcast(
         emb.sparkSession.createDataFrame(
             [(i, c) for i, c in enumerate(chats)],
-            "cell int, chat array<double>",
+            "bcell int, chat array<double>",
         )
     )
     # per-row norm carried as a COLUMN through the join (materialized
@@ -299,7 +353,7 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise each re-scan parquet and re-run the NLIST-wide
     # assignment (4 FileScans in the uncached plan — measured ~4x
     # wall); same pattern as corpus_lm._doc_ppl's cached bigrams
-    csim = assigned.join(cent_df, "cell").select(
+    csim = assigned.join(cent_df, "bcell").select(
         "cell",
         "vec_id",
         "v",
@@ -369,28 +423,61 @@ def _semdedup_cent_values() -> str:
     )
 
 
+def _semdedup_plane_values() -> str:
+    return ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(h, ", ".join(repr(x) for x in p))
+        for h, p in enumerate(_semdedup_planes())
+    )
+
+
+def _semdedup_cap_values() -> str:
+    cap = SEMDEDUP_NLIST * SEMDEDUP_TARGET_OCC
+    return ", ".join(
+        f"({b}, {cap * (1 << b)})" for b in range(SEMDEDUP_MAX_BITS + 1)
+    )
+
+
 SEMDEDUP_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), cents(cell, chat) AS (
+), cents(bcell, chat) AS (
   VALUES
     {_semdedup_cent_values()}
+), planes(h, p) AS (
+  VALUES
+    {_semdedup_plane_values()}
+), caps(b, cap) AS (
+  VALUES {_semdedup_cap_values()}
+), mask AS (
+  SELECT CAST(1 << COALESCE(MIN(b), {SEMDEDUP_MAX_BITS}) AS BIGINT) AS m
+  FROM caps WHERE cap >= (SELECT COUNT(*) FROM emb)
+), keys AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(emb.v, planes.p) > 0
+                       THEN 1 << planes.h ELSE 0 END) AS BIGINT)
+           % (SELECT m FROM mask) AS subkey
+  FROM emb CROSS JOIN planes
+  GROUP BY vec_id
 ), cellscore AS (
-  SELECT vec_id, v, cell,
+  SELECT vec_id, v, bcell,
          list_dot_product(v, chat) AS cos
   FROM emb CROSS JOIN cents
 ), assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT vec_id, v, cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-    FROM cellscore)
-  WHERE rn = 1
+  SELECT s.vec_id, s.v, s.bcell,
+         s.bcell * (SELECT m FROM mask) + k.subkey AS cell
+  FROM (
+    SELECT vec_id, v, bcell FROM (
+      SELECT vec_id, v, bcell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bcell ASC) AS rn
+      FROM cellscore)
+    WHERE rn = 1) s
+  JOIN keys k ON s.vec_id = k.vec_id
 ), csim AS (
   SELECT a.cell, a.vec_id, a.v,
          sqrt(list_dot_product(a.v, a.v)) AS vn,
          ROUND(list_dot_product(a.v, cents.chat)
                / sqrt(list_dot_product(a.v, a.v)), 6) AS csim
-  FROM assigned a JOIN cents ON a.cell = cents.cell
+  FROM assigned a JOIN cents ON a.bcell = cents.bcell
 ), pairs AS (
   SELECT a.cell, a.vec_id AS va, b.vec_id AS vb, a.csim AS sa, b.csim AS sb
   FROM csim a JOIN csim b

@@ -1381,15 +1381,20 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable count over (type, dow), a per-type total via a second
     bounded aggregation joined back (|types| rows, broadcast), and
     exact int/int divisions rounded for display.
+
+    The expected-under-uniform denominator is the CONSTANT 7, not the
+    count of weekdays the type was observed on — a type absent on
+    some weekday previously got an inflated index relative to the
+    stated uniform baseline (ADVICE r6), and both engines agreed, so
+    only a definition-level fix closes it. n*7 stays exact in BIGINT
+    and the single int/int division is correctly-rounded IEEE.
     """
     events = load_events(spark, sf_dir)
     dow = F.pmod(F.expr(f"ts div {DAY_NS}") + F.lit(4), F.lit(7))
     per = events.groupBy(
         "event_type", dow.alias("dow")
     ).agg(F.count(F.lit(1)).alias("n"))
-    totals = per.groupBy("event_type").agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
-    )
+    totals = per.groupBy("event_type").agg(F.sum("n").alias("total"))
     return (
         per.join(F.broadcast(totals), "event_type")
         .select(
@@ -1398,8 +1403,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
             F.round(
-                F.col("n").cast("double")
-                * F.col("n_days").cast("double")
+                (F.col("n") * F.lit(7)).cast("double")
                 / F.col("total").cast("double"),
                 6,
             ).alias("seasonal_index"),
@@ -1416,12 +1420,12 @@ WITH per AS (
   FROM events
   GROUP BY 1, 2
 ), totals AS (
-  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
   FROM per GROUP BY event_type
 )
 SELECT per.event_type, dow, n,
        ROUND(n / total, 6) AS share,
-       ROUND(CAST(n AS DOUBLE) * CAST(n_days AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       ROUND(CAST(n * 7 AS DOUBLE) / CAST(total AS DOUBLE), 6)
          AS seasonal_index
 FROM per JOIN totals ON per.event_type = totals.event_type
 ORDER BY per.event_type, dow
@@ -1845,6 +1849,13 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     day = F.expr(f"ts div {DAY_NS}").alias("day")
     activity = ev.select("user_id", day).distinct()
+    return _km_from_activity(activity)
+
+
+def _km_from_activity(activity: DataFrame) -> DataFrame:
+    """KM core over a distinct (user_id, day) frame — split out so the
+    d == n_risk → S(t) = 0 branch is unit-testable with synthetic
+    activity (the driver corpus never reaches it)."""
     horizon = activity.agg(F.max("day").alias("h"))
     users = (
         activity.groupBy("user_id")
@@ -1881,10 +1892,21 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    terms = at_risk.select("t", "d", "c", "n_risk", term_i.alias("li"))
-    # S(t) = exp(prefix sum of li up to and including t); a day where
-    # d == n_risk would send S to exact 0 — excluded by construction
-    # here (the censor gap keeps the longest durations censored)
+    # S(t) hits exact 0 when every remaining at-risk user churns on
+    # one day (d == n_risk, the 1 - d/n = 0 factor ln can't carry).
+    # The censor gap makes that unreachable on this corpus, but the
+    # assumption is SELF-CHECKING (ADVICE r6): the zero factor is an
+    # explicit flag summed over the same prefix, never a silently
+    # skipped term that would overstate survival if KM_CENSOR_GAP or
+    # the data distribution changes.
+    zero_i = (
+        ((F.col("d") > 0) & (F.col("n_risk") == F.col("d")))
+        .cast("long")
+        .alias("zi")
+    )
+    terms = at_risk.select("t", "d", "c", "n_risk", term_i.alias("li"), zero_i)
+    # S(t) = exp(prefix sum of li up to and including t), forced to
+    # exact 0 once any prefix day carries the zero flag
     surv = (
         terms.alias("a")
         .join(F.broadcast(terms.alias("b")), F.col("b.t") <= F.col("a.t"))
@@ -1894,15 +1916,15 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.c").alias("n_censored"),
             F.col("a.n_risk").alias("n_at_risk"),
         )
-        .agg(F.sum("b.li").alias("ls"))
+        .agg(F.sum("b.li").alias("ls"), F.sum("b.zi").alias("zs"))
         .select(
             "t",
             "n_at_risk",
             "n_churned",
             "n_censored",
-            F.round(F.exp(F.col("ls") / F.lit(float(KM_S))), 6).alias(
-                "survival"
-            ),
+            F.when(F.col("zs") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("ls") / F.lit(float(KM_S))), 6))
+            .alias("survival"),
         )
         .orderBy("t")
     )
@@ -1932,11 +1954,14 @@ WITH activity AS (
          CASE WHEN d > 0 AND n_risk > d
               THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
                               * {KM_S} + 0.5) AS BIGINT)
-              ELSE 0 END AS li
+              ELSE 0 END AS li,
+         CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS zi
   FROM at_risk
 )
 SELECT a.t, a.n_risk AS n_at_risk, a.d AS n_churned, a.c AS n_censored,
-       ROUND(exp(CAST(SUM(b.li) AS BIGINT) / {KM_S}.0), 6) AS survival
+       CASE WHEN CAST(SUM(b.zi) AS BIGINT) > 0 THEN 0.0
+            ELSE ROUND(exp(CAST(SUM(b.li) AS BIGINT) / {KM_S}.0), 6)
+       END AS survival
 FROM terms a JOIN terms b ON b.t <= a.t
 GROUP BY a.t, a.n_risk, a.d, a.c
 ORDER BY a.t

@@ -565,13 +565,14 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# ---- round-6 driver window (slots 1-50) ------------------------------
-# Round 5 closed the proof backlog: every oracled query in the
-# registry has a driver hash-green row (r1-r5) and all 10 streaming
-# engine runs a rows-only record (CORRECTNESS_r05 — 40/40 green).
-# Round 6's window is therefore NEW operators first, then declared
-# rechecks: queries whose code changed this round, then the OLDEST
-# driver rows (r1/r2-proven relational core) for a freshness sweep.
+# ---- round-7 driver window (slots 1-50) ------------------------------
+# Cumulative state entering round 7: all 221 oracled queries in the
+# 231-entry registry have a driver hash-green row across r1-r6, and
+# the 10 streaming engine runs carry rows-only records (VERDICT r6).
+# Round 7's window is NEW operators first, then declared rechecks:
+# queries whose code changed this round, the flagship, then the
+# OLDEST green rows (r1 first, then the r2 relational core — the r6
+# sweep already refreshed q1-q14).
 #
 # Slot accounting stays mechanical: tests/test_registry_contract.py
 # recomputes driver-green from the CORRECTNESS artifacts of rounds
@@ -579,91 +580,59 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
-_ROUND6_NEW: list[str] = [
-    "substring_dedup",
-    "rrf_fusion",
-    "contamination_minhash",
-    "drift_psi",
-    "gopher_quality_flags",
-    "char_entropy",
-    "ppl_bucket_ccnet",
-    "domain_stats",
-    "group_split_assign",
-    "temporal_holdout_split",
-    "winnow_fingerprints",
-    "zipf_tail_alpha",
-    "knn_label_audit",
-    "chi2_label_shift",
-    "heaps_vocab_growth",
-    "ngram_novelty",
-    "ab_test_ztest",
-    "woe_iv_binning",
-    "source_overlap_jaccard",
-    "gini_concentration",
-    "corr_matrix_lineitem",
-    "seasonality_profile",
-    "ece_calibration",
-    "interarrival_burstiness",
-    "transition_entropy",
-    "semdedup_embedding",
-    "cusum_changepoint",
-    "bootstrap_ci_mean",
-    "k_anonymity_audit",
-    "key_skew_profile",
-    "langid_ngram_confusion",
-    "ols_regression",
-    "retention_curve_fit",
-    "benfords_law_audit",
-    "kaplan_meier_churn",
-    "hhi_concentration",
-]
+_ROUND7_NEW: list[str] = []
 
 # Priority-ordered recheck pool: code-changed-this-round first, then
-# the oldest green rows. Only the first 50-len(_ROUND6_NEW) burn slots.
-_ROUND6_RECHECK_POOL = [
-    # code changed this round (ADVICE r5): threshold now unrounded
-    "simjoin_prefix",
-    "dedup_ngram_jaccard",
-    # code changed this round (ADVICE r5): overflow-safe sample pred
-    "agg_approx",
-    # code changed this round: per-doc ppl extracted into _doc_ppl
-    # (shared with ppl_bucket_ccnet) — identical plan, fresh row
-    "text_perplexity_bigram",
+# the oldest green rows. Only the first 50-len(_ROUND7_NEW) burn slots.
+_ROUND7_RECHECK_POOL = [
+    # code changed this round (VERDICT r6 item 2): NLIST now scales
+    # with n via hyperplane cell subdivision
+    "semdedup_embedding",
+    # code changed this round (ADVICE r6): explicit survival=0 when
+    # d == n_risk instead of a silent skipped factor
+    "kaplan_meier_churn",
+    # code changed this round (ADVICE r6): expected-under-uniform
+    # denominator is now the constant 7
+    "seasonality_profile",
     # flagship entry() twin — keep a fresh row every round
     "canonical_orders",
-    # oldest rows (r1/r2): relational core freshness sweep
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_dormant_value",
+    # oldest rows (r1): dedup/window core freshness sweep
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "grouped_zscore",
+    "join_bucketed",
+    "subquery_scalar",
+    # next-oldest (r2): parsers, TPC-H tail, join/agg/window/set core
+    "parse_freetrade",
+    "parse_ii",
+    "parse_fidelity",
+    "parse_bullionvault",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_profit_nation_year",
-    "q13_customer_distribution",
-    "sql_frontend_q13",
     "q11_important_value",
+    "q13_customer_distribution",
+    "q15_top_supplier",
     "q16_supplier_count",
     "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "q22_dormant_value",
+    "sql_frontend_q13",
     "join_full_outer",
     "join_semi",
     "join_anti",
     "join_broadcast_geo",
+    "join_salted",
     "agg_distinct",
     "agg_rollup",
     "agg_cube",
@@ -672,23 +641,36 @@ _ROUND6_RECHECK_POOL = [
     "window_running_total",
     "window_topk",
     "window_lag_gap",
+    "window_range_frame",
+    "window_ntile",
     "topk_orders",
     "setop_intersect",
     "setop_except",
     "pivot_status",
     "unpivot_status",
     "range_join_bands",
-    "window_range_frame",
-    "window_ntile",
-    "join_salted",
-    "subquery_scalar",
-    "parse_freetrade",
-    "parse_ii",
+    # r3 buffer (used only while _ROUND7_NEW is short)
+    "ann_ivf",
+    "ann_lsh",
+    "asof_join",
+    "boilerplate_score",
+    "cdc_latest",
+    "contamination_check",
+    "dedup_incremental",
+    "dq_checks",
+    "emb_centroid_stats",
+    "emb_normalize",
 ]
 
-_ROUND6_RECHECKS = _ROUND6_RECHECK_POOL[: 50 - len(_ROUND6_NEW)]
+_ROUND7_RECHECKS = _ROUND7_RECHECK_POOL[: 50 - len(_ROUND7_NEW)]
 
-_ROUND6_WINDOW = [*_ROUND6_NEW, *_ROUND6_RECHECKS]
+_ROUND7_WINDOW = [*_ROUND7_NEW, *_ROUND7_RECHECKS]
+
+# Generic aliases — tests and tooling reference these so a future
+# rotation only touches this module.
+_ROUND_NEW = _ROUND7_NEW
+_ROUND_RECHECKS = _ROUND7_RECHECKS
+_ROUND_WINDOW = _ROUND7_WINDOW
 
 # Rows-only streaming engine runs (all carry an r5 record; kept out of
 # the round-6 window — oracled slots are stronger):
@@ -705,12 +687,12 @@ _STREAMING_ROWS_ONLY = [
     "streaming_python_source",
 ]
 
-assert len(_ROUND6_WINDOW) == 50, len(_ROUND6_WINDOW)
-assert set(_ROUND6_WINDOW) <= set(_ALL), set(_ROUND6_WINDOW) - set(_ALL)
-assert len(set(_ROUND6_WINDOW)) == 50
+assert len(_ROUND_WINDOW) == 50, len(_ROUND_WINDOW)
+assert set(_ROUND_WINDOW) <= set(_ALL), set(_ROUND_WINDOW) - set(_ALL)
+assert len(set(_ROUND_WINDOW)) == 50
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    name: _ALL[name] for name in _ROUND6_WINDOW
+    name: _ALL[name] for name in _ROUND_WINDOW
 }
 REGISTRY.update({name: v for name, v in _ALL.items() if name not in REGISTRY})
 

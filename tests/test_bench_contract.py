@@ -52,6 +52,27 @@ def test_bench_line_fits_at_current_headline():
     assert "excluded" not in parsed  # detail lives in BENCH_DETAIL.json
 
 
+def test_no_silent_bench_regression_vs_baseline():
+    """VERDICT r6 item 6: no query slower than 0.5 s may regress more
+    than 2.5x between the committed baseline snapshot (previous
+    round's BENCH_DETAIL, frozen as BENCH_BASELINE.json at rotation)
+    and the current BENCH_DETAIL.json. Sub-0.5 s queries live inside
+    the shared-host noise band (frequent_pairs' 1.5x move in r6) and
+    are exempt; anything bigger moving 2.5x is a plan change, not
+    noise."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "BENCH_BASELINE.json")) as fh:
+        base = json.load(fh)["queries"]
+    with open(os.path.join(root, "BENCH_DETAIL.json")) as fh:
+        cur = json.load(fh)["queries"]
+    offenders = {
+        n: (base[n], cur[n])
+        for n in base.keys() & cur.keys()
+        if base[n] > 0.5 and cur[n] > base[n] * 2.5
+    }
+    assert not offenders, f"bench regressions >2.5x vs baseline: {offenders}"
+
+
 def test_bench_line_floor_keep_zero_fits():
     """Pathological query names force the pruning loop to its keep=0
     floor — the minimal line must still fit and parse (a silent

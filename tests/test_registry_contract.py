@@ -68,12 +68,12 @@ def test_round_window_is_contiguous_prefix():
     """The driver checks the FIRST 50 queries() entries — the rotation
     only works if the declared window is exactly that prefix."""
     names = list(registry.REGISTRY)
-    assert names[: len(registry._ROUND6_WINDOW)] == registry._ROUND6_WINDOW
-    assert len(registry._ROUND6_WINDOW) == 50
+    assert names[: len(registry._ROUND_WINDOW)] == registry._ROUND_WINDOW
+    assert len(registry._ROUND_WINDOW) == 50
     # every window entry is oracled (hash row) or a declared rows-only
     # streaming engine run
     oracled = set(registry.oracle_sql())
-    assert set(registry._ROUND6_WINDOW) <= oracled | set(
+    assert set(registry._ROUND_WINDOW) <= oracled | set(
         registry._STREAMING_ROWS_ONLY
     )
     assert set(registry._STREAMING_ROWS_ONLY) & oracled == set()
@@ -113,7 +113,7 @@ def test_window_slot_accounting():
     queries or orphan an unproven one."""
     green = _driver_green_names()
     oracled = set(registry.oracle_sql())
-    window = set(registry._ROUND6_WINDOW)
+    window = set(registry._ROUND_WINDOW)
     never_green = oracled - green
     # (a) nothing oracled-and-unproven is left outside the window
     assert never_green <= window, (
@@ -122,10 +122,10 @@ def test_window_slot_accounting():
     )
     # (b) already-green window slots are exactly the declared rechecks
     reburned = window & green & oracled
-    assert reburned == set(registry._ROUND6_RECHECKS), (
-        f"undeclared recheck slots: {sorted(reburned - set(registry._ROUND6_RECHECKS))}; "
+    assert reburned == set(registry._ROUND_RECHECKS), (
+        f"undeclared recheck slots: {sorted(reburned - set(registry._ROUND_RECHECKS))}; "
         f"declared but not green/in-window: "
-        f"{sorted(set(registry._ROUND6_RECHECKS) - reburned)}"
+        f"{sorted(set(registry._ROUND_RECHECKS) - reburned)}"
     )
     # (c) this round's new operators are never-green by construction
-    assert set(registry._ROUND6_NEW) & green == set()
+    assert set(registry._ROUND_NEW) & green == set()

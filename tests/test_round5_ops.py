@@ -45,7 +45,7 @@ def test_no_other_registry_query_empty_at_its_scale(spark):
     }
     names = [
         n
-        for n in registry._ROUND6_WINDOW
+        for n in registry._ROUND_WINDOW
         if n not in slow_or_streaming
     ][:8]
     # spot-check the first 8 (full coverage comes from the per-op

@@ -986,17 +986,18 @@ def test_seasonality_profile_matches_python_reference(spark):
         # Java `div` truncates toward zero; epochs here are positive
         cells[(r["event_type"], (r["ts"] // DAY_NS + 4) % 7)] += 1
     totals = defaultdict(int)
-    days = defaultdict(set)
     for (et, dow), n in cells.items():
         totals[et] += n
-        days[et].add(dow)
     got = {(r["event_type"], r["dow"]): r for r in seasonality_profile(spark, SF).collect()}
     assert set(got) == set(cells)
     for (et, dow), n in cells.items():
         g = got[(et, dow)]
         assert g["n"] == n
         assert g["share"] == round(n / totals[et], 6)
-        assert g["seasonal_index"] == round(n * len(days[et]) / totals[et], 6)
+        # ADVICE r6: expected-under-uniform uses the CONSTANT 7, never
+        # the count of observed weekdays (which inflates the index for
+        # types absent on some weekday)
+        assert g["seasonal_index"] == round(n * 7 / totals[et], 6)
 
 
 # -------------------------------------------------- ece_calibration
@@ -1194,6 +1195,99 @@ def test_semdedup_matches_python_reference(spark):
         total_pairs += pairs
     # threshold must bite on this corpus or the audit is vacuous
     assert total_pairs > 0
+
+
+def test_semdedup_bits_rule_is_linear_occupancy():
+    """VERDICT r6 item 2: the effective cell count must grow with n so
+    within-cell pair volume stays linear (occupancy ≤ TARGET_OCC on
+    average up to the MAX_BITS cap)."""
+    from cgtcalc_data_transformer_spark.operators.clustering import (
+        SEMDEDUP_MAX_BITS,
+        SEMDEDUP_NLIST,
+        SEMDEDUP_TARGET_OCC,
+        _semdedup_bits,
+    )
+
+    cap = SEMDEDUP_NLIST * SEMDEDUP_TARGET_OCC
+    assert _semdedup_bits(cap) == 0           # bench scales: unchanged
+    assert _semdedup_bits(cap + 1) == 1
+    assert _semdedup_bits(20_000) == 4        # sf1: 1024 cells, ~20/cell
+    for n in (100, 5_000, 250_000, 3_000_000):
+        b = _semdedup_bits(n)
+        cells = SEMDEDUP_NLIST * (1 << b)
+        assert b == SEMDEDUP_MAX_BITS or n / cells <= SEMDEDUP_TARGET_OCC
+
+
+def test_semdedup_subdivision_matches_python_reference(spark):
+    """Force bits=2 on the small corpus to exercise the hyperplane
+    subdivision path end to end: final cell = bcell·4 + sign-bit
+    subkey, pairs confined to the SUBDIVIDED cell, keep rule still
+    scored against the BASE centroid."""
+    import numpy as np
+    from collections import defaultdict
+
+    from cgtcalc_data_transformer_spark.operators.clustering import (
+        SEMDEDUP_T,
+        _as_double,
+        _semdedup_centroids,
+        _semdedup_planes,
+        semdedup_embedding,
+    )
+
+    BITS = 2
+    emb = _as_double(load_table(spark, SF, "embeddings")).select("vec_id", "v")
+    vecs = {
+        r["vec_id"]: np.array(r["v"], dtype=np.float64) for r in emb.collect()
+    }
+    cents = _semdedup_centroids()
+    chats = {
+        i: np.round(np.array(c) / np.linalg.norm(c), 6)
+        for i, c in enumerate(cents)
+    }
+    planes = [np.array(p) for p in _semdedup_planes()[:BITS]]
+    units = {vid: v / np.linalg.norm(v) for vid, v in vecs.items()}
+
+    def cos(a, b):
+        return round(float(a @ b), 6)
+
+    cells = defaultdict(list)
+    bcell_of = {}
+    for vid, v in vecs.items():
+        best = max((float(v @ chats[i]), -i) for i in chats)
+        bcell = -best[1]
+        subkey = sum(1 << h for h, p in enumerate(planes) if float(v @ p) > 0)
+        bcell_of[vid] = bcell
+        cells[bcell * (1 << BITS) + subkey].append(vid)
+    # subdivision must actually split some base cells
+    assert len(cells) > len({b for b in bcell_of.values()})
+
+    ref = {}
+    for cell, vids in cells.items():
+        vids.sort()
+        pairs = 0
+        removed = set()
+        for i, va in enumerate(vids):
+            for vb in vids[i + 1 :]:
+                if cos(units[va], units[vb]) >= SEMDEDUP_T:
+                    pairs += 1
+                    sa = cos(units[va], chats[bcell_of[va]])
+                    sb = cos(units[vb], chats[bcell_of[vb]])
+                    removed.add(
+                        va if sa > sb else vb if sb > sa else max(va, vb)
+                    )
+        ref[cell] = (len(vids), pairs, len(removed))
+    got = {
+        r["cell"]: r
+        for r in semdedup_embedding(spark, SF, bits=BITS).collect()
+    }
+    assert set(got) == set(ref)
+    for cell, (n, pairs, nrem) in ref.items():
+        g = got[cell]
+        assert (g["n_members"], g["n_dup_pairs"], g["n_removed"]) == (
+            n,
+            pairs,
+            nrem,
+        )
 
 
 # ------------------------------------------------- cusum_changepoint
@@ -1535,6 +1629,7 @@ def test_kaplan_meier_matches_python_reference(spark):
         n_risk = sum(d + c for tt, (d, c) in per_t.items() if tt >= t)
         d, c = per_t[t]
         ls = 0
+        zero = False
         for tt in sorted(per_t):
             if tt > t:
                 continue
@@ -1542,7 +1637,10 @@ def test_kaplan_meier_matches_python_reference(spark):
             nn = sum(x + y for t3, (x, y) in per_t.items() if t3 >= tt)
             if dd > 0 and nn > dd:
                 ls += math.floor(math.log(1 - dd / nn) * KM_S + 0.5)
-        ref[t] = (n_risk, d, c, round(math.exp(ls / KM_S), 6))
+            elif dd > 0 and nn == dd:
+                zero = True
+        s = 0.0 if zero else round(math.exp(ls / KM_S), 6)
+        ref[t] = (n_risk, d, c, s)
     got = {r["t"]: r for r in kaplan_meier_churn(spark, SF).collect()}
     assert set(got) == set(ref)
     prev_s = 1.0
@@ -1558,6 +1656,30 @@ def test_kaplan_meier_matches_python_reference(spark):
         # survival must be monotone non-increasing
         assert g["survival"] <= prev_s + 1e-9
         prev_s = g["survival"]
+
+
+def test_kaplan_meier_zero_survival_when_all_at_risk_churn(spark):
+    """ADVICE r6: d == n_risk must emit explicit S(t) = 0 — never a
+    silently skipped factor that overstates survival. Synthetic
+    activity: user C pins the horizon at day 25 with duration 0
+    (censored); user A (days 0..10, t=10) churns as the ONLY user
+    still at risk at t=10 → d = n_risk = 1 → survival exactly 0."""
+    from cgtcalc_data_transformer_spark.operators.events import _km_from_activity
+
+    activity = spark.createDataFrame(
+        [("A", 0), ("A", 10), ("C", 25)], "user_id string, day long"
+    )
+    got = {r["t"]: r for r in _km_from_activity(activity).collect()}
+    assert set(got) == {0, 10}
+    # t=0: C censored (last_day == horizon), no churn yet → S = 1
+    assert got[0]["n_at_risk"] == 2
+    assert got[0]["n_churned"] == 0
+    assert got[0]["n_censored"] == 1
+    assert got[0]["survival"] == 1.0
+    # t=10: A is the only user with duration >= 10 and churns
+    assert got[10]["n_at_risk"] == 1
+    assert got[10]["n_churned"] == 1
+    assert got[10]["survival"] == 0.0
 
 
 # -------------------------------------------------- hhi_concentration
