@@ -243,6 +243,16 @@ HEADLINE: dict[str, str] = {
     "benfords_law_audit": "collect",
     "kaplan_meier_churn": "collect",
     "hhi_concentration": "collect",
+    # round-7 additions
+    "mannwhitney_u_test": "collect",
+    "spearman_rank_corr": "collect",
+    "kendall_tau_binned": "collect",
+    "anova_f_oneway": "collect",
+    "cramers_v_matrix": "collect",
+    "mutual_information_binned": "collect",
+    "simpson_paradox_audit": "collect",
+    "mad_outliers": "collect",
+    "trimmed_mean_robust": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

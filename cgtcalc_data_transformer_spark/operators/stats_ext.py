@@ -160,7 +160,6 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.expr(_DK).alias("y"),
     )
-    n1 = li.count()  # noqa: F841 — (kept for clarity; n from marginals)
     mx = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
     my = li.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
 
@@ -408,4 +407,562 @@ SELECT n, k,
                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                 + (CAST(ss AS DOUBLE) - CAST(q AS DOUBLE) / {ANOVA_S})), 6) AS eta_sq
 FROM tot
+"""
+
+# ------------------------------------------------ Cramér's V matrix
+CRAMER_S = 10**6   # per-cell chi² term quantization
+
+_CRAMER_PAIRS = [
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+]
+
+
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for categorical column pairs
+    (priority×status on orders, returnflag×linestatus on lineitem) —
+    the bounded-[0,1] normalization of χ² that a profiling pass uses
+    to rank which dimensions actually co-vary before anyone builds a
+    cube on them.
+
+    Contingency cells are one map-side-combinable count per pair
+    (≤ 15 cells); expected counts e = r·c/n are derived doubles, so
+    each cell's (o−e)²/e term is quantized floor(x·1e6 + 0.5)::BIGINT
+    before the cross-cell sum (drift_psi discipline). χ² and V are
+    then IEEE expressions over exact integers. Both pairs union into
+    one bounded result — no shuffle carries more rows than the cell
+    count.
+    """
+    out = None
+    for table, rc, cc in _CRAMER_PAIRS:
+        t = load_table(spark, sf_dir, table)
+        cells = t.groupBy(
+            F.col(rc).alias("r"), F.col(cc).alias("c")
+        ).agg(F.count(F.lit(1)).alias("o"))
+        rows = cells.groupBy("r").agg(F.sum("o").alias("rn"))
+        cols = cells.groupBy("c").agg(F.sum("o").alias("cn"))
+        tot = cells.agg(F.sum("o").alias("n"))
+        e = F.col("rn").cast("double") * F.col("cn").cast("double") / F.col(
+            "n"
+        ).cast("double")
+        term = F.floor(
+            (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+            / e
+            * F.lit(float(CRAMER_S))
+            + F.lit(0.5)
+        ).cast("long")
+        dims = cells.agg(
+            F.countDistinct("r").alias("nr"), F.countDistinct("c").alias("nc")
+        )
+        s = (
+            cells.join(F.broadcast(rows), "r")
+            .join(F.broadcast(cols), "c")
+            .crossJoin(F.broadcast(tot))
+            .select(term.alias("q"), "n")
+            .groupBy("n")
+            .agg(F.sum("q").alias("chi2q"))
+            .crossJoin(F.broadcast(dims))
+        )
+        chi2 = F.col("chi2q").cast("double") / F.lit(float(CRAMER_S))
+        v = F.sqrt(
+            chi2
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+            )
+        )
+        res = s.select(
+            F.lit(f"{table}.{rc}~{cc}").alias("pair"),
+            "n",
+            F.col("nr").alias("n_rowcats"),
+            F.col("nc").alias("n_colcats"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(v, 6).alias("cramers_v"),
+        )
+        out = res if out is None else out.unionByName(res)
+    return out.orderBy("pair")
+
+
+def _cramer_pair_sql(table: str, rc: str, cc: str) -> str:
+    return f"""
+SELECT '{table}.{rc}~{cc}' AS pair, n, nr AS n_rowcats, nc AS n_colcats,
+       ROUND(CAST(chi2q AS DOUBLE) / {CRAMER_S}, 6) AS chi2,
+       ROUND(sqrt(CAST(chi2q AS DOUBLE) / {CRAMER_S}
+                  / (CAST(n AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
+FROM (
+  SELECT CAST(SUM(CAST(floor((CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+                             * {CRAMER_S} + 0.5) AS BIGINT)) AS BIGINT) AS chi2q,
+         ANY_VALUE(n) AS n,
+         COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
+  FROM (
+    SELECT cells.r, cells.c, cells.o, rows_m.rn, cols_m.cn, tot.n
+    FROM (SELECT {rc} AS r, {cc} AS c, COUNT(*) AS o FROM {table} GROUP BY 1, 2) cells
+    JOIN (SELECT {rc} AS r, COUNT(*) AS rn FROM {table} GROUP BY 1) rows_m USING (r)
+    JOIN (SELECT {cc} AS c, COUNT(*) AS cn FROM {table} GROUP BY 1) cols_m USING (c)
+    CROSS JOIN (SELECT COUNT(*) AS n FROM {table}) tot
+  )
+)
+"""
+
+
+CRAMERS_V_SQL = (
+    _cramer_pair_sql(*_CRAMER_PAIRS[0])
+    + "UNION ALL"
+    + _cramer_pair_sql(*_CRAMER_PAIRS[1])
+    + "ORDER BY pair"
+)
+
+
+# ------------------------------------------- mutual information (binned)
+MI_S = 10**9   # per-cell p·ln term quantization
+
+
+def mutual_information_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between the decile-
+    binned l_quantity and l_returnflag — the model-free dependence
+    screen feature stores run before training: MI ≈ 0 means the
+    feature carries nothing about the label, NMI normalizes by
+    sqrt(H_x·H_y) for cross-pair comparability.
+
+    Bins: (quantity−1) div 10 → 5 ordinal cells; all probabilities
+    are exact integer ratios of one cell-count aggregation. Each
+    cell's (c/n)·ln(c·n/(r·cl)) term (and each marginal's entropy
+    term) is quantized ::BIGINT before its sum — c·n and r·cl stay
+    below 2^53 so the ln argument is an exact double on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        ((F.col("l_quantity").cast("long") - 1) / 10)
+        .cast("long")
+        .alias("xb"),
+        F.col("l_returnflag").alias("yb"),
+    )
+    cells = li.groupBy("xb", "yb").agg(F.count(F.lit(1)).alias("c"))
+    mx = cells.groupBy("xb").agg(F.sum("c").alias("rx"))
+    my = cells.groupBy("yb").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    mi_t = F.floor(
+        F.col("c").cast("double")
+        / F.col("n").cast("double")
+        * F.log(
+            (F.col("c") * F.col("n")).cast("double")
+            / (F.col("rx") * F.col("cy")).cast("double")
+        )
+        * F.lit(float(MI_S))
+        + F.lit(0.5)
+    ).cast("long")
+    mi_q = (
+        cells.join(F.broadcast(mx), "xb")
+        .join(F.broadcast(my), "yb")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_t).alias("miq"), F.max("n").alias("n"))
+    )
+
+    def ent_q(marg: DataFrame, cnt: str) -> DataFrame:
+        t = F.floor(
+            -(F.col(cnt).cast("double") / F.col("n").cast("double"))
+            * F.log(F.col(cnt).cast("double") / F.col("n").cast("double"))
+            * F.lit(float(MI_S))
+            + F.lit(0.5)
+        ).cast("long")
+        return marg.crossJoin(F.broadcast(tot)).agg(F.sum(t).alias(f"h_{cnt}"))
+
+    hx = ent_q(mx, "rx")
+    hy = ent_q(my, "cy")
+    s = mi_q.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    mi = F.col("miq").cast("double") / F.lit(float(MI_S))
+    hxd = F.col("h_rx").cast("double") / F.lit(float(MI_S))
+    hyd = F.col("h_cy").cast("double") / F.lit(float(MI_S))
+    return s.select(
+        F.lit("qty_decile~returnflag").alias("pair"),
+        "n",
+        F.round(mi, 6).alias("mi"),
+        F.round(hxd, 6).alias("h_x"),
+        F.round(hyd, 6).alias("h_y"),
+        F.round(mi / F.sqrt(hxd * hyd), 6).alias("nmi"),
+    )
+
+
+MUTUAL_INFO_SQL = f"""
+WITH rows_kv AS (
+  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS xb, l_returnflag AS yb
+  FROM lineitem
+), cells AS (
+  SELECT xb, yb, COUNT(*) AS c FROM rows_kv GROUP BY xb, yb
+), mx AS (SELECT xb, CAST(SUM(c) AS BIGINT) AS rx FROM cells GROUP BY xb),
+my AS (SELECT yb, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY yb),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+miq AS (
+  SELECT CAST(SUM(CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                             * ln(CAST(c * n AS DOUBLE) / CAST(rx * cy AS DOUBLE))
+                             * {MI_S} + 0.5) AS BIGINT)) AS BIGINT) AS miq,
+         MAX(n) AS n
+  FROM cells JOIN mx USING (xb) JOIN my USING (yb) CROSS JOIN tot
+), hx AS (
+  SELECT CAST(SUM(CAST(floor(-(CAST(rx AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln(CAST(rx AS DOUBLE) / CAST(n AS DOUBLE))
+                             * {MI_S} + 0.5) AS BIGINT)) AS BIGINT) AS hxq
+  FROM mx CROSS JOIN tot
+), hy AS (
+  SELECT CAST(SUM(CAST(floor(-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+                             * {MI_S} + 0.5) AS BIGINT)) AS BIGINT) AS hyq
+  FROM my CROSS JOIN tot
+)
+SELECT 'qty_decile~returnflag' AS pair, n,
+       ROUND(CAST(miq AS DOUBLE) / {MI_S}, 6) AS mi,
+       ROUND(CAST(hxq AS DOUBLE) / {MI_S}, 6) AS h_x,
+       ROUND(CAST(hyq AS DOUBLE) / {MI_S}, 6) AS h_y,
+       ROUND((CAST(miq AS DOUBLE) / {MI_S})
+             / sqrt((CAST(hxq AS DOUBLE) / {MI_S}) * (CAST(hyq AS DOUBLE) / {MI_S})), 6) AS nmi
+FROM miq, hx, hy
+"""
+
+
+# ------------------------------------------- Simpson's paradox audit
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the pooled OLS slope of
+    l_extendedprice ~ l_quantity versus each l_returnflag group's
+    slope, flagging sign reversals — aggregation reversing a
+    within-group trend is the classic way a dashboard lies, and this
+    audit is the standing check for it.
+
+    The pooled statistics are the exact-decimal SUMS of the group
+    statistics (decimal addition is associative — no double
+    accumulation across groups), so both levels come from ONE
+    map-side-combinable aggregation; slopes are single IEEE
+    expressions; the reversal flag compares unrounded doubles that
+    are bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    per = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(_dec(x)).alias("sx"),
+        F.sum(_dec(y)).alias("sy"),
+        F.sum(_dec(x * y)).alias("sxy"),
+        F.sum(_dec(x * x)).alias("sxx"),
+    )
+    pooled = per.agg(
+        F.sum("ni").alias("n"),
+        F.sum("sx").alias("px"),
+        F.sum("sy").alias("py"),
+        F.sum("sxy").alias("pxy"),
+        F.sum("sxx").alias("pxx"),
+    )
+
+    def slope(n, sx, sy, sxy, sxx):
+        nd = F.col(n).cast("double")
+        return (
+            nd * F.col(sxy).cast("double")
+            - F.col(sx).cast("double") * F.col(sy).cast("double")
+        ) / (
+            nd * F.col(sxx).cast("double")
+            - F.col(sx).cast("double") * F.col(sx).cast("double")
+        )
+
+    g = slope("ni", "sx", "sy", "sxy", "sxx")
+    p = slope("n", "px", "py", "pxy", "pxx")
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "l_returnflag",
+            F.col("ni").alias("n"),
+            F.round(g, 6).alias("slope"),
+            F.round(p, 6).alias("pooled_slope"),
+            ((g > 0) != (p > 0)).alias("sign_reversed"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SIMPSON_SQL = """
+WITH per AS (
+  SELECT l_returnflag,
+         COUNT(*) AS ni,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+), pooled AS (
+  SELECT CAST(SUM(ni) AS BIGINT) AS n,
+         CAST(SUM(sx) AS DECIMAL(28,6)) AS px,
+         CAST(SUM(sy) AS DECIMAL(28,6)) AS py,
+         CAST(SUM(sxy) AS DECIMAL(28,6)) AS pxy,
+         CAST(SUM(sxx) AS DECIMAL(28,6)) AS pxx
+  FROM per
+)
+SELECT l_returnflag, ni AS n,
+       ROUND((ni * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (ni * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((n * CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+             / (n * CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) * CAST(px AS DOUBLE)), 6) AS pooled_slope,
+       ((ni * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (ni * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0)
+       <> ((n * CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+           / (n * CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) * CAST(px AS DOUBLE)) > 0)
+         AS sign_reversed
+FROM per CROSS JOIN pooled
+ORDER BY l_returnflag
+"""
+
+# --------------------------------------------------- MAD outliers
+MAD_K_NUM = 44478   # 3 · 1.4826 · 10⁴ — the robust-z cutoff as an
+MAD_K_DEN = 10**4   # integer ratio so the outlier test never touches
+                    # a double
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit of document length per source: exact
+    median, exact MAD (median absolute deviation), and the count of
+    docs beyond the standard |x − med| > 3·1.4826·MAD fence — the
+    outlier rule that, unlike mean/σ z-scores, is not itself dragged
+    by the outliers it hunts.
+
+    Both medians are exact without any sort: per-VALUE counts +
+    bounded theta-join prefix sums give the rank-straddling value via
+    a CASE-sum (the value domain is doc length, not corpus size).
+    Working in DOUBLED units keeps everything integer: med2 = lo+hi
+    ranks' values, dev2 = |2v − med2|, mad4 = lo+hi of the dev2
+    domain; the fence is the pure-integer cross-multiply
+    10⁴·2·dev2 > 44478·mad4. One more broadcast join back to the
+    value table counts outliers — no row-level second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def med2_of(frame: DataFrame, out: str) -> DataFrame:
+        """2·median of the (source, v, c) frame via rank straddle."""
+        cum = (
+            frame.alias("a")
+            .join(
+                frame.alias("b"),
+                (F.col("a.source") == F.col("b.source"))
+                & (F.col("b.v") < F.col("a.v")),
+                "left",
+            )
+            .groupBy(
+                F.col("a.source").alias("source"),
+                F.col("a.v").alias("v"),
+                F.col("a.c").alias("c"),
+            )
+            .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("cum"))
+        )
+        tot = frame.groupBy("source").agg(F.sum("c").alias("n"))
+        j = cum.join(F.broadcast(tot), "source")
+        lo = (F.col("n") + 1) / 2
+        hi = (F.col("n") + 2) / 2
+        pick = lambda r: F.sum(  # noqa: E731
+            F.when(
+                (F.col("cum") < r) & (r <= F.col("cum") + F.col("c")),
+                F.col("v"),
+            ).otherwise(F.lit(0))
+        )
+        return j.groupBy("source", "n").agg(
+            (pick(F.floor(lo)) + pick(F.floor(hi))).alias(out)
+        )
+
+    med = med2_of(vals, "med2")
+    devs = (
+        vals.join(F.broadcast(med.select("source", "med2")), "source")
+        .select(
+            "source",
+            F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("v"),
+            "c",
+        )
+        .groupBy("source", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = med2_of(devs, "mad4").select(
+        "source", F.col("mad4")
+    )
+    fence = vals.join(F.broadcast(med.select("source", "med2")), "source").join(
+        F.broadcast(mad), "source"
+    )
+    out_c = fence.groupBy("source").agg(
+        F.sum(
+            F.when(
+                F.lit(2 * MAD_K_DEN)
+                * F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+                > F.lit(MAD_K_NUM) * F.col("mad4"),
+                F.col("c"),
+            ).otherwise(F.lit(0))
+        ).alias("n_outliers")
+    )
+    return (
+        med.join(F.broadcast(mad), "source")
+        .join(F.broadcast(out_c), "source")
+        .select(
+            "source",
+            "n",
+            (F.col("med2") / F.lit(2.0)).alias("median"),
+            (F.col("mad4") / F.lit(4.0)).alias("mad"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias(
+                "outlier_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH vals AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT a.source, a.v, a.c, CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS cum
+  FROM vals a LEFT JOIN vals b ON a.source = b.source AND b.v < a.v
+  GROUP BY a.source, a.v, a.c
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vals GROUP BY source
+), med AS (
+  SELECT cum.source, ANY_VALUE(tot.n) AS n,
+         CAST(SUM(CASE WHEN cum < (n + 1) // 2 AND (n + 1) // 2 <= cum + c
+                       THEN v ELSE 0 END)
+              + SUM(CASE WHEN cum < (n + 2) // 2 AND (n + 2) // 2 <= cum + c
+                         THEN v ELSE 0 END) AS BIGINT) AS med2
+  FROM cum JOIN tot ON cum.source = tot.source
+  GROUP BY cum.source
+), devs AS (
+  SELECT vals.source, ABS(2 * v - med2) AS v, CAST(SUM(c) AS BIGINT) AS c
+  FROM vals JOIN med ON vals.source = med.source
+  GROUP BY vals.source, ABS(2 * v - med2)
+), dcum AS (
+  SELECT a.source, a.v, a.c, CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS cum
+  FROM devs a LEFT JOIN devs b ON a.source = b.source AND b.v < a.v
+  GROUP BY a.source, a.v, a.c
+), mad AS (
+  SELECT dcum.source,
+         CAST(SUM(CASE WHEN cum < (n + 1) // 2 AND (n + 1) // 2 <= cum + c
+                       THEN v ELSE 0 END)
+              + SUM(CASE WHEN cum < (n + 2) // 2 AND (n + 2) // 2 <= cum + c
+                         THEN v ELSE 0 END) AS BIGINT) AS mad4
+  FROM dcum JOIN tot ON dcum.source = tot.source
+  GROUP BY dcum.source
+), outc AS (
+  SELECT vals.source,
+         CAST(SUM(CASE WHEN {2 * MAD_K_DEN} * ABS(2 * v - med2)
+                            > {MAD_K_NUM} * mad4
+                       THEN c ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM vals JOIN med ON vals.source = med.source
+            JOIN mad ON vals.source = mad.source
+  GROUP BY vals.source
+)
+SELECT med.source, med.n,
+       med2 / 2.0 AS median,
+       mad4 / 4.0 AS mad,
+       n_outliers,
+       ROUND(n_outliers / med.n, 6) AS outlier_share
+FROM med JOIN mad ON med.source = mad.source
+         JOIN outc ON med.source = outc.source
+ORDER BY med.source
+"""
+
+
+# ---------------------------------------------- trimmed/winsorized mean
+TRIM_PCT_DEN = 10   # trim n div 10 rows (10%) from each tail
+
+
+def trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location report for document length per source: plain
+    mean, 10%-trimmed mean, and winsorized mean — the triplet that
+    tells a curation pipeline whether its "average doc length" is a
+    real central tendency or three giant documents (trimmed ≪ mean ⇒
+    heavy tail; winsorized between them quantifies the clamp).
+
+    Same per-VALUE rank machinery as mad_outliers: with k = n div 10,
+    a value keeps max(0, min(cum+c, n−k) − max(cum, k)) of its count
+    inside the trim window — exact integer interval intersection per
+    VALUE, not per row; the winsorized tails reuse the rank-straddle
+    CASE-sum for the clamp values. Sums are Σc·v BIGINT; every mean
+    is one exact int/int division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = (
+        vals.alias("a")
+        .join(
+            vals.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.v") < F.col("a.v")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.v").alias("v"),
+            F.col("a.c").alias("c"),
+        )
+        .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("cum"))
+    )
+    tot = vals.groupBy("source").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "source")
+    k = F.floor(F.col("n") / TRIM_PCT_DEN).cast("long")
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum") + F.col("c"), F.col("n") - k)
+        - F.greatest(F.col("cum"), k),
+    )
+    pick = lambda r: F.sum(  # noqa: E731
+        F.when(
+            (F.col("cum") < r) & (r <= F.col("cum") + F.col("c")), F.col("v")
+        ).otherwise(F.lit(0))
+    )
+    s = j.groupBy("source", "n").agg(
+        F.sum(F.col("c") * F.col("v")).alias("sv"),
+        F.sum(kept * F.col("v")).alias("tsv"),
+        pick(k + 1).alias("vlo"),
+        pick(F.col("n") - k).alias("vhi"),
+    )
+    kk = F.floor(F.col("n") / TRIM_PCT_DEN).cast("long")
+    return s.select(
+        "source",
+        "n",
+        kk.alias("k_trim"),
+        F.round(F.col("sv") / F.col("n"), 6).alias("mean"),
+        F.round(F.col("tsv") / (F.col("n") - F.lit(2) * kk), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (F.col("tsv") + kk * (F.col("vlo") + F.col("vhi"))) / F.col("n"),
+            6,
+        ).alias("winsor_mean"),
+    ).orderBy("source")
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH vals AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT a.source, a.v, a.c, CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS cum
+  FROM vals a LEFT JOIN vals b ON a.source = b.source AND b.v < a.v
+  GROUP BY a.source, a.v, a.c
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vals GROUP BY source
+), s AS (
+  SELECT cum.source, ANY_VALUE(tot.n) AS n,
+         ANY_VALUE(tot.n // {TRIM_PCT_DEN}) AS k,
+         CAST(SUM(c * v) AS BIGINT) AS sv,
+         CAST(SUM(GREATEST(0, LEAST(cum + c, n - n // {TRIM_PCT_DEN})
+                              - GREATEST(cum, n // {TRIM_PCT_DEN})) * v) AS BIGINT) AS tsv,
+         CAST(SUM(CASE WHEN cum < n // {TRIM_PCT_DEN} + 1
+                            AND n // {TRIM_PCT_DEN} + 1 <= cum + c
+                       THEN v ELSE 0 END) AS BIGINT) AS vlo,
+         CAST(SUM(CASE WHEN cum < n - n // {TRIM_PCT_DEN}
+                            AND n - n // {TRIM_PCT_DEN} <= cum + c
+                       THEN v ELSE 0 END) AS BIGINT) AS vhi
+  FROM cum JOIN tot ON cum.source = tot.source
+  GROUP BY cum.source
+)
+SELECT source, n, k AS k_trim,
+       ROUND(sv / n, 6) AS mean,
+       ROUND(tsv / (n - 2 * k), 6) AS trimmed_mean,
+       ROUND((tsv + k * (vlo + vhi)) / n, 6) AS winsor_mean
+FROM s
+ORDER BY source
 """

@@ -43,6 +43,7 @@ from cgtcalc_data_transformer_spark.operators import (
     sampling,
     similarity,
     skyline,
+    stats_ext,
     textops,
     tpch_more,
     tpch_shapes2,
@@ -562,6 +563,25 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "benfords_law_audit": (quality.benfords_law_audit, quality.BENFORD_SQL),
     "kaplan_meier_churn": (events.kaplan_meier_churn, events.KAPLAN_MEIER_SQL),
     "hhi_concentration": (quality.hhi_concentration, quality.HHI_SQL),
+    # ---- round 7: classical statistics family (stats_ext) ----
+    "mannwhitney_u_test": (stats_ext.mannwhitney_u_test, stats_ext.MANNWHITNEY_SQL),
+    "spearman_rank_corr": (stats_ext.spearman_rank_corr, stats_ext.SPEARMAN_SQL),
+    "kendall_tau_binned": (stats_ext.kendall_tau_binned, stats_ext.KENDALL_SQL),
+    "anova_f_oneway": (stats_ext.anova_f_oneway, stats_ext.ANOVA_SQL),
+    "cramers_v_matrix": (stats_ext.cramers_v_matrix, stats_ext.CRAMERS_V_SQL),
+    "mutual_information_binned": (
+        stats_ext.mutual_information_binned,
+        stats_ext.MUTUAL_INFO_SQL,
+    ),
+    "simpson_paradox_audit": (
+        stats_ext.simpson_paradox_audit,
+        stats_ext.SIMPSON_SQL,
+    ),
+    "mad_outliers": (stats_ext.mad_outliers, stats_ext.MAD_OUTLIERS_SQL),
+    "trimmed_mean_robust": (
+        stats_ext.trimmed_mean_robust,
+        stats_ext.TRIMMED_MEAN_SQL,
+    ),
 }
 
 
@@ -585,7 +605,17 @@ CURRENT_ROUND = 7
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
-_ROUND7_NEW: list[str] = []
+_ROUND7_NEW: list[str] = [
+    "mannwhitney_u_test",
+    "spearman_rank_corr",
+    "kendall_tau_binned",
+    "anova_f_oneway",
+    "cramers_v_matrix",
+    "mutual_information_binned",
+    "simpson_paradox_audit",
+    "mad_outliers",
+    "trimmed_mean_robust",
+]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then
 # the oldest green rows. Only the first 50-len(_ROUND7_NEW) burn slots.

@@ -1,0 +1,306 @@
+"""Round-7 operator tests: independent Python/numpy reimplementations
+for the classical-statistics family (stats_ext) and the other round-7
+additions — every operator's math is recomputed from collected rows
+with a formulation that shares NO code with the Spark plan (naive
+sort-based ranks vs per-value-count theta joins, scipy-free textbook
+formulas vs quantized integer sums).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ranks(values):
+    """Naive tied-average ranks (1-based) by sorting — the textbook
+    formulation the engine's per-value-count machinery must match."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j + 2) / 2  # ranks i+1 .. j+1 averaged
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def _li_xy(spark):
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_discount", "l_returnflag")
+        .collect()
+    )
+    xs = [int(r["l_quantity"]) for r in rows]
+    ys = [int(math.floor(r["l_discount"] * 100 + 0.5)) for r in rows]
+    flags = [r["l_returnflag"] for r in rows]
+    return xs, ys, flags
+
+
+# ------------------------------------------------ mannwhitney_u_test
+def test_mannwhitney_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        MW_Z_CRIT,
+        mannwhitney_u_test,
+    )
+
+    xs, _, flags = _li_xy(spark)
+    a = [x for x, f in zip(xs, flags) if f == "R"]
+    b = [x for x, f in zip(xs, flags) if f == "N"]
+    pooled = a + b
+    ranks = _ranks(pooled)
+    ra = sum(ranks[: len(a)])
+    ma, mb = len(a), len(b)
+    u_a = ra - ma * (ma + 1) / 2
+    n = ma + mb
+    tie = Counter(pooled)
+    tsum = sum(t**3 - t for t in tie.values())
+    var = ma * mb / 12 * ((n + 1) - tsum / (n * (n - 1)))
+    z = (u_a - ma * mb / 2) / math.sqrt(var)
+    got = mannwhitney_u_test(spark, SF).collect()[0]
+    assert (got["m_a"], got["m_b"]) == (ma, mb)
+    assert got["u_a"] == u_a
+    assert abs(got["z_stat"] - z) < 1e-6
+    assert got["significant"] == (abs(z) > MW_Z_CRIT)
+
+
+# ------------------------------------------------ spearman_rank_corr
+def test_spearman_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        spearman_rank_corr,
+    )
+
+    xs, ys, _ = _li_xy(spark)
+    rx, ry = _ranks(xs), _ranks(ys)
+    n = len(xs)
+    mrx = sum(rx) / n
+    mry = sum(ry) / n
+    num = sum((a - mrx) * (b - mry) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mrx) ** 2 for a in rx) * sum((b - mry) ** 2 for b in ry)
+    )
+    got = spearman_rank_corr(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert abs(got["rho"] - num / den) < 1e-6
+
+
+# ------------------------------------------------ kendall_tau_binned
+def test_kendall_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        kendall_tau_binned,
+    )
+
+    xs, ys, _ = _li_xy(spark)
+    cells = Counter(zip(xs, ys))
+    items = list(cells.items())
+    cc = dd = 0
+    for i, ((x1, y1), c1) in enumerate(items):
+        for (x2, y2), c2 in items:
+            if x2 > x1 and y2 > y1:
+                cc += c1 * c2
+            elif x2 > x1 and y2 < y1:
+                dd += c1 * c2
+    n = len(xs)
+    tx = Counter(xs)
+    ty = Counter(ys)
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2 for t in ty.values())
+    tau = (cc - dd) / math.sqrt((n0 - n1) * (n0 - n2))
+    got = kendall_tau_binned(spark, SF).collect()[0]
+    assert (got["concordant"], got["discordant"]) == (cc, dd)
+    assert got["n"] == n
+    assert abs(got["tau_b"] - tau) < 1e-6
+
+
+# --------------------------------------------------- anova_f_oneway
+def test_anova_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        anova_f_oneway,
+    )
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append(r["l_extendedprice"])
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    grand = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values())
+    ssw = sum(
+        sum((v - sum(g) / len(g)) ** 2 for v in g) for g in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = anova_f_oneway(spark, SF).collect()[0]
+    assert (got["n"], got["k"]) == (n, k)
+    # python accumulates in a different order: agree to relative 1e-9
+    assert abs(got["ss_between"] - ssb) < 1e-6 * max(1.0, ssb)
+    assert abs(got["ss_within"] - ssw) < 1e-6 * max(1.0, ssw)
+    assert abs(got["f_stat"] - f) < 1e-4 * max(1.0, abs(f))
+    assert abs(got["eta_sq"] - ssb / (ssb + ssw)) < 1e-6
+    # independently generated price vs flag: no real effect expected
+    assert got["eta_sq"] < 0.05
+
+
+# ------------------------------------------------- cramers_v_matrix
+def test_cramers_v_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        _CRAMER_PAIRS,
+        cramers_v_matrix,
+    )
+
+    got = {r["pair"]: r for r in cramers_v_matrix(spark, SF).collect()}
+    assert len(got) == len(_CRAMER_PAIRS)
+    for table, rc, cc in _CRAMER_PAIRS:
+        rows = load_table(spark, SF, table).select(rc, cc).collect()
+        cells = Counter((r[rc], r[cc]) for r in rows)
+        rm = Counter(r[rc] for r in rows)
+        cm = Counter(r[cc] for r in rows)
+        n = len(rows)
+        chi2 = 0.0
+        for rcat in rm:
+            for ccat in cm:
+                e = rm[rcat] * cm[ccat] / n
+                o = cells.get((rcat, ccat), 0)
+                chi2 += (o - e) ** 2 / e
+        v = math.sqrt(chi2 / (n * min(len(rm) - 1, len(cm) - 1)))
+        g = got[f"{table}.{rc}~{cc}"]
+        assert g["n"] == n
+        assert (g["n_rowcats"], g["n_colcats"]) == (len(rm), len(cm))
+        assert abs(g["chi2"] - chi2) < 1e-4 * max(1.0, chi2)
+        assert abs(g["cramers_v"] - v) < 1e-5
+
+
+# ---------------------------------------- mutual_information_binned
+def test_mutual_information_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        mutual_information_binned,
+    )
+
+    xs, _, flags = _li_xy(spark)
+    xb = [(x - 1) // 10 for x in xs]
+    cells = Counter(zip(xb, flags))
+    mx = Counter(xb)
+    my = Counter(flags)
+    n = len(xs)
+    mi = sum(
+        c / n * math.log(c * n / (mx[x] * my[y]))
+        for (x, y), c in cells.items()
+    )
+    hx = -sum(c / n * math.log(c / n) for c in mx.values())
+    hy = -sum(c / n * math.log(c / n) for c in my.values())
+    got = mutual_information_binned(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert abs(got["mi"] - mi) < 1e-6
+    assert abs(got["h_x"] - hx) < 1e-6
+    assert abs(got["h_y"] - hy) < 1e-6
+    assert abs(got["nmi"] - mi / math.sqrt(hx * hy)) < 1e-5
+
+
+# --------------------------------------------- simpson_paradox_audit
+def test_simpson_audit_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        simpson_paradox_audit,
+    )
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+
+    def slope(pts):
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r["l_returnflag"]].append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    pooled = slope([p for g in by_flag.values() for p in g])
+    got = {r["l_returnflag"]: r for r in simpson_paradox_audit(spark, SF).collect()}
+    assert set(got) == set(by_flag)
+    for flag, pts in by_flag.items():
+        g = got[flag]
+        s = slope(pts)
+        assert g["n"] == len(pts)
+        assert abs(g["slope"] - s) < 1e-4 * max(1.0, abs(s))
+        assert abs(g["pooled_slope"] - pooled) < 1e-4 * max(1.0, abs(pooled))
+        assert g["sign_reversed"] == ((s > 0) != (pooled > 0))
+
+
+# ------------------------------------------------------ mad_outliers
+def _median(sorted_vals):
+    n = len(sorted_vals)
+    lo = sorted_vals[(n + 1) // 2 - 1]
+    hi = sorted_vals[(n + 2) // 2 - 1]
+    return (lo + hi) / 2
+
+
+def test_mad_outliers_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        mad_outliers,
+    )
+
+    rows = load_table(spark, SF, "documents").select("source", "n_chars").collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["n_chars"])
+    got = {r["source"]: r for r in mad_outliers(spark, SF).collect()}
+    assert set(got) == set(by_src)
+    for src, vals in by_src.items():
+        vals.sort()
+        med = _median(vals)
+        devs = sorted(abs(v - med) for v in vals)
+        mad = _median(devs)
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
+        g = got[src]
+        assert g["n"] == len(vals)
+        assert g["median"] == med
+        assert g["mad"] == mad
+        assert g["n_outliers"] == n_out
+        assert g["outlier_share"] == round(n_out / len(vals), 6)
+
+
+# ----------------------------------------------- trimmed_mean_robust
+def test_trimmed_mean_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        trimmed_mean_robust,
+    )
+
+    rows = load_table(spark, SF, "documents").select("source", "n_chars").collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["n_chars"])
+    got = {r["source"]: r for r in trimmed_mean_robust(spark, SF).collect()}
+    assert set(got) == set(by_src)
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 10
+        trimmed = vals[k : n - k]
+        winsor = [vals[k]] * k + trimmed + [vals[n - k - 1]] * k
+        g = got[src]
+        assert (g["n"], g["k_trim"]) == (n, k)
+        assert g["mean"] == round(sum(vals) / n, 6)
+        assert g["trimmed_mean"] == round(sum(trimmed) / len(trimmed), 6)
+        assert g["winsor_mean"] == round(sum(winsor) / n, 6)
