@@ -253,6 +253,11 @@ HEADLINE: dict[str, str] = {
     "simpson_paradox_audit": "collect",
     "mad_outliers": "collect",
     "trimmed_mean_robust": "collect",
+    "acf_daily_counts": "collect",
+    "ewma_control_chart": "collect",
+    "theil_sen_trend": "collect",
+    "bh_fdr_control": "collect",
+    "nelson_aalen_hazard": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -277,6 +282,7 @@ EXCLUDED = {
     "plan_build_time_iteration": [
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",
         "kcore_parts", "bpe_learn_merges", "bfs_reach", "bpe_apply",
+        "markov_stationary_dist",
     ],
     "quadratic_calibration_ground_truth": [
         "dedup_ngram_jaccard", "containment_dedup", "dedup_lsh_quality",

@@ -1852,10 +1852,12 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km_from_activity(activity)
 
 
-def _km_from_activity(activity: DataFrame) -> DataFrame:
-    """KM core over a distinct (user_id, day) frame — split out so the
-    d == n_risk → S(t) = 0 branch is unit-testable with synthetic
-    activity (the driver corpus never reaches it)."""
+def _risk_table(activity: DataFrame) -> DataFrame:
+    """(t, d, c, n_risk) duration-domain risk table from a distinct
+    (user_id, day) frame — shared by Kaplan-Meier and Nelson-Aalen:
+    duration = last−first active day, censored iff still active
+    within KM_CENSOR_GAP of the horizon, at-risk counts via the
+    bounded duration-domain theta join."""
     horizon = activity.agg(F.max("day").alias("h"))
     users = (
         activity.groupBy("user_id")
@@ -1873,7 +1875,7 @@ def _km_from_activity(activity: DataFrame) -> DataFrame:
         F.sum(F.lit(1) - F.col("event")).alias("c"),
     )
     # n_at_risk(t) = users with duration >= t  (bounded theta join)
-    at_risk = (
+    return (
         per_t.alias("a")
         .join(
             F.broadcast(per_t.alias("b")), F.col("b.t") >= F.col("a.t")
@@ -1881,6 +1883,13 @@ def _km_from_activity(activity: DataFrame) -> DataFrame:
         .groupBy(F.col("a.t").alias("t"), F.col("a.d").alias("d"), F.col("a.c").alias("c"))
         .agg(F.sum(F.col("b.d") + F.col("b.c")).alias("n_risk"))
     )
+
+
+def _km_from_activity(activity: DataFrame) -> DataFrame:
+    """KM core over a distinct (user_id, day) frame — split out so the
+    d == n_risk → S(t) = 0 branch is unit-testable with synthetic
+    activity (the driver corpus never reaches it)."""
+    at_risk = _risk_table(activity)
     term_i = F.when(
         (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
         F.floor(
@@ -1966,3 +1975,198 @@ FROM terms a JOIN terms b ON b.t <= a.t
 GROUP BY a.t, a.n_risk, a.d, a.c
 ORDER BY a.t
 """
+
+# ------------------------------------------- Nelson-Aalen hazard
+NA_S1 = 10**9    # d/n term quantization (cumulative hazard)
+NA_S2 = 10**15   # d/n² term quantization (variance)
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for user churn (Nelson 1972,
+    Aalen 1978): H(t) = Σ_{u≤t} d_u/n_u with variance Σ d_u/n_u² —
+    the additive twin of kaplan_meier_churn that survival tooling
+    plots for hazard-rate shape (constant slope ⇒ exponential churn,
+    bending up ⇒ aging-in). Same censoring convention, same shared
+    risk table.
+
+    Scale shape identical to KM: everything after the per-user
+    min/max rollup runs on the bounded duration-domain table. Each
+    d/n and d/n² term is quantized floor(x·S + 0.5)::BIGINT before
+    the prefix-sum theta join, so H(t) and se(t) are exact-integer
+    rationals rendered once per engine.
+    """
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts div {DAY_NS}").alias("day")
+    at_risk = _risk_table(ev.select("user_id", day).distinct())
+    h_i = F.when(
+        F.col("d") > 0,
+        F.floor(
+            F.col("d").cast("double") / F.col("n_risk").cast("double")
+            * F.lit(float(NA_S1))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    v_i = F.when(
+        F.col("d") > 0,
+        F.floor(
+            F.col("d").cast("double")
+            / (F.col("n_risk") * F.col("n_risk")).cast("double")
+            * F.lit(float(NA_S2))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = at_risk.select(
+        "t", "d", "c", "n_risk", h_i.alias("hi"), v_i.alias("vi")
+    )
+    return (
+        terms.alias("a")
+        .join(F.broadcast(terms.alias("b")), F.col("b.t") <= F.col("a.t"))
+        .groupBy(
+            F.col("a.t").alias("t"),
+            F.col("a.d").alias("n_churned"),
+            F.col("a.c").alias("n_censored"),
+            F.col("a.n_risk").alias("n_at_risk"),
+        )
+        .agg(F.sum("b.hi").alias("hs"), F.sum("b.vi").alias("vs"))
+        .select(
+            "t",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            F.round(F.col("hs") / F.lit(float(NA_S1)), 6).alias("cum_hazard"),
+            F.round(
+                F.sqrt(F.col("vs").cast("double") / F.lit(float(NA_S2))), 6
+            ).alias("se"),
+        )
+        .orderBy("t")
+    )
+
+
+NELSON_AALEN_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), horizon AS (
+  SELECT MAX(day) AS h FROM activity
+), users AS (
+  SELECT last_day - first_day AS t,
+         CASE WHEN last_day < h - {KM_CENSOR_GAP} THEN 1 ELSE 0 END AS event
+  FROM (SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+        FROM activity GROUP BY user_id), horizon
+), per_t AS (
+  SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM users GROUP BY t
+), at_risk AS (
+  SELECT a.t, a.d, a.c, CAST(SUM(b.d + b.c) AS BIGINT) AS n_risk
+  FROM per_t a JOIN per_t b ON b.t >= a.t
+  GROUP BY a.t, a.d, a.c
+), terms AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d > 0
+              THEN CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                              * {NA_S1} + 0.5) AS BIGINT)
+              ELSE 0 END AS hi,
+         CASE WHEN d > 0
+              THEN CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk * n_risk AS DOUBLE)
+                              * {NA_S2} + 0.5) AS BIGINT)
+              ELSE 0 END AS vi
+  FROM at_risk
+)
+SELECT a.t, a.n_risk AS n_at_risk, a.d AS n_churned, a.c AS n_censored,
+       ROUND(CAST(SUM(b.hi) AS BIGINT) / {NA_S1}.0, 6) AS cum_hazard,
+       ROUND(sqrt(CAST(SUM(b.vi) AS BIGINT) / {NA_S2}.0), 6) AS se
+FROM terms a JOIN terms b ON b.t <= a.t
+GROUP BY a.t, a.n_risk, a.d, a.c
+ORDER BY a.t
+"""
+
+
+# ------------------------------------- Markov stationary distribution
+MARKOV_S = 10**12   # π probability scale (exact-integer iteration)
+MARKOV_ITERS = 10
+
+
+def markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov
+    chain: power iteration π ← πP over the transition counts that
+    events_transition_matrix reports — the long-run behavioral mix a
+    capacity model converges to, independent of today's traffic.
+
+    The chain itself is bounded (|types|² counts from ONE lead-window
+    aggregation); the iteration runs DRIVER-SIDE on that collected
+    matrix in EXACT integer arithmetic: π is scaled to 10¹², each
+    step is Σ_i (π_i·c_ij) div r_i — floor-division rationals that
+    both the Python loop and the oracle's {MARKOV_ITERS} unrolled
+    CTEs reproduce bit-for-bit (no float drift to converge
+    differently). The collect is K² ≤ a few dozen rows — the bounded
+    plan-build-state pattern (kmeans centroids, BPE merges); the
+    full-data pass is the single pair count.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("i"),
+            F.lead("event_type").over(w).alias("j"),
+        )
+        .filter(F.col("j").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = pairs.collect()  # bounded: |types|² cells
+    states = sorted({r["i"] for r in rows})
+    idx = {s: k for k, s in enumerate(states)}
+    k = len(states)
+    cmat = [[0] * k for _ in range(k)]
+    for r in rows:
+        if r["j"] in idx:  # drop targets never seen as a source
+            cmat[idx[r["i"]]][idx[r["j"]]] += r["cnt"]
+    rsum = [sum(row) for row in cmat]
+    pi = [MARKOV_S // k] * k
+    for _ in range(MARKOV_ITERS):
+        pi = [
+            sum((pi[i] * cmat[i][j]) // rsum[i] for i in range(k) if rsum[i])
+            for j in range(k)
+        ]
+    out = [(s, pi[idx[s]], pi[idx[s]] / MARKOV_S) for s in states]
+    return (
+        spark.createDataFrame(out, "event_type string, pi_q long, pi double")
+        .orderBy("event_type")
+    )
+
+
+def _markov_sql() -> str:
+    iters = "".join(
+        f""", it{n} AS (
+  SELECT p.j AS s, CAST(SUM((it{n-1}.pi * p.cnt) // p.r) AS BIGINT) AS pi
+  FROM pairs p JOIN it{n-1} ON p.i = it{n-1}.s
+  GROUP BY p.j
+)"""
+        for n in range(1, MARKOV_ITERS + 1)
+    )
+    return f"""
+WITH seq AS (
+  SELECT event_type AS i,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+  FROM events
+), raw_pairs AS (
+  SELECT i, j, COUNT(*) AS cnt FROM seq WHERE j IS NOT NULL GROUP BY i, j
+), states AS (
+  SELECT DISTINCT i AS s FROM raw_pairs
+), pairs AS MATERIALIZED (
+  SELECT rp.i, rp.j, CAST(rp.cnt AS BIGINT) AS cnt,
+         CAST(SUM(rp.cnt) OVER (PARTITION BY rp.i) AS BIGINT) AS r
+  FROM raw_pairs rp JOIN states ON rp.j = states.s
+), it0 AS (
+  SELECT s, CAST({MARKOV_S} // (SELECT COUNT(*) FROM states) AS BIGINT) AS pi
+  FROM states
+){iters}
+SELECT states.s AS event_type,
+       CAST(COALESCE(fin.pi, 0) AS BIGINT) AS pi_q,
+       COALESCE(fin.pi, 0) / {MARKOV_S}.0 AS pi
+FROM states LEFT JOIN it{MARKOV_ITERS} fin ON states.s = fin.s
+ORDER BY event_type
+"""
+
+
+MARKOV_STATIONARY_SQL = _markov_sql()

@@ -44,6 +44,7 @@ from cgtcalc_data_transformer_spark.operators import (
     similarity,
     skyline,
     stats_ext,
+    timeseries,
     textops,
     tpch_more,
     tpch_shapes2,
@@ -582,6 +583,17 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats_ext.trimmed_mean_robust,
         stats_ext.TRIMMED_MEAN_SQL,
     ),
+    # ---- round 7: time-series diagnostics (timeseries) ----
+    "acf_daily_counts": (timeseries.acf_daily_counts, timeseries.ACF_SQL),
+    "ewma_control_chart": (timeseries.ewma_control_chart, timeseries.EWMA_SQL),
+    "theil_sen_trend": (timeseries.theil_sen_trend, timeseries.THEIL_SEN_SQL),
+    "bh_fdr_control": (timeseries.bh_fdr_control, timeseries.BH_FDR_SQL),
+    # ---- round 7: survival / chain twins (events) ----
+    "nelson_aalen_hazard": (events.nelson_aalen_hazard, events.NELSON_AALEN_SQL),
+    "markov_stationary_dist": (
+        events.markov_stationary_dist,
+        events.MARKOV_STATIONARY_SQL,
+    ),
 }
 
 
@@ -615,6 +627,12 @@ _ROUND7_NEW: list[str] = [
     "simpson_paradox_audit",
     "mad_outliers",
     "trimmed_mean_robust",
+    "acf_daily_counts",
+    "ewma_control_chart",
+    "theil_sen_trend",
+    "bh_fdr_control",
+    "nelson_aalen_hazard",
+    "markov_stationary_dist",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -304,3 +304,240 @@ def test_trimmed_mean_matches_python_reference(spark):
         assert g["mean"] == round(sum(vals) / n, 6)
         assert g["trimmed_mean"] == round(sum(trimmed) / len(trimmed), 6)
         assert g["winsor_mean"] == round(sum(winsor) / n, 6)
+
+
+# ------------------------------------------------- daily grid helpers
+def _daily_counts(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import DAY_NS
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("event_type", "ts").collect()
+    days = [(r["event_type"], r["ts"] // DAY_NS) for r in rows]
+    dmin = min(d for _, d in days)
+    dmax = max(d for _, d in days)
+    nd = dmax - dmin + 1
+    series = defaultdict(lambda: [0] * nd)
+    for t, d in days:
+        series[t][d - dmin] += 1
+    return series, nd
+
+
+# --------------------------------------------------- acf_daily_counts
+def test_acf_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        ACF_MAX_LAG,
+        acf_daily_counts,
+    )
+
+    series, nd = _daily_counts(spark)
+    got = defaultdict(dict)
+    for r in acf_daily_counts(spark, SF).collect():
+        got[r["event_type"]][r["lag"]] = r["acf"]
+    assert set(got) == set(series)
+    for t, ys in series.items():
+        ybar = sum(ys) / nd
+        den = sum((y - ybar) ** 2 for y in ys)
+        for k in range(1, min(ACF_MAX_LAG, nd - 1) + 1):
+            num = sum(
+                (ys[i] - ybar) * (ys[i + k] - ybar) for i in range(nd - k)
+            )
+            assert abs(got[t][k] - num / den) < 1e-6, (t, k)
+        # lag-0 would be 1; all reported lags bounded
+        assert all(abs(v) <= 1.0 + 1e-9 for v in got[t].values())
+
+
+# ------------------------------------------------- ewma_control_chart
+def test_ewma_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        EWMA_ALPHA_DEN,
+        EWMA_ALPHA_NUM,
+        EWMA_L,
+        ewma_control_chart,
+    )
+
+    series, nd = _daily_counts(spark)
+    alpha = EWMA_ALPHA_NUM / EWMA_ALPHA_DEN
+    got = defaultdict(dict)
+    for r in ewma_control_chart(spark, SF).collect():
+        got[r["event_type"]][r["d"]] = r
+    for t, ys in series.items():
+        mean = sum(ys) / nd
+        sigma = math.sqrt(sum((y - mean) ** 2 for y in ys) / nd)
+        z = ys[0]
+        for d in range(1, nd):
+            g = got[t][d]
+            assert g["y"] == ys[d]
+            # engine reports z_{t-1} (micro-truncated); recursive float
+            # EWMA agrees within the quantization error budget
+            assert abs(g["ewma_prev"] - z) < 1e-4
+            assert abs(g["sigma"] - sigma) < 1e-5
+            assert g["out_of_control"] == (abs(ys[d] - z) > EWMA_L * sigma) or (
+                abs(abs(ys[d] - z) - EWMA_L * sigma) < 1e-6
+            )
+            z = alpha * ys[d] + (1 - alpha) * z
+
+
+# ---------------------------------------------------- theil_sen_trend
+def test_theil_sen_matches_python_reference(spark):
+    import statistics
+
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    series, nd = _daily_counts(spark)
+    got = {r["event_type"]: r for r in theil_sen_trend(spark, SF).collect()}
+    assert set(got) == set(series)
+    for t, ys in series.items():
+        slopes = [
+            (ys[j] - ys[i]) / (j - i)
+            for i in range(nd)
+            for j in range(i + 1, nd)
+        ]
+        ts = statistics.median(slopes)
+        xs = list(range(nd))
+        n = nd
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        g = got[t]
+        assert g["n_days"] == nd
+        assert g["n_pairs"] == len(slopes)
+        assert abs(g["theil_sen_slope"] - ts) < 1e-6
+        assert abs(g["ols_slope"] - ols) < 1e-6
+
+
+# ----------------------------------------------------- bh_fdr_control
+def test_bh_fdr_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        BH_Q,
+        DAY_NS,
+        bh_fdr_control,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("event_type", "ts").collect()
+    days = [(r["event_type"], r["ts"] // DAY_NS) for r in rows]
+    dmin = min(d for _, d in days)
+    dmax = max(d for _, d in days)
+    mid = (dmin + dmax) // 2
+    c1 = Counter(t for t, d in days if d <= mid)
+    c2 = Counter(t for t, d in days if d > mid)
+    types = sorted(set(c1) | set(c2))
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    stats = {}
+    for t in types:
+        p1, p2 = c1[t] / n1, c2[t] / n2
+        pp = (c1[t] + c2[t]) / (n1 + n2)
+        z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+        p = math.erfc(abs(z) / math.sqrt(2))  # exact tail, vs A&S approx
+        stats[t] = (z, p)
+    order = sorted(types, key=lambda t: (stats[t][1], t))
+    m = len(types)
+    kmax = 0
+    for r, t in enumerate(order, 1):
+        if stats[t][1] <= BH_Q * r / m:
+            kmax = r
+    got = {r["event_type"]: r for r in bh_fdr_control(spark, SF).collect()}
+    assert set(got) == set(types)
+    for r, t in enumerate(order, 1):
+        g = got[t]
+        assert (g["c1"], g["c2"]) == (c1[t], c2[t])
+        assert abs(g["z_stat"] - stats[t][0]) < 1e-6
+        # A&S 7.1.26 bound (1.5e-7) + the 6-decimal display rounding
+        assert abs(g["p_value"] - stats[t][1]) < 7e-7
+        assert g["rank"] == r
+        assert g["rejected"] == (r <= kmax)
+
+
+# ------------------------------------------------ nelson_aalen_hazard
+def test_nelson_aalen_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.events import (
+        DAY_NS,
+        KM_CENSOR_GAP,
+        nelson_aalen_hazard,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in rows:
+        days[r["user_id"]].add(r["ts"] // DAY_NS)
+    h = max(d for ds in days.values() for d in ds)
+    users = [
+        (max(ds) - min(ds), 1 if max(ds) < h - KM_CENSOR_GAP else 0)
+        for ds in days.values()
+    ]
+    per_t = defaultdict(lambda: [0, 0])
+    for t, e in users:
+        per_t[t][0] += e
+        per_t[t][1] += 1 - e
+    got = {r["t"]: r for r in nelson_aalen_hazard(spark, SF).collect()}
+    assert set(got) == set(per_t)
+    prev_h = 0.0
+    for t in sorted(per_t):
+        n_risk = sum(d + c for tt, (d, c) in per_t.items() if tt >= t)
+        H = 0.0
+        V = 0.0
+        for tt in sorted(per_t):
+            if tt > t:
+                continue
+            dd = per_t[tt][0]
+            nn = sum(x + y for t3, (x, y) in per_t.items() if t3 >= tt)
+            H += dd / nn
+            V += dd / nn**2
+        g = got[t]
+        assert g["n_at_risk"] == n_risk
+        assert (g["n_churned"], g["n_censored"]) == tuple(per_t[t])
+        assert abs(g["cum_hazard"] - H) < 1e-6
+        assert abs(g["se"] - math.sqrt(V)) < 1e-6
+        assert g["cum_hazard"] >= prev_h - 1e-9  # monotone
+        prev_h = g["cum_hazard"]
+
+
+# -------------------------------------------- markov_stationary_dist
+def test_markov_stationary_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.events import (
+        markov_stationary_dist,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = (
+        load_events(spark, SF)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a[2], b[2])] += 1
+    states = sorted({i for i, _ in trans})
+    trans = {(i, j): c for (i, j), c in trans.items() if j in set(states)}
+    rsum = Counter()
+    for (i, _), c in trans.items():
+        rsum[i] += c
+    # float power iteration as the independent formulation
+    pi = {s: 1 / len(states) for s in states}
+    for _ in range(50):
+        pi = {
+            j: sum(
+                pi[i] * trans.get((i, j), 0) / rsum[i]
+                for i in states
+                if rsum[i]
+            )
+            for j in states
+        }
+    got = {r["event_type"]: r for r in markov_stationary_dist(spark, SF).collect()}
+    assert set(got) == set(states)
+    total = sum(r["pi"] for r in got.values())
+    assert abs(total - 1.0) < 1e-6  # floor drift bounded
+    for s in states:
+        # 10 exact-integer iterations vs converged float fixpoint:
+        # the chain mixes fast (dense 5x5), agree to 1e-3
+        assert abs(got[s]["pi"] - pi[s]) < 1e-3
+        assert got[s]["pi_q"] == int(round(got[s]["pi"] * 10**12))
