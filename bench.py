@@ -258,6 +258,11 @@ HEADLINE: dict[str, str] = {
     "theil_sen_trend": "collect",
     "bh_fdr_control": "collect",
     "nelson_aalen_hazard": "collect",
+    "kneser_ney_bigram": "collect",
+    "good_turing_mass": "collect",
+    "chao1_vocab_richness": "collect",
+    "vocab_coverage_curve": "collect",
+    "readability_flesch": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -1073,3 +1073,340 @@ LEFT JOIN (SELECT lang, COUNT(*) AS n_novel FROM novel GROUP BY lang) n
   ON h.lang = n.lang
 ORDER BY h.lang
 """
+
+# ---------------------------------------------- Kneser-Ney bigram LM
+KN_D = 0.75       # absolute discount (Kneser-Ney 1995 standard)
+KN_S = 10**9      # per-bigram-type c·ln P quantization
+
+_TOKS_SQL = r"""
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+"""
+
+
+def _lang_bigrams(docs: DataFrame) -> DataFrame:
+    """(lang, bg) one row per bigram OCCURRENCE, for per-language
+    models (same zip_with shape as _bigrams)."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return docs.filter(n >= 2).select("lang", F.explode(pairs).alias("bg"))
+
+
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per language (Kneser
+    & Ney 1995; Chen & Goodman 1999 — the reference smoothing for
+    n-gram LMs): P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 ·
+    N1+(·w2)/N1+(··), the model whose continuation probability fixes
+    the "San Francisco problem" that raw-count backoff gets wrong.
+    The upgrade path from text_perplexity_bigram's unsmoothed MLE.
+
+    All five count tables (c12, c1, fan-outs N1+(w1·), fan-ins
+    N1+(·w2), total bigram types) are aggregations over the one
+    exploded bigram stream, combined at MODEL size (|bigram types|),
+    never corpus size. Per-type c12·ln P is quantized ::BIGINT before
+    the per-lang sum (doubles from exact ints + a binary-exact 0.75
+    literal are identical IEEE per engine); ppl = exp of an exact
+    rational. Evaluated on the training corpus itself, so observed
+    bigrams always have c12 ≥ 1 and P > 0.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    b = _lang_bigrams(docs)
+    c12 = b.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    c1 = c12.groupBy(F.col("lang").alias("lang1"), w1.alias("w1")).agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = c12.groupBy(F.col("lang").alias("lang2"), w2.alias("w2")).agg(
+        F.count(F.lit(1)).alias("fanin")
+    )
+    ntypes = c12.groupBy("lang").agg(F.count(F.lit(1)).alias("ntypes"))
+    model = (
+        c12.join(
+            c1, (F.col("lang") == F.col("lang1")) & (w1 == F.col("w1"))
+        )
+        .join(
+            cont, (F.col("lang") == F.col("lang2")) & (w2 == F.col("w2"))
+        )
+        .join(F.broadcast(ntypes), "lang")
+    )
+    p = (
+        (F.col("c12").cast("double") - F.lit(KN_D)) / F.col("c1").cast("double")
+        + F.lit(KN_D)
+        * F.col("fanout").cast("double")
+        / F.col("c1").cast("double")
+        * F.col("fanin").cast("double")
+        / F.col("ntypes").cast("double")
+    )
+    q = F.floor(
+        F.col("c12").cast("double") * F.log(p) * F.lit(float(KN_S)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        model.select("lang", "c12", q.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.sum("c12").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(
+                F.exp(
+                    -(F.sum("q").cast("double") / F.lit(float(KN_S)))
+                    / F.sum("c12").cast("double")
+                ),
+                6,
+            ).alias("ppl_kn"),
+        )
+        .orderBy("lang")
+    )
+
+
+KNESER_NEY_SQL = rf"""
+WITH toks AS ({_TOKS_SQL}
+), b AS (
+  SELECT lang, z[1] || ' ' || z[2] AS bg
+  FROM (SELECT lang, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM toks WHERE len(t) >= 2)
+), c12 AS (
+  SELECT lang, bg, COUNT(*) AS c12 FROM b GROUP BY lang, bg
+), c1 AS (
+  SELECT lang, split_part(bg, ' ', 1) AS w1,
+         CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS fanout
+  FROM c12 GROUP BY lang, w1
+), cont AS (
+  SELECT lang, split_part(bg, ' ', -1) AS w2, COUNT(*) AS fanin
+  FROM c12 GROUP BY lang, w2
+), ntypes AS (
+  SELECT lang, COUNT(*) AS ntypes FROM c12 GROUP BY lang
+), model AS (
+  SELECT c12.lang, c12.c12,
+         CAST(floor(CAST(c12.c12 AS DOUBLE)
+                    * ln((CAST(c12.c12 AS DOUBLE) - {KN_D}) / CAST(c1.c1 AS DOUBLE)
+                         + {KN_D} * CAST(c1.fanout AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                           * CAST(cont.fanin AS DOUBLE) / CAST(ntypes.ntypes AS DOUBLE))
+                    * {KN_S} + 0.5) AS BIGINT) AS q
+  FROM c12
+  JOIN c1 ON c12.lang = c1.lang AND split_part(c12.bg, ' ', 1) = c1.w1
+  JOIN cont ON c12.lang = cont.lang AND split_part(c12.bg, ' ', -1) = cont.w2
+  JOIN ntypes ON c12.lang = ntypes.lang
+)
+SELECT lang,
+       CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+       COUNT(*) AS n_types,
+       ROUND(exp(-(CAST(SUM(q) AS BIGINT) / {KN_S}.0)
+                 / CAST(SUM(c12) AS BIGINT)), 6) AS ppl_kn
+FROM model
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ------------------------------------------------ Good-Turing mass
+GT_MAX_R = 5
+
+
+def good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies estimates per language
+    (Good 1953): the unseen-token mass p₀ = N₁/N and the smoothed
+    counts r* = (r+1)·N_{r+1}/N_r for r = 1..{GT_MAX_R} — the
+    coverage math behind "how much of the live distribution will my
+    tokenizer's vocab miss", which raw counts cannot answer.
+
+    Three nested aggregations, each a strict reduction: token counts
+    → count-of-counts N_r → the bounded (lang × r) report. r* and p₀
+    are exact integer ratios. N_{r+1} comes from a self-join of the
+    tiny N_r table on r+1 (no window, no sort).
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    cw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("r"))
+    nr = cw.groupBy("lang", "r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = cw.groupBy("lang").agg(
+        F.sum("r").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("f1"),
+    )
+    nxt = nr.select(
+        "lang", (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        nr.filter(F.col("r") <= GT_MAX_R)
+        .join(nxt, ["lang", "r"], "left")
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce(F.col("n_r1"), F.lit(0)).cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("f1").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("p0_unseen"),
+        )
+        .orderBy("lang", "r")
+    )
+
+
+GOOD_TURING_SQL = rf"""
+WITH toks AS ({_TOKS_SQL}
+), tok AS (
+  SELECT lang, unnest(t) AS w FROM toks
+), cw AS (
+  SELECT lang, w, COUNT(*) AS r FROM tok GROUP BY lang, w
+), nr AS (
+  SELECT lang, r, COUNT(*) AS n_r FROM cw GROUP BY lang, r
+), tot AS (
+  SELECT lang, CAST(SUM(r) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+  FROM cw GROUP BY lang
+)
+SELECT nr.lang, nr.r, nr.n_r,
+       ROUND(CAST(nr.r + 1 AS DOUBLE) * CAST(COALESCE(nxt.n_r, 0) AS DOUBLE)
+             / CAST(nr.n_r AS DOUBLE), 6) AS r_star,
+       ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS p0_unseen
+FROM nr
+LEFT JOIN nr nxt ON nr.lang = nxt.lang AND nxt.r = nr.r + 1
+JOIN tot ON nr.lang = tot.lang
+WHERE nr.r <= {GT_MAX_R}
+ORDER BY nr.lang, nr.r
+"""
+
+
+# --------------------------------------------- Chao1 richness (bigrams)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate over BIGRAM types per language
+    (Chao 1984): V̂ = V + f₁(f₁−1)/(2(f₂+1)) from singleton/doubleton
+    counts — the lower bound on how many bigram types exist that the
+    corpus hasn't seen yet, i.e. how far from saturated a language's
+    coverage is (the bias-corrected form stays finite when f₂ = 0).
+
+    Bigram types, not unigrams: the synthetic corpus's unigram vocab
+    is tiny and fully saturated (f₁ = 0 → V̂ = V, a correct but
+    vacuous answer); the bigram space is where the estimator works.
+    Two aggregations over the exploded bigram stream; the estimate is
+    one IEEE expression over four exact integers.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    b = _lang_bigrams(docs)
+    c12 = b.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c"))
+    s = c12.groupBy("lang").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("v_observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    chao1 = F.col("v_observed").cast("double") + F.col("f1").cast("double") * (
+        F.col("f1") - 1
+    ).cast("double") / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+    return s.select(
+        "lang",
+        "n_occurrences",
+        "v_observed",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+    ).orderBy("lang")
+
+
+CHAO1_SQL = rf"""
+WITH toks AS ({_TOKS_SQL}
+), b AS (
+  SELECT lang, z[1] || ' ' || z[2] AS bg
+  FROM (SELECT lang, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM toks WHERE len(t) >= 2)
+), c12 AS (
+  SELECT lang, bg, COUNT(*) AS c FROM b GROUP BY lang, bg
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_occurrences,
+       COUNT(*) AS v_observed,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       ROUND(COUNT(*)
+             + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+               / (2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1 AS DOUBLE)),
+             6) AS chao1
+FROM c12
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ------------------------------------------- vocab coverage by min-count
+COVERAGE_THRESHOLDS = [1, 2, 4, 8, 16, 32, 64]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of count-thresholded vocabularies per
+    language: for each min-count T, how many token TYPES survive
+    c(w) ≥ T and what share of all token OCCURRENCES they cover — the
+    pruning curve a tokenizer build reads to pick its frequency
+    cutoff (coverage ≥ 99.9% at T=8 ⇒ prune everything rarer).
+
+    Deliberately threshold-based, NOT top-k-rank-based: ranking a
+    100 TB corpus's vocabulary needs a tie-broken total order over
+    |vocab| (a vocab²-bounded theta join, fine here but wasteful at
+    scale), while threshold coverage is a pure second aggregation
+    over the count table — the freq-of-freq shape that scales to any
+    vocabulary. Shares are exact int/int divisions.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    cw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cw.groupBy("lang").agg(F.sum("c").alias("n_tokens"))
+    th = cw.select(
+        "lang",
+        "c",
+        F.explode(
+            F.array(*[F.lit(t) for t in COVERAGE_THRESHOLDS])
+        ).alias("threshold"),
+    ).filter(F.col("c") >= F.col("threshold"))
+    return (
+        th.groupBy("lang", "threshold")
+        .agg(F.count(F.lit(1)).alias("n_types"), F.sum("c").alias("covered"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "threshold",
+            "n_types",
+            F.round(F.col("covered") / F.col("n_tokens"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("lang", "threshold")
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH toks AS ({_TOKS_SQL}
+), tok AS (
+  SELECT lang, unnest(t) AS w FROM toks
+), cw AS (
+  SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w
+), tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens FROM cw GROUP BY lang
+), th AS (
+  SELECT lang, c, t.threshold
+  FROM cw CROSS JOIN (SELECT UNNEST([{", ".join(str(t) for t in COVERAGE_THRESHOLDS)}]) AS threshold) t
+  WHERE c >= t.threshold
+)
+SELECT th.lang, threshold, COUNT(*) AS n_types,
+       ROUND(CAST(SUM(c) AS BIGINT) / ANY_VALUE(n_tokens), 6) AS token_share
+FROM th JOIN tot ON th.lang = tot.lang
+GROUP BY th.lang, threshold
+ORDER BY th.lang, threshold
+"""

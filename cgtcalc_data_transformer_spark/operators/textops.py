@@ -744,3 +744,88 @@ FROM held_docs h LEFT JOIN pred p ON h.doc_id = p.doc_id
 GROUP BY h.lang, COALESCE(p.pred_lang, 'und')
 ORDER BY true_lang, pred_lang
 """
+
+# ------------------------------------------------ Flesch readability
+FRE_S = 10**6         # per-doc score quantization for the exact mean
+FRE_EASY = 60.0       # standard Flesch bands
+FRE_HARD = 30.0
+
+
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per source (Flesch 1948): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with the
+    classic corpus-scale proxies — syllables ≈ vowel-group runs
+    ([aeiouy]+), sentences ≈ terminal-punctuation runs (min 1) — the
+    readability screen curation stacks run beside Gopher rules to
+    segment a corpus by audience complexity.
+
+    Three regexp_extract_all counts per doc, all codegen-side; the
+    per-doc score is one IEEE expression over three ints, quantized
+    ::BIGINT before the per-source mean (drift_psi discipline); the
+    easy/hard band flags compare the identical unrounded double on
+    both engines. One scan, one aggregation — nothing above the
+    source rollup.
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    words = F.size(tokens_col(F.col("text")))
+    syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * words.cast("double") / sent.cast("double")
+        - F.lit(84.6) * syll.cast("double") / words.cast("double")
+    )
+    q = F.floor(fre * F.lit(float(FRE_S)) + F.lit(0.5)).cast("long")
+    return (
+        docs.filter(words > 0)
+        .select(
+            "source",
+            q.alias("q"),
+            (fre >= F.lit(FRE_EASY)).cast("long").alias("easy"),
+            (fre < F.lit(FRE_HARD)).cast("long").alias("hard"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("q").cast("double")
+                / F.lit(float(FRE_S))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_fre"),
+            F.round(F.sum("easy") / F.count(F.lit(1)), 6).alias("easy_share"),
+            F.round(F.sum("hard") / F.count(F.lit(1)), 6).alias("hard_share"),
+        )
+        .orderBy("source")
+    )
+
+
+READABILITY_SQL = rf"""
+WITH scored AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syll,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent
+  FROM documents
+), q AS (
+  SELECT source,
+         206.835 - 1.015 * CAST(words AS DOUBLE) / CAST(sent AS DOUBLE)
+                 - 84.6 * CAST(syll AS DOUBLE) / CAST(words AS DOUBLE) AS fre
+  FROM scored WHERE words > 0
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(floor(fre * {FRE_S} + 0.5) AS BIGINT)) AS BIGINT)
+             / {FRE_S}.0 / COUNT(*), 6) AS avg_fre,
+       ROUND(CAST(SUM(CASE WHEN fre >= {FRE_EASY} THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS easy_share,
+       ROUND(CAST(SUM(CASE WHEN fre < {FRE_HARD} THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS hard_share
+FROM q
+GROUP BY source
+ORDER BY source
+"""

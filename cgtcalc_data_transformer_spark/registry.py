@@ -594,6 +594,18 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         events.markov_stationary_dist,
         events.MARKOV_STATIONARY_SQL,
     ),
+    # ---- round 7: corpus-LM additions ----
+    "kneser_ney_bigram": (corpus_lm.kneser_ney_bigram, corpus_lm.KNESER_NEY_SQL),
+    "good_turing_mass": (corpus_lm.good_turing_mass, corpus_lm.GOOD_TURING_SQL),
+    "chao1_vocab_richness": (
+        corpus_lm.chao1_vocab_richness,
+        corpus_lm.CHAO1_SQL,
+    ),
+    "vocab_coverage_curve": (
+        corpus_lm.vocab_coverage_curve,
+        corpus_lm.VOCAB_COVERAGE_SQL,
+    ),
+    "readability_flesch": (textops.readability_flesch, textops.READABILITY_SQL),
 }
 
 
@@ -633,6 +645,11 @@ _ROUND7_NEW: list[str] = [
     "bh_fdr_control",
     "nelson_aalen_hazard",
     "markov_stationary_dist",
+    "kneser_ney_bigram",
+    "good_turing_mass",
+    "chao1_vocab_richness",
+    "vocab_coverage_curve",
+    "readability_flesch",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -541,3 +541,179 @@ def test_markov_stationary_matches_python_reference(spark):
         # the chain mixes fast (dense 5x5), agree to 1e-3
         assert abs(got[s]["pi"] - pi[s]) < 1e-3
         assert got[s]["pi_q"] == int(round(got[s]["pi"] * 10**12))
+
+
+# ----------------------------------------------- corpus-LM additions
+def _lang_tokens(spark):
+    import re
+
+    rows = load_table(spark, SF, "documents").select("lang", "text").collect()
+    return [
+        (r["lang"], re.findall(r"[a-z0-9]+", r["text"].lower())) for r in rows
+    ]
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        KN_D,
+        kneser_ney_bigram,
+    )
+
+    docs = _lang_tokens(spark)
+    c12 = Counter()
+    for lang, toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            c12[(lang, a, b)] += 1
+    c1 = Counter()
+    fanout = Counter()
+    fanin = Counter()
+    ntypes = Counter()
+    for (lang, a, b), c in c12.items():
+        c1[(lang, a)] += c
+        fanout[(lang, a)] += 1
+        fanin[(lang, b)] += 1
+        ntypes[lang] += 1
+    ll = Counter()
+    nn = Counter()
+    for (lang, a, b), c in c12.items():
+        p = (c - KN_D) / c1[(lang, a)] + KN_D * fanout[(lang, a)] / c1[
+            (lang, a)
+        ] * fanin[(lang, b)] / ntypes[lang]
+        ll[lang] += c * math.log(p)
+        nn[lang] += c
+    got = {r["lang"]: r for r in kneser_ney_bigram(spark, SF).collect()}
+    assert set(got) == set(nn)
+    for lang in nn:
+        g = got[lang]
+        assert g["n_bigrams"] == nn[lang]
+        assert g["n_types"] == ntypes[lang]
+        ppl = math.exp(-ll[lang] / nn[lang])
+        assert abs(g["ppl_kn"] - ppl) < 1e-4 * max(1.0, ppl)
+        # a smoothed LM on its own training corpus: finite, > 1
+        assert 1.0 < g["ppl_kn"] < 10_000
+
+
+def test_good_turing_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        GT_MAX_R,
+        good_turing_mass,
+    )
+
+    docs = _lang_tokens(spark)
+    cw = Counter()
+    for lang, toks in docs:
+        for w in toks:
+            cw[(lang, w)] += 1
+    nr = Counter()
+    ntok = Counter()
+    f1 = Counter()
+    for (lang, _), r in cw.items():
+        nr[(lang, r)] += 1
+        ntok[lang] += r
+        if r == 1:
+            f1[lang] += 1
+    got = {(r["lang"], r["r"]): r for r in good_turing_mass(spark, SF).collect()}
+    expected_keys = {(l, r) for (l, r) in nr if r <= GT_MAX_R}
+    assert set(got) == expected_keys
+    for (lang, r), g in got.items():
+        assert g["n_r"] == nr[(lang, r)]
+        r_star = (r + 1) * nr.get((lang, r + 1), 0) / nr[(lang, r)]
+        assert abs(g["r_star"] - r_star) < 1e-6
+        assert g["p0_unseen"] == round(f1[lang] / ntok[lang], 6)
+
+
+def test_chao1_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        chao1_vocab_richness,
+    )
+
+    docs = _lang_tokens(spark)
+    c12 = Counter()
+    for lang, toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            c12[(lang, f"{a} {b}")] += 1
+    per = defaultdict(lambda: [0, 0, 0, 0])  # occ, types, f1, f2
+    for (lang, _), c in c12.items():
+        per[lang][0] += c
+        per[lang][1] += 1
+        if c == 1:
+            per[lang][2] += 1
+        elif c == 2:
+            per[lang][3] += 1
+    got = {r["lang"]: r for r in chao1_vocab_richness(spark, SF).collect()}
+    assert set(got) == set(per)
+    for lang, (occ, v, f1, f2) in per.items():
+        g = got[lang]
+        assert (g["n_occurrences"], g["v_observed"], g["f1"], g["f2"]) == (
+            occ,
+            v,
+            f1,
+            f2,
+        )
+        chao1 = v + f1 * (f1 - 1) / (2 * (f2 + 1))
+        assert abs(g["chao1"] - chao1) < 1e-6
+        assert g["chao1"] >= v  # estimator is a lower-bound ADD-ON
+
+
+def test_vocab_coverage_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        COVERAGE_THRESHOLDS,
+        vocab_coverage_curve,
+    )
+
+    docs = _lang_tokens(spark)
+    cw = Counter()
+    ntok = Counter()
+    for lang, toks in docs:
+        for w in toks:
+            cw[(lang, w)] += 1
+            ntok[lang] += 1
+    got = defaultdict(dict)
+    for r in vocab_coverage_curve(spark, SF).collect():
+        got[r["lang"]][r["threshold"]] = r
+    for lang in ntok:
+        prev_share = None
+        for t in COVERAGE_THRESHOLDS:
+            keep = [c for (l, _), c in cw.items() if l == lang and c >= t]
+            if not keep:
+                assert t not in got[lang]
+                continue
+            g = got[lang][t]
+            assert g["n_types"] == len(keep)
+            assert g["token_share"] == round(sum(keep) / ntok[lang], 6)
+            # monotone non-increasing coverage as the cutoff rises
+            if prev_share is not None:
+                assert g["token_share"] <= prev_share + 1e-9
+            prev_share = g["token_share"]
+
+
+def test_readability_flesch_matches_python_reference(spark):
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.textops import (
+        FRE_EASY,
+        FRE_HARD,
+        readability_flesch,
+    )
+
+    rows = load_table(spark, SF, "documents").select("source", "text").collect()
+    per = defaultdict(list)
+    for r in rows:
+        text = r["text"]
+        words = len(re.findall(r"[a-z0-9]+", text.lower()))
+        if words == 0:
+            continue
+        syll = len(re.findall(r"[aeiouy]+", text.lower()))
+        sent = max(len(re.findall(r"[.!?]+", text)), 1)
+        fre = 206.835 - 1.015 * words / sent - 84.6 * syll / words
+        per[r["source"]].append(fre)
+    got = {r["source"]: r for r in readability_flesch(spark, SF).collect()}
+    assert set(got) == set(per)
+    for src, fres in per.items():
+        g = got[src]
+        assert g["n_docs"] == len(fres)
+        assert abs(g["avg_fre"] - sum(fres) / len(fres)) < 1e-5
+        easy = sum(1 for f in fres if f >= FRE_EASY)
+        hard = sum(1 for f in fres if f < FRE_HARD)
+        assert g["easy_share"] == round(easy / len(fres), 6)
+        assert g["hard_share"] == round(hard / len(fres), 6)
