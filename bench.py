@@ -263,6 +263,12 @@ HEADLINE: dict[str, str] = {
     "chao1_vocab_richness": "collect",
     "vocab_coverage_curve": "collect",
     "readability_flesch": "collect",
+    "hits_hubs_authorities": "exec",
+    "adamic_adar_links": "exec",
+    "assoc_rules_confidence": "exec",
+    "brier_decomposition": "collect",
+    "cohens_kappa_flags": "collect",
+    "lognormal_fit_doclen": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -225,28 +225,11 @@ ECE_SD = 10**12   # quantization of per-component dot/norm terms
 ECE_SC = 10**6    # quantization of cosine confidence
 
 
-def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expected Calibration Error of the nearest-centroid classifier
-    over the embedding space: per confidence bin, count, accuracy,
-    mean confidence and |acc − conf|, plus the corpus ECE repeated on
-    every row — the reliability-diagram audit (Guo et al. 2017,
-    "On Calibration of Modern Neural Networks") that tells a
-    labeling/routing pipeline whether its scores can be thresholded.
-
-    Scale shape: centroids are a |labels|·dim aggregate (broadcast);
-    scoring joins the exploded component stream against them on idx
-    (fan-out = |labels|, bounded); argmax/conf is one max(struct)
-    per vector; bins are an ECE_BINS-row rollup. No windows, no
-    driver state.
-
-    Engine-exactness: centroid components are rounded(6) once, then
-    every per-component product is quantized floor(x·c·1e12+0.5) to
-    an integer BEFORE the sums, so dot/norms are exact integers, the
-    cosine is one identical IEEE expression, the confidence is an
-    exact 1e-6 rational, and per-bin |acc − conf| reduces to integer
-    arithmetic: ece = Σ_b |corr_b·1e6 − Σconf_b| / (1e6·N) with one
-    final division.
-    """
+def _nearest_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, conf_i, correct): nearest-centroid prediction per
+    vector with exact 1e-6-rational cosine confidence — the shared
+    scoring core of ece_calibration and brier_decomposition (same
+    quantization discipline, documented there)."""
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
     exploded = emb.select(
         "vec_id", "label", F.posexplode(F.col("v")).alias("idx", "x")
@@ -272,7 +255,7 @@ def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cc_i").cast("double") * F.col("xx_i").cast("double")
     )
     cos_i = F.floor(cos * F.lit(float(ECE_SC)) + F.lit(0.5)).cast("long")
-    per_vec = (
+    return (
         scored.select(
             "vec_id",
             "label",
@@ -288,6 +271,31 @@ def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((-F.col("m.nl")) == F.col("label")).cast("long").alias("correct"),
         )
     )
+
+
+def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the nearest-centroid classifier
+    over the embedding space: per confidence bin, count, accuracy,
+    mean confidence and |acc − conf|, plus the corpus ECE repeated on
+    every row — the reliability-diagram audit (Guo et al. 2017,
+    "On Calibration of Modern Neural Networks") that tells a
+    labeling/routing pipeline whether its scores can be thresholded.
+
+    Scale shape: centroids are a |labels|·dim aggregate (broadcast);
+    scoring joins the exploded component stream against them on idx
+    (fan-out = |labels|, bounded); argmax/conf is one max(struct)
+    per vector; bins are an ECE_BINS-row rollup. No windows, no
+    driver state.
+
+    Engine-exactness: centroid components are rounded(6) once, then
+    every per-component product is quantized floor(x·c·1e12+0.5) to
+    an integer BEFORE the sums, so dot/norms are exact integers, the
+    cosine is one identical IEEE expression, the confidence is an
+    exact 1e-6 rational, and per-bin |acc − conf| reduces to integer
+    arithmetic: ece = Σ_b |corr_b·1e6 − Σconf_b| / (1e6·N) with one
+    final division.
+    """
+    per_vec = _nearest_centroid_scores(spark, sf_dir)
     bin_col = F.least(
         F.lit(ECE_BINS - 1).cast("long"),
         F.greatest(
@@ -367,4 +375,133 @@ SELECT bin, n,
        ROUND(gap_i / (n_total * {ECE_SC}.0), 6) AS ece_total
 FROM bins, totals
 ORDER BY bin
+"""
+
+# -------------------------------------------- Brier decomposition
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the
+    nearest-centroid classifier: BRIER = reliability − resolution +
+    uncertainty (up to within-bin variance), over the same 10
+    confidence bins as ece_calibration — reliability isolates the
+    miscalibration ECE reports, resolution says whether the scores
+    separate outcomes at all, uncertainty is the outcome base rate's
+    intrinsic floor. One row, the whole reliability story.
+
+    Shares _nearest_centroid_scores: confidence is an exact 1e-6
+    rational, outcomes are 0/1, so the raw Brier numerator
+    Σ(conf_i − 10⁶·o)² and every per-bin numerator
+    (Σconf − 10⁶·correct)² are exact BIGINT (bounded by N·10¹² —
+    beyond ~9M rows the same sums run as decimal). Bin terms are
+    n_k-weighted exact-integer squares divided once; the cross-bin
+    sums run over ≤ 10 values quantized by construction.
+    """
+    per_vec = _nearest_centroid_scores(spark, sf_dir)
+    bin_col = F.least(
+        F.lit(ECE_BINS - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(F.col("conf_i") * F.lit(ECE_BINS) / F.lit(ECE_SC)),
+        ),
+    )
+    d = F.col("conf_i") - F.lit(ECE_SC) * F.col("correct")
+    bins = per_vec.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("correct").alias("ck"),
+        F.sum("conf_i").alias("sk"),
+        F.sum(d * d).alias("bk"),
+    )
+    tot = bins.agg(
+        F.sum("nk").alias("n"),
+        F.sum("ck").alias("c"),
+        F.sum("bk").alias("b"),
+        # reliability numerator per bin: (Σconf − 10⁶·correct)²/n_k —
+        # exact-integer square over one division, summed across ≤ 10
+        # bins after flooring to the 1e-12 quantum of the outer scale
+        F.sum(
+            (
+                (F.col("sk") - F.lit(ECE_SC) * F.col("ck")).cast("double")
+                * (F.col("sk") - F.lit(ECE_SC) * F.col("ck")).cast("double")
+                / F.col("nk").cast("double")
+            ).cast("decimal(38,6)")
+        ).alias("rel_num"),
+        F.sum(
+            (
+                F.col("ck").cast("double")
+                * F.col("ck").cast("double")
+                / F.col("nk").cast("double")
+            ).cast("decimal(38,6)")
+        ).alias("res_aux"),
+    )
+    n = F.col("n").cast("double")
+    obar = F.col("c").cast("double") / n
+    brier = F.col("b").cast("double") / (n * F.lit(float(ECE_SC) ** 2))
+    reliability = F.col("rel_num").cast("double") / (
+        n * F.lit(float(ECE_SC) ** 2)
+    )
+    # Σ n_k(ō_k − ō)² = Σ c_k²/n_k − c²/n  (exact-integer identity)
+    resolution = (
+        F.col("res_aux").cast("double")
+        - F.col("c").cast("double") * F.col("c").cast("double") / n
+    ) / n
+    return tot.select(
+        "n",
+        F.round(brier, 6).alias("brier"),
+        F.round(reliability, 6).alias("reliability"),
+        F.round(resolution, 6).alias("resolution"),
+        F.round(obar * (F.lit(1.0) - obar), 6).alias("uncertainty"),
+    )
+
+
+BRIER_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), exploded AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM e
+), cent AS (
+  SELECT label AS clabel, idx, ROUND(AVG(x), 6) AS c
+  FROM exploded GROUP BY label, idx
+), scored AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(CAST(floor(x * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS dot_i,
+         CAST(SUM(CAST(floor(c * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS cc_i,
+         CAST(SUM(CAST(floor(x * x * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS xx_i
+  FROM exploded JOIN cent USING (idx)
+  GROUP BY vec_id, label, clabel
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(struct_pack(
+           ci := CAST(floor(dot_i / sqrt(CAST(cc_i AS DOUBLE) * CAST(xx_i AS DOUBLE))
+                            * {ECE_SC} + 0.5) AS BIGINT),
+           nl := -clabel)) AS m
+  FROM scored GROUP BY vec_id, label
+), flat AS (
+  SELECT vec_id, m.ci AS conf_i,
+         CASE WHEN -m.nl = label THEN 1 ELSE 0 END AS correct
+  FROM per_vec
+), bins AS (
+  SELECT LEAST({ECE_BINS - 1}, GREATEST(0, CAST(floor(conf_i * {ECE_BINS} / {ECE_SC}) AS BIGINT))) AS bin,
+         COUNT(*) AS nk,
+         CAST(SUM(correct) AS BIGINT) AS ck,
+         CAST(SUM(conf_i) AS BIGINT) AS sk,
+         CAST(SUM((conf_i - {ECE_SC} * correct) * (conf_i - {ECE_SC} * correct)) AS BIGINT) AS bk
+  FROM flat GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n,
+         CAST(SUM(ck) AS BIGINT) AS c,
+         CAST(SUM(bk) AS BIGINT) AS b,
+         CAST(SUM(CAST(CAST(sk - {ECE_SC} * ck AS DOUBLE) * CAST(sk - {ECE_SC} * ck AS DOUBLE)
+                       / CAST(nk AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rel_num,
+         CAST(SUM(CAST(CAST(ck AS DOUBLE) * CAST(ck AS DOUBLE)
+                       / CAST(nk AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS res_aux
+  FROM bins
+)
+SELECT n,
+       ROUND(CAST(b AS DOUBLE) / (CAST(n AS DOUBLE) * {float(ECE_SC) ** 2!r}), 6) AS brier,
+       ROUND(CAST(rel_num AS DOUBLE) / (CAST(n AS DOUBLE) * {float(ECE_SC) ** 2!r}), 6) AS reliability,
+       ROUND((CAST(res_aux AS DOUBLE)
+              - CAST(c AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS resolution,
+       ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty
+FROM tot
 """

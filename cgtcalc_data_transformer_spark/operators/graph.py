@@ -429,3 +429,203 @@ ORDER BY hop
 
 
 BFS_REACH_SQL = _bfs_sql()
+
+# --------------------------------------------- HITS hubs/authorities
+HITS_ITERS = 3
+HITS_S = 10**9   # score quantization after each normalization
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the customer→supplier purchase
+    graph: customers are hubs (they point at suppliers), suppliers
+    are authorities; after HITS_ITERS mutual-reinforcement rounds the
+    authority scores rank suppliers by breadth-of-demand rather than
+    raw order count — the PageRank companion that distinguishes "many
+    buyers" from "many IMPORTANT buyers". Output: all suppliers with
+    their final authority score.
+
+    Each iteration is two equality joins over the edge list plus two
+    single-row norm aggregations — identical shuffle complexity to
+    pagerank_suppliers. Determinism through the float normalization:
+    after every normalize, scores are re-quantized
+    floor(x·1e9 + 0.5)::BIGINT, so the values entering every
+    subsequent sum are exact integers and the norm itself is sqrt of
+    an exact decimal(38,0) sum of squares (h² can pass 2^63 before
+    normalization — decimal, not BIGINT). The per-iteration
+    localCheckpoint keeps the doubly-referenced frame (norm + divide)
+    from doubling the logical plan per round; the oracle unrolls the
+    same rounds as materialized CTEs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .cache()
+    )
+
+    def normalize(frame: DataFrame, key: str) -> DataFrame:
+        sq = F.col("x").cast("double") * F.col("x").cast("double")
+        norm = frame.agg(
+            F.sqrt(
+                F.sum(sq.cast("decimal(38,0)")).cast("double")
+            ).alias("nrm")
+        )
+        return (
+            frame.crossJoin(F.broadcast(norm))
+            .select(
+                key,
+                F.floor(
+                    F.col("x").cast("double")
+                    / F.col("nrm")
+                    * F.lit(float(HITS_S))
+                    + F.lit(0.5)
+                ).cast("long").alias("x"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    hub = edges.select("c").distinct().select(
+        "c", F.lit(HITS_S).cast("long").alias("x")
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        auth = normalize(
+            edges.join(hub, "c").groupBy("s").agg(F.sum("x").alias("x")), "s"
+        )
+        hub = normalize(
+            edges.join(auth, "s").groupBy("c").agg(F.sum("x").alias("x")), "c"
+        )
+    return auth.select(
+        F.col("s").alias("s_suppkey"),
+        F.col("x").alias("authority_q"),
+        (F.col("x") / F.lit(float(HITS_S))).alias("authority"),
+    ).orderBy("s_suppkey")
+
+
+def _hits_sql() -> str:
+    steps = []
+    prev_hub = "hub0"
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+, araw{k} AS MATERIALIZED (
+  SELECT s, CAST(SUM({prev_hub}.x) AS BIGINT) AS x
+  FROM edges JOIN {prev_hub} ON edges.c = {prev_hub}.c
+  GROUP BY s
+), anorm{k} AS (
+  SELECT sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE)) AS nrm
+  FROM araw{k}
+), auth{k} AS MATERIALIZED (
+  SELECT s, CAST(floor(CAST(x AS DOUBLE) / nrm * {HITS_S} + 0.5) AS BIGINT) AS x
+  FROM araw{k}, anorm{k}
+), hraw{k} AS MATERIALIZED (
+  SELECT c, CAST(SUM(auth{k}.x) AS BIGINT) AS x
+  FROM edges JOIN auth{k} ON edges.s = auth{k}.s
+  GROUP BY c
+), hnorm{k} AS (
+  SELECT sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE)) AS nrm
+  FROM hraw{k}
+), hub{k} AS MATERIALIZED (
+  SELECT c, CAST(floor(CAST(x AS DOUBLE) / nrm * {HITS_S} + 0.5) AS BIGINT) AS x
+  FROM hraw{k}, hnorm{k}
+)""")
+        prev_hub = f"hub{k}"
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), hub0 AS (
+  SELECT DISTINCT c, CAST({HITS_S} AS BIGINT) AS x FROM edges
+){''.join(steps)}
+SELECT s AS s_suppkey, x AS authority_q, x / {HITS_S}.0 AS authority
+FROM auth{HITS_ITERS}
+ORDER BY s_suppkey
+"""
+
+
+HITS_SQL = _hits_sql()
+
+
+# ------------------------------------------- Adamic-Adar link scores
+AA_S = 10**9        # per-wedge 1/ln(deg) quantization
+AA_MIN_ORDERS = 2   # repeat-business edge: >= 2 distinct orders
+AA_MIN_COMMON = 2   # report pairs sharing >= 2 repeat customers
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction between suppliers (Adamic & Adar
+    2003): candidate supplier pairs scored by Σ_c 1/ln(deg(c)) over
+    shared REPEAT customers — a rare shared customer (low degree)
+    says more about supplier affinity than a promiscuous one, which
+    is exactly what the inverse-log weight encodes.
+
+    The graph is deliberately the REPEAT-business projection
+    (customer-supplier pairs with ≥ {AA_MIN_ORDERS} distinct orders):
+    the raw bipartite graph is dense (every supplier pair shares ~36
+    customers at sf0.1 — all-pairs scores, meaningless and Σdeg²-
+    explosive), while repeat edges are ~2% of edges and make wedge
+    volume Σ_c deg(c)² thousands, not tens of millions. Hub
+    suppression by construction — the documented production recipe
+    for AA at scale. Per-wedge weights are integer literals-by-
+    quantization (floor(1e9/ln(deg)+0.5)), so scores are exact sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    repeat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.countDistinct("l_orderkey").alias("nord"))
+        .filter(F.col("nord") >= AA_MIN_ORDERS)
+        .select("c", "s")
+    )
+    deg = repeat.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    w = F.floor(
+        F.lit(float(AA_S)) / F.log(F.col("deg").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    mids = repeat.join(deg.filter(F.col("deg") >= 2), "c").select(
+        "c", "s", w.alias("w")
+    )
+    pairs = (
+        mids.alias("a")
+        .join(
+            mids.alias("b"),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).alias("common_customers"),
+            F.sum("a.w").alias("aa_q"),
+        )
+        .filter(F.col("common_customers") >= AA_MIN_COMMON)
+    )
+    return pairs.select(
+        "s1",
+        "s2",
+        "common_customers",
+        (F.col("aa_q") / F.lit(float(AA_S))).alias("aa_score"),
+    ).orderBy("s1", "s2")
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH repeat_e AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+  HAVING COUNT(DISTINCT l_orderkey) >= {AA_MIN_ORDERS}
+), deg AS (
+  SELECT c, COUNT(*) AS deg FROM repeat_e GROUP BY c
+), mids AS (
+  SELECT repeat_e.c, s,
+         CAST(floor({AA_S} / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) AS w
+  FROM repeat_e JOIN deg ON repeat_e.c = deg.c
+  WHERE deg >= 2
+)
+SELECT a.s AS s1, b.s AS s2,
+       COUNT(*) AS common_customers,
+       CAST(SUM(a.w) AS BIGINT) / {AA_S}.0 AS aa_score
+FROM mids a JOIN mids b ON a.c = b.c AND a.s < b.s
+GROUP BY a.s, b.s
+HAVING COUNT(*) >= {AA_MIN_COMMON}
+ORDER BY s1, s2
+"""

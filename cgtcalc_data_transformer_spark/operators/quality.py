@@ -491,3 +491,148 @@ HHI_SQL = (
     + _hhi_one_sql("lineitem_by_supplier", "lineitem", "l_suppkey")
     + "ORDER BY dim"
 )
+
+# ------------------------------------------------ Cohen's kappa
+KAPPA_CHARS_LT = 300   # rater A: short-doc flag (corpus median ~306)
+KAPPA_WORDS_LT = 55    # rater B: low-word-count flag (median ~56)
+
+
+def cohens_kappa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ agreement between two independent document-quality
+    heuristics — the char-length flag (n_chars < {KAPPA_CHARS_LT})
+    and the word-count flag (< {KAPPA_WORDS_LT} tokens): κ corrects
+    raw agreement for chance, the standard check that two labeling
+    rules (or annotators) measure the same thing before one is
+    trusted as the other's cheap proxy.
+
+    One scan computing both flags (integer compares, codegen-side),
+    one 2×2 contingency aggregation; p_o, p_e and κ are single IEEE
+    expressions over four exact counts. Output is one row — nothing
+    above the rollup.
+    """
+    from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") < KAPPA_CHARS_LT).cast("long")
+    b = (F.size(tokens_col(F.col("text"))) < KAPPA_WORDS_LT).cast("long")
+    cells = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (n * n)
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+COHENS_KAPPA_SQL = f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars < {KAPPA_CHARS_LT} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) < {KAPPA_WORDS_LT}
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), cells AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM flags
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+       ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+       ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                 + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                       + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+FROM cells
+"""
+
+
+# --------------------------------------------- lognormal length fit
+LOGN_S = 10**6   # per-row ln(n_chars) quantization
+
+
+def lognormal_fit_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of document length per source: μ̂ and σ̂ of
+    ln(n_chars), the geometric mean exp(μ̂), and the arithmetic mean
+    for contrast — doc lengths are classically lognormal-ish, and a
+    geometric mean far below the arithmetic mean is the one-line
+    heavy-tail diagnostic (mad_outliers' parametric sibling).
+
+    Per-row ln terms are quantized floor(ln·10⁶ + 0.5)::BIGINT before
+    the sums (Σq² ≤ n·(ln(max)·10⁶)² stays in BIGINT up to ~10⁸ docs
+    per source; decimal beyond); μ̂, σ̂ and exp(μ̂) are single IEEE
+    expressions over the two exact integer sums.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    q = F.floor(
+        F.log(F.col("n_chars").cast("double")) * F.lit(float(LOGN_S))
+        + F.lit(0.5)
+    ).cast("long")
+    s = docs.select("source", q.alias("q"), "n_chars").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum("n_chars").alias("sc"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sq").cast("double") / (nd * F.lit(float(LOGN_S)))
+    var = F.col("sqq").cast("double") / (
+        nd * F.lit(float(LOGN_S) ** 2)
+    ) - mu * mu
+    return s.select(
+        "source",
+        "n",
+        F.round(mu, 6).alias("mu_log"),
+        F.round(F.sqrt(var), 6).alias("sigma_log"),
+        F.round(F.exp(mu), 6).alias("geom_mean"),
+        F.round(F.col("sc") / F.col("n"), 6).alias("arith_mean"),
+    ).orderBy("source")
+
+
+LOGNORMAL_FIT_SQL = f"""
+WITH q AS (
+  SELECT source, n_chars,
+         CAST(floor(ln(CAST(n_chars AS DOUBLE)) * {LOGN_S} + 0.5) AS BIGINT) AS q
+  FROM documents WHERE n_chars > 0
+), s AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(SUM(n_chars) AS BIGINT) AS sc
+  FROM q GROUP BY source
+)
+SELECT source, n,
+       ROUND(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * {LOGN_S}), 6) AS mu_log,
+       ROUND(sqrt(CAST(sqq AS DOUBLE) / (CAST(n AS DOUBLE) * {float(LOGN_S) ** 2!r})
+                  - (CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * {LOGN_S}))
+                    * (CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * {LOGN_S}))), 6) AS sigma_log,
+       ROUND(exp(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * {LOGN_S})), 6) AS geom_mean,
+       ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS arith_mean
+FROM s
+ORDER BY source
+"""

@@ -1001,3 +1001,119 @@ SELECT l_returnflag, n,
 FROM stats
 ORDER BY l_returnflag
 """
+
+# -------------------------------------------- association-rule metrics
+RULE_MIN_SUPPORT = 4      # directional rules need more evidence than
+                          # frequent_pairs' candidate floor
+RULE_CONVICTION_CAP = 999999.0  # conviction is +inf at confidence 1
+
+
+def assoc_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over order baskets: for each
+    frequent part pair, confidence(a→b) = sup(ab)/sup(a) and
+    conviction(a→b) = (1 − sup(b)/N)/(1 − conf) in BOTH directions —
+    the rule-quality metrics (Brin et al. 1997) that frequent_pairs'
+    symmetric lift cannot express: lift says the pair co-occurs,
+    confidence/conviction say WHICH WAY the implication runs.
+
+    Same A-priori-bounded self-join as frequent_pairs (Σ basket²
+    pair generation, marginals from one aggregation of the same
+    distinct-basket table); confidences are exact int/int divisions;
+    conviction is one IEEE expression with the conf = 1 pole capped
+    at a literal (deterministically, on both engines).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .cache()
+    )
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item_sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= RULE_MIN_SUPPORT)
+    )
+    j = (
+        pairs.join(
+            item_sup.select(
+                F.col("l_partkey").alias("part_a"), F.col("sup").alias("sup_a")
+            ),
+            "part_a",
+        )
+        .join(
+            item_sup.select(
+                F.col("l_partkey").alias("part_b"), F.col("sup").alias("sup_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    conf_ab = F.col("support").cast("double") / F.col("sup_a").cast("double")
+    conf_ba = F.col("support").cast("double") / F.col("sup_b").cast("double")
+
+    def conviction(conf, sup_other):
+        return F.when(
+            F.col("support") == sup_other_col(sup_other), F.lit(RULE_CONVICTION_CAP)
+        ).otherwise(
+            (F.lit(1.0) - F.col(sup_other).cast("double") / F.col("n").cast("double"))
+            / (F.lit(1.0) - conf)
+        )
+
+    def sup_other_col(name):
+        # conf == 1 ⇔ support == sup_a (integer test — no float pole probe)
+        return F.col("sup_a") if name == "sup_b" else F.col("sup_b")
+
+    return j.select(
+        "part_a",
+        "part_b",
+        "support",
+        F.round(conf_ab, 6).alias("conf_a_to_b"),
+        F.round(conf_ba, 6).alias("conf_b_to_a"),
+        F.round(conviction(conf_ab, "sup_b"), 6).alias("conviction_a_to_b"),
+        F.round(conviction(conf_ba, "sup_a"), 6).alias("conviction_b_to_a"),
+    ).orderBy("part_a", "part_b")
+
+
+ASSOC_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+), sup AS (
+  SELECT l_partkey, COUNT(*) AS sup FROM baskets GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {RULE_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support,
+       ROUND(CAST(support AS DOUBLE) / CAST(sa.sup AS DOUBLE), 6) AS conf_a_to_b,
+       ROUND(CAST(support AS DOUBLE) / CAST(sb.sup AS DOUBLE), 6) AS conf_b_to_a,
+       ROUND(CASE WHEN support = sa.sup THEN {RULE_CONVICTION_CAP}
+                  ELSE (1.0 - CAST(sb.sup AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (1.0 - CAST(support AS DOUBLE) / CAST(sa.sup AS DOUBLE))
+             END, 6) AS conviction_a_to_b,
+       ROUND(CASE WHEN support = sb.sup THEN {RULE_CONVICTION_CAP}
+                  ELSE (1.0 - CAST(sa.sup AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (1.0 - CAST(support AS DOUBLE) / CAST(sb.sup AS DOUBLE))
+             END, 6) AS conviction_b_to_a
+FROM pairs
+JOIN sup sa ON pairs.part_a = sa.l_partkey
+JOIN sup sb ON pairs.part_b = sb.l_partkey
+CROSS JOIN nb
+ORDER BY part_a, part_b
+"""

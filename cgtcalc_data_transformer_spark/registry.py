@@ -606,6 +606,22 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         corpus_lm.VOCAB_COVERAGE_SQL,
     ),
     "readability_flesch": (textops.readability_flesch, textops.READABILITY_SQL),
+    # ---- round 7: graph / rules / calibration twins ----
+    "hits_hubs_authorities": (graph.hits_hubs_authorities, graph.HITS_SQL),
+    "adamic_adar_links": (graph.adamic_adar_links, graph.ADAMIC_ADAR_SQL),
+    "assoc_rules_confidence": (
+        relational_ext.assoc_rules_confidence,
+        relational_ext.ASSOC_RULES_SQL,
+    ),
+    "brier_decomposition": (
+        embedding_ops.brier_decomposition,
+        embedding_ops.BRIER_SQL,
+    ),
+    "cohens_kappa_flags": (quality.cohens_kappa_flags, quality.COHENS_KAPPA_SQL),
+    "lognormal_fit_doclen": (
+        quality.lognormal_fit_doclen,
+        quality.LOGNORMAL_FIT_SQL,
+    ),
 }
 
 
@@ -650,6 +666,12 @@ _ROUND7_NEW: list[str] = [
     "chao1_vocab_richness",
     "vocab_coverage_curve",
     "readability_flesch",
+    "hits_hubs_authorities",
+    "adamic_adar_links",
+    "assoc_rules_confidence",
+    "brier_decomposition",
+    "cohens_kappa_flags",
+    "lognormal_fit_doclen",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -717,3 +717,239 @@ def test_readability_flesch_matches_python_reference(spark):
         hard = sum(1 for f in fres if f < FRE_HARD)
         assert g["easy_share"] == round(easy / len(fres), 6)
         assert g["hard_share"] == round(hard / len(fres), 6)
+
+
+# ------------------------------------------- hits_hubs_authorities
+def test_hits_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_S,
+        hits_hubs_authorities,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    edges = {
+        (r["o_custkey"], r["l_suppkey"])
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey).collect()
+    }
+    custs = sorted({c for c, _ in edges})
+    supps = sorted({s for _, s in edges})
+    by_s = defaultdict(list)
+    by_c = defaultdict(list)
+    for c, s in edges:
+        by_s[s].append(c)
+        by_c[c].append(s)
+    hub = {c: HITS_S for c in custs}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        raw = {s: sum(hub[c] for c in by_s[s]) for s in supps}
+        nrm = math.sqrt(sum(float(x) * float(x) for x in raw.values()))
+        auth = {s: math.floor(x / nrm * HITS_S + 0.5) for s, x in raw.items()}
+        raw = {c: sum(auth[s] for s in by_c[c]) for c in custs}
+        nrm = math.sqrt(sum(float(x) * float(x) for x in raw.values()))
+        hub = {c: math.floor(x / nrm * HITS_S + 0.5) for c, x in raw.items()}
+    got = {r["s_suppkey"]: r for r in hits_hubs_authorities(spark, SF).collect()}
+    assert set(got) == set(supps)
+    for s in supps:
+        # integer-exact through the sums; the only float is the norm
+        # division, identical per engine — python agrees to 1 quantum
+        assert abs(got[s]["authority_q"] - auth[s]) <= 1
+        assert abs(got[s]["authority"] - auth[s] / HITS_S) < 1e-8
+    # scores are a unit-ish vector: norm close to 1 after quantization
+    total = sum((g["authority"]) ** 2 for g in got.values())
+    assert abs(total - 1.0) < 1e-3
+
+
+# ----------------------------------------------- adamic_adar_links
+def test_adamic_adar_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.graph import (
+        AA_MIN_COMMON,
+        AA_MIN_ORDERS,
+        AA_S,
+        adamic_adar_links,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).collect()
+    ord_count = defaultdict(set)
+    for r in j:
+        ord_count[(r["o_custkey"], r["l_suppkey"])].add(r["l_orderkey"])
+    repeat = {(c, s) for (c, s), o in ord_count.items() if len(o) >= AA_MIN_ORDERS}
+    deg = Counter(c for c, _ in repeat)
+    pairs = defaultdict(lambda: [0, 0])  # cn, aa_q
+    by_c = defaultdict(list)
+    for c, s in repeat:
+        by_c[c].append(s)
+    for c, ss in by_c.items():
+        if deg[c] < 2:
+            continue
+        w = math.floor(AA_S / math.log(deg[c]) + 0.5)
+        ss.sort()
+        for i, s1 in enumerate(ss):
+            for s2 in ss[i + 1 :]:
+                pairs[(s1, s2)][0] += 1
+                pairs[(s1, s2)][1] += w
+    expected = {k: v for k, v in pairs.items() if v[0] >= AA_MIN_COMMON}
+    got = {
+        (r["s1"], r["s2"]): r for r in adamic_adar_links(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (cn, aaq) in expected.items():
+        assert got[k]["common_customers"] == cn
+        assert got[k]["aa_score"] == aaq / AA_S
+
+
+# ------------------------------------------- assoc_rules_confidence
+def test_assoc_rules_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.relational_ext import (
+        RULE_CONVICTION_CAP,
+        RULE_MIN_SUPPORT,
+        assoc_rules_confidence,
+    )
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    sup = Counter()
+    pair_sup = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for p in s:
+            sup[p] += 1
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pair_sup[(a, b)] += 1
+    n = len(baskets)
+    expected = {k: v for k, v in pair_sup.items() if v >= RULE_MIN_SUPPORT}
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in assoc_rules_confidence(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for (a, b), s_ab in expected.items():
+        g = got[(a, b)]
+        assert g["support"] == s_ab
+        assert g["conf_a_to_b"] == round(s_ab / sup[a], 6)
+        assert g["conf_b_to_a"] == round(s_ab / sup[b], 6)
+        conv = (
+            RULE_CONVICTION_CAP
+            if s_ab == sup[a]
+            else (1 - sup[b] / n) / (1 - s_ab / sup[a])
+        )
+        assert abs(g["conviction_a_to_b"] - conv) < 1e-5
+
+
+# ------------------------------------------- brier_decomposition
+def test_brier_decomposition_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        ECE_BINS,
+        ECE_SC,
+        _nearest_centroid_scores,
+        brier_decomposition,
+    )
+
+    pv = _nearest_centroid_scores(spark, SF).collect()
+    scores = [(r["conf_i"] / ECE_SC, r["correct"]) for r in pv]
+    n = len(scores)
+    brier = sum((p - o) ** 2 for p, o in scores) / n
+    bins = defaultdict(list)
+    for p, o in scores:
+        b = min(ECE_BINS - 1, max(0, int(p * ECE_BINS)))
+        bins[b].append((p, o))
+    obar = sum(o for _, o in scores) / n
+    rel = sum(
+        len(g) * (sum(p for p, _ in g) / len(g) - sum(o for _, o in g) / len(g)) ** 2
+        for g in bins.values()
+    ) / n
+    res = sum(
+        len(g) * (sum(o for _, o in g) / len(g) - obar) ** 2
+        for g in bins.values()
+    ) / n
+    got = brier_decomposition(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert abs(got["brier"] - brier) < 1e-6
+    assert abs(got["reliability"] - rel) < 1e-6
+    assert abs(got["resolution"] - res) < 1e-6
+    assert abs(got["uncertainty"] - obar * (1 - obar)) < 1e-6
+    # Murphy identity holds up to within-bin variance (>= 0)
+    wbv = brier - (got["reliability"] - got["resolution"] + got["uncertainty"])
+    assert wbv < 1e-6 or wbv >= -1e-6
+
+
+# ------------------------------------------- cohens_kappa_flags
+def test_cohens_kappa_matches_python_reference(spark):
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        KAPPA_CHARS_LT,
+        KAPPA_WORDS_LT,
+        cohens_kappa_flags,
+    )
+
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("n_chars", "text")
+        .collect()
+    )
+    n11 = n10 = n01 = n00 = 0
+    for r in rows:
+        a = r["n_chars"] < KAPPA_CHARS_LT
+        b = len(re.findall(r"[a-z0-9]+", r["text"].lower())) < KAPPA_WORDS_LT
+        if a and b:
+            n11 += 1
+        elif a:
+            n10 += 1
+        elif b:
+            n01 += 1
+        else:
+            n00 += 1
+    n = len(rows)
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n**2
+    got = cohens_kappa_flags(spark, SF).collect()[0]
+    assert (got["n"], got["n11"], got["n10"], got["n01"], got["n00"]) == (
+        n,
+        n11,
+        n10,
+        n01,
+        n00,
+    )
+    assert got["p_observed"] == round(po, 6)
+    assert abs(got["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+    # the two length heuristics must actually agree beyond chance
+    assert got["kappa"] > 0.5
+
+
+# ------------------------------------------- lognormal_fit_doclen
+def test_lognormal_fit_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        lognormal_fit_doclen,
+    )
+
+    rows = load_table(spark, SF, "documents").select("source", "n_chars").collect()
+    per = defaultdict(list)
+    for r in rows:
+        if r["n_chars"] > 0:
+            per[r["source"]].append(r["n_chars"])
+    got = {r["source"]: r for r in lognormal_fit_doclen(spark, SF).collect()}
+    assert set(got) == set(per)
+    for src, vals in per.items():
+        logs = [math.log(v) for v in vals]
+        mu = sum(logs) / len(logs)
+        var = sum(x * x for x in logs) / len(logs) - mu * mu
+        g = got[src]
+        assert g["n"] == len(vals)
+        assert abs(g["mu_log"] - mu) < 1e-5
+        assert abs(g["sigma_log"] - math.sqrt(var)) < 1e-4
+        assert abs(g["geom_mean"] - math.exp(mu)) < 1e-2
+        assert g["arith_mean"] == round(sum(vals) / len(vals), 6)
+        # lognormal sanity: geometric mean below arithmetic mean
+        assert g["geom_mean"] < g["arith_mean"]
