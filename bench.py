@@ -269,6 +269,13 @@ HEADLINE: dict[str, str] = {
     "brier_decomposition": "collect",
     "cohens_kappa_flags": "collect",
     "lognormal_fit_doclen": "collect",
+    "jackknife_variance": "collect",
+    "extreme_value_fit": "collect",
+    "page_hinkley_drift": "collect",
+    "capture_recapture": "collect",
+    "mcnemar_test": "collect",
+    "last_digit_uniformity": "collect",
+    "gains_curve_calibration": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -293,7 +300,7 @@ EXCLUDED = {
     "plan_build_time_iteration": [
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",
         "kcore_parts", "bpe_learn_merges", "bfs_reach", "bpe_apply",
-        "markov_stationary_dist",
+        "markov_stationary_dist", "logistic_regression_irls",
     ],
     "quadratic_calibration_ground_truth": [
         "dedup_ngram_jaccard", "containment_dedup", "dedup_lsh_quality",

@@ -505,3 +505,103 @@ SELECT n,
              * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty
 FROM tot
 """
+
+# ------------------------------------------------- cumulative gains
+def gains_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains curve for the nearest-centroid classifier:
+    bins ordered by DESCENDING confidence, each row reporting the
+    cumulative share of examples reviewed and of correct predictions
+    captured, plus lift vs the base rate — the triage answer ("route
+    the top-X% to auto-accept") that ECE/Brier's per-bin views don't
+    give directly.
+
+    Reuses the factored nearest-centroid scorer; cumulation over the
+    ≤ 10 confidence bins is the bounded theta-join prefix convention
+    (b.bin >= a.bin under descending order), and every reported
+    number is an exact int/int division.
+    """
+    per_vec = _nearest_centroid_scores(spark, sf_dir)
+    bin_col = F.least(
+        F.lit(ECE_BINS - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(F.col("conf_i") * F.lit(ECE_BINS) / F.lit(ECE_SC)),
+        ),
+    )
+    bins = per_vec.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("nk"), F.sum("correct").alias("ck")
+    )
+    tot = bins.agg(F.sum("nk").alias("n"), F.sum("ck").alias("c"))
+    cum = (
+        bins.alias("a")
+        .join(F.broadcast(bins.alias("b")), F.col("b.bin") >= F.col("a.bin"))
+        .groupBy(
+            F.col("a.bin").alias("bin"),
+            F.col("a.nk").alias("nk"),
+            F.col("a.ck").alias("ck"),
+        )
+        .agg(F.sum("b.nk").alias("cum_n"), F.sum("b.ck").alias("cum_c"))
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.select(
+        "bin",
+        "nk",
+        F.round(F.col("ck") / F.col("nk"), 6).alias("bin_precision"),
+        F.round(F.col("cum_n") / F.col("n"), 6).alias("reviewed_share"),
+        F.round(F.col("cum_c") / F.col("c"), 6).alias("captured_share"),
+        F.round(
+            (F.col("cum_c") * F.col("n")).cast("double")
+            / (F.col("cum_n") * F.col("c")).cast("double"),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.col("bin").desc())
+
+
+GAINS_CURVE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), exploded AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM e
+), cent AS (
+  SELECT label AS clabel, idx, ROUND(AVG(x), 6) AS c
+  FROM exploded GROUP BY label, idx
+), scored AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(CAST(floor(x * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS dot_i,
+         CAST(SUM(CAST(floor(c * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS cc_i,
+         CAST(SUM(CAST(floor(x * x * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS xx_i
+  FROM exploded JOIN cent USING (idx)
+  GROUP BY vec_id, label, clabel
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(struct_pack(
+           ci := CAST(floor(dot_i / sqrt(CAST(cc_i AS DOUBLE) * CAST(xx_i AS DOUBLE))
+                            * {ECE_SC} + 0.5) AS BIGINT),
+           nl := -clabel)) AS m
+  FROM scored GROUP BY vec_id, label
+), flat AS (
+  SELECT vec_id, m.ci AS conf_i,
+         CASE WHEN -m.nl = label THEN 1 ELSE 0 END AS correct
+  FROM per_vec
+), bins AS (
+  SELECT LEAST({ECE_BINS - 1}, GREATEST(0, CAST(floor(conf_i * {ECE_BINS} / {ECE_SC}) AS BIGINT))) AS bin,
+         COUNT(*) AS nk,
+         CAST(SUM(correct) AS BIGINT) AS ck
+  FROM flat GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(ck) AS BIGINT) AS c FROM bins
+), cum AS (
+  SELECT a.bin, a.nk, a.ck,
+         CAST(SUM(b.nk) AS BIGINT) AS cum_n,
+         CAST(SUM(b.ck) AS BIGINT) AS cum_c
+  FROM bins a JOIN bins b ON b.bin >= a.bin
+  GROUP BY a.bin, a.nk, a.ck
+)
+SELECT bin, nk,
+       ROUND(ck / nk, 6) AS bin_precision,
+       ROUND(cum_n / n, 6) AS reviewed_share,
+       ROUND(cum_c / c, 6) AS captured_share,
+       ROUND(CAST(cum_c * n AS DOUBLE) / CAST(cum_n * c AS DOUBLE), 6) AS lift
+FROM cum CROSS JOIN tot
+ORDER BY bin DESC
+"""

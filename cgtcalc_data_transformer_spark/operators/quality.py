@@ -636,3 +636,139 @@ SELECT source, n,
 FROM s
 ORDER BY source
 """
+
+# ------------------------------------------------- McNemar's test
+MCNEMAR_CRIT = 3.841459  # chi²(1), 5%
+
+
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on the two document-quality raters from
+    cohens_kappa_flags: κ asks "do they agree", McNemar asks the
+    OTHER audit question — "do they disagree SYMMETRICALLY", i.e. is
+    one rule systematically stricter (n10 ≠ n01)? χ² = (n10−n01)²/
+    (n10+n01), plus the Edwards continuity-corrected form.
+
+    Same one-scan 2×2 aggregation as κ; both statistics are single
+    IEEE expressions over two exact counts; the significance flag
+    compares the identical unrounded double to a literal.
+    """
+    from cgtcalc_data_transformer_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") < KAPPA_CHARS_LT).cast("long")
+    b = (F.size(tokens_col(F.col("text"))) < KAPPA_WORDS_LT).cast("long")
+    cells = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+    )
+    d = (F.col("n10") - F.col("n01")).cast("double")
+    tot = (F.col("n10") + F.col("n01")).cast("double")
+    chi2 = d * d / tot
+    chi2_c = (F.abs(d) - F.lit(1.0)) * (F.abs(d) - F.lit(1.0)) / tot
+    return cells.select(
+        "n10",
+        "n01",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(chi2_c, 6).alias("chi2_corrected"),
+        (chi2 > F.lit(MCNEMAR_CRIT)).alias("asymmetric"),
+    )
+
+
+MCNEMAR_SQL = f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars < {KAPPA_CHARS_LT} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) < {KAPPA_WORDS_LT}
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), cells AS (
+  SELECT CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01
+  FROM flags
+)
+SELECT n10, n01,
+       ROUND(CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+             / CAST(n10 + n01 AS DOUBLE), 6) AS chi2,
+       ROUND((ABS(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+             * (ABS(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+             / CAST(n10 + n01 AS DOUBLE), 6) AS chi2_corrected,
+       CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+         / CAST(n10 + n01 AS DOUBLE) > {MCNEMAR_CRIT} AS asymmetric
+FROM cells
+"""
+
+
+# -------------------------------------------- last-digit uniformity
+LASTDIGIT_S = 10**6
+LASTDIGIT_CRIT = 16.918978  # chi²(9), 5%
+
+
+def last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit (penny) uniformity test on o_totalprice — the
+    forensic-accounting complement to benfords_law_audit: FIRST
+    digits follow Benford, LAST digits of genuine transactional
+    amounts should be uniform; spikes at 0/5 betray rounding or
+    fabrication (Nigrini's digit tests). Per-digit counts, shares,
+    and the χ²(9) uniformity verdict repeated per row.
+
+    Pennies are exact (2-decimal money: floor(x·100 + 0.5) is the
+    same integer on both engines); χ² terms (c − n/10)²/(n/10) are
+    quantized ::BIGINT before the 10-term sum. One aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.pmod(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+        F.lit(10),
+    )
+    per = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per.agg(F.sum("c").alias("n"))
+    j = per.crossJoin(F.broadcast(tot))
+    e = F.col("n").cast("double") / F.lit(10.0)
+    term = F.floor(
+        (F.col("c").cast("double") - e)
+        * (F.col("c").cast("double") - e)
+        / e
+        * F.lit(float(LASTDIGIT_S))
+        + F.lit(0.5)
+    ).cast("long")
+    chi = j.agg(F.sum(term).alias("chiq"), F.max("n").alias("n"))
+    chi2 = F.col("chiq").cast("double") / F.lit(float(LASTDIGIT_S))
+    return (
+        j.crossJoin(F.broadcast(chi.select("chiq")))
+        .select(
+            "digit",
+            "c",
+            F.round(F.col("c") / F.col("n"), 6).alias("share"),
+            F.round(
+                F.col("chiq").cast("double") / F.lit(float(LASTDIGIT_S)), 6
+            ).alias("chi2"),
+            (
+                F.col("chiq").cast("double") / F.lit(float(LASTDIGIT_S))
+                > F.lit(LASTDIGIT_CRIT)
+            ).alias("deviates"),
+        )
+        .orderBy("digit")
+    )
+
+
+LAST_DIGIT_SQL = f"""
+WITH per AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 10 AS digit,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per
+), chi AS (
+  SELECT CAST(SUM(CAST(floor((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 10.0)
+                             * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 10.0)
+                             / (CAST(n AS DOUBLE) / 10.0)
+                             * {LASTDIGIT_S} + 0.5) AS BIGINT)) AS BIGINT) AS chiq
+  FROM per CROSS JOIN tot
+)
+SELECT digit, c,
+       ROUND(c / n, 6) AS share,
+       ROUND(CAST(chiq AS DOUBLE) / {LASTDIGIT_S}, 6) AS chi2,
+       CAST(chiq AS DOUBLE) / {LASTDIGIT_S} > {LASTDIGIT_CRIT} AS deviates
+FROM per CROSS JOIN tot CROSS JOIN chi
+ORDER BY digit
+"""

@@ -966,3 +966,287 @@ SELECT source, n, k AS k_trim,
 FROM s
 ORDER BY source
 """
+
+# -------------------------------------- logistic regression (IRLS)
+LOGIT_ITERS = 4
+LOGIT_BS = 10**9    # beta quantization between iterations
+LOGIT_TS = 10**6    # per-value term quantization inside each iteration
+
+
+def _logit_step(bins, b0, b1):
+    """One IRLS/Newton step over the binned (x, n, y) table using
+    EXACTLY the arithmetic the oracle's unrolled CTEs spell: per-x
+    terms quantized ::int before the 50-term sums, betas re-quantized
+    to 1e-9 after the 2×2 solve. bins: list of (x, n_x, y_x)."""
+    import math as _m
+
+    g0 = g1 = h00 = h01 = h11 = 0
+    for x, n, y in bins:
+        p = 1.0 / (1.0 + _m.exp(-(b0 + b1 * x)))
+        w = p * (1.0 - p)
+        g0 += _m.floor((y - n * p) * LOGIT_TS + 0.5)
+        g1 += _m.floor(x * (y - n * p) * LOGIT_TS + 0.5)
+        h00 += _m.floor(n * w * LOGIT_TS + 0.5)
+        h01 += _m.floor(x * n * w * LOGIT_TS + 0.5)
+        h11 += _m.floor(x * x * n * w * LOGIT_TS + 0.5)
+    det = float(h00) * float(h11) - float(h01) * float(h01)
+    nb0 = b0 + (float(h11) * g0 - float(h01) * g1) / det
+    nb1 = b1 + (float(h00) * g1 - float(h01) * g0) / det
+    return (
+        _m.floor(nb0 * LOGIT_BS + 0.5) / LOGIT_BS,
+        _m.floor(nb1 * LOGIT_BS + 0.5) / LOGIT_BS,
+    )
+
+
+def logistic_regression_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of P(returnflag = 'R') on l_quantity via
+    IRLS/Newton (the GLM workhorse) — {LOGIT_ITERS} damp-free steps
+    on the BINNED feature: l_quantity has 50 values, so the exact
+    sufficient statistics are one 50-row aggregation and every
+    iteration is arithmetic over that bounded table, not a data pass.
+    The flag is generated independently of quantity, so the audit's
+    expected answer is β₁ ≈ 0 — the null-effect detection this
+    screen exists for (same contract as ols_regression's R² ≈ 0).
+
+    Determinism through the iterations: per-x gradient/Hessian terms
+    are quantized ::int before the 50-term sums, and β is re-
+    quantized to 1e-9 after each 2×2 solve, so the driver-side loop
+    (bounded collect — the kmeans-centroid pattern) and the oracle's
+    {LOGIT_ITERS} unrolled CTEs walk the identical rational sequence;
+    the only transcendental is exp on identical doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bins_df = li.groupBy(F.col("l_quantity").cast("long").alias("x")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("y"),
+    )
+    bins = [(r["x"], r["n"], r["y"]) for r in bins_df.collect()]  # ≤ 50 rows
+    bins.sort()
+    b0, b1 = 0.0, 0.0
+    for _ in range(LOGIT_ITERS):
+        b0, b1 = _logit_step(bins, b0, b1)
+    import math as _m
+
+    n_tot = sum(n for _, n, _ in bins)
+    llq = 0
+    for x, n, y in bins:
+        p = 1.0 / (1.0 + _m.exp(-(b0 + b1 * x)))
+        llq += _m.floor(
+            (y * _m.log(p) + (n - y) * _m.log(1.0 - p)) * LOGIT_TS + 0.5
+        )
+    out = [(n_tot, b0, b1, -llq / LOGIT_TS / n_tot)]
+    # no ROUND: betas sit on the exact 1e-9 quantization grid and the
+    # loss is an exact 1e-6 rational over n — rounding would re-open
+    # the cross-engine .5-tie hazard the grid exists to avoid
+    return spark.createDataFrame(
+        out, "n long, beta0 double, beta1 double, avg_log_loss double"
+    )
+
+
+def _logit_sql() -> str:
+    steps = []
+    for k in range(1, LOGIT_ITERS + 1):
+        steps.append(f""", s{k} AS (
+  SELECT
+    CAST(SUM(CAST(floor((y - n * (1.0 / (1.0 + exp(-(b0 + b1 * x))))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+    CAST(SUM(CAST(floor(x * (y - n * (1.0 / (1.0 + exp(-(b0 + b1 * x))))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+    CAST(SUM(CAST(floor(n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h00,
+    CAST(SUM(CAST(floor(x * n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h01,
+    CAST(SUM(CAST(floor(x * x * n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h11
+  FROM bins, b{k - 1}
+), b{k} AS (
+  SELECT floor((b0 + (CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
+               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b0,
+         floor((b1 + (CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
+                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
+               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b1
+  FROM s{k}, b{k - 1}
+)""")
+    return f"""
+WITH bins AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS x, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), b0 AS (SELECT 0.0 AS b0, 0.0 AS b1){''.join(steps)}
+SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS n,
+       b0 AS beta0,
+       b1 AS beta1,
+       (-(SELECT CAST(SUM(CAST(floor((y * ln(1.0 / (1.0 + exp(-(b0 + b1 * x))))
+                                      + (n - y) * ln(1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))))
+                                     * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT)
+          FROM bins) / {LOGIT_TS}.0)
+       / (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS avg_log_loss
+FROM b{LOGIT_ITERS}
+"""
+
+
+LOGISTIC_IRLS_SQL = _logit_sql()
+
+
+# ------------------------------------------------ jackknife variance
+JACK_S = 10**6   # replicate-deviation quantization (1e-6 grid keeps
+                 # di^2 sums far inside BIGINT for any group spread)
+
+
+def jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-SOURCE jackknife for mean document length (Tukey
+    1958): each replicate drops one source and re-estimates the mean
+    from the complement's exact sums — the grouped-data uncertainty
+    estimate that respects source-level correlation, which the iid
+    bootstrap_ci_mean deliberately ignores. Reported: θ̂, the
+    jackknife SE, and the replicate spread.
+
+    One per-source aggregation (g ≤ dozens of rows); every replicate
+    θ̂₍ᵢ₎ = (S − sᵢ)/(N − nᵢ) is an exact integer rational. The
+    quantized quantity is the DEVIATION θ̂₍ᵢ₎ − θ̂ (small, so its
+    1e-9-grid square never overflows BIGINT — quantizing the raw
+    replicate would at ~10⁹-scale means); variance then follows from
+    Σd² − (Σd)²/g in exact integers with one final scale division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("n_chars").alias("si")
+    )
+    tot = per.agg(
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    theta_hat = F.col("s").cast("double") / F.col("n").cast("double")
+    theta_i = (F.col("s") - F.col("si")).cast("double") / (
+        F.col("n") - F.col("ni")
+    ).cast("double")
+    di = F.floor(
+        (theta_i - theta_hat) * F.lit(float(JACK_S)) + F.lit(0.5)
+    ).cast("long")
+    s2 = j.select("n", "s", "g", di.alias("di")).groupBy("n", "s", "g").agg(
+        F.sum("di").alias("sd"), F.sum(F.col("di") * F.col("di")).alias("sdd")
+    )
+    gd = F.col("g").cast("double")
+    var_rep = (
+        F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd").cast("double") / gd
+    ) / (gd * F.lit(float(JACK_S) ** 2))
+    jack_var = (gd - F.lit(1.0)) * var_rep
+    return s2.select(
+        F.col("g").alias("n_groups"),
+        F.round(F.col("s") / F.col("n"), 6).alias("theta_hat"),
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double")
+            + F.col("sd").cast("double") / (gd * F.lit(float(JACK_S))),
+            6,
+        ).alias("mean_replicate"),
+        F.round(F.sqrt(jack_var), 6).alias("jack_se"),
+    )
+
+
+JACKKNIFE_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS ni, CAST(SUM(n_chars) AS BIGINT) AS si
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(ni) AS BIGINT) AS n, CAST(SUM(si) AS BIGINT) AS s,
+         COUNT(*) AS g
+  FROM per
+), reps AS (
+  SELECT n, s, g,
+         CAST(floor((CAST(s - si AS DOUBLE) / CAST(n - ni AS DOUBLE)
+                     - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * {JACK_S} + 0.5) AS BIGINT) AS di
+  FROM per CROSS JOIN tot
+), s2 AS (
+  SELECT n, s, g,
+         CAST(SUM(di) AS BIGINT) AS sd,
+         CAST(SUM(di * di) AS BIGINT) AS sdd
+  FROM reps GROUP BY n, s, g
+)
+SELECT g AS n_groups,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS theta_hat,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             + CAST(sd AS DOUBLE) / (CAST(g AS DOUBLE) * {JACK_S}), 6) AS mean_replicate,
+       ROUND(sqrt((CAST(g AS DOUBLE) - 1.0)
+                  * (CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(g AS DOUBLE))
+                  / (CAST(g AS DOUBLE) * {float(JACK_S) ** 2!r})), 6) AS jack_se
+FROM s2
+"""
+
+# ------------------------------------------- Gumbel block-maxima fit
+EVT_GAMMA = 0.5772156649015329     # Euler-Mascheroni
+EVT_PI = 3.141592653589793
+EVT_SQRT6 = 2.449489742783178      # √6
+# −ln(−ln(q)) return-level factors, precomputed as literals so no
+# engine evaluates nested ln of a constant
+EVT_Y99 = 4.600149226776579        # q = 0.99
+
+
+def extreme_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit of daily-maximum order value by block maxima +
+    method of moments (Gumbel 1958): β̂ = σ√6/π, μ̂ = m − γβ̂, and the
+    1%-day return level μ̂ + β̂·4.6001 — the capacity-planning answer
+    to "how big an order should the pipeline expect on a bad day",
+    which mean/p99 on the raw stream understate because maxima have
+    their own distribution.
+
+    Block maxima are one day-grouped MAX (map-side combinable; the
+    day domain bounds everything downstream); mean/σ of the maxima
+    come from exact decimal(28,6) sums (2-decimal money, sub-2^53
+    products); the Gumbel parameters are one IEEE expression with
+    all transcendental constants baked as literals.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.max("o_totalprice").alias("mx"))
+    s = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(_dec(F.col("mx"))).alias("sm"),
+        F.sum(_dec(F.col("mx") * F.col("mx"))).alias("smm"),
+    )
+    nd = F.col("nd").cast("double")
+    mean = F.col("sm").cast("double") / nd
+    var = F.col("smm").cast("double") / nd - mean * mean
+    beta = F.sqrt(var) * F.lit(EVT_SQRT6) / F.lit(EVT_PI)
+    mu = mean - F.lit(EVT_GAMMA) * beta
+    return s.select(
+        F.col("nd").alias("n_days"),
+        F.round(mean, 6).alias("mean_max"),
+        F.round(F.sqrt(var), 6).alias("sd_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(mu + beta * F.lit(EVT_Y99), 6).alias("return_level_p99"),
+    )
+
+
+EXTREME_VALUE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, MAX(o_totalprice) AS mx
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT COUNT(*) AS nd,
+         SUM(CAST(mx AS DECIMAL(28,6))) AS sm,
+         SUM(CAST(mx * mx AS DECIMAL(28,6))) AS smm
+  FROM daily
+)
+SELECT nd AS n_days,
+       ROUND(CAST(sm AS DOUBLE) / nd, 6) AS mean_max,
+       ROUND(sqrt(CAST(smm AS DOUBLE) / nd
+                  - (CAST(sm AS DOUBLE) / nd) * (CAST(sm AS DOUBLE) / nd)), 6) AS sd_max,
+       ROUND(sqrt(CAST(smm AS DOUBLE) / nd
+                  - (CAST(sm AS DOUBLE) / nd) * (CAST(sm AS DOUBLE) / nd))
+             * {EVT_SQRT6!r} / {EVT_PI!r}, 6) AS gumbel_beta,
+       ROUND(CAST(sm AS DOUBLE) / nd
+             - {EVT_GAMMA!r} * (sqrt(CAST(smm AS DOUBLE) / nd
+                                     - (CAST(sm AS DOUBLE) / nd) * (CAST(sm AS DOUBLE) / nd))
+                                * {EVT_SQRT6!r} / {EVT_PI!r}), 6) AS gumbel_mu,
+       ROUND(CAST(sm AS DOUBLE) / nd
+             - {EVT_GAMMA!r} * (sqrt(CAST(smm AS DOUBLE) / nd
+                                     - (CAST(sm AS DOUBLE) / nd) * (CAST(sm AS DOUBLE) / nd))
+                                * {EVT_SQRT6!r} / {EVT_PI!r})
+             + (sqrt(CAST(smm AS DOUBLE) / nd
+                     - (CAST(sm AS DOUBLE) / nd) * (CAST(sm AS DOUBLE) / nd))
+                * {EVT_SQRT6!r} / {EVT_PI!r}) * {EVT_Y99!r}, 6) AS return_level_p99
+FROM s
+"""

@@ -658,3 +658,188 @@ SELECT event_type, c1, c2,
 FROM ranked CROSS JOIN kmax
 ORDER BY rank, event_type
 """
+
+# --------------------------------------------- Page-Hinkley drift
+PH_DELTA_NUM = 1   # δ = 1/2 (tolerated drift per step, count units)
+PH_DELTA_DEN = 2
+PH_LAMBDA = 5      # alarm threshold in count units
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector (Page 1954; Hinkley 1971) on
+    per-type daily counts: PH_t = Σ_{i≤t}(y_i − ȳ − δ) with alarm
+    when PH_t − min_{i≤t} PH_i > λ — the classic upward mean-shift
+    detector that complements cusum_changepoint's two-sided split
+    with an online-style monitoring statistic.
+
+    ENTIRELY exact integer arithmetic: multiplying through by 2D
+    turns every term into 2D·y_i − 2S − D (BIGINT), so the prefix
+    sums, the running minimum, and the alarm comparison
+    (PH' − min' > 2D·λ) never touch a float; both prefix aggregates
+    are bounded theta joins on the day grid. The displayed ph/ph_min
+    are the scaled integers divided once.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    g = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "y",
+        "nd",
+        (
+            F.lit(2 * PH_DELTA_DEN) * F.col("nd") * F.col("y")
+            - F.lit(2 * PH_DELTA_DEN) * F.col("s")
+            - F.lit(2 * PH_DELTA_NUM) * F.col("nd")
+        ).alias("term"),
+    )
+    pre = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") <= F.col("a.d")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.d").alias("d"),
+            F.col("a.y").alias("y"),
+            F.col("a.nd").alias("nd"),
+        )
+        .agg(F.sum("b.term").alias("ph_q"))
+    )
+    mins = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") <= F.col("a.d")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.d").alias("d"),
+            F.col("a.y").alias("y"),
+            F.col("a.nd").alias("nd"),
+            F.col("a.ph_q").alias("ph_q"),
+        )
+        .agg(F.min("b.ph_q").alias("min_q"))
+    )
+    scale = (F.lit(2 * PH_DELTA_DEN) * F.col("nd")).cast("double")
+    return mins.select(
+        "event_type",
+        "d",
+        "y",
+        (F.col("ph_q") / scale).alias("ph"),
+        (F.col("min_q") / scale).alias("ph_min"),
+        (
+            F.col("ph_q") - F.col("min_q")
+            > F.lit(2 * PH_DELTA_DEN * PH_LAMBDA) * F.col("nd")
+        ).alias("alarm"),
+    ).orderBy("event_type", "d")
+
+
+PAGE_HINKLEY_SQL = f"""
+WITH {_GRID_SQL}, tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS nd
+  FROM grid GROUP BY event_type
+), g AS (
+  SELECT grid.event_type, d, y, nd,
+         {2 * PH_DELTA_DEN} * nd * y - {2 * PH_DELTA_DEN} * s
+           - {2 * PH_DELTA_NUM} * nd AS term
+  FROM grid JOIN tot ON grid.event_type = tot.event_type
+), pre AS (
+  SELECT a.event_type, a.d, a.y, a.nd,
+         CAST(SUM(b.term) AS BIGINT) AS ph_q
+  FROM g a JOIN g b ON a.event_type = b.event_type AND b.d <= a.d
+  GROUP BY a.event_type, a.d, a.y, a.nd
+), mins AS (
+  SELECT a.event_type, a.d, a.y, a.nd, a.ph_q,
+         CAST(MIN(b.ph_q) AS BIGINT) AS min_q
+  FROM pre a JOIN pre b ON a.event_type = b.event_type AND b.d <= a.d
+  GROUP BY a.event_type, a.d, a.y, a.nd, a.ph_q
+)
+SELECT event_type, d, y,
+       ph_q / CAST({2 * PH_DELTA_DEN} * nd AS DOUBLE) AS ph,
+       min_q / CAST({2 * PH_DELTA_DEN} * nd AS DOUBLE) AS ph_min,
+       ph_q - min_q > {2 * PH_DELTA_DEN * PH_LAMBDA} * nd AS alarm
+FROM mins
+ORDER BY event_type, d
+"""
+
+
+# --------------------------------------- capture-recapture estimate
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the
+    active-user population from two "captures" (users seen in the
+    first vs second half of the horizon): N̂ = n₁n₂/m, Chapman's
+    bias-corrected (n₁+1)(n₂+1)/(m+1) − 1 — the ecology estimator
+    that data platforms reuse to sanity-check "how many users exist
+    that we have NOT yet observed", reported against the true
+    distinct count this synthetic corpus can actually reveal.
+
+    Three distinct-count aggregations (first half, second half,
+    intersection via min/max day per user — one user-level rollup);
+    the estimates are exact integer rationals. One output row.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts div {DAY_NS}").alias("day")
+    )
+    bounds = ev.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (F.col("day") <= F.expr("(dmin + dmax) div 2")).cast("long").alias(
+                "h1"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.max("h1").alias("in1"), F.max(1 - F.col("h1")).alias("in2"))
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("true_n"),
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+    )
+    lp = (F.col("n1") * F.col("n2")).cast("double") / F.col("m").cast("double")
+    chap = ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double") / (
+        F.col("m") + 1
+    ).cast("double") - F.lit(1.0)
+    return s.select(
+        "n1",
+        "n2",
+        F.col("m").alias("recaptured"),
+        F.round(lp, 6).alias("n_hat_lp"),
+        F.round(chap, 6).alias("n_hat_chapman"),
+        "true_n",
+    )
+
+
+CAPTURE_RECAPTURE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), bounds AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev
+), per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN day <= (SELECT (dmin + dmax) // 2 FROM bounds)
+                  THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN day <= (SELECT (dmin + dmax) // 2 FROM bounds)
+                  THEN 0 ELSE 1 END) AS in2
+  FROM ev GROUP BY user_id
+), s AS (
+  SELECT COUNT(*) AS true_n,
+         CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(in2) AS BIGINT) AS n2,
+         CAST(SUM(in1 * in2) AS BIGINT) AS m
+  FROM per_user
+)
+SELECT n1, n2, m AS recaptured,
+       ROUND(CAST(n1 * n2 AS DOUBLE) / CAST(m AS DOUBLE), 6) AS n_hat_lp,
+       ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0, 6)
+         AS n_hat_chapman,
+       true_n
+FROM s
+"""

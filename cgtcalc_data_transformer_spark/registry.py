@@ -622,6 +622,30 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         quality.lognormal_fit_doclen,
         quality.LOGNORMAL_FIT_SQL,
     ),
+    # ---- round 7: batch E — GLM / drift / forensic / triage ----
+    "logistic_regression_irls": (
+        stats_ext.logistic_regression_irls,
+        stats_ext.LOGISTIC_IRLS_SQL,
+    ),
+    "jackknife_variance": (stats_ext.jackknife_variance, stats_ext.JACKKNIFE_SQL),
+    "extreme_value_fit": (stats_ext.extreme_value_fit, stats_ext.EXTREME_VALUE_SQL),
+    "page_hinkley_drift": (
+        timeseries.page_hinkley_drift,
+        timeseries.PAGE_HINKLEY_SQL,
+    ),
+    "capture_recapture": (
+        timeseries.capture_recapture,
+        timeseries.CAPTURE_RECAPTURE_SQL,
+    ),
+    "mcnemar_test": (quality.mcnemar_test, quality.MCNEMAR_SQL),
+    "last_digit_uniformity": (
+        quality.last_digit_uniformity,
+        quality.LAST_DIGIT_SQL,
+    ),
+    "gains_curve_calibration": (
+        embedding_ops.gains_curve_calibration,
+        embedding_ops.GAINS_CURVE_SQL,
+    ),
 }
 
 
@@ -672,6 +696,14 @@ _ROUND7_NEW: list[str] = [
     "brier_decomposition",
     "cohens_kappa_flags",
     "lognormal_fit_doclen",
+    "logistic_regression_irls",
+    "jackknife_variance",
+    "extreme_value_fit",
+    "page_hinkley_drift",
+    "capture_recapture",
+    "mcnemar_test",
+    "last_digit_uniformity",
+    "gains_curve_calibration",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

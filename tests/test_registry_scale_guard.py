@@ -83,6 +83,27 @@ BNLJ_OK = {
     "benfords_law_audit",  # 1-row total + 1-row chi2 scalars onto the 9-digit table
     "kaplan_meier_churn",  # 1-row horizon scalar + bounded duration-domain theta scans
     "hhi_concentration",  # 2x 1-row totals scalar onto the per-entity count table
+    # round 7 — all value-domain-bounded theta joins / 1-row scalars:
+    "mannwhitney_u_test",  # 50-value per-count table theta prefix join
+    "spearman_rank_corr",  # 50/11-value marginal rank tables + 1-row totals
+    "kendall_tau_binned",  # 550-cell table self-join + 1-row tie scalars
+    "cramers_v_matrix",  # <=15-cell contingency x 1-row totals/dims scalars
+    "mutual_information_binned",  # 5x3 cells x 1-row totals scalar
+    "simpson_paradox_audit",  # 1-row pooled-sums scalar onto 3 group rows
+    "acf_daily_counts",  # |days|-row grid x 1-row bounds scalar + lag join
+    "ewma_control_chart",  # |days|-row grid history theta join, 1-row y0/sigma
+    "theil_sen_trend",  # |days|^2-pair table rank theta join (day-domain)
+    "bh_fdr_control",  # |types|-row p-value table rank theta join
+    "nelson_aalen_hazard",  # bounded duration-domain theta scans (KM twin)
+    "assoc_rules_confidence",  # 1-row basket-count scalar crossJoin
+    "jackknife_variance",  # 1-row totals scalar onto |sources| rows
+    "page_hinkley_drift",  # |days|-row grid prefix/min theta joins
+    "capture_recapture",  # 1-row bounds scalar onto per-user halves
+    "last_digit_uniformity",  # 10-digit table x 1-row total/chi2 scalars
+    "gains_curve_calibration",  # 10-bin table cumulative theta join
+    "extreme_value_fit",  # 1-row moments scalar over the daily-max table
+    "logistic_regression_irls",  # 50-value binned table, driver loop
+    "markov_stationary_dist",  # |types|^2 pair table, driver loop
 }
 
 

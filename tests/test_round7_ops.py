@@ -953,3 +953,238 @@ def test_lognormal_fit_matches_python_reference(spark):
         assert g["arith_mean"] == round(sum(vals) / len(vals), 6)
         # lognormal sanity: geometric mean below arithmetic mean
         assert g["geom_mean"] < g["arith_mean"]
+
+
+# ------------------------------------- logistic_regression_irls
+def test_logistic_irls_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        logistic_regression_irls,
+    )
+
+    xs, _, flags = _li_xy(spark)
+    ys = [1 if f == "R" else 0 for f in flags]
+    n = len(xs)
+    # independent check: full Newton on RAW rows with float sums —
+    # the engine's binned/quantized walk must land within the
+    # quantization budget of the exact optimum after 4 steps
+    b0 = b1 = 0.0
+    for _ in range(8):
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for x, y in zip(xs, ys):
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+            w = p * (1 - p)
+            g0 += y - p
+            g1 += x * (y - p)
+            h00 += w
+            h01 += x * w
+            h11 += x * x * w
+        det = h00 * h11 - h01 * h01
+        b0 += (h11 * g0 - h01 * g1) / det
+        b1 += (h00 * g1 - h01 * g0) / det
+    got = logistic_regression_irls(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert abs(got["beta0"] - b0) < 1e-3
+    assert abs(got["beta1"] - b1) < 1e-4
+    # returnflag is generated independently of quantity: no effect
+    assert abs(got["beta1"]) < 0.01
+    ll = -sum(
+        y * math.log(1 / (1 + math.exp(-(b0 + b1 * x))))
+        + (1 - y) * math.log(1 - 1 / (1 + math.exp(-(b0 + b1 * x))))
+        for x, y in zip(xs, ys)
+    ) / n
+    assert abs(got["avg_log_loss"] - ll) < 1e-4
+
+
+# ------------------------------------------- jackknife_variance
+def test_jackknife_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        jackknife_variance,
+    )
+
+    rows = load_table(spark, SF, "documents").select("source", "n_chars").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per[r["source"]][0] += 1
+        per[r["source"]][1] += r["n_chars"]
+    g = len(per)
+    n = sum(v[0] for v in per.values())
+    s = sum(v[1] for v in per.values())
+    thetas = [(s - si) / (n - ni) for ni, si in per.values()]
+    tbar = sum(thetas) / g
+    jack_var = (g - 1) / g * sum((t - tbar) ** 2 for t in thetas)
+    got = jackknife_variance(spark, SF).collect()[0]
+    assert got["n_groups"] == g
+    assert got["theta_hat"] == round(s / n, 6)
+    assert abs(got["mean_replicate"] - tbar) < 1e-5
+    assert abs(got["jack_se"] - math.sqrt(jack_var)) < 1e-4
+
+
+# -------------------------------------------- extreme_value_fit
+def test_extreme_value_fit_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        EVT_GAMMA,
+        extreme_value_fit,
+    )
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("day"), "o_totalprice")
+        .collect()
+    )
+    daily = {}
+    for r in rows:
+        daily[r["day"]] = max(daily.get(r["day"], 0.0), r["o_totalprice"])
+    vals = list(daily.values())
+    nd = len(vals)
+    mean = sum(vals) / nd
+    var = sum(v * v for v in vals) / nd - mean * mean
+    beta = math.sqrt(var) * math.sqrt(6) / math.pi
+    mu = mean - EVT_GAMMA * beta
+    y99 = -math.log(-math.log(0.99))
+    got = extreme_value_fit(spark, SF).collect()[0]
+    assert got["n_days"] == nd
+    assert abs(got["mean_max"] - mean) < 1e-4
+    assert abs(got["gumbel_beta"] - beta) < 1e-3
+    assert abs(got["gumbel_mu"] - mu) < 1e-3
+    assert abs(got["return_level_p99"] - (mu + beta * y99)) < 1e-2
+    # a p99-day maximum sits above the mean daily maximum
+    assert got["return_level_p99"] > got["mean_max"]
+
+
+# -------------------------------------------- page_hinkley_drift
+def test_page_hinkley_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        PH_DELTA_DEN,
+        PH_DELTA_NUM,
+        PH_LAMBDA,
+        page_hinkley_drift,
+    )
+
+    series, nd = _daily_counts(spark)
+    got = defaultdict(dict)
+    for r in page_hinkley_drift(spark, SF).collect():
+        got[r["event_type"]][r["d"]] = r
+    delta = PH_DELTA_NUM / PH_DELTA_DEN
+    for t, ys in series.items():
+        mean = sum(ys) / nd
+        ph = 0.0
+        mn = math.inf
+        for d in range(nd):
+            ph += ys[d] - mean - delta
+            mn = min(mn, ph)
+            g = got[t][d]
+            assert abs(g["ph"] - ph) < 1e-9
+            assert abs(g["ph_min"] - mn) < 1e-9
+            assert g["alarm"] == (ph - mn > PH_LAMBDA)
+
+
+# -------------------------------------------- capture_recapture
+def test_capture_recapture_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        DAY_NS,
+        capture_recapture,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("user_id", "ts").collect()
+    days = [(r["user_id"], r["ts"] // DAY_NS) for r in rows]
+    dmin = min(d for _, d in days)
+    dmax = max(d for _, d in days)
+    mid = (dmin + dmax) // 2
+    s1 = {u for u, d in days if d <= mid}
+    s2 = {u for u, d in days if d > mid}
+    n1, n2, m = len(s1), len(s2), len(s1 & s2)
+    got = capture_recapture(spark, SF).collect()[0]
+    assert (got["n1"], got["n2"], got["recaptured"]) == (n1, n2, m)
+    assert got["true_n"] == len(s1 | s2)
+    assert got["n_hat_lp"] == round(n1 * n2 / m, 6)
+    assert got["n_hat_chapman"] == round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6)
+    # estimator must land in the right ballpark of the truth
+    assert 0.5 * got["true_n"] < got["n_hat_chapman"] < 2.0 * got["true_n"]
+
+
+# ------------------------------------------------- mcnemar_test
+def test_mcnemar_matches_python_reference(spark):
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        KAPPA_CHARS_LT,
+        KAPPA_WORDS_LT,
+        MCNEMAR_CRIT,
+        mcnemar_test,
+    )
+
+    rows = load_table(spark, SF, "documents").select("n_chars", "text").collect()
+    n10 = n01 = 0
+    for r in rows:
+        a = r["n_chars"] < KAPPA_CHARS_LT
+        b = len(re.findall(r"[a-z0-9]+", r["text"].lower())) < KAPPA_WORDS_LT
+        if a and not b:
+            n10 += 1
+        elif b and not a:
+            n01 += 1
+    got = mcnemar_test(spark, SF).collect()[0]
+    assert (got["n10"], got["n01"]) == (n10, n01)
+    chi2 = (n10 - n01) ** 2 / (n10 + n01)
+    assert abs(got["chi2"] - chi2) < 1e-6
+    assert abs(got["chi2_corrected"] - (abs(n10 - n01) - 1) ** 2 / (n10 + n01)) < 1e-6
+    assert got["asymmetric"] == (chi2 > MCNEMAR_CRIT)
+
+
+# ------------------------------------------ last_digit_uniformity
+def test_last_digit_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        LASTDIGIT_CRIT,
+        last_digit_uniformity,
+    )
+
+    rows = load_table(spark, SF, "orders").select("o_totalprice").collect()
+    digits = Counter(
+        int(math.floor(r["o_totalprice"] * 100 + 0.5)) % 10 for r in rows
+    )
+    n = len(rows)
+    chi2 = sum((digits.get(d, 0) - n / 10) ** 2 / (n / 10) for d in range(10))
+    got = {r["digit"]: r for r in last_digit_uniformity(spark, SF).collect()}
+    assert set(got) == set(digits)
+    for d, c in digits.items():
+        g = got[d]
+        assert g["c"] == c
+        assert g["share"] == round(c / n, 6)
+        assert abs(g["chi2"] - chi2) < 1e-4
+        assert g["deviates"] == (g["chi2"] > LASTDIGIT_CRIT) or abs(
+            g["chi2"] - LASTDIGIT_CRIT
+        ) < 1e-5
+
+
+# --------------------------------------- gains_curve_calibration
+def test_gains_curve_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        ECE_BINS,
+        ECE_SC,
+        _nearest_centroid_scores,
+        gains_curve_calibration,
+    )
+
+    pv = _nearest_centroid_scores(spark, SF).collect()
+    bins = defaultdict(lambda: [0, 0])
+    for r in pv:
+        b = min(ECE_BINS - 1, max(0, (r["conf_i"] * ECE_BINS) // ECE_SC))
+        bins[b][0] += 1
+        bins[b][1] += r["correct"]
+    n = sum(v[0] for v in bins.values())
+    c = sum(v[1] for v in bins.values())
+    got = {r["bin"]: r for r in gains_curve_calibration(spark, SF).collect()}
+    assert set(got) == set(bins)
+    for b, (nk, ck) in bins.items():
+        cum_n = sum(v[0] for bb, v in bins.items() if bb >= b)
+        cum_c = sum(v[1] for bb, v in bins.items() if bb >= b)
+        g = got[b]
+        assert g["nk"] == nk
+        assert g["bin_precision"] == round(ck / nk, 6)
+        assert g["reviewed_share"] == round(cum_n / n, 6)
+        assert g["captured_share"] == round(cum_c / c, 6)
+        assert abs(g["lift"] - (cum_c * n) / (cum_n * c)) < 1e-5
+    # reviewing everything captures everything at lift 1
+    bottom = got[min(bins)]
+    assert bottom["reviewed_share"] == 1.0
+    assert bottom["captured_share"] == 1.0
