@@ -276,6 +276,12 @@ HEADLINE: dict[str, str] = {
     "mcnemar_test": "collect",
     "last_digit_uniformity": "collect",
     "gains_curve_calibration": "collect",
+    "kruskal_wallis_test": "collect",
+    "moods_median_test": "collect",
+    "effect_size_panel": "collect",
+    "runs_test_randomness": "collect",
+    "poisson_dispersion_test": "collect",
+    "auc_roc_centroid": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -301,6 +307,7 @@ EXCLUDED = {
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",
         "kcore_parts", "bpe_learn_merges", "bfs_reach", "bpe_apply",
         "markov_stationary_dist", "logistic_regression_irls",
+        "entropy_rate_markov",
     ],
     "quadratic_calibration_ground_truth": [
         "dedup_ngram_jaccard", "containment_dedup", "dedup_lsh_quality",

@@ -605,3 +605,96 @@ SELECT bin, nk,
 FROM cum CROSS JOIN tot
 ORDER BY bin DESC
 """
+
+# ----------------------------------------------------- ROC AUC
+def auc_roc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the nearest-centroid classifier's confidence as a
+    correctness score: AUC = P(conf_correct > conf_wrong) + ½ties —
+    computed exactly by the Mann-Whitney identity over per-CONFIDENCE
+    counts, never by sorting predictions. The threshold-free
+    companion to ece/brier/gains: those ask "are the scores honest",
+    AUC asks "do they rank at all".
+
+    conf_i is an exact 1e-6 rational, so the per-value count table is
+    bounded by the confidence grid; 2·U = Σ_v cP(v)·(2·cumN<(v) +
+    cN(v)) stays exact BIGINT and AUC is one exact-integer ratio.
+    Gini = 2·AUC − 1 in the same row.
+    """
+    per_vec = _nearest_centroid_scores(spark, sf_dir)
+    vals = per_vec.groupBy(F.col("conf_i").alias("v")).agg(
+        F.sum("correct").alias("cp"),
+        F.sum(1 - F.col("correct")).alias("cn"),
+    )
+    cum = (
+        vals.alias("a")
+        .join(F.broadcast(vals.alias("b")), F.col("b.v") < F.col("a.v"), "left")
+        .groupBy(
+            F.col("a.v").alias("v"),
+            F.col("a.cp").alias("cp"),
+            F.col("a.cn").alias("cn"),
+        )
+        .agg(F.coalesce(F.sum("b.cn"), F.lit(0)).alias("cumn"))
+    )
+    s = cum.agg(
+        F.sum("cp").alias("mp"),
+        F.sum("cn").alias("mn"),
+        F.sum(
+            F.col("cp") * (F.lit(2) * F.col("cumn") + F.col("cn"))
+        ).alias("u2"),
+    )
+    auc = F.col("u2").cast("double") / (
+        F.lit(2.0) * (F.col("mp") * F.col("mn")).cast("double")
+    )
+    return s.select(
+        F.col("mp").alias("n_correct"),
+        F.col("mn").alias("n_wrong"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+AUC_ROC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), exploded AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM e
+), cent AS (
+  SELECT label AS clabel, idx, ROUND(AVG(x), 6) AS c
+  FROM exploded GROUP BY label, idx
+), scored AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(CAST(floor(x * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS dot_i,
+         CAST(SUM(CAST(floor(c * c * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS cc_i,
+         CAST(SUM(CAST(floor(x * x * {ECE_SD} + 0.5) AS BIGINT)) AS BIGINT) AS xx_i
+  FROM exploded JOIN cent USING (idx)
+  GROUP BY vec_id, label, clabel
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(struct_pack(
+           ci := CAST(floor(dot_i / sqrt(CAST(cc_i AS DOUBLE) * CAST(xx_i AS DOUBLE))
+                            * {ECE_SC} + 0.5) AS BIGINT),
+           nl := -clabel)) AS m
+  FROM scored GROUP BY vec_id, label
+), flat AS (
+  SELECT vec_id, m.ci AS conf_i,
+         CASE WHEN -m.nl = label THEN 1 ELSE 0 END AS correct
+  FROM per_vec
+), vals AS (
+  SELECT conf_i AS v,
+         CAST(SUM(correct) AS BIGINT) AS cp,
+         CAST(SUM(1 - correct) AS BIGINT) AS cn
+  FROM flat GROUP BY conf_i
+), cum AS (
+  SELECT a.v, a.cp, a.cn, CAST(COALESCE(SUM(b.cn), 0) AS BIGINT) AS cumn
+  FROM vals a LEFT JOIN vals b ON b.v < a.v GROUP BY a.v, a.cp, a.cn
+), s AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS mp,
+         CAST(SUM(cn) AS BIGINT) AS mn,
+         CAST(SUM(cp * (2 * cumn + cn)) AS BIGINT) AS u2
+  FROM cum
+)
+SELECT mp AS n_correct, mn AS n_wrong,
+       ROUND(CAST(u2 AS DOUBLE) / (2.0 * CAST(mp * mn AS DOUBLE)), 6) AS auc,
+       ROUND(2.0 * (CAST(u2 AS DOUBLE) / (2.0 * CAST(mp * mn AS DOUBLE))) - 1.0, 6) AS gini
+FROM s
+"""

@@ -2170,3 +2170,116 @@ ORDER BY event_type
 
 
 MARKOV_STATIONARY_SQL = _markov_sql()
+
+# --------------------------------------- Markov chain entropy rate
+ENTRATE_S = 10**9
+
+
+def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ (bits of surprise per step under the
+    long-run mix), reported against the ln(K) ceiling — the single
+    number that says how predictable user behavior actually is, where
+    transition_entropy reports the per-state breakdown and
+    markov_stationary_dist the mix itself.
+
+    π comes from the SAME exact-integer power iteration as
+    markov_stationary_dist (shared helper, bounded K² driver state);
+    each (i,j) term πᵢ·pᵢⱼ·ln(pᵢⱼ) is built from exact rationals and
+    quantized ::int before the ≤K² sum — the oracle replays the
+    unrolled iteration and the same quantized term sum.
+    """
+    import math as _m
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("i"),
+            F.lead("event_type").over(w).alias("j"),
+        )
+        .filter(F.col("j").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = pairs.collect()  # bounded: |types|² cells
+    states = sorted({r["i"] for r in rows})
+    idx = {s: k for k, s in enumerate(states)}
+    k = len(states)
+    cmat = [[0] * k for _ in range(k)]
+    for r in rows:
+        if r["j"] in idx:
+            cmat[idx[r["i"]]][idx[r["j"]]] += r["cnt"]
+    rsum = [sum(row) for row in cmat]
+    pi = [MARKOV_S // k] * k
+    for _ in range(MARKOV_ITERS):
+        pi = [
+            sum((pi[i] * cmat[i][j]) // rsum[i] for i in range(k) if rsum[i])
+            for j in range(k)
+        ]
+    hq = 0
+    for i in range(k):
+        if not rsum[i]:
+            continue
+        for j in range(k):
+            c = cmat[i][j]
+            if c:
+                p = c / rsum[i]
+                hq += _m.floor(
+                    -(pi[i] / MARKOV_S) * p * _m.log(p) * ENTRATE_S + 0.5
+                )
+    h = hq / ENTRATE_S
+    out = [(k, h, _m.log(k), h / _m.log(k))]
+    return spark.createDataFrame(
+        out,
+        "n_states long, entropy_rate double, max_entropy double, efficiency double",
+    ).select(
+        "n_states",
+        F.round("entropy_rate", 6).alias("entropy_rate"),
+        F.round("max_entropy", 6).alias("max_entropy"),
+        F.round("efficiency", 6).alias("efficiency"),
+    )
+
+
+def _entropy_rate_sql() -> str:
+    iters = "".join(
+        f""", it{n} AS (
+  SELECT p.j AS s, CAST(SUM((it{n-1}.pi * p.cnt) // p.r) AS BIGINT) AS pi
+  FROM pairs p JOIN it{n-1} ON p.i = it{n-1}.s
+  GROUP BY p.j
+)"""
+        for n in range(1, MARKOV_ITERS + 1)
+    )
+    return f"""
+WITH seq AS (
+  SELECT event_type AS i,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+  FROM events
+), raw_pairs AS (
+  SELECT i, j, COUNT(*) AS cnt FROM seq WHERE j IS NOT NULL GROUP BY i, j
+), states AS (
+  SELECT DISTINCT i AS s FROM raw_pairs
+), pairs AS MATERIALIZED (
+  SELECT rp.i, rp.j, CAST(rp.cnt AS BIGINT) AS cnt,
+         CAST(SUM(rp.cnt) OVER (PARTITION BY rp.i) AS BIGINT) AS r
+  FROM raw_pairs rp JOIN states ON rp.j = states.s
+), it0 AS (
+  SELECT s, CAST({MARKOV_S} // (SELECT COUNT(*) FROM states) AS BIGINT) AS pi
+  FROM states
+){iters}, hsum AS (
+  SELECT CAST(SUM(CAST(floor(-(CAST(fin.pi AS DOUBLE) / {MARKOV_S})
+                             * (CAST(p.cnt AS DOUBLE) / p.r)
+                             * ln(CAST(p.cnt AS DOUBLE) / p.r)
+                             * {ENTRATE_S} + 0.5) AS BIGINT)) AS BIGINT) AS hq
+  FROM pairs p JOIN it{MARKOV_ITERS} fin ON p.i = fin.s
+)
+SELECT (SELECT COUNT(*) FROM states) AS n_states,
+       ROUND(hq / {ENTRATE_S}.0, 6) AS entropy_rate,
+       ROUND(ln(CAST((SELECT COUNT(*) FROM states) AS DOUBLE)), 6) AS max_entropy,
+       ROUND(hq / {ENTRATE_S}.0
+             / ln(CAST((SELECT COUNT(*) FROM states) AS DOUBLE)), 6) AS efficiency
+FROM hsum
+"""
+
+
+ENTROPY_RATE_SQL = _entropy_rate_sql()

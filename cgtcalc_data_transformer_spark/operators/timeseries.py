@@ -843,3 +843,181 @@ SELECT n1, n2, m AS recaptured,
        true_n
 FROM s
 """
+
+# ------------------------------------------- Wald-Wolfowitz runs test
+RUNS_Z_CRIT = 1.96
+
+
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the above/below-mean sequence of
+    per-type daily counts: too FEW runs means positive serial
+    dependence (trending/bursty days), too MANY means oscillation —
+    the nonparametric randomness check that validates (or indicts)
+    the iid assumption every control chart above quietly makes.
+
+    The above-mean indicator is the exact integer compare D·y > S;
+    runs count via the (d, d+1) adjacency EQUALITY join on the
+    bounded grid — no window, no sort; E[R]/Var[R] are closed forms
+    over the two exact counts, with the degenerate all-one-side case
+    pinned to z = 0 deterministically on both engines.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    g = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("nd") * F.col("y") > F.col("s")).cast("long").alias("up"),
+    )
+    adj = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") == F.col("a.d") + 1),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                (F.col("a.up") != F.col("b.up")).cast("long")
+            ).alias("switches")
+        )
+    )
+    counts = g.groupBy("event_type").agg(
+        F.sum("up").alias("n1"),
+        F.sum(1 - F.col("up")).alias("n2"),
+    )
+    j = counts.join(adj, "event_type")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    runs = (F.col("switches") + 1).cast("double")
+    er = F.lit(1.0) + F.lit(2.0) * n1 * n2 / n
+    vr = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(0.0)
+    ).otherwise((runs - er) / F.sqrt(vr))
+    return j.select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("switches") + 1).alias("runs"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > F.lit(RUNS_Z_CRIT)).alias("nonrandom"),
+    ).orderBy("event_type")
+
+
+RUNS_TEST_SQL = f"""
+WITH {_GRID_SQL}, tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS nd
+  FROM grid GROUP BY event_type
+), g AS (
+  SELECT grid.event_type, d,
+         CASE WHEN nd * y > s THEN 1 ELSE 0 END AS up
+  FROM grid JOIN tot ON grid.event_type = tot.event_type
+), adj AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN a.up <> b.up THEN 1 ELSE 0 END) AS BIGINT) AS switches
+  FROM g a JOIN g b ON a.event_type = b.event_type AND b.d = a.d + 1
+  GROUP BY a.event_type
+), ud AS (
+  SELECT event_type, CAST(SUM(up) AS BIGINT) AS n1,
+         CAST(SUM(1 - up) AS BIGINT) AS n2
+  FROM g GROUP BY event_type
+)
+SELECT ud.event_type, n1, n2, switches + 1 AS runs,
+       ROUND(CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                  ELSE (CAST(switches + 1 AS DOUBLE)
+                        - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                       / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                 - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                              / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+             END, 6) AS z_stat,
+       ABS(CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                ELSE (CAST(switches + 1 AS DOUBLE)
+                      - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                     / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                            / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+           END) > {RUNS_Z_CRIT} AS nonrandom
+FROM ud JOIN adj ON ud.event_type = adj.event_type
+ORDER BY ud.event_type
+"""
+
+
+# ------------------------------------------- Poisson dispersion test
+DISP_OVER = 1.5   # documented overdispersion band
+
+
+def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean dispersion index of per-type daily counts —
+    Fisher's Poisson overdispersion screen: ≈1 means Poisson traffic
+    (events_rate_anomaly's z-thresholds are honest), ≫1 means
+    clumped/bursty arrivals (they will over-alarm and need the
+    negative-binomial correction this index quantifies).
+
+    s²/ȳ = Σ(D·y − S)² / (D·(D−1)·S): one exact-integer ratio per
+    type from the D-scaled centering trick; the companion χ² is
+    (D−1)·s²/ȳ. The flag compares the identical double to a literal
+    band. One count pass + day-domain arithmetic.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    g = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "nd",
+        "s",
+        (F.col("nd") * F.col("y") - F.col("s")).alias("cy"),
+    )
+    s2 = g.groupBy("event_type", "nd", "s").agg(
+        F.sum(F.col("cy") * F.col("cy")).alias("ss")
+    )
+    disp = F.col("ss").cast("double") / (
+        F.col("nd") * (F.col("nd") - 1) * F.col("s")
+    ).cast("double")
+    return s2.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.round(F.col("s") / F.col("nd"), 6).alias("mean_daily"),
+        F.round(disp, 6).alias("dispersion_index"),
+        F.round((F.col("nd") - 1).cast("double") * disp, 6).alias("chi2"),
+        (disp > F.lit(DISP_OVER)).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+POISSON_DISPERSION_SQL = f"""
+WITH {_GRID_SQL}, tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS nd
+  FROM grid GROUP BY event_type
+), s2 AS (
+  SELECT grid.event_type, nd, s,
+         CAST(SUM((nd * y - s) * (nd * y - s)) AS BIGINT) AS ss
+  FROM grid JOIN tot ON grid.event_type = tot.event_type
+  GROUP BY grid.event_type, nd, s
+)
+SELECT event_type, nd AS n_days,
+       ROUND(s / nd, 6) AS mean_daily,
+       ROUND(CAST(ss AS DOUBLE) / CAST(nd * (nd - 1) * s AS DOUBLE), 6) AS dispersion_index,
+       ROUND(CAST(nd - 1 AS DOUBLE)
+             * (CAST(ss AS DOUBLE) / CAST(nd * (nd - 1) * s AS DOUBLE)), 6) AS chi2,
+       CAST(ss AS DOUBLE) / CAST(nd * (nd - 1) * s AS DOUBLE) > {DISP_OVER} AS overdispersed
+FROM s2
+ORDER BY event_type
+"""

@@ -646,6 +646,23 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         embedding_ops.gains_curve_calibration,
         embedding_ops.GAINS_CURVE_SQL,
     ),
+    # ---- round 7: batch F — k-group ranks / randomness / AUC ----
+    "kruskal_wallis_test": (
+        stats_ext.kruskal_wallis_test,
+        stats_ext.KRUSKAL_WALLIS_SQL,
+    ),
+    "moods_median_test": (stats_ext.moods_median_test, stats_ext.MOODS_MEDIAN_SQL),
+    "effect_size_panel": (stats_ext.effect_size_panel, stats_ext.EFFECT_SIZE_SQL),
+    "runs_test_randomness": (
+        timeseries.runs_test_randomness,
+        timeseries.RUNS_TEST_SQL,
+    ),
+    "poisson_dispersion_test": (
+        timeseries.poisson_dispersion_test,
+        timeseries.POISSON_DISPERSION_SQL,
+    ),
+    "auc_roc_centroid": (embedding_ops.auc_roc_centroid, embedding_ops.AUC_ROC_SQL),
+    "entropy_rate_markov": (events.entropy_rate_markov, events.ENTROPY_RATE_SQL),
 }
 
 
@@ -704,6 +721,13 @@ _ROUND7_NEW: list[str] = [
     "mcnemar_test",
     "last_digit_uniformity",
     "gains_curve_calibration",
+    "kruskal_wallis_test",
+    "moods_median_test",
+    "effect_size_panel",
+    "runs_test_randomness",
+    "poisson_dispersion_test",
+    "auc_roc_centroid",
+    "entropy_rate_markov",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

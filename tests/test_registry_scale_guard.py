@@ -104,6 +104,13 @@ BNLJ_OK = {
     "extreme_value_fit",  # 1-row moments scalar over the daily-max table
     "logistic_regression_irls",  # 50-value binned table, driver loop
     "markov_stationary_dist",  # |types|^2 pair table, driver loop
+    "kruskal_wallis_test",  # 50-value rank table + 1-row tie scalars
+    "moods_median_test",  # 50-value rank straddle + 1-row median/marginal scalars
+    "effect_size_panel",  # two 1-row group scalars + 50-value dominance table
+    "runs_test_randomness",  # |days|-row grid adjacency + 1-row totals
+    "poisson_dispersion_test",  # |days|-row grid x 1-row totals scalar
+    "auc_roc_centroid",  # confidence-grid-bounded count table prefix join
+    "entropy_rate_markov",  # |types|^2 pair table, driver loop
 }
 
 

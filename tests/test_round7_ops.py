@@ -1188,3 +1188,201 @@ def test_gains_curve_matches_python_reference(spark):
     bottom = got[min(bins)]
     assert bottom["reviewed_share"] == 1.0
     assert bottom["captured_share"] == 1.0
+
+
+# --------------------------------------------- kruskal_wallis_test
+def test_kruskal_wallis_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        kruskal_wallis_test,
+    )
+
+    xs, _, flags = _li_xy(spark)
+    ranks = _ranks(xs)
+    groups = defaultdict(list)
+    for r, f in zip(ranks, flags):
+        groups[f].append(r)
+    n = len(xs)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(g) ** 2 / len(g) for g in groups.values()
+    ) - 3 * (n + 1)
+    ties = Counter(xs)
+    corr = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    got = kruskal_wallis_test(spark, SF).collect()[0]
+    assert (got["k"], got["n"]) == (len(groups), n)
+    assert abs(got["h_stat"] - h) < 1e-3
+    assert abs(got["h_corrected"] - h / corr) < 1e-3
+
+
+# ----------------------------------------------- moods_median_test
+def test_moods_median_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        moods_median_test,
+    )
+
+    xs, _, flags = _li_xy(spark)
+    sv = sorted(xs)
+    med = sv[(len(xs) + 1) // 2 - 1]
+    cells = defaultdict(lambda: [0, 0])
+    for x, f in zip(xs, flags):
+        cells[f][0 if x > med else 1] += 1
+    ta = sum(v[0] for v in cells.values())
+    tn = sum(v[1] for v in cells.values())
+    n = ta + tn
+    chi2 = 0.0
+    for a, na in cells.values():
+        rg = a + na
+        chi2 += (a - rg * ta / n) ** 2 / (rg * ta / n)
+        chi2 += (na - rg * tn / n) ** 2 / (rg * tn / n)
+    got = moods_median_test(spark, SF).collect()[0]
+    assert (got["k"], got["n"], got["grand_median"]) == (len(cells), n, med)
+    assert abs(got["chi2"] - chi2) < 1e-4
+
+
+# ----------------------------------------------- effect_size_panel
+def test_effect_size_panel_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        effect_size_panel,
+    )
+
+    xs, _, flags = _li_xy(spark)
+    a = [x for x, f in zip(xs, flags) if f == "R"]
+    b = [x for x, f in zip(xs, flags) if f == "N"]
+    ma, mb = len(a), len(b)
+    mean_a, mean_b = sum(a) / ma, sum(b) / mb
+    var_a = sum((v - mean_a) ** 2 for v in a) / (ma - 1)
+    var_b = sum((v - mean_b) ** 2 for v in b) / (mb - 1)
+    sp = math.sqrt(((ma - 1) * var_a + (mb - 1) * var_b) / (ma + mb - 2))
+    d = (mean_a - mean_b) / sp
+    g = d * (1 - 3 / (4 * (ma + mb) - 9))
+    ca, cb = Counter(a), Counter(b)
+    gt = sum(cna * cnb for va, cna in ca.items() for vb, cnb in cb.items() if va > vb)
+    lt = sum(cna * cnb for va, cna in ca.items() for vb, cnb in cb.items() if va < vb)
+    delta = (gt - lt) / (ma * mb)
+    got = effect_size_panel(spark, SF).collect()[0]
+    assert (got["m_a"], got["m_b"]) == (ma, mb)
+    assert abs(got["mean_diff"] - (mean_a - mean_b)) < 1e-6
+    assert abs(got["cohens_d"] - d) < 1e-6
+    assert abs(got["hedges_g"] - g) < 1e-6
+    assert got["cliffs_delta"] == round(delta, 6)
+    # independently generated flag: tiny effect expected
+    assert abs(got["cohens_d"]) < 0.1
+
+
+# -------------------------------------------- runs_test_randomness
+def test_runs_test_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        RUNS_Z_CRIT,
+        runs_test_randomness,
+    )
+
+    series, nd = _daily_counts(spark)
+    got = {r["event_type"]: r for r in runs_test_randomness(spark, SF).collect()}
+    assert set(got) == set(series)
+    for t, ys in series.items():
+        mean = sum(ys) / nd
+        ups = [1 if y > mean else 0 for y in ys]
+        runs = 1 + sum(1 for a, b in zip(ups, ups[1:]) if a != b)
+        n1 = sum(ups)
+        n2 = nd - n1
+        g = got[t]
+        assert (g["n1"], g["n2"], g["runs"]) == (n1, n2, runs)
+        if n1 and n2:
+            n = n1 + n2
+            er = 1 + 2 * n1 * n2 / n
+            vr = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+            z = (runs - er) / math.sqrt(vr)
+            assert abs(g["z_stat"] - z) < 1e-6
+            assert g["nonrandom"] == (abs(z) > RUNS_Z_CRIT)
+
+
+# --------------------------------------- poisson_dispersion_test
+def test_poisson_dispersion_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        DISP_OVER,
+        poisson_dispersion_test,
+    )
+
+    series, nd = _daily_counts(spark)
+    got = {
+        r["event_type"]: r
+        for r in poisson_dispersion_test(spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for t, ys in series.items():
+        mean = sum(ys) / nd
+        s2 = sum((y - mean) ** 2 for y in ys) / (nd - 1)
+        disp = s2 / mean
+        g = got[t]
+        assert g["n_days"] == nd
+        assert abs(g["mean_daily"] - mean) < 1e-6
+        assert abs(g["dispersion_index"] - disp) < 1e-6
+        assert abs(g["chi2"] - (nd - 1) * disp) < 1e-4
+        assert g["overdispersed"] == (disp > DISP_OVER)
+
+
+# ------------------------------------------------ auc_roc_centroid
+def test_auc_roc_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        _nearest_centroid_scores,
+        auc_roc_centroid,
+    )
+
+    pv = _nearest_centroid_scores(spark, SF).collect()
+    pos = [r["conf_i"] for r in pv if r["correct"]]
+    neg = [r["conf_i"] for r in pv if not r["correct"]]
+    gt = sum(1 for p in pos for q in neg if p > q)
+    eq = sum(1 for p in pos for q in neg if p == q)
+    auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    got = auc_roc_centroid(spark, SF).collect()[0]
+    assert (got["n_correct"], got["n_wrong"]) == (len(pos), len(neg))
+    assert abs(got["auc"] - auc) < 1e-6
+    assert abs(got["gini"] - (2 * auc - 1)) < 1e-5
+    # a classifier better than coin-flip on its own training corpus
+    assert got["auc"] > 0.5
+
+
+# --------------------------------------------- entropy_rate_markov
+def test_entropy_rate_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.events import (
+        entropy_rate_markov,
+    )
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = (
+        load_events(spark, SF)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a[2], b[2])] += 1
+    states = sorted({i for i, _ in trans})
+    trans = {(i, j): c for (i, j), c in trans.items() if j in set(states)}
+    rsum = Counter()
+    for (i, _), c in trans.items():
+        rsum[i] += c
+    pi = {s: 1 / len(states) for s in states}
+    for _ in range(50):
+        pi = {
+            j: sum(
+                pi[i] * trans.get((i, j), 0) / rsum[i]
+                for i in states
+                if rsum[i]
+            )
+            for j in states
+        }
+    h = -sum(
+        pi[i] * (c / rsum[i]) * math.log(c / rsum[i])
+        for (i, j), c in trans.items()
+    )
+    got = entropy_rate_markov(spark, SF).collect()[0]
+    assert got["n_states"] == len(states)
+    # engine uses 10 exact-int iterations vs converged float: 1e-3
+    assert abs(got["entropy_rate"] - h) < 1e-3
+    assert abs(got["max_entropy"] - math.log(len(states))) < 1e-6
+    assert 0.0 < got["efficiency"] <= 1.0
