@@ -1264,9 +1264,11 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same per-VALUE machinery: doubled tied ranks 2r_v = 2·cum< + c + 1
     from one 50-row theta join; per-group doubled rank sums
     2R_g = Σ c_gv·2r_v stay exact BIGINT; H's Σ(2R_g)²/(4n_g) terms
-    are computed in double from those exact longs (< 2^53) and
-    floor-quantized at integer scale before the 3-term sum. The tie
-    term Σ(t³−t) is the mannwhitney bound (t < ~2.1M rows/value).
+    are computed in double from those exact longs and summed through
+    DECIMAL(38,6) — the term reaches ~2·10¹⁹ at sf1 (the r7 sweep
+    caught the BIGINT-quantized form overflowing), and a decimal sum
+    of identical doubles is order-insensitive on both engines. The
+    tie term Σ(t³−t) is the mannwhitney bound (t < ~2.1M rows/value).
     """
     li = load_table(spark, sf_dir, "lineitem")
     vals = li.groupBy(
@@ -1293,12 +1295,11 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").alias("n"),
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
     )
-    term = F.floor(
+    term = (
         F.col("r2g").cast("double")
         * F.col("r2g").cast("double")
         / (F.lit(4.0) * F.col("ng").cast("double"))
-        + F.lit(0.5)
-    ).cast("long")
+    ).cast("decimal(38,6)")
     s = (
         per_g.crossJoin(F.broadcast(ties))
         .groupBy("n", "tsum")
@@ -1340,8 +1341,8 @@ WITH vals AS (
   FROM tv
 ), s AS (
   SELECT n, tsum, COUNT(*) AS k,
-         CAST(SUM(CAST(floor(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
-                             / (4.0 * CAST(ng AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS q
+         CAST(SUM(CAST(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                       / (4.0 * CAST(ng AS DOUBLE)) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS q
   FROM per_g CROSS JOIN ties
   GROUP BY n, tsum
 )
