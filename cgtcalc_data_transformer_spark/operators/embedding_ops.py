@@ -615,13 +615,17 @@ def auc_roc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to ece/brier/gains: those ask "are the scores honest",
     AUC asks "do they rank at all".
 
-    conf_i is an exact 1e-6 rational, so the per-value count table is
-    bounded by the confidence grid; 2·U = Σ_v cP(v)·(2·cumN<(v) +
-    cN(v)) stays exact BIGINT and AUC is one exact-integer ratio.
-    Gini = 2·AUC − 1 in the same row.
+    Ranking runs on the COARSENED confidence grid conf_i div 100
+    (≤ 10⁴ distinct ranks): the raw 10⁶-point grid would make the
+    prefix theta join |grid|² = 10¹² at saturation, while 10⁴ caps it
+    at 10⁸ regardless of corpus size — the r7 sf1 sweep flagged the
+    fine-grid join as this op's scale wall. Coarsening only moves
+    within-cell comparisons into the ½-tie term (binned AUC, the
+    standard estimator); 2·U = Σ_v cP(v)·(2·cumN<(v) + cN(v)) stays
+    exact BIGINT and AUC is one exact-integer ratio. Gini = 2·AUC − 1.
     """
     per_vec = _nearest_centroid_scores(spark, sf_dir)
-    vals = per_vec.groupBy(F.col("conf_i").alias("v")).agg(
+    vals = per_vec.groupBy(F.expr("conf_i div 100").alias("v")).agg(
         F.sum("correct").alias("cp"),
         F.sum(1 - F.col("correct")).alias("cn"),
     )
@@ -680,10 +684,10 @@ WITH e AS (
          CASE WHEN -m.nl = label THEN 1 ELSE 0 END AS correct
   FROM per_vec
 ), vals AS (
-  SELECT conf_i AS v,
+  SELECT conf_i // 100 AS v,
          CAST(SUM(correct) AS BIGINT) AS cp,
          CAST(SUM(1 - correct) AS BIGINT) AS cn
-  FROM flat GROUP BY conf_i
+  FROM flat GROUP BY conf_i // 100
 ), cum AS (
   SELECT a.v, a.cp, a.cn, CAST(COALESCE(SUM(b.cn), 0) AS BIGINT) AS cumn
   FROM vals a LEFT JOIN vals b ON b.v < a.v GROUP BY a.v, a.cp, a.cn

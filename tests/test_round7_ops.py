@@ -1328,8 +1328,9 @@ def test_auc_roc_matches_python_reference(spark):
     )
 
     pv = _nearest_centroid_scores(spark, SF).collect()
-    pos = [r["conf_i"] for r in pv if r["correct"]]
-    neg = [r["conf_i"] for r in pv if not r["correct"]]
+    # engine ranks on the coarsened grid (conf_i div 100): mirror it
+    pos = [r["conf_i"] // 100 for r in pv if r["correct"]]
+    neg = [r["conf_i"] // 100 for r in pv if not r["correct"]]
     gt = sum(1 for p in pos for q in neg if p > q)
     eq = sum(1 for p in pos for q in neg if p == q)
     auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
