@@ -282,6 +282,10 @@ HEADLINE: dict[str, str] = {
     "runs_test_randomness": "collect",
     "poisson_dispersion_test": "collect",
     "auc_roc_centroid": "collect",
+    "durbin_watson_stat": "collect",
+    "variance_ratio_test": "collect",
+    "ols_leverage_audit": "collect",
+    "hash_uniformity_audit": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

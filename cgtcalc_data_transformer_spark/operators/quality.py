@@ -772,3 +772,86 @@ SELECT digit, c,
 FROM per CROSS JOIN tot CROSS JOIN chi
 ORDER BY digit
 """
+
+# ------------------------------------------- hash uniformity audit
+HASH_AUDIT_BUCKETS = 100
+HASH_AUDIT_S = 10**6
+HASH_AUDIT_CRIT = 123.225221  # chi²(99), 5%
+
+
+def hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² uniformity audit of the engine's md5 bucket function over
+    doc_id — the standing validity check for EVERY deterministic
+    split/sample in this repo (split_assign, kfold_assign,
+    sample_stratified, the bootstrap weights all ride the same
+    hash): if these buckets ever skew, every "deterministic 10%"
+    downstream silently isn't.
+
+    One scan + one {HASH_AUDIT_BUCKETS}-row aggregation; the count
+    table is zero-filled onto the FULL bucket range first (an empty
+    bucket is evidence of skew — its (0−e)²/e term must count, the
+    seasonality-denominator lesson); χ² terms quantize before the
+    bounded sum and the χ²(99) verdict is repeated per row.
+    """
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(
+        hash_bucket(F.col("doc_id"), HASH_AUDIT_BUCKETS).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spine = docs.sparkSession.range(HASH_AUDIT_BUCKETS).select(
+        F.col("id").alias("bucket")
+    )
+    per = spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot = per.agg(F.sum("c").alias("n"))
+    j = per.crossJoin(F.broadcast(tot))
+    e = F.col("n").cast("double") / F.lit(float(HASH_AUDIT_BUCKETS))
+    term = F.floor(
+        (F.col("c").cast("double") - e)
+        * (F.col("c").cast("double") - e)
+        / e
+        * F.lit(float(HASH_AUDIT_S))
+        + F.lit(0.5)
+    ).cast("long")
+    chi = j.agg(F.sum(term).alias("chiq"))
+    chi2 = F.col("chiq").cast("double") / F.lit(float(HASH_AUDIT_S))
+    return (
+        j.crossJoin(F.broadcast(chi))
+        .select(
+            "bucket",
+            "c",
+            F.round(F.col("c") / F.col("n"), 6).alias("share"),
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 > F.lit(HASH_AUDIT_CRIT)).alias("skewed"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HASH_UNIFORMITY_SQL = f"""
+WITH counts AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+         % {HASH_AUDIT_BUCKETS} AS bucket,
+         COUNT(*) AS c
+  FROM documents GROUP BY 1
+), per AS (
+  SELECT spine.bucket, CAST(COALESCE(counts.c, 0) AS BIGINT) AS c
+  FROM (SELECT UNNEST(generate_series(0, {HASH_AUDIT_BUCKETS - 1})) AS bucket) spine
+  LEFT JOIN counts ON spine.bucket = counts.bucket
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per
+), chi AS (
+  SELECT CAST(SUM(CAST(floor((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / {HASH_AUDIT_BUCKETS})
+                             * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / {HASH_AUDIT_BUCKETS})
+                             / (CAST(n AS DOUBLE) / {HASH_AUDIT_BUCKETS})
+                             * {HASH_AUDIT_S} + 0.5) AS BIGINT)) AS BIGINT) AS chiq
+  FROM per CROSS JOIN tot
+)
+SELECT bucket, c,
+       ROUND(c / n, 6) AS share,
+       ROUND(CAST(chiq AS DOUBLE) / {HASH_AUDIT_S}, 6) AS chi2,
+       CAST(chiq AS DOUBLE) / {HASH_AUDIT_S} > {HASH_AUDIT_CRIT} AS skewed
+FROM per CROSS JOIN tot CROSS JOIN chi
+ORDER BY bucket
+"""

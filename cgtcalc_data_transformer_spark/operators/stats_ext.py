@@ -1608,3 +1608,72 @@ SELECT ma AS m_a, mb AS m_b,
        ROUND(CAST(gt - (ma * mb - gt - eq) AS DOUBLE) / CAST(ma * mb AS DOUBLE), 6) AS cliffs_delta
 FROM a CROSS JOIN b CROSS JOIN dom
 """
+
+# ------------------------------------------------ OLS leverage audit
+LEV_MULT = 4   # flag h > LEV_MULT·p/n with p = 2 (the standard 2p/n
+               # rule doubled for the bounded-domain report)
+
+
+def ols_leverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-diagnostics leverage profile for the
+    l_extendedprice ~ l_quantity fit: h(x) = 1/n + (x − x̄)²/Sxx per
+    DISTINCT regressor value, with the row count carrying that
+    leverage — the "which x-values can single-handedly steer the
+    fit" audit that ols_regression's coefficients don't show.
+
+    The bounded domain makes the hat diagonal a 50-row derivation
+    from three exact sums: h(v) = 1/n + (n·v − Sx)²/(n·(n·Sxx −
+    Sx²)), every factor an exact BIGINT (Σx² ≤ 50²·n). Flags compare
+    the identical double to the literal 2p/n-style cutoff.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v")
+    )
+    vals = li.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    tot = vals.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("sx"),
+        F.sum(F.col("c") * F.col("v") * F.col("v")).alias("sxx"),
+    )
+    j = vals.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    dev = (F.col("n") * F.col("v") - F.col("sx")).cast("double")
+    sxx_c = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    h = F.lit(1.0) / nd + dev * dev / (nd * sxx_c)
+    cutoff = F.lit(float(LEV_MULT)) * F.lit(2.0) / nd
+    return j.select(
+        "v",
+        "c",
+        F.round(h, 6).alias("leverage"),
+        F.round(h * F.col("c").cast("double"), 6).alias("group_leverage"),
+        (h > cutoff).alias("high_leverage"),
+    ).orderBy("v")
+
+
+OLS_LEVERAGE_SQL = f"""
+WITH vals AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * v) AS BIGINT) AS sx,
+         CAST(SUM(c * v * v) AS BIGINT) AS sxx
+  FROM vals
+)
+SELECT v, c,
+       ROUND(1.0 / CAST(n AS DOUBLE)
+             + CAST(n * v - sx AS DOUBLE) * CAST(n * v - sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS leverage,
+       ROUND((1.0 / CAST(n AS DOUBLE)
+              + CAST(n * v - sx AS DOUBLE) * CAST(n * v - sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)))
+             * CAST(c AS DOUBLE), 6) AS group_leverage,
+       (1.0 / CAST(n AS DOUBLE)
+        + CAST(n * v - sx AS DOUBLE) * CAST(n * v - sx AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)))
+       > {LEV_MULT} * 2.0 / CAST(n AS DOUBLE) AS high_leverage
+FROM vals CROSS JOIN tot
+ORDER BY v
+"""

@@ -1021,3 +1021,178 @@ SELECT event_type, nd AS n_days,
 FROM s2
 ORDER BY event_type
 """
+
+# -------------------------------------------------- Durbin-Watson
+DW_POS_BAND = 1.5   # DW below ⇒ positive serial correlation
+DW_NEG_BAND = 2.5   # DW above ⇒ negative serial correlation
+
+
+def durbin_watson_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on mean-detrended per-type daily
+    counts: DW = Σ(e_t − e_{t−1})²/Σe_t², the regression-residual
+    serial-correlation screen (≈2 independent, →0 positively
+    correlated, →4 alternating) — the one-number confirmation of what
+    acf_daily_counts shows lag by lag.
+
+    With e_t = D·y_t − S the D² scale cancels in the ratio, so both
+    sums are exact BIGINT over the grid and its (d, d+1) adjacency
+    equality join; DW is one exact-integer ratio and the band flags
+    compare that identical double to literals.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    g = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("nd") * F.col("y") - F.col("s")).alias("e"),
+    )
+    den = g.groupBy("event_type").agg(
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    num = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") == F.col("a.d") + 1),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                (F.col("b.e") - F.col("a.e")) * (F.col("b.e") - F.col("a.e"))
+            ).alias("sdd")
+        )
+    )
+    j = num.join(den, "event_type")
+    dw = F.col("sdd").cast("double") / F.col("see").cast("double")
+    return j.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.round(dw, 6).alias("dw"),
+        (dw < F.lit(DW_POS_BAND)).alias("positive_autocorr"),
+        (dw > F.lit(DW_NEG_BAND)).alias("negative_autocorr"),
+    ).orderBy("event_type")
+
+
+DURBIN_WATSON_SQL = f"""
+WITH {_GRID_SQL}, tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS nd
+  FROM grid GROUP BY event_type
+), g AS (
+  SELECT grid.event_type, d, nd * y - s AS e
+  FROM grid JOIN tot ON grid.event_type = tot.event_type
+), den AS (
+  SELECT event_type, CAST(SUM(e * e) AS BIGINT) AS see, COUNT(*) AS nd
+  FROM g GROUP BY event_type
+), num AS (
+  SELECT a.event_type,
+         CAST(SUM((b.e - a.e) * (b.e - a.e)) AS BIGINT) AS sdd
+  FROM g a JOIN g b ON a.event_type = b.event_type AND b.d = a.d + 1
+  GROUP BY a.event_type
+)
+SELECT num.event_type, nd AS n_days,
+       ROUND(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE), 6) AS dw,
+       CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) < {DW_POS_BAND} AS positive_autocorr,
+       CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) > {DW_NEG_BAND} AS negative_autocorr
+FROM num JOIN den ON num.event_type = den.event_type
+ORDER BY num.event_type
+"""
+
+
+# ------------------------------------------------ variance-ratio test
+VR_QS = [2, 5]
+VR_TREND = 1.2     # documented regime bands
+VR_REVERT = 0.8
+
+
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on per-type daily counts:
+    VR(q) = Var(q-day block sums)/(q·Var(daily)) ≈ 1 for serially
+    independent days, > 1 when shocks persist (trending), < 1 when
+    they mean-revert — the horizon-scaling complement to
+    durbin_watson_stat's one-lag view.
+
+    On the truncated complete-block series (L = B·q days) the ratio
+    ALGEBRAICALLY collapses to ΣE_b²/Σe_t² with e_t = L·y_t − S' and
+    E_b the per-block sums of e — every scale factor cancels, so VR
+    is an exact BIGINT ratio with zero quantization. Blocks come from
+    d div q on the bounded grid; both q values ride one explode.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    qs = F.explode(F.array(*[F.lit(q) for q in VR_QS])).alias("q")
+    gq = grid.select("event_type", "d", "y", qs)
+    nd = grid.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    trunc = (
+        gq.join(F.broadcast(nd), "event_type")
+        .filter(F.col("d") < F.col("q") * F.expr("nd div q"))
+        .select("event_type", "q", "d", "y")
+    )
+    tot = trunc.groupBy("event_type", "q").agg(
+        F.sum("y").alias("sp"), F.count(F.lit(1)).alias("ll")
+    )
+    e = trunc.join(F.broadcast(tot), ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        F.expr("d div q").alias("b"),
+        (F.col("ll") * F.col("y") - F.col("sp")).alias("e"),
+    )
+    den = e.groupBy("event_type", "q").agg(
+        F.sum(F.col("e") * F.col("e")).alias("see")
+    )
+    blocks = e.groupBy("event_type", "q", "b").agg(F.sum("e").alias("eb"))
+    num = blocks.groupBy("event_type", "q").agg(
+        F.sum(F.col("eb") * F.col("eb")).alias("sbb"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    j = num.join(den, ["event_type", "q"])
+    vr = F.col("sbb").cast("double") / F.col("see").cast("double")
+    return j.select(
+        "event_type",
+        "q",
+        "n_blocks",
+        F.round(vr, 6).alias("vr"),
+        F.when(vr > F.lit(VR_TREND), F.lit("trending"))
+        .when(vr < F.lit(VR_REVERT), F.lit("mean_reverting"))
+        .otherwise(F.lit("random_walk"))
+        .alias("regime"),
+    ).orderBy("event_type", "q")
+
+
+VARIANCE_RATIO_SQL = f"""
+WITH {_GRID_SQL}, nd AS (
+  SELECT event_type, COUNT(*) AS nd FROM grid GROUP BY event_type
+), gq AS (
+  SELECT grid.event_type, q.q, d, y, nd.nd
+  FROM grid
+  CROSS JOIN (SELECT UNNEST([{", ".join(str(q) for q in VR_QS)}]) AS q) q
+  JOIN nd ON grid.event_type = nd.event_type
+  WHERE d < q.q * (nd.nd // q.q)
+), tot AS (
+  SELECT event_type, q, CAST(SUM(y) AS BIGINT) AS sp, COUNT(*) AS ll
+  FROM gq GROUP BY event_type, q
+), e AS (
+  SELECT gq.event_type, gq.q, gq.d // gq.q AS b,
+         tot.ll * gq.y - tot.sp AS e
+  FROM gq JOIN tot ON gq.event_type = tot.event_type AND gq.q = tot.q
+), den AS (
+  SELECT event_type, q, CAST(SUM(e * e) AS BIGINT) AS see
+  FROM e GROUP BY event_type, q
+), blocks AS (
+  SELECT event_type, q, b, CAST(SUM(e) AS BIGINT) AS eb
+  FROM e GROUP BY event_type, q, b
+), num AS (
+  SELECT event_type, q, CAST(SUM(eb * eb) AS BIGINT) AS sbb,
+         COUNT(*) AS n_blocks
+  FROM blocks GROUP BY event_type, q
+)
+SELECT num.event_type, num.q, n_blocks,
+       ROUND(CAST(sbb AS DOUBLE) / CAST(see AS DOUBLE), 6) AS vr,
+       CASE WHEN CAST(sbb AS DOUBLE) / CAST(see AS DOUBLE) > {VR_TREND} THEN 'trending'
+            WHEN CAST(sbb AS DOUBLE) / CAST(see AS DOUBLE) < {VR_REVERT} THEN 'mean_reverting'
+            ELSE 'random_walk' END AS regime
+FROM num JOIN den ON num.event_type = den.event_type AND num.q = den.q
+ORDER BY num.event_type, num.q
+"""

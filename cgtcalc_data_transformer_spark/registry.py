@@ -663,6 +663,23 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "auc_roc_centroid": (embedding_ops.auc_roc_centroid, embedding_ops.AUC_ROC_SQL),
     "entropy_rate_markov": (events.entropy_rate_markov, events.ENTROPY_RATE_SQL),
+    # ---- round 7: batch G — regression/series/hash diagnostics ----
+    "durbin_watson_stat": (
+        timeseries.durbin_watson_stat,
+        timeseries.DURBIN_WATSON_SQL,
+    ),
+    "variance_ratio_test": (
+        timeseries.variance_ratio_test,
+        timeseries.VARIANCE_RATIO_SQL,
+    ),
+    "ols_leverage_audit": (
+        stats_ext.ols_leverage_audit,
+        stats_ext.OLS_LEVERAGE_SQL,
+    ),
+    "hash_uniformity_audit": (
+        quality.hash_uniformity_audit,
+        quality.HASH_UNIFORMITY_SQL,
+    ),
 }
 
 
@@ -728,6 +745,10 @@ _ROUND7_NEW: list[str] = [
     "poisson_dispersion_test",
     "auc_roc_centroid",
     "entropy_rate_markov",
+    "durbin_watson_stat",
+    "variance_ratio_test",
+    "ols_leverage_audit",
+    "hash_uniformity_audit",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -111,6 +111,10 @@ BNLJ_OK = {
     "poisson_dispersion_test",  # |days|-row grid x 1-row totals scalar
     "auc_roc_centroid",  # confidence-grid-bounded count table prefix join
     "entropy_rate_markov",  # |types|^2 pair table, driver loop
+    "durbin_watson_stat",  # |days|-row grid adjacency + totals
+    "variance_ratio_test",  # |days|-row grid blocks + 1-row totals
+    "ols_leverage_audit",  # 50-value table x 1-row sums scalar
+    "hash_uniformity_audit",  # 100-bucket table x 1-row total/chi2 scalars
 }
 
 

@@ -1387,3 +1387,113 @@ def test_entropy_rate_matches_python_reference(spark):
     assert abs(got["entropy_rate"] - h) < 1e-3
     assert abs(got["max_entropy"] - math.log(len(states))) < 1e-6
     assert 0.0 < got["efficiency"] <= 1.0
+
+
+# -------------------------------------------- durbin_watson_stat
+def test_durbin_watson_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        DW_NEG_BAND,
+        DW_POS_BAND,
+        durbin_watson_stat,
+    )
+
+    series, nd = _daily_counts(spark)
+    got = {r["event_type"]: r for r in durbin_watson_stat(spark, SF).collect()}
+    assert set(got) == set(series)
+    for t, ys in series.items():
+        mean = sum(ys) / nd
+        e = [y - mean for y in ys]
+        dw = sum((a - b) ** 2 for a, b in zip(e[1:], e)) / sum(x * x for x in e)
+        g = got[t]
+        assert g["n_days"] == nd
+        assert abs(g["dw"] - dw) < 1e-6
+        assert g["positive_autocorr"] == (dw < DW_POS_BAND)
+        assert g["negative_autocorr"] == (dw > DW_NEG_BAND)
+        assert 0.0 <= g["dw"] <= 4.0
+
+
+# ------------------------------------------- variance_ratio_test
+def test_variance_ratio_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        VR_QS,
+        variance_ratio_test,
+    )
+
+    series, nd = _daily_counts(spark)
+    got = defaultdict(dict)
+    for r in variance_ratio_test(spark, SF).collect():
+        got[r["event_type"]][r["q"]] = r
+    for t, ys in series.items():
+        for q in VR_QS:
+            b = nd // q
+            trunc = ys[: b * q]
+            mean = sum(trunc) / len(trunc)
+            v1 = sum((y - mean) ** 2 for y in trunc) / len(trunc)
+            zs = [sum(trunc[i * q : (i + 1) * q]) for i in range(b)]
+            vq = sum((z - q * mean) ** 2 for z in zs) / b
+            vr = vq / (q * v1)
+            g = got[t][q]
+            assert g["n_blocks"] == b
+            assert abs(g["vr"] - vr) < 1e-6
+
+
+# ------------------------------------------- ols_leverage_audit
+def test_ols_leverage_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        LEV_MULT,
+        ols_leverage_audit,
+    )
+
+    xs, _, _ = _li_xy(spark)
+    n = len(xs)
+    xbar = sum(xs) / n
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    counts = Counter(xs)
+    got = {r["v"]: r for r in ols_leverage_audit(spark, SF).collect()}
+    assert set(got) == set(counts)
+    total_h = 0.0
+    for v, c in counts.items():
+        h = 1 / n + (v - xbar) ** 2 / sxx
+        g = got[v]
+        assert g["c"] == c
+        assert abs(g["leverage"] - h) < 1e-6
+        assert abs(g["group_leverage"] - h * c) < 1e-4
+        assert g["high_leverage"] == (h > LEV_MULT * 2 / n)
+        total_h += h * c
+    # hat-matrix trace identity: Σ h_i = p = 2
+    assert abs(total_h - 2.0) < 1e-9
+
+
+# ---------------------------------------- hash_uniformity_audit
+def test_hash_uniformity_matches_python_reference(spark):
+    import hashlib
+
+    from cgtcalc_data_transformer_spark.operators.quality import (
+        HASH_AUDIT_BUCKETS,
+        HASH_AUDIT_CRIT,
+        hash_uniformity_audit,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id").collect()
+    buckets = Counter(
+        int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        % HASH_AUDIT_BUCKETS
+        for r in rows
+    )
+    n = len(rows)
+    e = n / HASH_AUDIT_BUCKETS
+    chi2 = sum(
+        (buckets.get(b, 0) - e) ** 2 / e for b in range(HASH_AUDIT_BUCKETS)
+    )
+    got = {r["bucket"]: r for r in hash_uniformity_audit(spark, SF).collect()}
+    # engine zero-fills the full range: EMPTY buckets count as skew
+    assert set(got) == set(range(HASH_AUDIT_BUCKETS))
+    for b in range(HASH_AUDIT_BUCKETS):
+        c = buckets.get(b, 0)
+        g = got[b]
+        assert g["c"] == c
+        assert g["share"] == round(c / n, 6)
+        assert abs(g["chi2"] - chi2) < 1e-4
+        assert g["skewed"] == (g["chi2"] > HASH_AUDIT_CRIT)
+    # a real md5 must not skew on sequential ids
+    assert chi2 < 2.0 * HASH_AUDIT_CRIT
