@@ -286,6 +286,7 @@ HEADLINE: dict[str, str] = {
     "variance_ratio_test": "collect",
     "ols_leverage_audit": "collect",
     "hash_uniformity_audit": "collect",
+    "cochran_armitage_trend": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -1677,3 +1677,89 @@ SELECT v, c,
 FROM vals CROSS JOIN tot
 ORDER BY v
 """
+
+# ------------------------------------------ Cochran-Armitage trend
+CA_Z_CRIT = 1.96
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the return rate
+    across ordered quantity deciles (scores 0..4): a plain χ²
+    (chi2_label_shift's family) only says "the rates differ
+    somewhere"; this asks the dose-response question — does the
+    probability of a return rise (or fall) MONOTONICALLY with order
+    size. The standard ordered-categories × binary-outcome test
+    (Cochran 1954; Armitage 1955).
+
+    One 5-cell aggregation; the trend statistic
+    z = Σsᵢ(rᵢ − nᵢR/N) / sqrt(p(1−p)·[NΣnᵢsᵢ² − (Σnᵢsᵢ)²]/N) is a
+    single IEEE expression over six exact BIGINT sums (scores are
+    small integer literals, every product stays far inside 2^63).
+    The flag is generated independently of quantity, so the expected
+    verdict is NO trend — the null-effect contract shared with
+    ols_regression and logistic_regression_irls.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        ((F.col("l_quantity").cast("long") - 1) / 10).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("ri"),
+    )
+    tot = cells.agg(
+        F.sum("ni").alias("n"),
+        F.sum("ri").alias("r"),
+        F.sum(F.col("s") * F.col("ri")).alias("sr"),
+        F.sum(F.col("s") * F.col("ni")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("ni")).alias("ssn"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("r").cast("double") / nd
+    num = F.col("sr").cast("double") - F.col("sn").cast("double") * p
+    var = (
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("ssn").cast("double")
+            - F.col("sn").cast("double") * F.col("sn").cast("double") / nd
+        )
+    )
+    z = num / F.sqrt(var)
+    return tot.select(
+        "n",
+        F.col("r").alias("n_returned"),
+        F.round(p, 6).alias("base_rate"),
+        F.round(z, 6).alias("z_trend"),
+        (F.abs(z) > F.lit(CA_Z_CRIT)).alias("significant"),
+    )
+
+
+COCHRAN_ARMITAGE_SQL = f"""
+WITH cells AS (
+  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS s,
+         COUNT(*) AS ni,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ri
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ni) AS BIGINT) AS n,
+         CAST(SUM(ri) AS BIGINT) AS r,
+         CAST(SUM(s * ri) AS BIGINT) AS sr,
+         CAST(SUM(s * ni) AS BIGINT) AS sn,
+         CAST(SUM(s * s * ni) AS BIGINT) AS ssn
+  FROM cells
+)
+SELECT n, r AS n_returned,
+       ROUND(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+       ROUND((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+             / sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(ssn AS DOUBLE)
+                       - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z_trend,
+       ABS((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+           / sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(ssn AS DOUBLE)
+                     - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)))) > {CA_Z_CRIT}
+         AS significant
+FROM tot
+"""

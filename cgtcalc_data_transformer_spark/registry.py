@@ -680,6 +680,10 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         quality.hash_uniformity_audit,
         quality.HASH_UNIFORMITY_SQL,
     ),
+    "cochran_armitage_trend": (
+        stats_ext.cochran_armitage_trend,
+        stats_ext.COCHRAN_ARMITAGE_SQL,
+    ),
 }
 
 
@@ -749,6 +753,7 @@ _ROUND7_NEW: list[str] = [
     "variance_ratio_test",
     "ols_leverage_audit",
     "hash_uniformity_audit",
+    "cochran_armitage_trend",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

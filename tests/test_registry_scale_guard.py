@@ -115,6 +115,7 @@ BNLJ_OK = {
     "variance_ratio_test",  # |days|-row grid blocks + 1-row totals
     "ols_leverage_audit",  # 50-value table x 1-row sums scalar
     "hash_uniformity_audit",  # 100-bucket table x 1-row total/chi2 scalars
+    "cochran_armitage_trend",  # 5-cell table, 1-row sums scalar
 }
 
 

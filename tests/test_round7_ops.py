@@ -1497,3 +1497,92 @@ def test_hash_uniformity_matches_python_reference(spark):
         assert g["skewed"] == (g["chi2"] > HASH_AUDIT_CRIT)
     # a real md5 must not skew on sequential ids
     assert chi2 < 2.0 * HASH_AUDIT_CRIT
+
+
+# --------------------------------------- cochran_armitage_trend
+def test_cochran_armitage_matches_python_reference(spark):
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        CA_Z_CRIT,
+        cochran_armitage_trend,
+    )
+
+    xs, _, flags = _li_xy(spark)
+    cells = defaultdict(lambda: [0, 0])
+    for x, f in zip(xs, flags):
+        s = (x - 1) // 10
+        cells[s][0] += 1
+        if f == "R":
+            cells[s][1] += 1
+    n = sum(v[0] for v in cells.values())
+    r = sum(v[1] for v in cells.values())
+    p = r / n
+    num = sum(s * (ri - ni * p) for s, (ni, ri) in cells.items())
+    sn = sum(s * ni for s, (ni, _) in cells.items())
+    ssn = sum(s * s * ni for s, (ni, _) in cells.items())
+    z = num / math.sqrt(p * (1 - p) * (ssn - sn * sn / n))
+    got = cochran_armitage_trend(spark, SF).collect()[0]
+    assert (got["n"], got["n_returned"]) == (n, r)
+    assert got["base_rate"] == round(p, 6)
+    assert abs(got["z_trend"] - z) < 1e-6
+    assert got["significant"] == (abs(z) > CA_Z_CRIT)
+
+
+# --------------------------- rank-machinery property (hypothesis)
+def test_per_value_rank_identities_match_sorting():
+    """Property test for the foundation every round-7 rank statistic
+    stands on: on ANY multiset, the per-value-count formulations must
+    equal the sort-based textbook definitions —
+    - doubled tied rank 2r(v) = 2·cum<(v) + c(v) + 1,
+    - Mann-Whitney 2U_A = Σ cA(2·cumB< + cB),
+    - dominance counts (Cliff's δ numerator).
+    Pure-Python integers vs naive sorting; no Spark session needed.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.booleans()),
+            min_size=2,
+            max_size=80,
+        )
+    )
+    def check(pairs):
+        values = [v for v, _ in pairs]
+        counts = Counter(values)
+        # tied-average ranks via sorting (reference)
+        ref_ranks = _ranks(values)
+        # per-value doubled rank
+        for v in counts:
+            cum = sum(c for w, c in counts.items() if w < v)
+            r2 = 2 * cum + counts[v] + 1
+            naive = [ref_ranks[i] for i, w in enumerate(values) if w == v][0]
+            assert r2 == int(2 * naive)
+        # Mann-Whitney U via ranks vs via per-value counts
+        a = [v for v, f in pairs if f]
+        b = [v for v, f in pairs if not f]
+        if a and b:
+            ca, cb = Counter(a), Counter(b)
+            u2 = sum(
+                c * (2 * sum(cb[w] for w in cb if w < v) + cb.get(v, 0))
+                for v, c in ca.items()
+            )
+            pooled = a + b
+            rr = _ranks(pooled)
+            ra = sum(rr[: len(a)])
+            u_ref = ra - len(a) * (len(a) + 1) / 2
+            assert u2 == int(2 * u_ref)
+            # dominance counts
+            gt = sum(
+                cna * cnb
+                for va, cna in ca.items()
+                for vb, cnb in cb.items()
+                if va > vb
+            )
+            gt2 = sum(
+                c * sum(cb[w] for w in cb if w < v) for v, c in ca.items()
+            )
+            assert gt == gt2
+
+    check()
