@@ -833,6 +833,14 @@ _ROUND7_RECHECK_POOL = [
 
 _ROUND7_RECHECKS = _ROUND7_RECHECK_POOL[: 50 - len(_ROUND7_NEW)]
 
+# Round-8 rotation plan (mechanical, see driver-contract memory):
+# bump CURRENT_ROUND to 8, start _ROUND8_NEW empty, refill the pool
+# code-changed-first then oldest-green: after r7 the oldest rows are
+# the five r1 leftovers (dedup_minhash_lsh, dedup_simhash,
+# dedup_clusters, grouped_zscore, join_bucketed, subquery_scalar),
+# then ALL of r2 (parse_*, q2-q22 tail, join/agg/window/setop core —
+# r7's cut burned only the first five pool entries), then r3.
+
 _ROUND7_WINDOW = [*_ROUND7_NEW, *_ROUND7_RECHECKS]
 
 # Generic aliases — tests and tooling reference these so a future
