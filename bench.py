@@ -323,6 +323,16 @@ EXCLUDED = {
 }
 
 
+# The ONLY payload keys the compact stdout line may carry. Everything
+# else (cold_first_run, excluded, methodology, any future fat map)
+# stays in BENCH_DETAIL.json. BENCH_r07 arrived parsed:null because
+# the old blacklist ("drop 'excluded'") let the 245-entry
+# cold_first_run map ride the line past the driver's 2000-char tail
+# window even at the keep=0 floor — a whitelist can't regress that
+# way when main() grows a field (VERDICT r7 item 1).
+_COMPACT_KEYS = ("metric", "value", "unit", "sf", "skew_join")
+
+
 def compact_line(payload: dict, timings: dict[str, float]) -> str:
     """ONE stdout line pruned until it fits the driver's 2000-char
     tail window: slowest queries first, the rest summarized by count
@@ -330,8 +340,9 @@ def compact_line(payload: dict, timings: dict[str, float]) -> str:
     is a minimal summary line that always fits, so the return is
     bound on every path (ADVICE r4; floor pinned by
     tests/test_bench_contract.py as the registry passes 200 queries).
+    Keys are WHITELISTED — see _COMPACT_KEYS.
     """
-    compact = {k: v for k, v in payload.items() if k != "excluded"}
+    compact = {k: payload[k] for k in _COMPACT_KEYS if k in payload}
     ranked = sorted(timings, key=timings.get, reverse=True)
     compact["n_queries"] = len(timings)
     compact["detail"] = "BENCH_DETAIL.json"
@@ -343,6 +354,28 @@ def compact_line(payload: dict, timings: dict[str, float]) -> str:
         if len(line) <= 1800:
             break
     return line
+
+
+def build_payload(timings: dict[str, float], skew: dict[str, float],
+                  sf, cold: dict[str, float]) -> dict:
+    """The full bench payload — written verbatim to BENCH_DETAIL.json.
+    Kept as a named constructor so tests/test_bench_contract.py feeds
+    compact_line() the REAL shape instead of a hand-kept mirror (the
+    stale-mirror failure mode that let BENCH_r07 ship unparseable).
+    """
+    return {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "skew_join": skew,
+        "sf": sf,
+        "methodology": "min-of-3 fresh-plan full executions "
+        "(r1/r2 re-collected memoized plans; 10-20x under-reported); "
+        "cold_first_run = first execution incl. cache materialization",
+        "cold_first_run": cold,
+        "excluded": EXCLUDED,
+    }
 
 
 def main() -> None:
@@ -459,26 +492,16 @@ def main() -> None:
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
 
-    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # r1/r2 re-collected the SAME DataFrame, which reuses the
     # AQE-memoized result RDD and every shuffle's map output — a
     # measured 10-20x under-report on anything shuffle- or compute-
     # bound. From r3 on, each sample is a FRESH plan fully executed;
     # numbers are not comparable across that boundary.
-    payload = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "skew_join": skew,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "min-of-3 fresh-plan full executions "
-        "(r1/r2 re-collected memoized plans; 10-20x under-reported); "
-        "cold_first_run = first execution incl. cache materialization",
-        "cold_first_run": cold,
-        "excluded": EXCLUDED,
-    }
+    payload = build_payload(
+        timings, skew, float(sf) if sf.replace(".", "").isdigit() else sf,
+        cold,
+    )
     # Full per-query detail goes to a FILE: the driver records only
     # the last 2000 chars of stdout, and the full 95-query JSON line
     # is longer than that window, so a single fat line arrives with

@@ -48,11 +48,12 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Heavy ties are the whole game on a 50-value domain, so U and the
     tie-corrected variance come from per-VALUE counts: 2·U_A =
-    Σ_v cA(v)·(2·cumB<(v) + cB(v)) and T = Σ(t³−t), both exact
-    BIGINT (t³ < 2^63 holds to ~2.1M rows per value; at larger scale
-    the same identity runs on DECIMAL sums). One 50-row theta join +
-    one single-row rollup — the shuffle carries ≤ 50 rows whatever
-    the table size. z = (2U − mA·mB)/(2·σ) is one IEEE expression.
+    Σ_v cA(v)·(2·cumB<(v) + cB(v)) exact BIGINT, and T = Σ(t³−t) as
+    double terms summed through DECIMAL(38,6) — unbounded in scale
+    (a BIGINT sum overflows at ~sf10) and order-insensitive on both
+    engines. One 50-row theta join + one single-row rollup — the
+    shuffle carries ≤ 50 rows whatever the table size.
+    z = (2U − mA·mB)/(2·σ) is one IEEE expression.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "N")
@@ -72,13 +73,19 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("b.cb"), F.lit(0)).alias("cumb"))
     )
     t = F.col("ca") + F.col("cb")
+    # Σ(t³−t) through DECIMAL(38,6): at ~1.2M rows per value (≈sf10)
+    # each t³ term is ~1.7e18 and a 50-term BIGINT sum overflows
+    # int64 (ADVICE r7). Each term is computed in double — exact
+    # below 2^53, and identical IEEE on both engines above it — then
+    # cast to decimal so the SUM is order-insensitive and unbounded.
+    td = t.cast("double")
     s = cum.agg(
         F.sum("ca").alias("ma"),
         F.sum("cb").alias("mb"),
         F.sum(F.col("ca") * (F.lit(2) * F.col("cumb") + F.col("cb"))).alias(
             "u2a"
         ),
-        F.sum(t * t * t - t).alias("tsum"),
+        F.sum((td * td * td - td).cast("decimal(38,6)")).alias("tsum"),
     )
     ma = F.col("ma").cast("double")
     mb = F.col("mb").cast("double")
@@ -120,7 +127,9 @@ WITH vals AS (
   SELECT CAST(SUM(ca) AS BIGINT) AS ma,
          CAST(SUM(cb) AS BIGINT) AS mb,
          CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2a,
-         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tsum
+         CAST(SUM(CAST(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                       * CAST(ca + cb AS DOUBLE) - CAST(ca + cb AS DOUBLE)
+                       AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS tsum
   FROM cum
 )
 SELECT ma AS m_a, mb AS m_b,
@@ -1268,7 +1277,8 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,6) — the term reaches ~2·10¹⁹ at sf1 (the r7 sweep
     caught the BIGINT-quantized form overflowing), and a decimal sum
     of identical doubles is order-insensitive on both engines. The
-    tie term Σ(t³−t) is the mannwhitney bound (t < ~2.1M rows/value).
+    tie term Σ(t³−t) rides the same double-term DECIMAL(38,6) sum
+    (the BIGINT form overflows at ~sf10 — ADVICE r7).
     """
     li = load_table(spark, sf_dir, "lineitem")
     vals = li.groupBy(
@@ -1291,9 +1301,13 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("ng"),
         F.sum(F.col("c") * F.col("r2")).alias("r2g"),
     )
+    # Σ(t³−t) via double terms summed in DECIMAL(38,6) — the BIGINT
+    # sum overflows at ~sf10 (50 terms × ~1.7e18); same recipe as the
+    # q term below and mannwhitney's tsum (ADVICE r7).
+    td = F.col("t").cast("double")
     ties = tv.agg(
         F.sum("t").alias("n"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"),
+        F.sum((td * td * td - td).cast("decimal(38,6)")).alias("tsum"),
     )
     term = (
         F.col("r2g").cast("double")
@@ -1337,7 +1351,9 @@ WITH vals AS (
   GROUP BY l_returnflag
 ), ties AS (
   SELECT CAST(SUM(t) AS BIGINT) AS n,
-         CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+         CAST(SUM(CAST(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       - CAST(t AS DOUBLE) AS DECIMAL(38,6)))
+              AS DECIMAL(38,6)) AS tsum
   FROM tv
 ), s AS (
   SELECT n, tsum, COUNT(*) AS k,
@@ -1390,13 +1406,18 @@ def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("cum"))
     )
     tot = tv.agg(F.sum("t").alias("n"))
+    # Lower-median rank must be FLOORED to match the SQL twin's
+    # integer division (n+1)//2 — unfloored (n+1)/2 is n/2+0.5 for
+    # even n and the two engines straddle different ranks whenever
+    # the cumulative count hits exactly n/2 at a value boundary
+    # (ADVICE r7; mad_outliers got this right from the start).
+    r = F.floor((F.col("n") + 1) / 2)
     med = (
         cum.crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
                 F.when(
-                    (F.col("cum") < (F.col("n") + 1) / 2)
-                    & ((F.col("n") + 1) / 2 <= F.col("cum") + F.col("t")),
+                    (F.col("cum") < r) & (r <= F.col("cum") + F.col("t")),
                     F.col("v"),
                 ).otherwise(F.lit(0))
             ).alias("med")

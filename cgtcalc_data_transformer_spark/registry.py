@@ -687,14 +687,16 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# ---- round-7 driver window (slots 1-50) ------------------------------
-# Cumulative state entering round 7: all 221 oracled queries in the
-# 231-entry registry have a driver hash-green row across r1-r6, and
-# the 10 streaming engine runs carry rows-only records (VERDICT r6).
-# Round 7's window is NEW operators first, then declared rechecks:
+# ---- round-8 driver window (slots 1-50) ------------------------------
+# Cumulative state entering round 8: all 267 oracled queries in the
+# 277-entry registry have a driver hash-green row across r1-r7, and
+# the 10 streaming engine runs carry rows-only records (VERDICT r7).
+# Round 8's window is NEW operators first, then declared rechecks:
 # queries whose code changed this round, the flagship, then the
-# OLDEST green rows (r1 first, then the r2 relational core — the r6
-# sweep already refreshed q1-q14).
+# OLDEST green rows. Round 7 burned only the first FOUR r7 pool
+# entries (semdedup_embedding, kaplan_meier_churn,
+# seasonality_profile, canonical_orders), so the oldest rows are the
+# seven r1 leftovers starting at dedup_exact, then ALL of r2.
 #
 # Slot accounting stays mechanical: tests/test_registry_contract.py
 # recomputes driver-green from the CORRECTNESS artifacts of rounds
@@ -702,72 +704,24 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
-_ROUND7_NEW: list[str] = [
-    "mannwhitney_u_test",
-    "spearman_rank_corr",
-    "kendall_tau_binned",
-    "anova_f_oneway",
-    "cramers_v_matrix",
-    "mutual_information_binned",
-    "simpson_paradox_audit",
-    "mad_outliers",
-    "trimmed_mean_robust",
-    "acf_daily_counts",
-    "ewma_control_chart",
-    "theil_sen_trend",
-    "bh_fdr_control",
-    "nelson_aalen_hazard",
-    "markov_stationary_dist",
-    "kneser_ney_bigram",
-    "good_turing_mass",
-    "chao1_vocab_richness",
-    "vocab_coverage_curve",
-    "readability_flesch",
-    "hits_hubs_authorities",
-    "adamic_adar_links",
-    "assoc_rules_confidence",
-    "brier_decomposition",
-    "cohens_kappa_flags",
-    "lognormal_fit_doclen",
-    "logistic_regression_irls",
-    "jackknife_variance",
-    "extreme_value_fit",
-    "page_hinkley_drift",
-    "capture_recapture",
-    "mcnemar_test",
-    "last_digit_uniformity",
-    "gains_curve_calibration",
-    "kruskal_wallis_test",
-    "moods_median_test",
-    "effect_size_panel",
-    "runs_test_randomness",
-    "poisson_dispersion_test",
-    "auc_roc_centroid",
-    "entropy_rate_markov",
-    "durbin_watson_stat",
-    "variance_ratio_test",
-    "ols_leverage_audit",
-    "hash_uniformity_audit",
-    "cochran_armitage_trend",
+_ROUND8_NEW: list[str] = [
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then
-# the oldest green rows. Only the first 50-len(_ROUND7_NEW) burn slots.
-_ROUND7_RECHECK_POOL = [
-    # code changed this round (VERDICT r6 item 2): NLIST now scales
-    # with n via hyperplane cell subdivision
-    "semdedup_embedding",
-    # code changed this round (ADVICE r6): explicit survival=0 when
-    # d == n_risk instead of a silent skipped factor
-    "kaplan_meier_churn",
-    # code changed this round (ADVICE r6): expected-under-uniform
-    # denominator is now the constant 7
-    "seasonality_profile",
+# the oldest green rows. Only the first 50-len(_ROUND8_NEW) burn slots.
+_ROUND8_RECHECK_POOL = [
+    # code changed this round (ADVICE r7): grand-median rank floored
+    # to match the SQL twin's (n+1)//2
+    "moods_median_test",
+    # code changed this round (ADVICE r7): tie term t³-t now summed
+    # through DECIMAL(38,6) in both twins
+    "mannwhitney_u_test",
+    "kruskal_wallis_test",
     # flagship entry() twin — keep a fresh row every round
     "canonical_orders",
     # oldest rows (r1): dedup/window core freshness sweep
@@ -818,7 +772,7 @@ _ROUND7_RECHECK_POOL = [
     "pivot_status",
     "unpivot_status",
     "range_join_bands",
-    # r3 buffer (used only while _ROUND7_NEW is short)
+    # r3 buffer (used only while _ROUND8_NEW is short)
     "ann_ivf",
     "ann_lsh",
     "asof_join",
@@ -831,23 +785,21 @@ _ROUND7_RECHECK_POOL = [
     "emb_normalize",
 ]
 
-_ROUND7_RECHECKS = _ROUND7_RECHECK_POOL[: 50 - len(_ROUND7_NEW)]
+_ROUND8_RECHECKS = _ROUND8_RECHECK_POOL[: 50 - len(_ROUND8_NEW)]
 
-# Round-8 rotation plan (mechanical, see driver-contract memory):
-# bump CURRENT_ROUND to 8, start _ROUND8_NEW empty, refill the pool
-# code-changed-first then oldest-green: after r7 the oldest rows are
-# the five r1 leftovers (dedup_minhash_lsh, dedup_simhash,
-# dedup_clusters, grouped_zscore, join_bucketed, subquery_scalar),
-# then ALL of r2 (parse_*, q2-q22 tail, join/agg/window/setop core —
-# r7's cut burned only the first five pool entries), then r3.
+# Round-9 rotation plan (mechanical): bump CURRENT_ROUND to 9, start
+# _ROUND9_NEW empty, refill the pool code-changed-first then
+# oldest-green. Round 8 burns the first 50-len(_ROUND8_NEW) pool
+# entries above IN ORDER; everything after that cut line carries over
+# to the r9 pool unchanged, followed by the remaining r3 rows.
 
-_ROUND7_WINDOW = [*_ROUND7_NEW, *_ROUND7_RECHECKS]
+_ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
 
 # Generic aliases — tests and tooling reference these so a future
 # rotation only touches this module.
-_ROUND_NEW = _ROUND7_NEW
-_ROUND_RECHECKS = _ROUND7_RECHECKS
-_ROUND_WINDOW = _ROUND7_WINDOW
+_ROUND_NEW = _ROUND8_NEW
+_ROUND_RECHECKS = _ROUND8_RECHECKS
+_ROUND_WINDOW = _ROUND8_WINDOW
 
 # Rows-only streaming engine runs (all carry an r5 record; kept out of
 # the round-6 window — oracled slots are stronger):

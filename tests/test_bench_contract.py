@@ -23,21 +23,32 @@ def _load_bench():
 
 
 def _payload(bench, timings):
-    # mirror main()'s payload shape, worst-case field widths
-    return {
-        "metric": "headline_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "skew_join": {
-            f"skew_{label}": 9999.999
-            for label in ("plain", "aqe_split", "salted", "salted_partial")
-        },
-        "sf": 1.0,
-        "methodology": "min-of-3 fresh-plan full executions "
-        "(r1/r2 re-collected memoized plans; 10-20x under-reported)",
-        "excluded": bench.EXCLUDED,
+    # Build via the SAME constructor main() uses — a hand-kept mirror
+    # went stale when main() grew cold_first_run and BENCH_r07 shipped
+    # unparseable (VERDICT r7 item 1). Worst-case field widths: every
+    # query also appears in the fat cold map.
+    skew = {
+        f"skew_{label}": 9999.999
+        for label in ("plain", "aqe_split", "salted", "salted_partial")
     }
+    cold = {n: 9999.999 for n in timings}
+    return bench.build_payload(timings, skew, 1.0, cold)
+
+
+def test_compact_line_carries_no_fat_fields():
+    """Whitelist guard: the compact line must never carry per-query
+    maps other than the pruned 'queries' — any future fat field added
+    to build_payload() must stay in BENCH_DETAIL.json."""
+    bench = _load_bench()
+    timings = {f"q{i:03d}": 9999.999 for i in range(300)}
+    line = bench.compact_line(_payload(bench, timings), timings)
+    parsed = json.loads(line)
+    allowed = set(bench._COMPACT_KEYS) | {
+        "n_queries", "detail", "queries", "queries_shown"
+    }
+    assert set(parsed) <= allowed, set(parsed) - allowed
+    assert "cold_first_run" not in parsed
+    assert "excluded" not in parsed
 
 
 def test_bench_line_fits_at_current_headline():
