@@ -76,12 +76,16 @@ def test_no_silent_bench_regression_vs_baseline():
         base = json.load(fh)["queries"]
     with open(os.path.join(root, "BENCH_DETAIL.json")) as fh:
         cur = json.load(fh)["queries"]
+    # Two tiers (VERDICT r7 item 2: 2.5x was too loose to see a 33%
+    # move on a 2 s query): expensive queries get a tighter band —
+    # their timings are stable enough that 1.6x is a plan change.
     offenders = {
         n: (base[n], cur[n])
         for n in base.keys() & cur.keys()
-        if base[n] > 0.5 and cur[n] > base[n] * 2.5
+        if (base[n] > 0.5 and cur[n] > base[n] * 2.5)
+        or (base[n] > 1.5 and cur[n] > base[n] * 1.6)
     }
-    assert not offenders, f"bench regressions >2.5x vs baseline: {offenders}"
+    assert not offenders, f"bench regressions vs baseline: {offenders}"
 
 
 def test_bench_line_floor_keep_zero_fits():
