@@ -287,6 +287,19 @@ HEADLINE: dict[str, str] = {
     "ols_leverage_audit": "collect",
     "hash_uniformity_audit": "collect",
     "cochran_armitage_trend": "collect",
+    # round-8 classical tests (stats8)
+    "welch_t_test": "collect",
+    "levene_test": "collect",
+    "bartlett_test": "collect",
+    "jarque_bera": "collect",
+    "hodges_lehmann_shift": "collect",
+    "sign_test": "collect",
+    "wilcoxon_signed_rank": "collect",
+    "friedman_test": "collect",
+    "cronbach_alpha": "collect",
+    "grubbs_max_outlier": "collect",
+    "partial_correlation": "collect",
+    "kendalls_w": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -44,6 +44,7 @@ from cgtcalc_data_transformer_spark.operators import (
     similarity,
     skyline,
     stats_ext,
+    stats8,
     timeseries,
     textops,
     tpch_more,
@@ -684,6 +685,28 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats_ext.cochran_armitage_trend,
         stats_ext.COCHRAN_ARMITAGE_SQL,
     ),
+    # ---- round-8 additions -------------------------------------------
+    "welch_t_test": (stats8.welch_t_test, stats8.WELCH_T_SQL),
+    "levene_test": (stats8.levene_test, stats8.LEVENE_SQL),
+    "bartlett_test": (stats8.bartlett_test, stats8.BARTLETT_SQL),
+    "jarque_bera": (stats8.jarque_bera, stats8.JARQUE_BERA_SQL),
+    "hodges_lehmann_shift": (
+        stats8.hodges_lehmann_shift,
+        stats8.HODGES_LEHMANN_SQL,
+    ),
+    "sign_test": (stats8.sign_test, stats8.SIGN_TEST_SQL),
+    "wilcoxon_signed_rank": (
+        stats8.wilcoxon_signed_rank,
+        stats8.WILCOXON_SQL,
+    ),
+    "friedman_test": (stats8.friedman_test, stats8.FRIEDMAN_SQL),
+    "cronbach_alpha": (stats8.cronbach_alpha, stats8.CRONBACH_SQL),
+    "grubbs_max_outlier": (stats8.grubbs_max_outlier, stats8.GRUBBS_SQL),
+    "partial_correlation": (
+        stats8.partial_correlation,
+        stats8.PARTIAL_CORR_SQL,
+    ),
+    "kendalls_w": (stats8.kendalls_w, stats8.KENDALLS_W_SQL),
 }
 
 
@@ -710,6 +733,18 @@ CURRENT_ROUND = 8
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
 _ROUND8_NEW: list[str] = [
+    "welch_t_test",
+    "levene_test",
+    "bartlett_test",
+    "jarque_bera",
+    "hodges_lehmann_shift",
+    "sign_test",
+    "wilcoxon_signed_rank",
+    "friedman_test",
+    "cronbach_alpha",
+    "grubbs_max_outlier",
+    "partial_correlation",
+    "kendalls_w",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -116,6 +116,12 @@ BNLJ_OK = {
     "ols_leverage_audit",  # 50-value table x 1-row sums scalar
     "hash_uniformity_audit",  # 100-bucket table x 1-row total/chi2 scalars
     "cochran_armitage_trend",  # 5-cell table, 1-row sums scalar
+    # round 8 — value-domain-bounded theta joins / 1-row scalars:
+    "jarque_bera",  # 50-value count table x 1-row (n, Σv) scalar
+    "hodges_lehmann_shift",  # 50x50 weighted diff grid + 1-row totals
+    "wilcoxon_signed_rank",  # <=49-value |d| count table prefix join
+    "grubbs_max_outlier",  # |days|-row table x 1-row moments scalar
+    "kendalls_w",  # 21-cell count grid x 1-row tie scalar
 }
 
 

@@ -1,0 +1,342 @@
+"""Round-8 operator tests: independent naive-Python reimplementations
+for the classical-test family (stats8) — textbook sort/loop
+formulations sharing no code with the Spark per-value-count plans.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _quant_flags(spark):
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .collect()
+    )
+    return [(int(r["l_quantity"]), r["l_returnflag"]) for r in rows]
+
+
+def _mean_var(xs):
+    n = len(xs)
+    m = sum(xs) / n
+    v = sum((x - m) ** 2 for x in xs) / (n - 1)
+    return n, m, v
+
+
+def test_welch_t_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import welch_t_test
+
+    data = _quant_flags(spark)
+    a = [v for v, f in data if f == "R"]
+    b = [v for v, f in data if f == "N"]
+    n1, m1, v1 = _mean_var(a)
+    n2, m2, v2 = _mean_var(b)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / (
+        v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1))
+    )
+    row = welch_t_test(spark, SF).collect()[0]
+    assert row["n_r"] == n1 and row["n_n"] == n2
+    assert abs(row["t_stat"] - t) < 1e-5
+    assert abs(row["df_welch"] - df) < 1e-3
+
+
+def test_levene_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import levene_test
+
+    data = _quant_flags(spark)
+    groups = defaultdict(list)
+    for v, f in data:
+        groups[f].append(v)
+    zs = []
+    for g, xs in groups.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1]  # lower median, floored rank
+        zs.append([abs(x - med) for x in xs])
+    k = len(zs)
+    nn = sum(len(z) for z in zs)
+    gm = sum(sum(z) for z in zs) / nn
+    between = sum(len(z) * (sum(z) / len(z) - gm) ** 2 for z in zs) / (k - 1)
+    within = sum(
+        sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs
+    ) / (nn - k)
+    row = levene_test(spark, SF).collect()[0]
+    assert row["k"] == k and row["n"] == nn
+    assert abs(row["f_stat"] - between / within) < 1e-5
+
+
+def test_bartlett_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import bartlett_test
+
+    data = _quant_flags(spark)
+    groups = defaultdict(list)
+    for v, f in data:
+        groups[f].append(v)
+    ks = list(groups.values())
+    k = len(ks)
+    nn = sum(len(x) for x in ks)
+    sp2 = sum((len(x) - 1) * _mean_var(x)[2] for x in ks) / (nn - k)
+    num = (nn - k) * math.log(sp2) - sum(
+        (len(x) - 1) * math.log(_mean_var(x)[2]) for x in ks
+    )
+    c = 1 + (sum(1 / (len(x) - 1) for x in ks) - 1 / (nn - k)) / (3 * (k - 1))
+    row = bartlett_test(spark, SF).collect()[0]
+    assert abs(row["chi2"] - num / c) < 1e-5
+
+
+def test_jarque_bera_flags_uniform_quantities(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import jarque_bera
+
+    data = [v for v, _ in _quant_flags(spark)]
+    n = len(data)
+    m = sum(data) / n
+    mu2 = sum((x - m) ** 2 for x in data) / n
+    mu3 = sum((x - m) ** 3 for x in data) / n
+    mu4 = sum((x - m) ** 4 for x in data) / n
+    skew = mu3 / mu2**1.5
+    kurt = mu4 / mu2**2
+    jb = n * (skew**2 / 6 + (kurt - 3) ** 2 / 24)
+    row = jarque_bera(spark, SF).collect()[0]
+    assert abs(row["skewness"] - skew) < 1e-5
+    assert abs(row["kurtosis"] - kurt) < 1e-5
+    assert abs(row["jb_stat"] - jb) < max(1e-4 * jb, 1e-4)
+    # a uniform 1..50 domain has kurtosis ~1.8 — the test must reject
+    assert row["non_normal"] is True and row["kurtosis"] < 2.5
+
+
+def test_hodges_lehmann_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        hodges_lehmann_shift,
+    )
+
+    data = _quant_flags(spark)
+    a = [v for v, f in data if f == "R"]
+    b = [v for v, f in data if f == "N"]
+    diffs = sorted(x - y for x in a for y in b)
+    hl = diffs[(len(diffs) + 1) // 2 - 1]  # lower median
+    row = hodges_lehmann_shift(spark, SF).collect()[0]
+    assert row["hl_shift"] == hl
+    assert row["m_a"] == len(a) and row["m_b"] == len(b)
+
+
+def _naive_pairs(spark):
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r["l_orderkey"]].append(
+            (int(r["l_linenumber"]), int(r["l_quantity"]))
+        )
+    pairs = []
+    for k, lines in per.items():
+        if len(lines) >= 2:
+            pairs.append((min(lines)[1], max(lines)[1]))
+    return pairs
+
+
+def test_sign_test_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import sign_test
+
+    pairs = _naive_pairs(spark)
+    npos = sum(1 for f, l in pairs if l > f)
+    nneg = sum(1 for f, l in pairs if l < f)
+    ntie = len(pairs) - npos - nneg
+    row = sign_test(spark, SF).collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["n_tie"]) == (npos, nneg, ntie)
+    assert abs(row["z_stat"] - (npos - nneg) / math.sqrt(npos + nneg)) < 1e-5
+
+
+def test_wilcoxon_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        wilcoxon_signed_rank,
+    )
+
+    pairs = [(f, l) for f, l in _naive_pairs(spark) if f != l]
+    ds = [l - f for f, l in pairs]
+    ads = sorted(abs(d) for d in ds)
+    # tied-average ranks of |d|
+    rank_of = {}
+    i = 0
+    while i < len(ads):
+        j = i
+        while j + 1 < len(ads) and ads[j + 1] == ads[i]:
+            j += 1
+        rank_of[ads[i]] = (i + j + 2) / 2
+        i = j + 1
+    wplus = sum(rank_of[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    from collections import Counter
+
+    tc = Counter(abs(d) for d in ds)
+    tsum = sum(t**3 - t for t in tc.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - tsum / 48
+    z = (wplus - n * (n + 1) / 4) / math.sqrt(var)
+    row = wilcoxon_signed_rank(spark, SF).collect()[0]
+    assert row["n_pairs"] == n
+    assert abs(row["w_plus"] - wplus) < 1e-9
+    assert abs(row["z_stat"] - z) < 1e-5
+
+
+def _naive_blocks(spark):
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .filter("l_linenumber <= 3")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .collect()
+    )
+    per = defaultdict(dict)
+    for r in rows:
+        ln, v = int(r["l_linenumber"]), int(r["l_quantity"])
+        per[r["l_orderkey"]][ln] = max(per[r["l_orderkey"]].get(ln, 0), v)
+    return [
+        (d[1], d[2], d[3]) for d in per.values() if {1, 2, 3} <= set(d)
+    ]
+
+
+def test_friedman_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import friedman_test
+
+    blocks = _naive_blocks(spark)
+    n, k = len(blocks), 3
+    rank_sums = [0.0] * k
+    sq = 0.0
+    for b in blocks:
+        s = sorted(b)
+        ranks = []
+        for x in b:
+            lt = sum(1 for y in b if y < x)
+            eq = sum(1 for y in b if y == x)
+            ranks.append(lt + (eq + 1) / 2)
+        for j in range(k):
+            rank_sums[j] += ranks[j]
+            sq += ranks[j] ** 2
+        assert s is not None
+    num = (k - 1) * sum((r - n * (k + 1) / 2) ** 2 for r in rank_sums)
+    den = sq - n * k * (k + 1) ** 2 / 4
+    row = friedman_test(spark, SF).collect()[0]
+    assert row["n_blocks"] == n
+    for j in range(k):
+        assert abs(row[f"rank_sum_{j+1}"] - rank_sums[j]) < 1e-9
+    assert abs(row["chi2"] - num / den) < 1e-5
+
+
+def test_cronbach_alpha_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import cronbach_alpha
+
+    blocks = _naive_blocks(spark)
+    k = 3
+    item_var = sum(
+        _mean_var([b[j] for b in blocks])[2] for j in range(k)
+    )
+    tot_var = _mean_var([sum(b) for b in blocks])[2]
+    alpha = k / (k - 1) * (1 - item_var / tot_var)
+    row = cronbach_alpha(spark, SF).collect()[0]
+    assert row["n_blocks"] == len(blocks)
+    assert abs(row["alpha"] - alpha) < 1e-5
+    # independent items => alpha near zero, far from the 0.7 bar
+    assert abs(row["alpha"]) < 0.4
+
+
+def test_grubbs_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        grubbs_max_outlier,
+    )
+
+    rows = load_table(spark, SF, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    daily = defaultdict(float)
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    for r in rows:
+        d = r["o_orderdate"]
+        day = ((d.date() if hasattr(d, "date") else d) - epoch).days
+        daily[day] += float(r["o_totalprice"])
+    xs = list(daily.values())
+    n, m, v = _mean_var(xs)
+    sd = math.sqrt(v)
+    best = max(daily.items(), key=lambda kv: (abs(kv[1] - m) / sd, kv[0]))
+    row = grubbs_max_outlier(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["day"] == best[0]
+    assert abs(row["g_micro"] / 1e6 - abs(best[1] - m) / sd) < 1e-4
+
+
+def test_partial_correlation_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        partial_correlation,
+    )
+
+    rows = load_table(spark, SF, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    xs = [float(r[0]) for r in rows]
+    ys = [float(r[1]) for r in rows]
+    zs = [float(r[2]) for r in rows]
+
+    def corr(a, b):
+        n = len(a)
+        ma, mb = sum(a) / n, sum(b) / n
+        num = sum((u - ma) * (w - mb) for u, w in zip(a, b))
+        return num / math.sqrt(
+            sum((u - ma) ** 2 for u in a) * sum((w - mb) ** 2 for w in b)
+        )
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    row = partial_correlation(spark, SF).collect()[0]
+    assert abs(row["r_xy"] - rxy) < 1e-5
+    assert abs(row["r_xz"] - rxz) < 1e-5
+    assert abs(row["r_yz"] - ryz) < 1e-5
+    assert abs(row["r_xy_given_z"] - part) < 1e-5
+    # this synthetic data generates price INDEPENDENT of quantity
+    # (the OLS-R² corpus quirk): the screen must report near-zero
+    # both marginally and partially, not invent a relationship
+    assert abs(row["r_xy_given_z"]) < 0.1
+
+
+def test_kendalls_w_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import kendalls_w
+
+    rows = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_shipdate"
+    ).collect()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    cells = defaultdict(int)
+    for r in rows:
+        d = r["l_shipdate"]
+        day = ((d.date() if hasattr(d, "date") else d) - epoch).days
+        cells[(r["l_returnflag"], day % 7)] += 1
+    flags = sorted({g for g, _ in cells})
+    dows = sorted({j for _, j in cells})
+    k, n = len(flags), len(dows)
+    rank_sums = defaultdict(float)
+    tsum = 0
+    for g in flags:
+        counts = [cells.get((g, j), 0) for j in dows]
+        from collections import Counter
+
+        for t in Counter(counts).values():
+            tsum += t**3 - t
+        for j, c in zip(dows, counts):
+            lt = sum(1 for c2 in counts if c2 < c)
+            eq = sum(1 for c2 in counts if c2 == c)
+            rank_sums[j] += lt + (eq + 1) / 2
+    s = sum((r - k * (n + 1) / 2) ** 2 for r in rank_sums.values())
+    w = 12 * s / (k * k * (n**3 - n) - k * tsum)
+    row = kendalls_w(spark, SF).collect()[0]
+    assert row["n_objects"] == n and row["k_rankers"] == k
+    assert abs(row["w"] - w) < 1e-5
