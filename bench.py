@@ -300,6 +300,11 @@ HEADLINE: dict[str, str] = {
     "grubbs_max_outlier": "collect",
     "partial_correlation": "collect",
     "kendalls_w": "collect",
+    # round-8 profiling/discovery
+    "fk_containment_audit": "collect",
+    "fd_audit": "collect",
+    "join_cardinality_audit": "collect",
+    "candidate_key_audit": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -45,6 +45,7 @@ from cgtcalc_data_transformer_spark.operators import (
     skyline,
     stats_ext,
     stats8,
+    profiling,
     timeseries,
     textops,
     tpch_more,
@@ -707,6 +708,19 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats8.PARTIAL_CORR_SQL,
     ),
     "kendalls_w": (stats8.kendalls_w, stats8.KENDALLS_W_SQL),
+    "fk_containment_audit": (
+        profiling.fk_containment_audit,
+        profiling.FK_CONTAINMENT_SQL,
+    ),
+    "fd_audit": (profiling.fd_audit, profiling.FD_AUDIT_SQL),
+    "join_cardinality_audit": (
+        profiling.join_cardinality_audit,
+        profiling.JOIN_CARD_SQL,
+    ),
+    "candidate_key_audit": (
+        profiling.candidate_key_audit,
+        profiling.CANDIDATE_KEY_SQL,
+    ),
 }
 
 
@@ -745,6 +759,10 @@ _ROUND8_NEW: list[str] = [
     "grubbs_max_outlier",
     "partial_correlation",
     "kendalls_w",
+    "fk_containment_audit",
+    "fd_audit",
+    "join_cardinality_audit",
+    "candidate_key_audit",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

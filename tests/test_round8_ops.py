@@ -340,3 +340,50 @@ def test_kendalls_w_matches_naive(spark):
     row = kendalls_w(spark, SF).collect()[0]
     assert row["n_objects"] == n and row["k_rankers"] == k
     assert abs(row["w"] - w) < 1e-5
+
+
+# --------------------------------------------------- profiling module
+def test_fk_containment_flags_real_and_fake_fks(spark):
+    from cgtcalc_data_transformer_spark.operators.profiling import (
+        fk_containment_audit,
+    )
+
+    rows = {r["candidate"]: r for r in fk_containment_audit(spark, SF).collect()}
+    assert rows["lineitem.l_orderkey->orders.o_orderkey"]["is_fk"] is True
+    assert rows["orders.o_custkey->customer.c_custkey"]["is_fk"] is True
+    assert rows["customer.c_nationkey->nation.n_nationkey"]["is_fk"] is True
+    neg = rows["orders.o_orderkey->customer.c_custkey"]
+    assert neg["is_fk"] is False and neg["containment"] < 0.5
+
+
+def test_fd_audit_flags_real_and_fake_dependencies(spark):
+    from cgtcalc_data_transformer_spark.operators.profiling import fd_audit
+
+    rows = {r["candidate"]: r for r in fd_audit(spark, SF).collect()}
+    assert rows["orders: o_orderkey -> o_custkey"]["holds"] is True
+    assert rows["nation: n_nationkey -> n_regionkey"]["holds"] is True
+    assert rows["lineitem: l_orderkey -> l_returnflag"]["holds"] is False
+    assert rows["part: p_brand -> p_type"]["holds"] is False
+
+
+def test_join_cardinality_estimator_close_on_uniform_keys(spark):
+    from cgtcalc_data_transformer_spark.operators.profiling import (
+        join_cardinality_audit,
+    )
+
+    for r in join_cardinality_audit(spark, SF).collect():
+        # FK joins on (near-)uniform key distributions: the textbook
+        # estimator should land within 2x of the truth
+        assert 0.5 < r["actual_over_est"] < 2.0, r
+
+
+def test_candidate_key_audit_finds_the_key(spark):
+    from cgtcalc_data_transformer_spark.operators.profiling import (
+        candidate_key_audit,
+    )
+
+    rows = {r["column"]: r for r in candidate_key_audit(spark, SF).collect()}
+    assert rows["o_orderkey"]["is_unique"] is True
+    assert rows["o_orderkey"]["avg_multiplicity"] == 1.0
+    assert rows["o_custkey"]["is_unique"] is False
+    assert rows["o_orderpriority"]["n_distinct"] <= 10
