@@ -305,6 +305,13 @@ HEADLINE: dict[str, str] = {
     "fd_audit": "collect",
     "join_cardinality_audit": "collect",
     "candidate_key_audit": "collect",
+    # round-8 sketches + time-series
+    "ams_f2_sketch": "collect",
+    "linear_counting_audit": "collect",
+    "ljung_box_test": "collect",
+    "periodogram_fixed": "collect",
+    "seasonal_decompose_ma": "collect",
+    "ccf_lagged": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

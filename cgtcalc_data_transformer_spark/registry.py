@@ -46,6 +46,8 @@ from cgtcalc_data_transformer_spark.operators import (
     stats_ext,
     stats8,
     profiling,
+    sketch8,
+    series8,
     timeseries,
     textops,
     tpch_more,
@@ -721,6 +723,21 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         profiling.candidate_key_audit,
         profiling.CANDIDATE_KEY_SQL,
     ),
+    "ams_f2_sketch": (sketch8.ams_f2_sketch, sketch8.AMS_F2_SQL),
+    "linear_counting_audit": (
+        sketch8.linear_counting_audit,
+        sketch8.LINEAR_COUNTING_SQL,
+    ),
+    "ljung_box_test": (series8.ljung_box_test, series8.LJUNG_BOX_SQL),
+    "periodogram_fixed": (
+        series8.periodogram_fixed,
+        series8.PERIODOGRAM_SQL,
+    ),
+    "seasonal_decompose_ma": (
+        series8.seasonal_decompose_ma,
+        series8.SEASONAL_MA_SQL,
+    ),
+    "ccf_lagged": (series8.ccf_lagged, series8.CCF_SQL),
 }
 
 
@@ -763,6 +780,12 @@ _ROUND8_NEW: list[str] = [
     "fd_audit",
     "join_cardinality_audit",
     "candidate_key_audit",
+    "ams_f2_sketch",
+    "linear_counting_audit",
+    "ljung_box_test",
+    "periodogram_fixed",
+    "seasonal_decompose_ma",
+    "ccf_lagged",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -387,3 +387,155 @@ def test_candidate_key_audit_finds_the_key(spark):
     assert rows["o_orderkey"]["avg_multiplicity"] == 1.0
     assert rows["o_custkey"]["is_unique"] is False
     assert rows["o_orderpriority"]["n_distinct"] <= 10
+
+
+# ------------------------------------------------------ sketch module
+def test_ams_f2_exact_and_estimate(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.sketch8 import (
+        AMS_A,
+        AMS_B,
+        AMS_K,
+        _M,
+        ams_f2_sketch,
+    )
+
+    keys = [
+        r["o_custkey"]
+        for r in load_table(spark, SF, "orders").select("o_custkey").collect()
+    ]
+    freq = Counter(keys)
+    f2 = sum(f * f for f in freq.values())
+    ests = []
+    for i in range(AMS_K):
+        s = sum(
+            f * (1 - 2 * (((k % _M) * AMS_A[i] + AMS_B[i]) % _M % 2))
+            for k, f in freq.items()
+        )
+        ests.append(float(s * s))
+    est = sorted(ests)[AMS_K // 2 - 1]
+    row = ams_f2_sketch(spark, SF).collect()[0]
+    assert row["f2_exact"] == f2
+    assert abs(row["f2_est"] - est) < 1e-6
+    # median-of-16 AMS should land within a small constant factor
+    assert row["rel_err"] < 1.0
+
+
+def test_linear_counting_close_to_exact(spark):
+    from cgtcalc_data_transformer_spark.operators.sketch8 import (
+        linear_counting_audit,
+    )
+
+    exact = (
+        load_table(spark, SF, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    row = linear_counting_audit(spark, SF).collect()[0]
+    assert row["n_exact"] == exact
+    assert row["n_occupied"] < row["m"]  # never saturated
+    assert row["rel_err"] < 0.05
+
+
+# ------------------------------------------------------ series module
+def _naive_grid(spark):
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = load_events(spark, SF).select("event_type", "ts").collect()
+    DAY = 86400 * 10**9
+    days = [int(r["ts"]) // DAY for r in rows]
+    dmin, dmax = min(days), max(days)
+    grid = defaultdict(lambda: [0] * (dmax - dmin + 1))
+    for r, d in zip(rows, days):
+        grid[r["event_type"]][d - dmin] += 1
+    return dict(grid)
+
+
+def test_ljung_box_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        LB_MAX_LAG,
+        ljung_box_test,
+    )
+
+    grid = _naive_grid(spark)
+    rows = {r["event_type"]: r for r in ljung_box_test(spark, SF).collect()}
+    for et, ys in grid.items():
+        n = len(ys)
+        m = sum(ys) / n
+        den = sum((y - m) ** 2 for y in ys)
+        srq = 0.0
+        for k in range(1, min(LB_MAX_LAG, n - 1) + 1):
+            num = sum(
+                (ys[t] - m) * (ys[t + k] - m) for t in range(n - k)
+            )
+            srq += (num / den) ** 2 / (n - k)
+        q = n * (n + 2) * srq
+        assert abs(rows[et]["q_stat"] - q) < max(1e-4, 1e-5 * abs(q))
+        assert rows[et]["n_days"] == n
+
+
+def test_periodogram_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        _PG_COS,
+        _PG_SIN,
+        PG_SCALE,
+        periodogram_fixed,
+    )
+
+    grid = _naive_grid(spark)
+    rows = {
+        (r["event_type"], r["period"]): r
+        for r in periodogram_fixed(spark, SF).collect()
+    }
+    for et, ys in grid.items():
+        for p in (7, 14, 30):
+            c = sum(y * _PG_COS[p][t % p] for t, y in enumerate(ys))
+            s = sum(y * _PG_SIN[p][t % p] for t, y in enumerate(ys))
+            amp = math.sqrt(c * c + s * s) / PG_SCALE / len(ys)
+            got = rows[(et, p)]
+            assert abs(got["amp"] - amp) < 1e-5
+            assert abs(got["rel_amp"] - amp / (sum(ys) / len(ys))) < 1e-5
+
+
+def test_seasonal_decompose_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        SD_SCALE,
+        seasonal_decompose_ma,
+    )
+
+    grid = _naive_grid(spark)
+    rows = {
+        (r["event_type"], r["dow"]): r
+        for r in seasonal_decompose_ma(spark, SF).collect()
+    }
+    for et, ys in grid.items():
+        per_dow = defaultdict(list)
+        for t in range(3, len(ys) - 3):
+            ma = sum(ys[t - 3:t + 4]) / 7
+            per_dow[t % 7].append(ys[t] - ma)
+        for dow, vals in per_dow.items():
+            got = rows[(et, dow)]
+            assert got["n_days"] == len(vals)
+            want = math.floor(sum(vals) / len(vals) * SD_SCALE + 0.5)
+            assert got["seas_micro"] == want
+
+
+def test_ccf_lag0_matches_naive_pearson(spark):
+    from cgtcalc_data_transformer_spark.operators.series8 import ccf_lagged
+
+    grid = _naive_grid(spark)
+    xs, ys = grid["view"], grid["purchase"]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    for lag in range(4):
+        num = sum(
+            (xs[t] - mx) * (ys[t + lag] - my) for t in range(n - lag)
+        )
+        den = math.sqrt(
+            sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+        )
+        got = [r for r in ccf_lagged(spark, SF).collect() if r["lag"] == lag]
+        assert len(got) == 1
+        assert abs(got[0]["ccf"] - num / den) < 1e-5
