@@ -312,6 +312,14 @@ HEADLINE: dict[str, str] = {
     "periodogram_fixed": "collect",
     "seasonal_decompose_ma": "collect",
     "ccf_lagged": "collect",
+    # round-8 corpus/embedding/graph/inequality
+    "monroe_log_odds": "collect",
+    "word_burstiness": "collect",
+    "dedup_levenshtein": "collect",
+    "shuffle_run_audit": "collect",
+    "jl_projection_audit": "collect",
+    "degree_assortativity": "collect",
+    "theil_index": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

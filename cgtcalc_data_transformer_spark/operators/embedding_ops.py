@@ -702,3 +702,97 @@ SELECT mp AS n_correct, mn AS n_wrong,
        ROUND(2.0 * (CAST(u2 AS DOUBLE) / (2.0 * CAST(mp * mn AS DOUBLE))) - 1.0, 6) AS gini
 FROM s
 """
+
+
+# ----------------------------------- Johnson-Lindenstrauss projection
+import random as _random
+
+JL_OUT_DIM = 16
+JL_EVAL_N = 400  # bounded eval set: pairs (2i, 2i+1) for 2i < JL_EVAL_N
+_jl_rng = _random.Random(20250815)
+JL_SIGNS = [
+    [_jl_rng.choice((-1.0, 1.0)) for _ in range(64)]
+    for _ in range(JL_OUT_DIM)
+]
+
+
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit: project the
+    64-d embeddings to 16-d with a fixed ±1 (Achlioptas) matrix and
+    measure, over a bounded eval set of pairs, the ratio
+    |R(a−b)|²/(k·|a−b|²) — the distortion a 4x-cheaper ANN index
+    built on the projection would inherit. JL says the ratio
+    concentrates near 1.
+
+    The eval set is constant-size (the knn_label_audit convention),
+    so the audit costs O(1) whatever the corpus; distances use the
+    dot-identity |a−b|² = |a|²+|b|²−2a·b and per-pair sequential
+    folds (bit-identical across engines); per-pair ratios quantize to
+    a 1e-9 grid before the integer mean/max/min.
+    """
+    emb = _as_double(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < JL_EVAL_N
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(
+        b, (F.col("ib") == F.col("ia") + 1) & (F.col("ia") % 2 == 0)
+    )
+    d2 = (
+        dot_expr(F.col("va"), F.col("va"))
+        + dot_expr(F.col("vb"), F.col("vb"))
+        - F.lit(2.0) * dot_expr(F.col("va"), F.col("vb"))
+    )
+    dp2 = None
+    for row in JL_SIGNS:
+        r = F.array(*[F.lit(x) for x in row])
+        term = dot_expr(F.col("va"), r) - dot_expr(F.col("vb"), r)
+        term2 = term * term
+        dp2 = term2 if dp2 is None else dp2 + term2
+    ratio = dp2 / (F.lit(float(JL_OUT_DIM)) * d2)
+    rq = F.floor(ratio * F.lit(1e9) + F.lit(0.5)).cast("long")
+    s = pairs.select(rq.alias("rq")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("rq").alias("srq"),
+        F.min("rq").alias("mnq"),
+        F.max("rq").alias("mxq"),
+    )
+    # integer `div`, not `/`: double division re-rounds the 1e-9-grid
+    # integers differently across engines at the cast boundary
+    return s.select(
+        "n_pairs",
+        F.expr("srq div (n_pairs * 1000)").alias("mean_ratio_micro"),
+        F.expr("mnq div 1000").alias("min_ratio_micro"),
+        F.expr("mxq div 1000").alias("max_ratio_micro"),
+    )
+
+
+_JL_TERMS = " + ".join(
+    "(list_dot_product(av, [{r}]) - list_dot_product(bv, [{r}]))"
+    "* (list_dot_product(av, [{r}]) - list_dot_product(bv, [{r}]))".format(
+        r=", ".join(repr(x) for x in row)
+    )
+    for row in JL_SIGNS
+)
+
+JL_PROJECTION_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {JL_EVAL_N}
+), pairs AS (
+  SELECT a.v AS av, b.v AS bv
+  FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+), scored AS (
+  SELECT CAST(floor(({_JL_TERMS})
+                    / ({JL_OUT_DIM}.0 * (list_dot_product(av, av)
+                                         + list_dot_product(bv, bv)
+                                         - 2.0 * list_dot_product(av, bv)))
+                    * 1e9 + 0.5) AS BIGINT) AS rq
+  FROM pairs
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(rq) // (COUNT(*) * 1000) AS BIGINT) AS mean_ratio_micro,
+       MIN(rq) // 1000 AS min_ratio_micro,
+       MAX(rq) // 1000 AS max_ratio_micro
+FROM scored
+"""

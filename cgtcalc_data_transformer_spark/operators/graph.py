@@ -629,3 +629,72 @@ GROUP BY a.s, b.s
 HAVING COUNT(*) >= {AA_MIN_COMMON}
 ORDER BY s1, s2
 """
+
+
+# ----------------------------------------------- degree assortativity
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    occurrences (Newman 2002) — do high-degree nodes attach to each
+    other (r > 0, social-style) or to leaves (r < 0, hub-and-spoke)?
+    The one number that predicts how the graph fragments under node
+    loss and how badly a partitioner's cut will skew.
+
+    _edges already carries both orientations, so one degree
+    aggregation + one join + exact BIGINT moment sums give r in a
+    single closed form; nothing quadratic, no windows.
+    """
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        edges.join(deg.withColumnRenamed("src", "u"), F.col("src") == F.col("u"))
+        .select("dst", F.col("d").alias("dx"))
+        .join(deg.withColumnRenamed("src", "w"), F.col("dst") == F.col("w"))
+        .select("dx", F.col("d").alias("dy"))
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    den = md * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    return s.select(
+        F.col("m").alias("n_edge_ends"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), j AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM edges
+  JOIN deg du ON du.src = edges.src
+  JOIN deg dv ON dv.src = edges.dst
+), s AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT m AS n_edge_ends,
+       ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+             / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS assortativity
+FROM s
+"""

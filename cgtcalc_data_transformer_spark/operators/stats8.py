@@ -1167,3 +1167,67 @@ SELECT n_objects,
        ROUND(18.0 * (3.0 * s4 / (9.0 * 336.0 - 3.0 * tsum)), 6) AS chi2
 FROM s4 CROSS JOIN ties
 """
+
+
+# -------------------------------------------------------- Theil index
+THEIL_SCALE = 10**9
+
+
+def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality indices over per-customer total spend: T
+    (spend-weighted entropy gap) and L (mean log deviation) — the
+    decomposable complement to gini_concentration (Theil splits
+    exactly into within/between-group terms, which Gini cannot).
+
+    Per-customer totals ride the exact DECIMAL(28,6) sum; each
+    customer's (x/μ)ln(x/μ) and ln(μ/x) terms are computed from
+    identical-IEEE inputs and quantized to a 1e-9 grid BEFORE the
+    sum (the drift_psi recipe), so the aggregation is exact integer
+    arithmetic at any scale.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("x"))
+    )
+    tot = spend.agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    j = spend.crossJoin(F.broadcast(tot))
+    xr = F.col("x").cast("double") / (
+        F.col("s").cast("double") / F.col("n").cast("double")
+    )
+    tq = F.floor(xr * F.log(xr) * F.lit(float(THEIL_SCALE)) + F.lit(0.5)).cast("long")
+    lq = F.floor(-F.log(xr) * F.lit(float(THEIL_SCALE)) + F.lit(0.5)).cast("long")
+    s = j.select(tq.alias("tq"), lq.alias("lq"), "n").groupBy("n").agg(
+        F.sum("tq").alias("st"), F.sum("lq").alias("sl")
+    )
+    # integer `div`, not `/`: double division re-rounds the quantized
+    # sums differently across engines at the cast boundary
+    return s.select(
+        F.col("n").alias("n_entities"),
+        F.expr("st div (n * 1000)").alias("theil_t_micro"),
+        F.expr("sl div (n * 1000)").alias("theil_l_micro"),
+    )
+
+
+THEIL_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS x
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT SUM(x) AS s, COUNT(*) AS n FROM spend
+), terms AS (
+  SELECT n,
+         CAST(floor((CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                    * ln(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                    * {THEIL_SCALE}.0 + 0.5) AS BIGINT) AS tq,
+         CAST(floor(-ln(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                    * {THEIL_SCALE}.0 + 0.5) AS BIGINT) AS lq
+  FROM spend CROSS JOIN tot
+)
+SELECT n AS n_entities,
+       CAST(SUM(tq) // (n * 1000) AS BIGINT) AS theil_t_micro,
+       CAST(SUM(lq) // (n * 1000) AS BIGINT) AS theil_l_micro
+FROM terms GROUP BY n
+"""

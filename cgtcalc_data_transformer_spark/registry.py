@@ -48,6 +48,7 @@ from cgtcalc_data_transformer_spark.operators import (
     profiling,
     sketch8,
     series8,
+    text8,
     timeseries,
     textops,
     tpch_more,
@@ -738,6 +739,28 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         series8.SEASONAL_MA_SQL,
     ),
     "ccf_lagged": (series8.ccf_lagged, series8.CCF_SQL),
+    "monroe_log_odds": (text8.monroe_log_odds, text8.MONROE_SQL),
+    "word_burstiness": (
+        text8.word_burstiness,
+        text8.WORD_BURSTINESS_SQL,
+    ),
+    "dedup_levenshtein": (
+        text8.dedup_levenshtein,
+        text8.DEDUP_LEVENSHTEIN_SQL,
+    ),
+    "shuffle_run_audit": (
+        text8.shuffle_run_audit,
+        text8.SHUFFLE_RUN_SQL,
+    ),
+    "jl_projection_audit": (
+        embedding_ops.jl_projection_audit,
+        embedding_ops.JL_PROJECTION_SQL,
+    ),
+    "degree_assortativity": (
+        graph.degree_assortativity,
+        graph.DEGREE_ASSORTATIVITY_SQL,
+    ),
+    "theil_index": (stats8.theil_index, stats8.THEIL_SQL),
 }
 
 
@@ -786,6 +809,13 @@ _ROUND8_NEW: list[str] = [
     "periodogram_fixed",
     "seasonal_decompose_ma",
     "ccf_lagged",
+    "monroe_log_odds",
+    "word_burstiness",
+    "dedup_levenshtein",
+    "shuffle_run_audit",
+    "jl_projection_audit",
+    "degree_assortativity",
+    "theil_index",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

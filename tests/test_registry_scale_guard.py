@@ -122,6 +122,16 @@ BNLJ_OK = {
     "wilcoxon_signed_rank",  # <=49-value |d| count table prefix join
     "grubbs_max_outlier",  # |days|-row table x 1-row moments scalar
     "kendalls_w",  # 21-cell count grid x 1-row tie scalar
+    "fk_containment_audit",  # 1-row d_child x 1-row d_matched scalars
+    "join_cardinality_audit",  # 3x 1-row side-stats scalars crossJoined
+    "linear_counting_audit",  # 1-row (n_exact, m) sizing scalar crossJoin
+    "ljung_box_test",  # |days|-grid + 1-row bounds scalar (ACF shape)
+    "periodogram_fixed",  # day-grid x 1-row bounds scalar
+    "seasonal_decompose_ma",  # day-grid x 1-row bounds scalar
+    "ccf_lagged",  # 1-row denominator scalars + day-grid bounds
+    "monroe_log_odds",  # 1-row corpus-totals scalar crossJoin
+    "shuffle_run_audit",  # inherits training_order_shuffle's 256-row offsets
+    "theil_index",  # 1-row totals scalar crossJoin
 }
 
 

@@ -539,3 +539,163 @@ def test_ccf_lag0_matches_naive_pearson(spark):
         got = [r for r in ccf_lagged(spark, SF).collect() if r["lag"] == lag]
         assert len(got) == 1
         assert abs(got[0]["ccf"] - num / den) < 1e-5
+
+
+# ------------------------------------------------------ text8 module
+def test_monroe_log_odds_matches_naive(spark):
+    from collections import Counter
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.text8 import (
+        LO_A,
+        LO_ALPHA0,
+        LO_B,
+        LO_TOP_K,
+        monroe_log_odds,
+    )
+
+    docs = load_table(spark, SF, "documents").select("lang", "text").collect()
+    c1, c2 = Counter(), Counter()
+    for r in docs:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        if r["lang"] == LO_A:
+            c1.update(toks)
+        elif r["lang"] == LO_B:
+            c2.update(toks)
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    scored = []
+    for w in set(c1) | set(c2):
+        y1, y2 = c1.get(w, 0), c2.get(w, 0)
+        aw = LO_ALPHA0 * (y1 + y2) / (n1 + n2)
+        d = math.log((y1 + aw) / (n1 + LO_ALPHA0 - y1 - aw)) - math.log(
+            (y2 + aw) / (n2 + LO_ALPHA0 - y2 - aw)
+        )
+        z = d / math.sqrt(1 / (y1 + aw) + 1 / (y2 + aw))
+        scored.append((round(z, 6), w, y1, y2))
+    scored.sort(key=lambda t: (-abs(t[0]), t[1]))
+    rows = monroe_log_odds(spark, SF).collect()
+    assert len(rows) == LO_TOP_K
+    for row, (z, w, y1, y2) in zip(rows, scored[:LO_TOP_K]):
+        assert row["word"] == w
+        assert abs(row["z_log_odds"] - z) < 2e-6
+        assert (row[f"c_{LO_A}"], row[f"c_{LO_B}"]) == (y1, y2)
+
+
+def test_word_burstiness_matches_naive(spark):
+    from collections import Counter
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.text8 import (
+        WB_TOP_WORDS,
+        word_burstiness,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    per_doc = {
+        r["doc_id"]: Counter(re.findall(r"[a-z0-9]+", r["text"].lower()))
+        for r in docs
+    }
+    n = len(per_doc)
+    tot = Counter()
+    for c in per_doc.values():
+        tot.update(c)
+    top = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[:WB_TOP_WORDS]
+    rows = {r["word"]: r for r in word_burstiness(spark, SF).collect()}
+    assert len(rows) == WB_TOP_WORDS
+    for w, total in top:
+        counts = [per_doc[d].get(w, 0) for d in per_doc]
+        mean = sum(counts) / n
+        var = sum((c - mean) ** 2 for c in counts) / n
+        assert rows[w]["total"] == total
+        assert abs(rows[w]["vmr"] - var / mean) < 1e-5
+
+
+def test_dedup_levenshtein_summary(spark):
+    from cgtcalc_data_transformer_spark.operators.text8 import (
+        dedup_levenshtein,
+    )
+
+    row = dedup_levenshtein(spark, SF).collect()[0]
+    # prefix blocking keeps candidates tiny on this corpus; the audit
+    # must report honestly rather than inventing pairs
+    assert row["n_near_dups"] <= row["n_candidates"]
+    assert row["n_candidates"] >= 0
+
+
+def test_shuffle_run_audit_covers_all_docs(spark):
+    from cgtcalc_data_transformer_spark.operators.text8 import (
+        shuffle_run_audit,
+    )
+
+    rows = shuffle_run_audit(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r["max_run"] <= r["n_docs"]
+        assert r["n_runs"] <= r["n_docs"]
+        # a seeded shuffle of a ~5%-share source should never produce
+        # a pathological same-source run
+        assert r["max_run"] <= 12
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        jl_projection_audit,
+    )
+
+    row = jl_projection_audit(spark, SF).collect()[0]
+    assert row["n_pairs"] > 0
+    # JL with k=16: mean ratio near 1, spread within ~3x
+    assert 0.7 < row["mean_ratio_micro"] / 1e6 < 1.3
+    assert row["min_ratio_micro"] > 0
+    assert row["max_ratio_micro"] / 1e6 < 4.0
+
+
+def test_degree_assortativity_matches_naive(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    pairs = {
+        (f"C{orders[r['l_orderkey']]}", f"S{r['l_suppkey']}")
+        for r in li
+        if r["l_orderkey"] in orders
+    }
+    edges = [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
+    deg = Counter(src for src, _ in edges)
+    xs = [deg[u] for u, v in edges]
+    ys = [deg[v] for u, v in edges]
+    m = len(edges)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    r = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    row = degree_assortativity(spark, SF).collect()[0]
+    assert row["n_edge_ends"] == m
+    assert abs(row["assortativity"] - r) < 1e-5
+
+
+def test_theil_index_matches_naive(spark):
+    from collections import defaultdict as dd
+
+    from cgtcalc_data_transformer_spark.operators.stats8 import theil_index
+
+    spend = dd(float)
+    for r in load_table(spark, SF, "orders").collect():
+        spend[r["o_custkey"]] += float(r["o_totalprice"])
+    xs = list(spend.values())
+    n = len(xs)
+    mu = sum(xs) / n
+    t = sum((x / mu) * math.log(x / mu) for x in xs) / n
+    l = sum(math.log(mu / x) for x in xs) / n
+    row = theil_index(spark, SF).collect()[0]
+    assert row["n_entities"] == n
+    assert abs(row["theil_t_micro"] / 1e6 - t) < 1e-4
+    assert abs(row["theil_l_micro"] / 1e6 - l) < 1e-4
+    assert row["theil_t_micro"] >= 0
