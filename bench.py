@@ -320,6 +320,12 @@ HEADLINE: dict[str, str] = {
     "jl_projection_audit": "collect",
     "degree_assortativity": "collect",
     "theil_index": "collect",
+    "pacf_daily_counts": "collect",
+    "mann_kendall_trend": "collect",
+    "changepoint_split": "collect",
+    "target_encode_oof": "collect",
+    "collocations_llr": "collect",
+    "harmonic_centrality_nations": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -698,3 +698,124 @@ SELECT m AS n_edge_ends,
              / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS assortativity
 FROM s
 """
+
+
+# ------------------------------------------- harmonic centrality
+def harmonic_centrality_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality on the nation trade graph (nations are
+    adjacent when any customer in one ordered from any supplier in
+    the other): H(v) = Σ_u 1/d(v,u) with unreachable contributing 0 —
+    the centrality that stays defined on disconnected graphs, ranking
+    which nations sit closest to all trade.
+
+    The node domain is bounded (|nations|), so exact multi-source
+    BFS is three unrolled self-joins of a <=|nations|²-row distance
+    frame; the heavy lifting is the ONE distinct-pair aggregation
+    that collapses the lineitem⋈orders⋈customer⋈supplier trade
+    volume to nation pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("a"),
+            F.col("s_nationkey").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    d1 = edges.select("a", "b", F.lit(1).alias("d"))
+    two_hop = (
+        d1.alias("x")
+        .join(edges.alias("e"), F.col("e.a") == F.col("x.b"))
+        .select(F.col("x.a").alias("a"), F.col("e.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .join(d1.select("a", "b"), ["a", "b"], "left_anti")
+        .select("a", "b", F.lit(2).alias("d"))
+    )
+    d12 = d1.unionByName(two_hop)
+    three_hop = (
+        d12.filter(F.col("d") == 2).alias("x")
+        .join(edges.alias("e"), F.col("e.a") == F.col("x.b"))
+        .select(F.col("x.a").alias("a"), F.col("e.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .join(d12.select("a", "b"), ["a", "b"], "left_anti")
+        .select("a", "b", F.lit(3).alias("d"))
+    )
+    dist = d12.unionByName(three_hop)
+    h = dist.groupBy("a").agg(
+        F.sum((F.col("d") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("d") == 2).cast("long")).alias("n2"),
+        F.sum((F.col("d") == 3).cast("long")).alias("n3"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("a"), F.col("n_name").alias("nation")
+    )
+    hc = (
+        F.col("n1").cast("double")
+        + F.col("n2").cast("double") / F.lit(2.0)
+        + F.col("n3").cast("double") / F.lit(3.0)
+    )
+    return (
+        h.join(F.broadcast(nation), "a")
+        .select(
+            "nation",
+            "n1",
+            "n2",
+            "n3",
+            F.round(hc, 6).alias("harmonic"),
+        )
+        .orderBy("nation")
+    )
+
+
+HARMONIC_CENTRALITY_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT c_nationkey AS a, s_nationkey AS b
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+), edges AS MATERIALIZED (
+  SELECT a, b FROM pairs
+  UNION
+  SELECT b AS a, a AS b FROM pairs
+), d1 AS MATERIALIZED (
+  SELECT a, b, 1 AS d FROM edges
+), two_hop AS MATERIALIZED (
+  SELECT DISTINCT x.a, e.b, 2 AS d
+  FROM d1 x JOIN edges e ON e.a = x.b
+  WHERE x.a <> e.b
+    AND NOT EXISTS (SELECT 1 FROM d1 WHERE d1.a = x.a AND d1.b = e.b)
+), d12 AS MATERIALIZED (
+  SELECT * FROM d1 UNION ALL SELECT * FROM two_hop
+), three_hop AS (
+  SELECT DISTINCT x.a, e.b, 3 AS d
+  FROM d12 x JOIN edges e ON e.a = x.b
+  WHERE x.d = 2 AND x.a <> e.b
+    AND NOT EXISTS (SELECT 1 FROM d12 WHERE d12.a = x.a AND d12.b = e.b)
+), dist AS (
+  SELECT * FROM d12 UNION ALL SELECT * FROM three_hop
+), h AS (
+  SELECT a,
+         CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM dist GROUP BY a
+)
+SELECT n_name AS nation, n1, n2, n3,
+       ROUND(CAST(n1 AS DOUBLE) + n2 / 2.0 + n3 / 3.0, 6) AS harmonic
+FROM h JOIN nation ON n_nationkey = a
+ORDER BY nation
+"""

@@ -368,3 +368,272 @@ SELECT lag, ROUND(CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * dy2), 6) AS cc
 FROM num CROSS JOIN dens
 ORDER BY lag
 """
+
+
+# ------------------------------------------------- PACF (lags 1..3)
+def pacf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 per event type via the
+    Durbin-Levinson closed forms — the AR-order picker (ACF says how
+    far memory reaches, PACF says how many AR terms actually carry
+    it; PACF cutting off after lag 1 = fit AR(1) and stop).
+
+    Reuses the exact-integer ACF machinery for r1..r3 (centered
+    BIGINT products on the day grid), pivots the three lags into one
+    row per type, and evaluates the textbook level-2/level-3
+    recursions as plain column algebra — identical IEEE on both
+    engines.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    g = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("nd") * F.col("y") - F.col("s")).alias("cy"),
+    )
+    den = g.groupBy("event_type").agg(
+        F.sum(F.col("cy") * F.col("cy")).alias("den")
+    )
+    lags = g.select(
+        "event_type", "d", "cy",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag"),
+    )
+    num = (
+        lags.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") == F.col("a.d") + F.col("a.lag")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.lag").alias("lag"),
+        )
+        .agg(F.sum(F.col("a.cy") * F.col("b.cy")).alias("num"))
+    )
+    r = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("r"),
+    )
+    wide = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    v1 = F.lit(1.0) - r1 * r1
+    p22 = (r2 - r1 * r1) / v1
+    p21 = r1 * (F.lit(1.0) - p22)
+    v2 = v1 * (F.lit(1.0) - p22 * p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / v2
+    return wide.select(
+        "event_type",
+        F.round(r1, 6).alias("pacf1"),
+        F.round(p22, 6).alias("pacf2"),
+        F.round(p33, 6).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+PACF_SQL = f"""
+WITH {_GRID_SQL}, tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS nd
+  FROM grid GROUP BY event_type
+), g AS (
+  SELECT grid.event_type, d, nd * y - s AS cy
+  FROM grid JOIN tot ON tot.event_type = grid.event_type
+), den AS (
+  SELECT event_type, CAST(SUM(cy * cy) AS BIGINT) AS den FROM g GROUP BY event_type
+), lags AS (
+  SELECT event_type, d, cy, UNNEST([1, 2, 3]) AS lag FROM g
+), num AS (
+  SELECT a.event_type, a.lag, CAST(SUM(a.cy * b.cy) AS BIGINT) AS num
+  FROM lags a JOIN g b ON b.event_type = a.event_type AND b.d = a.d + a.lag
+  GROUP BY a.event_type, a.lag
+), wide AS (
+  SELECT num.event_type,
+         MAX(CASE WHEN lag = 1 THEN CAST(num AS DOUBLE) / den END) AS r1,
+         MAX(CASE WHEN lag = 2 THEN CAST(num AS DOUBLE) / den END) AS r2,
+         MAX(CASE WHEN lag = 3 THEN CAST(num AS DOUBLE) / den END) AS r3
+  FROM num JOIN den ON den.event_type = num.event_type
+  GROUP BY num.event_type
+), dl AS (
+  SELECT event_type, r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+  FROM wide
+)
+SELECT event_type,
+       ROUND(r1, 6) AS pacf1,
+       ROUND(p22, 6) AS pacf2,
+       ROUND((r3 - (r1 * (1.0 - p22)) * r2 - p22 * r1)
+             / ((1.0 - r1 * r1) * (1.0 - p22 * p22)), 6) AS pacf3
+FROM dl
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------- Mann-Kendall trend test
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type: S = Σ_{i<j}
+    sign(y_j − y_i) over the daily series with the tie-corrected
+    normal approximation — the TEST companion to theil_sen_trend's
+    estimate (same pair machinery; this one answers 'is the trend
+    real?').
+
+    The pair enumeration is the |days|²-bounded theta join (day
+    domain, independent of event volume); S and the tie term are
+    exact BIGINTs; z applies the standard continuity correction.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    s = (
+        grid.alias("a")
+        .join(
+            grid.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b.y") - F.col("a.y")).cast("double")
+                ).cast("long")
+            ).alias("s")
+        )
+    )
+    ties = grid.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).alias("t")
+    ).groupBy("event_type").agg(
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+        ).alias("tie_term"),
+    )
+    j = s.join(F.broadcast(ties), "event_type")
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = (sd - F.signum(sd)) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s",
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > F.lit(1.959964)).alias("trending"),
+    ).orderBy("event_type")
+
+
+MANN_KENDALL_SQL = f"""
+WITH {_GRID_SQL}, s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM grid a JOIN grid b
+    ON b.event_type = a.event_type AND b.d > a.d
+  GROUP BY a.event_type
+), ties AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, y, COUNT(*) AS t FROM grid GROUP BY 1, 2)
+  GROUP BY event_type
+)
+SELECT s.event_type, n AS n_days, s,
+       ROUND((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+             / sqrt((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0), 6) AS z_stat,
+       ABS((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+           / sqrt((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0)) > 1.959964 AS trending
+FROM s JOIN ties ON ties.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+
+# ------------------------------------------- single changepoint split
+CP_SCALE = 10**6
+
+
+def changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint per event type: the split day s
+    maximizing the between-segment sum of squares
+    L²/s + R²/(n−s) − T²/n — binary segmentation's first step (and
+    the exact-optimal single-break detector under a piecewise-mean
+    model), complementing cusum_changepoint's sequential detector.
+
+    Prefix sums come from the |days|²-bounded theta join; the gain is
+    quantized to a 1e-6 grid BEFORE the argmax so the (gain, day)
+    struct-max picks the same split on both engines.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    pre = (
+        grid.alias("a")
+        .join(
+            grid.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") <= F.col("a.d")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.d").alias("d"),
+        )
+        .agg(F.sum("b.y").alias("lsum"))
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    j = pre.join(F.broadcast(tot), "event_type").filter(
+        F.col("d") < F.col("n") - 1
+    )
+    s = (F.col("d") + 1).cast("double")
+    nd = F.col("n").cast("double")
+    ld = F.col("lsum").cast("double")
+    td = F.col("t").cast("double")
+    gain = (
+        ld * ld / s
+        + (td - ld) * (td - ld) / (nd - s)
+        - td * td / nd
+    )
+    gq = F.floor(gain * F.lit(float(CP_SCALE)) + F.lit(0.5)).cast("long")
+    top = j.groupBy("event_type").agg(
+        F.max(
+            F.struct(gq.alias("gq"), (F.col("d") + 1).alias("split"))
+        ).alias("m"),
+        F.max("n").alias("n_days"),
+    )
+    return top.select(
+        "event_type",
+        F.col("m.split").alias("split_day"),
+        F.col("m.gq").alias("gain_q"),
+        "n_days",
+    ).orderBy("event_type")
+
+
+CHANGEPOINT_SQL = f"""
+WITH {_GRID_SQL}, pre AS (
+  SELECT a.event_type, a.d, CAST(SUM(b.y) AS BIGINT) AS lsum
+  FROM grid a JOIN grid b
+    ON b.event_type = a.event_type AND b.d <= a.d
+  GROUP BY a.event_type, a.d
+), tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS t, COUNT(*) AS n
+  FROM grid GROUP BY event_type
+), scored AS (
+  SELECT pre.event_type, pre.d + 1 AS split, n,
+         CAST(floor((CAST(lsum AS DOUBLE) * lsum / (pre.d + 1)
+                     + (CAST(t AS DOUBLE) - lsum) * (t - lsum) / (n - pre.d - 1)
+                     - CAST(t AS DOUBLE) * t / n) * {CP_SCALE}.0 + 0.5) AS BIGINT) AS gq
+  FROM pre JOIN tot ON tot.event_type = pre.event_type
+  WHERE pre.d < n - 1
+), top AS (
+  SELECT event_type, MAX(struct_pack(gq := gq, split := split)) AS m,
+         MAX(n) AS n_days
+  FROM scored GROUP BY event_type
+)
+SELECT event_type,
+       struct_extract(m, 'split') AS split_day,
+       struct_extract(m, 'gq') AS gain_q,
+       n_days
+FROM top
+ORDER BY event_type
+"""

@@ -289,3 +289,107 @@ SELECT source,
 FROM runs GROUP BY source
 ORDER BY source
 """
+
+
+# --------------------------------------------- log-likelihood ratio
+LLR_MIN_COUNT = 5
+LLR_TOP_K = 20
+
+
+def _xlx(x):
+    xd = x.cast("double")
+    return F.when(x > 0, xd * F.log(xd)).otherwise(F.lit(0.0))
+
+
+def collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations: the top-20 bigrams
+    whose co-occurrence beats independence by the G² test — the
+    statistically calibrated cousin of collocations_pmi (PMI
+    over-rewards rare pairs; LLR weighs the evidence mass, which is
+    why phrase tables are built on it).
+
+    One bigram-count aggregation; margins c(w1·), c(·w2) and N are
+    model-sized reductions of that same table (never a corpus
+    rescan); G² = 2·Σ x·ln x over the 2x2 table margins — exact-int
+    inputs into identical IEEE ln.
+    """
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import _bigrams
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    c12 = _bigrams(docs).groupBy("bg").agg(F.count(F.lit(1)).alias("k11"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("k11").alias("r"))
+    c2 = c12.groupBy(w2.alias("w2")).agg(F.sum("k11").alias("c"))
+    tot = c12.agg(F.sum("k11").alias("n"))
+    j = (
+        c12.filter(F.col("k11") >= LLR_MIN_COUNT)
+        .join(c1, w1 == c1["w1"])
+        .join(c2, w2 == c2["w2"])
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("k11")
+    k12 = F.col("r") - k11
+    k21 = F.col("c") - k11
+    k22 = F.col("n") - F.col("r") - F.col("c") + k11
+    llr = F.lit(2.0) * (
+        _xlx(k11) + _xlx(k12) + _xlx(k21) + _xlx(k22)
+        - _xlx(F.col("r")) - _xlx(F.col("n") - F.col("r"))
+        - _xlx(F.col("c")) - _xlx(F.col("n") - F.col("c"))
+        + _xlx(F.col("n"))
+    )
+    scored = j.select(
+        F.col("bg").alias("bigram"),
+        F.col("k11").alias("count"),
+        F.round(llr, 6).alias("llr"),
+    )
+    return scored.orderBy(F.desc("llr"), F.asc("bigram")).limit(LLR_TOP_K)
+
+
+COLLOCATIONS_LLR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), b AS (
+  SELECT doc_id, z[1] || ' ' || z[2] AS bg
+  FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM toks WHERE len(t) >= 2)
+), c12 AS (
+  SELECT bg, COUNT(*) AS k11 FROM b GROUP BY bg
+), c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(k11) AS BIGINT) AS r
+  FROM c12 GROUP BY 1
+), c2 AS (
+  SELECT split_part(bg, ' ', 2) AS w2, CAST(SUM(k11) AS BIGINT) AS c
+  FROM c12 GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(k11) AS BIGINT) AS n FROM c12
+), j AS (
+  SELECT bg, k11, r, c, n,
+         r - k11 AS k12, c - k11 AS k21, n - r - c + k11 AS k22
+  FROM c12
+  JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+  JOIN c2 ON split_part(bg, ' ', 2) = c2.w2
+  CROSS JOIN tot
+  WHERE k11 >= {LLR_MIN_COUNT}
+), scored AS (
+  SELECT bg AS bigram, k11 AS count,
+         ROUND(2.0 * (
+           (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN r > 0 THEN r * ln(CAST(r AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN n - r > 0 THEN (n - r) * ln(CAST(n - r AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN c > 0 THEN c * ln(CAST(c AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN n - c > 0 THEN (n - c) * ln(CAST(n - c AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN n > 0 THEN n * ln(CAST(n AS DOUBLE)) ELSE 0.0 END)
+         ), 6) AS llr
+  FROM j
+)
+SELECT * FROM scored
+ORDER BY llr DESC, bigram ASC
+LIMIT {LLR_TOP_K}
+"""

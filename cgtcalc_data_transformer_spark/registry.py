@@ -49,6 +49,7 @@ from cgtcalc_data_transformer_spark.operators import (
     sketch8,
     series8,
     text8,
+    ml8,
     timeseries,
     textops,
     tpch_more,
@@ -761,6 +762,24 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         graph.DEGREE_ASSORTATIVITY_SQL,
     ),
     "theil_index": (stats8.theil_index, stats8.THEIL_SQL),
+    "pacf_daily_counts": (series8.pacf_daily_counts, series8.PACF_SQL),
+    "mann_kendall_trend": (
+        series8.mann_kendall_trend,
+        series8.MANN_KENDALL_SQL,
+    ),
+    "changepoint_split": (
+        series8.changepoint_split,
+        series8.CHANGEPOINT_SQL,
+    ),
+    "target_encode_oof": (ml8.target_encode_oof, ml8.TARGET_ENCODE_SQL),
+    "collocations_llr": (
+        text8.collocations_llr,
+        text8.COLLOCATIONS_LLR_SQL,
+    ),
+    "harmonic_centrality_nations": (
+        graph.harmonic_centrality_nations,
+        graph.HARMONIC_CENTRALITY_SQL,
+    ),
 }
 
 
@@ -816,6 +835,12 @@ _ROUND8_NEW: list[str] = [
     "jl_projection_audit",
     "degree_assortativity",
     "theil_index",
+    "pacf_daily_counts",
+    "mann_kendall_trend",
+    "changepoint_split",
+    "target_encode_oof",
+    "collocations_llr",
+    "harmonic_centrality_nations",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -132,6 +132,11 @@ BNLJ_OK = {
     "monroe_log_odds",  # 1-row corpus-totals scalar crossJoin
     "shuffle_run_audit",  # inherits training_order_shuffle's 256-row offsets
     "theil_index",  # 1-row totals scalar crossJoin
+    "pacf_daily_counts",  # day-grid x 1-row bounds scalar (ACF shape)
+    "mann_kendall_trend",  # |days|^2 pair theta join (day-domain)
+    "changepoint_split",  # |days|^2 prefix theta join (day-domain)
+    "target_encode_oof",  # 1-row totals scalar onto the 25-cell grid
+    "collocations_llr",  # 1-row total-bigram scalar crossJoin (PMI shape)
 }
 
 

@@ -699,3 +699,219 @@ def test_theil_index_matches_naive(spark):
     assert abs(row["theil_t_micro"] / 1e6 - t) < 1e-4
     assert abs(row["theil_l_micro"] / 1e6 - l) < 1e-4
     assert row["theil_t_micro"] >= 0
+
+
+# ------------------------------------------------------ wave-5 ops
+def test_pacf_matches_naive_durbin_levinson(spark):
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        pacf_daily_counts,
+    )
+
+    grid = _naive_grid(spark)
+    rows = {r["event_type"]: r for r in pacf_daily_counts(spark, SF).collect()}
+    for et, ys in grid.items():
+        n = len(ys)
+        m = sum(ys) / n
+        den = sum((y - m) ** 2 for y in ys)
+        r = [
+            sum((ys[t] - m) * (ys[t + k] - m) for t in range(n - k)) / den
+            for k in (1, 2, 3)
+        ]
+        p11 = r[0]
+        v1 = 1 - r[0] ** 2
+        p22 = (r[1] - r[0] ** 2) / v1
+        p21 = r[0] * (1 - p22)
+        v2 = v1 * (1 - p22**2)
+        p33 = (r[2] - p21 * r[1] - p22 * r[0]) / v2
+        got = rows[et]
+        assert abs(got["pacf1"] - p11) < 1e-5
+        assert abs(got["pacf2"] - p22) < 1e-5
+        assert abs(got["pacf3"] - p33) < 1e-5
+
+
+def test_mann_kendall_matches_naive(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        mann_kendall_trend,
+    )
+
+    grid = _naive_grid(spark)
+    rows = {r["event_type"]: r for r in mann_kendall_trend(spark, SF).collect()}
+    for et, ys in grid.items():
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+        z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var)
+        got = rows[et]
+        assert got["s"] == s and got["n_days"] == n
+        assert abs(got["z_stat"] - z) < 1e-5
+
+
+def test_changepoint_split_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        CP_SCALE,
+        changepoint_split,
+    )
+
+    grid = _naive_grid(spark)
+    rows = {r["event_type"]: r for r in changepoint_split(spark, SF).collect()}
+    for et, ys in grid.items():
+        n = len(ys)
+        t = sum(ys)
+        best = None
+        for s in range(1, n - 1 + 1):
+            if s >= n:
+                break
+            ls = sum(ys[:s])
+            if n - s == 0:
+                continue
+            gain = ls * ls / s + (t - ls) ** 2 / (n - s) - t * t / n
+            gq = math.floor(gain * CP_SCALE + 0.5)
+            key = (gq, s)
+            if best is None or key > best:
+                best = key
+        # the op excludes s = n (empty right side) via d < n-1 → s <= n-1
+        got = rows[et]
+        assert (got["gain_q"], got["split_day"]) == best
+        assert got["n_days"] == n
+
+
+def test_target_encode_oof_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.ml8 import (
+        TE_FOLDS,
+        TE_SMOOTH_M,
+        target_encode_oof,
+    )
+    import hashlib
+
+    rows_in = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    ).collect()
+    data = []
+    for r in rows_in:
+        h = int(hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:8], 16)
+        data.append(
+            (r["o_orderpriority"], h % 1000 % TE_FOLDS,
+             1 if r["o_orderstatus"] == "F" else 0)
+        )
+    cells = defaultdict(lambda: [0, 0])
+    for c, f, y in data:
+        cells[(c, f)][0] += 1
+        cells[(c, f)][1] += y
+    got = {
+        (r["category"], r["fold"]): r
+        for r in target_encode_oof(spark, SF).collect()
+    }
+    nt = len(data)
+    pt = sum(y for _, _, y in data)
+    for (c, f), (n, pos) in cells.items():
+        nc = sum(v[0] for (cc, _), v in cells.items() if cc == c)
+        pc = sum(v[1] for (cc, _), v in cells.items() if cc == c)
+        nf = sum(v[0] for (_, ff), v in cells.items() if ff == f)
+        pf = sum(v[1] for (_, ff), v in cells.items() if ff == f)
+        prior = (pt - pf) / (nt - nf)
+        enc = (pc - pos + TE_SMOOTH_M * prior) / (nc - n + TE_SMOOTH_M)
+        assert got[(c, f)]["n_rows"] == n
+        assert abs(got[(c, f)]["encoded"] - enc) < 1e-5
+    # leakage check: encodings must differ across folds (they exclude
+    # different slices) but stay near the category mean
+    assert len({r["encoded"] for r in got.values()}) > 1
+
+
+def test_collocations_llr_matches_naive(spark):
+    import re
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.text8 import (
+        LLR_MIN_COUNT,
+        LLR_TOP_K,
+        collocations_llr,
+    )
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    bg = Counter()
+    for r in docs:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        bg.update(" ".join(p) for p in zip(toks, toks[1:]))
+    n = sum(bg.values())
+    c1, c2 = Counter(), Counter()
+    for b, k in bg.items():
+        w1, w2 = b.split(" ")
+        c1[w1] += k
+        c2[w2] += k
+
+    def xlx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    scored = []
+    for b, k11 in bg.items():
+        if k11 < LLR_MIN_COUNT:
+            continue
+        w1, w2 = b.split(" ")
+        r_, c_ = c1[w1], c2[w2]
+        k12, k21, k22 = r_ - k11, c_ - k11, n - r_ - c_ + k11
+        llr = 2 * (
+            xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+            - xlx(r_) - xlx(n - r_) - xlx(c_) - xlx(n - c_) + xlx(n)
+        )
+        scored.append((round(llr, 6), b, k11))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    rows = collocations_llr(spark, SF).collect()
+    assert len(rows) == min(LLR_TOP_K, len(scored))
+    for row, (llr, b, k11) in zip(rows, scored[: len(rows)]):
+        assert row["bigram"] == b
+        assert abs(row["llr"] - llr) < 2e-6
+        assert row["count"] == k11
+
+
+def test_harmonic_centrality_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.graph import (
+        harmonic_centrality_nations,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    orders = {r["o_orderkey"]: r["o_custkey"] for r in load_table(spark, SF, "orders").collect()}
+    cust = {r["c_custkey"]: r["c_nationkey"] for r in load_table(spark, SF, "customer").collect()}
+    supp = {r["s_suppkey"]: r["s_nationkey"] for r in load_table(spark, SF, "supplier").collect()}
+    names = {r["n_nationkey"]: r["n_name"] for r in load_table(spark, SF, "nation").collect()}
+    edges = defaultdict(set)
+    for r in li:
+        ok = r["l_orderkey"]
+        if ok not in orders:
+            continue
+        a = cust[orders[ok]]
+        b = supp[r["l_suppkey"]]
+        if a != b:
+            edges[a].add(b)
+            edges[b].add(a)
+    # BFS up to depth 3 from every node
+    want = {}
+    for v in edges:
+        dist = {v: 0}
+        frontier = [v]
+        for d in (1, 2, 3):
+            nxt = []
+            for u in frontier:
+                for w in edges[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        n1 = sum(1 for d in dist.values() if d == 1)
+        n2 = sum(1 for d in dist.values() if d == 2)
+        n3 = sum(1 for d in dist.values() if d == 3)
+        want[names[v]] = (n1, n2, n3, n1 + n2 / 2 + n3 / 3)
+    rows = {r["nation"]: r for r in harmonic_centrality_nations(spark, SF).collect()}
+    assert set(rows) == set(want)
+    for nation, (n1, n2, n3, h) in want.items():
+        got = rows[nation]
+        assert (got["n1"], got["n2"], got["n3"]) == (n1, n2, n3)
+        assert abs(got["harmonic"] - h) < 1e-6
