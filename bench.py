@@ -326,6 +326,10 @@ HEADLINE: dict[str, str] = {
     "target_encode_oof": "collect",
     "collocations_llr": "collect",
     "harmonic_centrality_nations": "collect",
+    "tukey_hsd": "collect",
+    "ks_test_quantity": "collect",
+    "cochran_q_test": "collect",
+    "power_analysis_quantity": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -1231,3 +1231,320 @@ SELECT n AS n_entities,
        CAST(SUM(lq) // (n * 1000) AS BIGINT) AS theil_l_micro
 FROM terms GROUP BY n
 """
+
+
+# -------------------------------------------------- Tukey HSD panel
+TUKEY_Q_CRIT_3_INF = 3.314493  # studentized range q(0.05, k=3, df=inf)
+
+
+def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc panel: all three pairwise l_returnflag mean
+    comparisons of l_quantity with the studentized-range critical
+    value — the test you run AFTER anova_f_oneway rejects, answering
+    WHICH groups differ while holding the family-wise error at 5%.
+
+    One sufficient-statistics aggregation (the welch_t_test shape);
+    the three pairwise q statistics are closed forms over the pooled
+    MSE on the 3-row group frame joined to itself (9 -> 3 ordered
+    pairs — constant work).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v"), "l_returnflag"
+    )
+    suff = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    pooled = suff.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sse"),
+    )
+    a, b = suff.alias("a"), suff.alias("b")
+    pairs = a.join(
+        b, F.col("a.l_returnflag") < F.col("b.l_returnflag")
+    ).crossJoin(F.broadcast(pooled))
+    mse = F.col("sse") / (F.col("nn") - F.col("k")).cast("double")
+    ma = F.col("a.s").cast("double") / F.col("a.n").cast("double")
+    mb = F.col("b.s").cast("double") / F.col("b.n").cast("double")
+    se = F.sqrt(
+        mse
+        / F.lit(2.0)
+        * (
+            F.lit(1.0) / F.col("a.n").cast("double")
+            + F.lit(1.0) / F.col("b.n").cast("double")
+        )
+    )
+    qstat = F.abs(ma - mb) / se
+    return pairs.select(
+        F.concat(
+            F.col("a.l_returnflag"), F.lit("-"), F.col("b.l_returnflag")
+        ).alias("pair"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(qstat, 6).alias("q_stat"),
+        (qstat > F.lit(TUKEY_Q_CRIT_3_INF)).alias("significant"),
+    ).orderBy("pair")
+
+
+TUKEY_HSD_SQL = f"""
+WITH suff AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_returnflag
+), pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS k,
+         SUM(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS sse
+  FROM suff
+), pairs AS (
+  SELECT a.l_returnflag || '-' || b.l_returnflag AS pair,
+         CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n AS md,
+         ABS(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+         / sqrt((sse / (nn - k)) / 2.0 * (1.0 / a.n + 1.0 / b.n)) AS qstat
+  FROM suff a JOIN suff b ON a.l_returnflag < b.l_returnflag
+  CROSS JOIN pooled
+)
+SELECT pair, ROUND(md, 6) AS mean_diff, ROUND(qstat, 6) AS q_stat,
+       qstat > {TUKEY_Q_CRIT_3_INF} AS significant
+FROM pairs ORDER BY pair
+"""
+
+
+# ------------------------------------------- exact two-sample KS test
+def ks_test_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the 'R' and
+    'N' l_quantity distributions: D = max_v |F_R(v) − F_N(v)| found
+    by INTEGER cross-multiplication (|c_R·m_N − c_N·m_R| over the
+    50-value cumulative grid — no floating-point sup, no sort), then
+    the asymptotic significance gate at α = 0.05.
+
+    The whole test is the per-VALUE count table + one prefix theta
+    join; the argmax runs on exact BIGINTs so both engines pick the
+    identical D.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    vals = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("ca"),
+        F.sum((F.col("l_returnflag") == "N").cast("long")).alias("cb"),
+    )
+    cum = (
+        vals.alias("a")
+        .join(vals.alias("b"), F.col("b.v") <= F.col("a.v"))
+        .groupBy(F.col("a.v").alias("v"))
+        .agg(F.sum("b.ca").alias("fa"), F.sum("b.cb").alias("fb"))
+    )
+    tot = vals.agg(F.sum("ca").alias("ma"), F.sum("cb").alias("mb"))
+    j = cum.crossJoin(F.broadcast(tot))
+    # |F_R − F_N| scaled by ma·mb: exact integer
+    dnum = F.abs(
+        F.col("fa") * F.col("mb") - F.col("fb") * F.col("ma")
+    )
+    top = j.agg(
+        F.max(F.struct(dnum.alias("dnum"), F.col("v").alias("v"))).alias("m"),
+        F.max("ma").alias("ma"),
+        F.max("mb").alias("mb"),
+    )
+    mad = F.col("ma").cast("double")
+    mbd = F.col("mb").cast("double")
+    d = F.col("m.dnum").cast("double") / (mad * mbd)
+    ks = d * F.sqrt(mad * mbd / (mad + mbd))
+    return top.select(
+        F.col("m.v").alias("argmax_v"),
+        F.col("ma").alias("m_r"),
+        F.col("mb").alias("m_n"),
+        F.round(d, 6).alias("d_stat"),
+        (ks > F.lit(1.358)).alias("significant"),  # K-S crit, alpha=.05
+    )
+
+
+KS_TEST_SQL = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag FROM lineitem
+  WHERE l_returnflag IN ('R', 'N')
+), vals AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM li GROUP BY v
+), cum AS (
+  SELECT a.v, CAST(SUM(b.ca) AS BIGINT) AS fa, CAST(SUM(b.cb) AS BIGINT) AS fb
+  FROM vals a JOIN vals b ON b.v <= a.v
+  GROUP BY a.v
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS ma, CAST(SUM(cb) AS BIGINT) AS mb FROM vals
+), top AS (
+  SELECT MAX(struct_pack(dnum := ABS(fa * mb - fb * ma), v := v)) AS m,
+         MAX(ma) AS ma, MAX(mb) AS mb
+  FROM cum CROSS JOIN tot
+)
+SELECT struct_extract(m, 'v') AS argmax_v,
+       ma AS m_r, mb AS m_n,
+       ROUND(CAST(struct_extract(m, 'dnum') AS DOUBLE) / (CAST(ma AS DOUBLE) * mb), 6) AS d_stat,
+       CAST(struct_extract(m, 'dnum') AS DOUBLE) / (CAST(ma AS DOUBLE) * mb)
+       * sqrt(CAST(ma AS DOUBLE) * mb / (CAST(ma AS DOUBLE) + mb)) > 1.358 AS significant
+FROM top
+"""
+
+
+# ------------------------------------------------------- Cochran's Q
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over k = 3 related binary measurements per order
+    (is the quantity at line position j above the domain midpoint?):
+    do the three positions share a success rate — the k-sample
+    McNemar, the repeated-measures test for binary outcomes.
+
+    Q = k(k−1)·Σ_j(C_j − T/k)² / (k·T − Σ_i R_i²), every term an
+    exact BIGINT from ONE aggregation over the pivoted blocks (R_i ∈
+    {0..3} so R_i² is a 2-bit table; no windows, no joins).
+    """
+    b = _pivot3(spark, sf_dir)
+    x1 = (F.col("q1") > 25).cast("long")
+    x2 = (F.col("q2") > 25).cast("long")
+    x3 = (F.col("q3") > 25).cast("long")
+    r = x1 + x2 + x3
+    s = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("c1"),
+        F.sum(x2).alias("c2"),
+        F.sum(x3).alias("c3"),
+        F.sum(r).alias("t"),
+        F.sum(r * r).alias("r2"),
+    )
+    k = F.lit(3.0)
+    td = F.col("t").cast("double")
+
+    def dev(c):
+        d = F.col(c).cast("double") - td / k
+        return d * d
+
+    q = (
+        k
+        * (k - F.lit(1.0))
+        * (dev("c1") + dev("c2") + dev("c3"))
+        / (k * td - F.col("r2").cast("double"))
+    )
+    return s.select(
+        F.col("n").alias("n_blocks"),
+        F.col("c1").alias("succ_pos1"),
+        F.col("c2").alias("succ_pos2"),
+        F.col("c3").alias("succ_pos3"),
+        F.round(q, 6).alias("q_stat"),
+        (q > F.lit(CHI2_CRIT_DF2)).alias("significant"),
+    )
+
+
+COCHRAN_Q_SQL = f"""
+WITH {_PIVOT3_SQL}, s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN q1 > 25 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN q2 > 25 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN q3 > 25 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                  + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                  + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END)) AS BIGINT) AS t,
+         CAST(SUM(((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END))
+                  * ((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END))) AS BIGINT) AS r2
+  FROM blocks
+)
+SELECT n AS n_blocks, c1 AS succ_pos1, c2 AS succ_pos2, c3 AS succ_pos3,
+       ROUND(3.0 * 2.0 * ((CAST(c1 AS DOUBLE) - t / 3.0) * (c1 - t / 3.0)
+                          + (CAST(c2 AS DOUBLE) - t / 3.0) * (c2 - t / 3.0)
+                          + (CAST(c3 AS DOUBLE) - t / 3.0) * (c3 - t / 3.0))
+             / (3.0 * t - r2), 6) AS q_stat,
+       3.0 * 2.0 * ((CAST(c1 AS DOUBLE) - t / 3.0) * (c1 - t / 3.0)
+                    + (CAST(c2 AS DOUBLE) - t / 3.0) * (c2 - t / 3.0)
+                    + (CAST(c3 AS DOUBLE) - t / 3.0) * (c3 - t / 3.0))
+       / (3.0 * t - r2) > {CHI2_CRIT_DF2} AS significant
+FROM s
+"""
+
+
+# ---------------------------------------------------- power analysis
+PWR_Z_ALPHA = 1.959964  # two-sided 5%
+PWR_Z_BETA = 0.841621   # 80% power
+
+
+def power_analysis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-effect power analysis for the R-vs-N quantity
+    comparison: Cohen's d from the pooled variance, then the
+    per-group sample size a FUTURE experiment needs to detect that
+    effect at α = 5% / 80% power — the planning number an
+    experimentation platform reports next to every test result.
+
+    Same sufficient-statistics pass as welch_t_test; n_required =
+    2·((z_α + z_β)/d)² is a closed form; the ceiling is an exact
+    integer step.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    v = F.col("l_quantity").cast("long")
+    r = (F.col("l_returnflag") == "R").cast("long")
+    n = (F.col("l_returnflag") == "N").cast("long")
+    s = li.agg(
+        F.sum(r).alias("n1"),
+        F.sum(r * v).alias("s1"),
+        F.sum(r * v * v).alias("q1"),
+        F.sum(n).alias("n2"),
+        F.sum(n * v).alias("s2"),
+        F.sum(n * v * v).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    ss1 = F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n1
+    ss2 = F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / n2
+    sp = F.sqrt((ss1 + ss2) / (n1 + n2 - F.lit(2.0)))
+    d = F.abs(
+        F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
+    ) / sp
+    n_req = F.ceil(
+        F.lit(2.0)
+        * ((F.lit(PWR_Z_ALPHA) + F.lit(PWR_Z_BETA)) / d)
+        * ((F.lit(PWR_Z_ALPHA) + F.lit(PWR_Z_BETA)) / d)
+    ).cast("long")
+    return s.select(
+        (F.col("n1") + F.col("n2")).alias("n_observed"),
+        F.round(d, 6).alias("cohens_d"),
+        n_req.alias("n_required_per_group"),
+        ((F.col("n1") >= n_req) & (F.col("n2") >= n_req)).alias(
+            "currently_powered"
+        ),
+    )
+
+
+POWER_ANALYSIS_SQL = f"""
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), e AS (
+  SELECT n1, n2,
+         ABS(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                / (CAST(n1 AS DOUBLE) + n2 - 2.0)) AS d
+  FROM s
+)
+SELECT n1 + n2 AS n_observed,
+       ROUND(d, 6) AS cohens_d,
+       CAST(ceil(2.0 * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d) * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d)) AS BIGINT) AS n_required_per_group,
+       n1 >= ceil(2.0 * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d) * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d))
+       AND n2 >= ceil(2.0 * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d) * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d)) AS currently_powered
+FROM e
+"""

@@ -780,6 +780,13 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         graph.harmonic_centrality_nations,
         graph.HARMONIC_CENTRALITY_SQL,
     ),
+    "tukey_hsd": (stats8.tukey_hsd, stats8.TUKEY_HSD_SQL),
+    "ks_test_quantity": (stats8.ks_test_quantity, stats8.KS_TEST_SQL),
+    "cochran_q_test": (stats8.cochran_q_test, stats8.COCHRAN_Q_SQL),
+    "power_analysis_quantity": (
+        stats8.power_analysis_quantity,
+        stats8.POWER_ANALYSIS_SQL,
+    ),
 }
 
 
@@ -841,6 +848,10 @@ _ROUND8_NEW: list[str] = [
     "target_encode_oof",
     "collocations_llr",
     "harmonic_centrality_nations",
+    "tukey_hsd",
+    "ks_test_quantity",
+    "cochran_q_test",
+    "power_analysis_quantity",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

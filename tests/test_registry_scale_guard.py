@@ -137,6 +137,8 @@ BNLJ_OK = {
     "changepoint_split",  # |days|^2 prefix theta join (day-domain)
     "target_encode_oof",  # 1-row totals scalar onto the 25-cell grid
     "collocations_llr",  # 1-row total-bigram scalar crossJoin (PMI shape)
+    "tukey_hsd",  # 3-row group frame x 1-row pooled-MSE scalar
+    "ks_test_quantity",  # 50-value cumulative grid x 1-row totals scalar
 }
 
 

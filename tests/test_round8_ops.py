@@ -915,3 +915,96 @@ def test_harmonic_centrality_matches_naive(spark):
         got = rows[nation]
         assert (got["n1"], got["n2"], got["n3"]) == (n1, n2, n3)
         assert abs(got["harmonic"] - h) < 1e-6
+
+
+# ------------------------------------------------------ wave-6 ops
+def test_tukey_hsd_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import tukey_hsd
+
+    data = _quant_flags(spark)
+    groups = defaultdict(list)
+    for v, f in data:
+        groups[f].append(v)
+    nn = sum(len(x) for x in groups.values())
+    k = len(groups)
+    sse = sum(
+        sum((x - sum(xs) / len(xs)) ** 2 for x in xs)
+        for xs in groups.values()
+    )
+    mse = sse / (nn - k)
+    rows = {r["pair"]: r for r in tukey_hsd(spark, SF).collect()}
+    flags = sorted(groups)
+    n_pairs = 0
+    for i, a in enumerate(flags):
+        for b in flags[i + 1:]:
+            ma = sum(groups[a]) / len(groups[a])
+            mb = sum(groups[b]) / len(groups[b])
+            se = math.sqrt(mse / 2 * (1 / len(groups[a]) + 1 / len(groups[b])))
+            got = rows[f"{a}-{b}"]
+            assert abs(got["mean_diff"] - (ma - mb)) < 1e-5
+            assert abs(got["q_stat"] - abs(ma - mb) / se) < 1e-5
+            n_pairs += 1
+    assert len(rows) == n_pairs == 3
+
+
+def test_ks_test_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        ks_test_quantity,
+    )
+
+    data = _quant_flags(spark)
+    a = sorted(v for v, f in data if f == "R")
+    b = sorted(v for v, f in data if f == "N")
+    ma, mb = len(a), len(b)
+    best = None
+    for v in range(1, 51):
+        fa = sum(1 for x in a if x <= v)
+        fb = sum(1 for x in b if x <= v)
+        dnum = abs(fa * mb - fb * ma)
+        key = (dnum, v)
+        if best is None or key > best:
+            best = key
+    d = best[0] / (ma * mb)
+    row = ks_test_quantity(spark, SF).collect()[0]
+    assert row["argmax_v"] == best[1]
+    assert abs(row["d_stat"] - d) < 1e-6
+    assert (row["m_r"], row["m_n"]) == (ma, mb)
+
+
+def test_cochran_q_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import cochran_q_test
+
+    blocks = _naive_blocks(spark)
+    xs = [tuple(int(q > 25) for q in b) for b in blocks]
+    n = len(xs)
+    c = [sum(x[j] for x in xs) for j in range(3)]
+    t = sum(sum(x) for x in xs)
+    r2 = sum(sum(x) ** 2 for x in xs)
+    q = 3 * 2 * sum((cj - t / 3) ** 2 for cj in c) / (3 * t - r2)
+    row = cochran_q_test(spark, SF).collect()[0]
+    assert row["n_blocks"] == n
+    assert (row["succ_pos1"], row["succ_pos2"], row["succ_pos3"]) == tuple(c)
+    assert abs(row["q_stat"] - q) < 1e-5
+
+
+def test_power_analysis_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        PWR_Z_ALPHA,
+        PWR_Z_BETA,
+        power_analysis_quantity,
+    )
+
+    data = _quant_flags(spark)
+    a = [v for v, f in data if f == "R"]
+    b = [v for v, f in data if f == "N"]
+    n1, n2 = len(a), len(b)
+    m1, m2 = sum(a) / n1, sum(b) / n2
+    ss = sum((x - m1) ** 2 for x in a) + sum((x - m2) ** 2 for x in b)
+    sp = math.sqrt(ss / (n1 + n2 - 2))
+    d = abs(m1 - m2) / sp
+    n_req = math.ceil(2 * ((PWR_Z_ALPHA + PWR_Z_BETA) / d) ** 2)
+    row = power_analysis_quantity(spark, SF).collect()[0]
+    assert row["n_observed"] == n1 + n2
+    assert abs(row["cohens_d"] - d) < 1e-6
+    assert row["n_required_per_group"] == n_req
+    assert row["currently_powered"] == (n1 >= n_req and n2 >= n_req)
