@@ -330,6 +330,11 @@ HEADLINE: dict[str, str] = {
     "ks_test_quantity": "collect",
     "cochran_q_test": "collect",
     "power_analysis_quantity": "collect",
+    "fleiss_kappa": "collect",
+    "g_test_independence": "collect",
+    "revenue_var_es": "collect",
+    "source_diversity_indices": "collect",
+    "modularity_regions": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

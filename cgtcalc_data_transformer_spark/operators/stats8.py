@@ -1548,3 +1548,228 @@ SELECT n1 + n2 AS n_observed,
        AND n2 >= ceil(2.0 * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d) * (({PWR_Z_ALPHA} + {PWR_Z_BETA}) / d)) AS currently_powered
 FROM e
 """
+
+
+# ------------------------------------------------------ Fleiss kappa
+def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over k = 3 raters (line positions 1..3, each
+    'rating' the order high/low by whether its quantity exceeds the
+    domain midpoint): chance-corrected multi-rater agreement — the
+    generalization of Cohen's kappa beyond two raters, and the
+    standard quality-audit number for multi-annotator labeling
+    pipelines.
+
+    P̄, P̄_e and κ come from two exact BIGINT sums over the pivoted
+    blocks (Σr and Σ[r² + (3−r)²]) — one aggregation, closed form.
+    """
+    b = _pivot3(spark, sf_dir)
+    r = (
+        (F.col("q1") > 25).cast("long")
+        + (F.col("q2") > 25).cast("long")
+        + (F.col("q3") > 25).cast("long")
+    )
+    s = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r).alias("sr"),
+        F.sum(r * r + (F.lit(3) - r) * (F.lit(3) - r)).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    k = F.lit(3.0)
+    pbar = (F.col("sq").cast("double") - nd * k) / (
+        nd * k * (k - F.lit(1.0))
+    )
+    p1 = F.col("sr").cast("double") / (nd * k)
+    pe = p1 * p1 + (F.lit(1.0) - p1) * (F.lit(1.0) - p1)
+    kappa = (pbar - pe) / (F.lit(1.0) - pe)
+    return s.select(
+        F.col("n").alias("n_blocks"),
+        F.round(p1, 6).alias("p_high"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+FLEISS_KAPPA_SQL = f"""
+WITH {_PIVOT3_SQL}, s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                  + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                  + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END)) AS BIGINT) AS sr,
+         CAST(SUM(((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END))
+                  * ((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END))
+                  + (3 - ((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                          + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                          + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END)))
+                    * (3 - ((CASE WHEN q1 > 25 THEN 1 ELSE 0 END)
+                            + (CASE WHEN q2 > 25 THEN 1 ELSE 0 END)
+                            + (CASE WHEN q3 > 25 THEN 1 ELSE 0 END)))) AS BIGINT) AS sq
+  FROM blocks
+), e AS (
+  SELECT n,
+         CAST(sr AS DOUBLE) / (n * 3.0) AS p1,
+         (CAST(sq AS DOUBLE) - n * 3.0) / (n * 3.0 * 2.0) AS pbar
+  FROM s
+)
+SELECT n AS n_blocks,
+       ROUND(p1, 6) AS p_high,
+       ROUND(pbar, 6) AS p_bar,
+       ROUND((pbar - (p1 * p1 + (1.0 - p1) * (1.0 - p1)))
+             / (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 6) AS kappa
+FROM e
+"""
+
+
+# --------------------------------------------- G-test of independence
+def g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test of independence for l_returnflag x
+    l_linestatus — the χ²'s better-behaved sibling (additive across
+    partitions of the table, which Pearson's χ² is not), sharing its
+    df-2 critical value.
+
+    G = 2·Σ x·ln x over the contingency cells and margins — one
+    count aggregation to the ≤6-cell grid, exact-int inputs into
+    identical IEEE ln.
+    """
+    from cgtcalc_data_transformer_spark.operators.text8 import _xlx
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    s = cells.agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(_xlx(F.col("o"))).alias("sxo"),
+    )
+    rows_m = cells.groupBy("l_returnflag").agg(F.sum("o").alias("m"))
+    cols_m = cells.groupBy("l_linestatus").agg(F.sum("o").alias("m"))
+    sr = rows_m.agg(F.sum(_xlx(F.col("m"))).alias("sxr"))
+    sc = cols_m.agg(F.sum(_xlx(F.col("m"))).alias("sxc"))
+    j = s.crossJoin(F.broadcast(sr)).crossJoin(F.broadcast(sc))
+    g = F.lit(2.0) * (
+        F.col("sxo") - F.col("sxr") - F.col("sxc") + _xlx(F.col("n"))
+    )
+    return j.select(
+        F.col("n").alias("n_rows"),
+        "n_cells",
+        F.round(g, 6).alias("g_stat"),
+        (g > F.lit(CHI2_CRIT_DF2)).alias("significant"),
+    )
+
+
+def _xlx_sql(x: str) -> str:
+    return f"(CASE WHEN {x} > 0 THEN {x} * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END)"
+
+
+G_TEST_SQL = f"""
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS o
+  FROM lineitem GROUP BY 1, 2
+), s AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(*) AS n_cells,
+         SUM({_xlx_sql('o')}) AS sxo
+  FROM cells
+), sr AS (
+  SELECT SUM({_xlx_sql('m')}) AS sxr
+  FROM (SELECT CAST(SUM(o) AS BIGINT) AS m FROM cells GROUP BY l_returnflag)
+), sc AS (
+  SELECT SUM({_xlx_sql('m')}) AS sxc
+  FROM (SELECT CAST(SUM(o) AS BIGINT) AS m FROM cells GROUP BY l_linestatus)
+)
+SELECT n AS n_rows, n_cells,
+       ROUND(2.0 * (sxo - sxr - sxc + {_xlx_sql('n')}), 6) AS g_stat,
+       2.0 * (sxo - sxr - sxc + {_xlx_sql('n')}) > {CHI2_CRIT_DF2} AS significant
+FROM s CROSS JOIN sr CROSS JOIN sc
+"""
+
+
+# ----------------------------------------- daily-revenue VaR / ES
+VAR_PCT = 95
+
+
+def revenue_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P{VAR_PCT} value-at-risk and expected shortfall of DAILY
+    revenue (the high tail: which days exceed the P95, and how big is
+    the average blowout day) — the capacity-planning pair every
+    ops dashboard shows, computed EXACTLY without a global sort.
+
+    Daily sums ride the DECIMAL(28,6) recipe; the quantile comes from
+    the per-day rank straddle (day-domain-bounded theta join — ~10³
+    rows whatever the order volume); ES averages the tail with
+    decimal-exact sums.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"))
+    )
+    # per-VALUE counts (revenues may tie at low SF): t per value, cum below
+    vals = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("t"))
+    cum = (
+        vals.alias("a")
+        .join(vals.alias("b"), F.col("b.rev") < F.col("a.rev"), "left")
+        .groupBy(F.col("a.rev").alias("rev"), F.col("a.t").alias("t"))
+        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("cum"))
+    )
+    tot = vals.agg(F.sum("t").alias("n"))
+    # ceiling rank r = ceil(0.95 n) via integer arithmetic
+    r = F.expr(f"(n * {VAR_PCT} + 99) div 100")
+    var_row = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.when(
+                (F.col("cum") < r) & (r <= F.col("cum") + F.col("t")),
+                F.col("rev"),
+            )
+        ).alias("var_rev"),
+        F.max("n").alias("n_days"),
+    )
+    tail = daily.crossJoin(F.broadcast(var_row)).filter(
+        F.col("rev") >= F.col("var_rev")
+    )
+    es = tail.agg(
+        F.max("var_rev").alias("var_rev"),
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum("rev").alias("tail_sum"),
+    )
+    return es.select(
+        "n_days",
+        "n_tail",
+        F.round(F.col("var_rev").cast("double"), 2).alias("var_p95"),
+        F.round(
+            F.col("tail_sum").cast("double") / F.col("n_tail").cast("double"),
+            6,
+        ).alias("es_p95"),
+    )
+
+
+REVENUE_VAR_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders GROUP BY o_orderdate
+), vals AS (
+  SELECT rev, COUNT(*) AS t FROM daily GROUP BY rev
+), cum AS (
+  SELECT a.rev, a.t, CAST(COALESCE(SUM(b.t), 0) AS BIGINT) AS cum
+  FROM vals a LEFT JOIN vals b ON b.rev < a.rev
+  GROUP BY a.rev, a.t
+), tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM vals
+), var_row AS (
+  SELECT MAX(CASE WHEN cum < (n * {VAR_PCT} + 99) // 100
+                   AND (n * {VAR_PCT} + 99) // 100 <= cum + t
+                  THEN rev END) AS var_rev,
+         MAX(n) AS n_days
+  FROM cum CROSS JOIN tot
+)
+SELECT n_days,
+       COUNT(*) AS n_tail,
+       ROUND(CAST(MAX(var_rev) AS DOUBLE), 2) AS var_p95,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6) AS es_p95
+FROM daily CROSS JOIN var_row
+WHERE rev >= var_rev
+GROUP BY n_days
+"""

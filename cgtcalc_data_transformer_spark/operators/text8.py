@@ -393,3 +393,66 @@ SELECT * FROM scored
 ORDER BY llr DESC, bigram ASC
 LIMIT {LLR_TOP_K}
 """
+
+
+# ------------------------------------------- source diversity indices
+DIV_SCALE = 10**9
+
+
+def source_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diversity panel over document sources: Shannon
+    entropy H, Simpson concentration D = Σp², and Pielou evenness
+    J = H/ln(S) — the three numbers a data-mixing report opens with
+    (H for information, D for collision probability, J for how far
+    the mix sits from uniform).
+
+    One count aggregation to the |sources|-row frame; per-source
+    −p·ln p terms quantize to a 1e-9 grid before the integer sum
+    (the theil_index recipe); Simpson is an exact integer ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("s")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    hq = F.floor(-p * F.log(p) * F.lit(float(DIV_SCALE)) + F.lit(0.5)).cast("long")
+    agg = j.groupBy("n", "s").agg(
+        F.sum(hq).alias("hsum"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    h = F.col("hsum").cast("double") / F.lit(float(DIV_SCALE))
+    simpson = F.col("c2").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("s").alias("n_sources"),
+        F.col("n").alias("n_docs"),
+        F.expr("hsum div 1000").alias("shannon_micro"),
+        F.round(simpson, 6).alias("simpson"),
+        F.round(h / F.log(F.col("s").cast("double")), 6).alias("pielou_j"),
+    )
+
+
+SOURCE_DIVERSITY_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS s FROM per
+), terms AS (
+  SELECT n, s, c,
+         CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                    * {DIV_SCALE}.0 + 0.5) AS BIGINT) AS hq
+  FROM per CROSS JOIN tot
+), agg AS (
+  SELECT n, s, CAST(SUM(hq) AS BIGINT) AS hsum,
+         CAST(SUM(c * c) AS BIGINT) AS c2
+  FROM terms GROUP BY n, s
+)
+SELECT s AS n_sources, n AS n_docs,
+       hsum // 1000 AS shannon_micro,
+       ROUND(CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS simpson,
+       ROUND((CAST(hsum AS DOUBLE) / {DIV_SCALE}.0) / ln(CAST(s AS DOUBLE)), 6) AS pielou_j
+FROM agg
+"""

@@ -787,6 +787,17 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats8.power_analysis_quantity,
         stats8.POWER_ANALYSIS_SQL,
     ),
+    "fleiss_kappa": (stats8.fleiss_kappa, stats8.FLEISS_KAPPA_SQL),
+    "g_test_independence": (
+        stats8.g_test_independence,
+        stats8.G_TEST_SQL,
+    ),
+    "revenue_var_es": (stats8.revenue_var_es, stats8.REVENUE_VAR_SQL),
+    "source_diversity_indices": (
+        text8.source_diversity_indices,
+        text8.SOURCE_DIVERSITY_SQL,
+    ),
+    "modularity_regions": (graph.modularity_regions, graph.MODULARITY_SQL),
 }
 
 
@@ -852,6 +863,11 @@ _ROUND8_NEW: list[str] = [
     "ks_test_quantity",
     "cochran_q_test",
     "power_analysis_quantity",
+    "fleiss_kappa",
+    "g_test_independence",
+    "revenue_var_es",
+    "source_diversity_indices",
+    "modularity_regions",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

@@ -139,6 +139,10 @@ BNLJ_OK = {
     "collocations_llr",  # 1-row total-bigram scalar crossJoin (PMI shape)
     "tukey_hsd",  # 3-row group frame x 1-row pooled-MSE scalar
     "ks_test_quantity",  # 50-value cumulative grid x 1-row totals scalar
+    "g_test_independence",  # 3x 1-row xlx-margin scalars crossJoined
+    "revenue_var_es",  # day-domain rank straddle + 1-row VaR scalar
+    "source_diversity_indices",  # |sources|-row frame x 1-row totals
+    "modularity_regions",  # 25-cell region grid x 1-row m/intra scalar
 }
 
 

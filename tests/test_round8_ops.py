@@ -1008,3 +1008,127 @@ def test_power_analysis_matches_naive(spark):
     assert abs(row["cohens_d"] - d) < 1e-6
     assert row["n_required_per_group"] == n_req
     assert row["currently_powered"] == (n1 >= n_req and n2 >= n_req)
+
+
+# ------------------------------------------------------ wave-7 ops
+def test_fleiss_kappa_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import fleiss_kappa
+
+    blocks = _naive_blocks(spark)
+    n, k = len(blocks), 3
+    rs = [sum(1 for q in b if q > 25) for b in blocks]
+    pbar = sum(r * r + (k - r) ** 2 - k for r in rs) / (n * k * (k - 1))
+    p1 = sum(rs) / (n * k)
+    pe = p1 * p1 + (1 - p1) ** 2
+    kappa = (pbar - pe) / (1 - pe)
+    row = fleiss_kappa(spark, SF).collect()[0]
+    assert row["n_blocks"] == n
+    assert abs(row["p_high"] - p1) < 1e-6
+    assert abs(row["kappa"] - kappa) < 1e-5
+    # independent positions => agreement ~ chance
+    assert abs(row["kappa"]) < 0.2
+
+
+def test_g_test_matches_naive(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        g_test_independence,
+    )
+
+    rows_in = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).collect()
+    cells = Counter((r[0], r[1]) for r in rows_in)
+    n = sum(cells.values())
+    rm = Counter()
+    cm = Counter()
+    for (a, b), c in cells.items():
+        rm[a] += c
+        cm[b] += c
+
+    def xlx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    g = 2 * (
+        sum(xlx(c) for c in cells.values())
+        - sum(xlx(c) for c in rm.values())
+        - sum(xlx(c) for c in cm.values())
+        + xlx(n)
+    )
+    row = g_test_independence(spark, SF).collect()[0]
+    assert row["n_rows"] == n and row["n_cells"] == len(cells)
+    assert abs(row["g_stat"] - g) < max(1e-4, 1e-6 * abs(g))
+
+
+def test_revenue_var_es_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import (
+        VAR_PCT,
+        revenue_var_es,
+    )
+
+    daily = defaultdict(float)
+    for r in load_table(spark, SF, "orders").collect():
+        daily[r["o_orderdate"]] += float(r["o_totalprice"])
+    xs = sorted(daily.values())
+    n = len(xs)
+    r_rank = -(-n * VAR_PCT // 100)  # ceil
+    var = xs[r_rank - 1]
+    tail = [x for x in xs if x >= var]
+    row = revenue_var_es(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["n_tail"] == len(tail)
+    assert abs(row["var_p95"] - var) < 0.02
+    assert abs(row["es_p95"] - sum(tail) / len(tail)) < 1e-3
+
+
+def test_source_diversity_matches_naive(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.text8 import (
+        source_diversity_indices,
+    )
+
+    srcs = Counter(
+        r["source"]
+        for r in load_table(spark, SF, "documents").select("source").collect()
+    )
+    n = sum(srcs.values())
+    s = len(srcs)
+    h = -sum(c / n * math.log(c / n) for c in srcs.values())
+    simpson = sum(c * c for c in srcs.values()) / (n * n)
+    row = source_diversity_indices(spark, SF).collect()[0]
+    assert (row["n_sources"], row["n_docs"]) == (s, n)
+    assert abs(row["shannon_micro"] / 1e6 - h) < 1e-4
+    assert abs(row["simpson"] - simpson) < 1e-6
+    assert abs(row["pielou_j"] - h / math.log(s)) < 1e-4
+
+
+def test_modularity_regions_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.graph import (
+        modularity_regions,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    orders = {r["o_orderkey"]: r["o_custkey"] for r in load_table(spark, SF, "orders").collect()}
+    cust = {r["c_custkey"]: r["c_nationkey"] for r in load_table(spark, SF, "customer").collect()}
+    supp = {r["s_suppkey"]: r["s_nationkey"] for r in load_table(spark, SF, "supplier").collect()}
+    region = {r["n_nationkey"]: r["n_regionkey"] for r in load_table(spark, SF, "nation").collect()}
+    pairs = set()
+    for r in li:
+        ok = r["l_orderkey"]
+        if ok not in orders:
+            continue
+        a, b = cust[orders[ok]], supp[r["l_suppkey"]]
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    m = len(pairs)
+    intra = sum(1 for a, b in pairs if region[a] == region[b])
+    deg = defaultdict(int)
+    for a, b in pairs:
+        deg[region[a]] += 1
+        deg[region[b]] += 1
+    q = intra / m - sum(d * d / (4 * m * m) for d in deg.values())
+    row = modularity_regions(spark, SF).collect()[0]
+    assert (row["n_edges"], row["intra_edges"]) == (m, intra)
+    assert abs(row["modularity_q"] - q) < 1e-6
