@@ -335,6 +335,8 @@ HEADLINE: dict[str, str] = {
     "revenue_var_es": "collect",
     "source_diversity_indices": "collect",
     "modularity_regions": "collect",
+    "qq_deciles": "collect",
+    "odds_ratio_ci": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -1773,3 +1773,165 @@ FROM daily CROSS JOIN var_row
 WHERE rev >= var_rev
 GROUP BY n_days
 """
+
+
+# ------------------------------------------------------- QQ deciles
+def qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile decile table for 'R' vs 'N' l_quantity: the
+    exact d/10-quantile of each group side by side — the
+    distribution-shape companion to ks_test_quantity (KS gives one
+    sup; the QQ table shows WHERE the CDFs separate).
+
+    Both groups' deciles come from ONE per-value count table and one
+    prefix theta join: for each decile the floored rank straddle
+    selects the exact order statistic — no sort, no
+    percentile_approx nondeterminism, engine-exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    vals = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("ca"),
+        F.sum((F.col("l_returnflag") == "N").cast("long")).alias("cb"),
+    )
+    cum = (
+        vals.alias("a")
+        .join(vals.alias("b"), F.col("b.v") < F.col("a.v"), "left")
+        .groupBy(
+            F.col("a.v").alias("v"),
+            F.col("a.ca").alias("ca"),
+            F.col("a.cb").alias("cb"),
+        )
+        .agg(
+            F.coalesce(F.sum("b.ca"), F.lit(0)).alias("cuma"),
+            F.coalesce(F.sum("b.cb"), F.lit(0)).alias("cumb"),
+        )
+    )
+    tot = vals.agg(F.sum("ca").alias("ma"), F.sum("cb").alias("mb"))
+    dec = cum.crossJoin(F.broadcast(tot)).select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d")
+    )
+    ra = F.expr("(ma * d + 9) div 10")  # ceil(d/10 · ma)
+    rb = F.expr("(mb * d + 9) div 10")
+    out = dec.groupBy("d").agg(
+        F.sum(
+            F.when(
+                (F.col("cuma") < ra) & (ra <= F.col("cuma") + F.col("ca")),
+                F.col("v"),
+            ).otherwise(0)
+        ).alias("q_r"),
+        F.sum(
+            F.when(
+                (F.col("cumb") < rb) & (rb <= F.col("cumb") + F.col("cb")),
+                F.col("v"),
+            ).otherwise(0)
+        ).alias("q_n"),
+    )
+    return out.select(
+        F.col("d").alias("decile"),
+        "q_r",
+        "q_n",
+        (F.col("q_r") - F.col("q_n")).alias("gap"),
+    ).orderBy("decile")
+
+
+QQ_DECILES_SQL = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag FROM lineitem
+  WHERE l_returnflag IN ('R', 'N')
+), vals AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM li GROUP BY v
+), cum AS (
+  SELECT a.v, a.ca, a.cb,
+         CAST(COALESCE(SUM(b.ca), 0) AS BIGINT) AS cuma,
+         CAST(COALESCE(SUM(b.cb), 0) AS BIGINT) AS cumb
+  FROM vals a LEFT JOIN vals b ON b.v < a.v
+  GROUP BY a.v, a.ca, a.cb
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS ma, CAST(SUM(cb) AS BIGINT) AS mb FROM vals
+), dec AS (
+  SELECT cum.*, ma, mb, UNNEST(generate_series(1, 9)) AS d
+  FROM cum CROSS JOIN tot
+)
+SELECT d AS decile,
+       CAST(SUM(CASE WHEN cuma < (ma * d + 9) // 10
+                      AND (ma * d + 9) // 10 <= cuma + ca THEN v ELSE 0 END) AS BIGINT) AS q_r,
+       CAST(SUM(CASE WHEN cumb < (mb * d + 9) // 10
+                      AND (mb * d + 9) // 10 <= cumb + cb THEN v ELSE 0 END) AS BIGINT) AS q_n,
+       CAST(SUM(CASE WHEN cuma < (ma * d + 9) // 10
+                      AND (ma * d + 9) // 10 <= cuma + ca THEN v ELSE 0 END)
+            - SUM(CASE WHEN cumb < (mb * d + 9) // 10
+                        AND (mb * d + 9) // 10 <= cumb + cb THEN v ELSE 0 END) AS BIGINT) AS gap
+FROM dec
+GROUP BY d
+ORDER BY decile
+"""
+
+
+# ------------------------------------------------- 2x2 odds ratio CI
+def odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with Woolf 95% log-CI for the 2x2 table
+    (returnflag R/N) x (linestatus = 'F'): the epidemiology-grade
+    association number for two binary columns, with the CI that says
+    whether 'no association' (OR = 1) survives.
+
+    One conditional aggregation to four exact BIGINT cells; OR and
+    the CI are closed forms over one ln and one sqrt.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    r = (F.col("l_returnflag") == "R").cast("long")
+    f = (F.col("l_linestatus") == "F").cast("long")
+    s = li.agg(
+        F.sum(r * f).alias("a"),
+        F.sum(r * (1 - f)).alias("b"),
+        F.sum((1 - r) * f).alias("c"),
+        F.sum((1 - r) * (1 - f)).alias("d"),
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    dd = F.col("d").cast("double")
+    orr = ad * dd / (bd * cd)
+    se = F.sqrt(
+        F.lit(1.0) / ad + F.lit(1.0) / bd + F.lit(1.0) / cd + F.lit(1.0) / dd
+    )
+    lo = F.exp(F.log(orr) - F.lit(Z95) * se)
+    hi = F.exp(F.log(orr) + F.lit(Z95) * se)
+    return s.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        ((lo > F.lit(1.0)) | (hi < F.lit(1.0))).alias("significant"),
+    )
+
+
+ODDS_RATIO_SQL = f"""
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), e AS (
+  SELECT a, b, c, d,
+         CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orr,
+         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+  FROM s
+)
+SELECT a, b, c, d,
+       ROUND(orr, 6) AS odds_ratio,
+       ROUND(exp(ln(orr) - {Z95} * se), 6) AS ci_lo,
+       ROUND(exp(ln(orr) + {Z95} * se), 6) AS ci_hi,
+       exp(ln(orr) - {Z95} * se) > 1.0 OR exp(ln(orr) + {Z95} * se) < 1.0 AS significant
+FROM e
+"""

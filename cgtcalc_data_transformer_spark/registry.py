@@ -798,6 +798,8 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         text8.SOURCE_DIVERSITY_SQL,
     ),
     "modularity_regions": (graph.modularity_regions, graph.MODULARITY_SQL),
+    "qq_deciles": (stats8.qq_deciles, stats8.QQ_DECILES_SQL),
+    "odds_ratio_ci": (stats8.odds_ratio_ci, stats8.ODDS_RATIO_SQL),
 }
 
 
@@ -868,6 +870,8 @@ _ROUND8_NEW: list[str] = [
     "revenue_var_es",
     "source_diversity_indices",
     "modularity_regions",
+    "qq_deciles",
+    "odds_ratio_ci",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round first, then

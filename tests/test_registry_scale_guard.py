@@ -143,6 +143,7 @@ BNLJ_OK = {
     "revenue_var_es",  # day-domain rank straddle + 1-row VaR scalar
     "source_diversity_indices",  # |sources|-row frame x 1-row totals
     "modularity_regions",  # 25-cell region grid x 1-row m/intra scalar
+    "qq_deciles",  # 50-value cumulative grid x 1-row totals scalar
 }
 
 

@@ -1132,3 +1132,44 @@ def test_modularity_regions_matches_naive(spark):
     row = modularity_regions(spark, SF).collect()[0]
     assert (row["n_edges"], row["intra_edges"]) == (m, intra)
     assert abs(row["modularity_q"] - q) < 1e-6
+
+
+# ------------------------------------------------------ wave-8 ops
+def test_qq_deciles_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats8 import qq_deciles
+
+    data = _quant_flags(spark)
+    a = sorted(v for v, f in data if f == "R")
+    b = sorted(v for v, f in data if f == "N")
+    rows = {r["decile"]: r for r in qq_deciles(spark, SF).collect()}
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        qa = a[-(-len(a) * d // 10) - 1]  # ceil rank, 1-based
+        qb = b[-(-len(b) * d // 10) - 1]
+        assert rows[d]["q_r"] == qa
+        assert rows[d]["q_n"] == qb
+        assert rows[d]["gap"] == qa - qb
+
+
+def test_odds_ratio_matches_naive(spark):
+    from collections import Counter
+
+    from cgtcalc_data_transformer_spark.operators.stats8 import odds_ratio_ci
+
+    rows_in = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).collect()
+    c = Counter(
+        (r["l_returnflag"] == "R", r["l_linestatus"] == "F")
+        for r in rows_in
+        if r["l_returnflag"] in ("R", "N")
+    )
+    a, b = c[(True, True)], c[(True, False)]
+    cc, d = c[(False, True)], c[(False, False)]
+    orr = a * d / (b * cc)
+    se = math.sqrt(1 / a + 1 / b + 1 / cc + 1 / d)
+    row = odds_ratio_ci(spark, SF).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, cc, d)
+    assert abs(row["odds_ratio"] - orr) < 1e-6
+    assert abs(row["ci_lo"] - math.exp(math.log(orr) - 1.959964 * se)) < 1e-5
+    assert abs(row["ci_hi"] - math.exp(math.log(orr) + 1.959964 * se)) < 1e-5
