@@ -12,6 +12,9 @@ Scale shape: ONE count/sum aggregation over the big table into a
 |categories| x |folds| grid; everything after is closed-form
 arithmetic on that bounded frame. Folds are the deterministic md5
 bucket (kfold_assign convention) — append-stable, no RNG.
+
+
+Reference parity note: the reference (cgtcalc-data-transformer, ~732 LoC broker-CSV ETL) has no analog for this family — these are engine extensions in the SURVEY.md §2.2 sense.
 """
 
 from __future__ import annotations

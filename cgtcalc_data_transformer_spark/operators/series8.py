@@ -9,6 +9,9 @@ Determinism: the exact-integer ACF trick (D-scale centering so every
 product is BIGINT), PRECOMPUTED quantized cos/sin weight tables
 (engine trig never runs inside the sum), and round-half-up scaling
 for the one rational seasonal index.
+
+
+Reference parity note: the reference (cgtcalc-data-transformer, ~732 LoC broker-CSV ETL) has no analog for this family — these are engine extensions in the SURVEY.md §2.2 sense.
 """
 
 from __future__ import annotations

@@ -13,6 +13,9 @@ so the sketch hashes are explicit modular arithmetic over the key —
 ((k mod M)·A + B) mod M with M = 2^31 − 1 and literal odd multipliers
 — every intermediate fits BIGINT and both engines compute bit-equal
 values.
+
+
+Reference parity note: the reference (cgtcalc-data-transformer, ~732 LoC broker-CSV ETL) has no analog for this family — these are engine extensions in the SURVEY.md §2.2 sense.
 """
 
 from __future__ import annotations

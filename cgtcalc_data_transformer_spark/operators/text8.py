@@ -9,6 +9,9 @@ from function words, blocked Levenshtein is the surgical near-dup
 pass LSH hands its candidates to, and the run audit checks that the
 seeded training shuffle didn't leave long same-source runs (the
 thing that skews gradient mixing).
+
+
+Reference parity note: the reference (cgtcalc-data-transformer, ~732 LoC broker-CSV ETL) has no analog for this family — these are engine extensions in the SURVEY.md §2.2 sense.
 """
 
 from __future__ import annotations
