@@ -95,3 +95,31 @@ def test_ks_integer_crossmul_matches_float_sup(a, b):
         for v in set(a) | set(b)
     )
     assert abs(best_int / (ma * mb) - want) < 1e-12
+
+
+def _rank2_triple(me, o1, o2):
+    """friedman_test's doubled within-block average rank formula."""
+    lt = (o1 < me) + (o2 < me)
+    eq = (o1 == me) + (o2 == me)
+    return 2 * lt + eq + 2
+
+
+@given(st.tuples(st.integers(min_value=1, max_value=50),
+                 st.integers(min_value=1, max_value=50),
+                 st.integers(min_value=1, max_value=50)))
+@settings(max_examples=300, deadline=None)
+def test_doubled_rank_formula_matches_naive_tied_ranks(triple):
+    q1, q2, q3 = triple
+    vals = [q1, q2, q3]
+    naive = []
+    for x in vals:
+        lt = sum(1 for y in vals if y < x)
+        eq = sum(1 for y in vals if y == x)
+        naive.append(lt + (eq + 1) / 2)
+    got = [
+        _rank2_triple(q1, q2, q3) / 2,
+        _rank2_triple(q2, q1, q3) / 2,
+        _rank2_triple(q3, q1, q2) / 2,
+    ]
+    assert got == naive
+    assert sum(got) == 6.0  # rank sums of 3 items are invariant
