@@ -1342,10 +1342,14 @@ def ks_test_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = vals.agg(F.sum("ca").alias("ma"), F.sum("cb").alias("mb"))
     j = cum.crossJoin(F.broadcast(tot))
-    # |F_R − F_N| scaled by ma·mb: exact integer
+    # |F_R − F_N| scaled by ma·mb: exact integer arithmetic in
+    # DECIMAL(38,0) — the BIGINT cross-product fa·mb reaches ~7e18 at
+    # sf100 and overflows just past it (the ADVICE-r7 t³ class)
+    dec = "decimal(19,0)"
     dnum = F.abs(
-        F.col("fa") * F.col("mb") - F.col("fb") * F.col("ma")
-    )
+        F.col("fa").cast(dec) * F.col("mb").cast(dec)
+        - F.col("fb").cast(dec) * F.col("ma").cast(dec)
+    ).cast("decimal(38,0)")
     top = j.agg(
         F.max(F.struct(dnum.alias("dnum"), F.col("v").alias("v"))).alias("m"),
         F.max("ma").alias("ma"),
@@ -1380,7 +1384,10 @@ WITH li AS (
 ), tot AS (
   SELECT CAST(SUM(ca) AS BIGINT) AS ma, CAST(SUM(cb) AS BIGINT) AS mb FROM vals
 ), top AS (
-  SELECT MAX(struct_pack(dnum := ABS(fa * mb - fb * ma), v := v)) AS m,
+  SELECT MAX(struct_pack(
+           dnum := CAST(ABS(CAST(fa AS DECIMAL(19,0)) * mb
+                            - CAST(fb AS DECIMAL(19,0)) * ma) AS DECIMAL(38,0)),
+           v := v)) AS m,
          MAX(ma) AS ma, MAX(mb) AS mb
   FROM cum CROSS JOIN tot
 )
