@@ -650,10 +650,14 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("cum"))
     )
     td = F.col("t").cast("double")
+    # 2W+ ~ n² by nature: per-term products stay far below int64 but
+    # the SUM crosses 2^63 around sf200 — sum through DECIMAL(38,0)
+    # (each term is an exact BIGINT, so the decimal sum is exact)
     s = cum.agg(
         F.sum("t").alias("n"),
         F.sum(
-            F.col("cpos") * (F.lit(2) * F.col("cum") + F.col("t") + 1)
+            (F.col("cpos") * (F.lit(2) * F.col("cum") + F.col("t") + 1))
+            .cast("decimal(38,0)")
         ).alias("twowp"),
         F.sum((td * td * td - td).cast("decimal(38,6)")).alias("tsum"),
     )
@@ -685,7 +689,7 @@ WITH {_PAIRS_SQL}, per AS (
   GROUP BY a.ad, a.cpos, a.t
 ), s AS (
   SELECT CAST(SUM(t) AS BIGINT) AS n,
-         CAST(SUM(cpos * (2 * cum + t + 1)) AS BIGINT) AS twowp,
+         CAST(SUM(CAST(cpos * (2 * cum + t + 1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS twowp,
          CAST(SUM(CAST(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
                        - CAST(t AS DOUBLE) AS DECIMAL(38,6)))
               AS DECIMAL(38,6)) AS tsum
@@ -1170,7 +1174,7 @@ FROM s4 CROSS JOIN ties
 
 
 # -------------------------------------------------------- Theil index
-THEIL_SCALE = 10**9
+THEIL_SCALE = 10**6
 
 
 def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,9 +1185,9 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-customer totals ride the exact DECIMAL(28,6) sum; each
     customer's (x/μ)ln(x/μ) and ln(μ/x) terms are computed from
-    identical-IEEE inputs and quantized to a 1e-9 grid BEFORE the
-    sum (the drift_psi recipe), so the aggregation is exact integer
-    arithmetic at any scale.
+    identical-IEEE inputs and quantized to the 1e-6 output grid
+    BEFORE the sum (the drift_psi recipe), so the aggregation is
+    exact integer arithmetic at any scale.
     """
     spend = (
         load_table(spark, sf_dir, "orders")
@@ -1197,6 +1201,10 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     xr = F.col("x").cast("double") / (
         F.col("s").cast("double") / F.col("n").cast("double")
     )
+    # per-entity terms quantize straight to the 1e-6 output grid:
+    # |term| is O(10), so micro terms are ~1e7-scale BIGINTs and the
+    # sum stays within int64 to beyond sf100000 (a 1e-9 grid + /1000
+    # reduction would overflow the sum around sf1000)
     tq = F.floor(xr * F.log(xr) * F.lit(float(THEIL_SCALE)) + F.lit(0.5)).cast("long")
     lq = F.floor(-F.log(xr) * F.lit(float(THEIL_SCALE)) + F.lit(0.5)).cast("long")
     s = j.select(tq.alias("tq"), lq.alias("lq"), "n").groupBy("n").agg(
@@ -1206,8 +1214,8 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums differently across engines at the cast boundary
     return s.select(
         F.col("n").alias("n_entities"),
-        F.expr("st div (n * 1000)").alias("theil_t_micro"),
-        F.expr("sl div (n * 1000)").alias("theil_l_micro"),
+        F.expr("st div n").alias("theil_t_micro"),
+        F.expr("sl div n").alias("theil_l_micro"),
     )
 
 
@@ -1227,8 +1235,8 @@ WITH spend AS (
   FROM spend CROSS JOIN tot
 )
 SELECT n AS n_entities,
-       CAST(SUM(tq) // (n * 1000) AS BIGINT) AS theil_t_micro,
-       CAST(SUM(lq) // (n * 1000) AS BIGINT) AS theil_l_micro
+       CAST(SUM(tq) // n AS BIGINT) AS theil_t_micro,
+       CAST(SUM(lq) // n AS BIGINT) AS theil_l_micro
 FROM terms GROUP BY n
 """
 

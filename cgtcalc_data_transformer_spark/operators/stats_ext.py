@@ -79,12 +79,15 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below 2^53, and identical IEEE on both engines above it — then
     # cast to decimal so the SUM is order-insensitive and unbounded.
     td = t.cast("double")
+    # 2U ~ m_A·m_B by nature: each term is an exact BIGINT but the SUM
+    # crosses 2^63 around sf200 — sum through DECIMAL(38,0) (exact)
     s = cum.agg(
         F.sum("ca").alias("ma"),
         F.sum("cb").alias("mb"),
-        F.sum(F.col("ca") * (F.lit(2) * F.col("cumb") + F.col("cb"))).alias(
-            "u2a"
-        ),
+        F.sum(
+            (F.col("ca") * (F.lit(2) * F.col("cumb") + F.col("cb")))
+            .cast("decimal(38,0)")
+        ).alias("u2a"),
         F.sum((td * td * td - td).cast("decimal(38,6)")).alias("tsum"),
     )
     ma = F.col("ma").cast("double")
@@ -126,7 +129,7 @@ WITH vals AS (
 ), s AS (
   SELECT CAST(SUM(ca) AS BIGINT) AS ma,
          CAST(SUM(cb) AS BIGINT) AS mb,
-         CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2a,
+         CAST(SUM(CAST(ca * (2 * cumb + cb) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS u2a,
          CAST(SUM(CAST(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
                        * CAST(ca + cb AS DOUBLE) - CAST(ca + cb AS DOUBLE)
                        AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS tsum
