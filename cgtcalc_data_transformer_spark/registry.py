@@ -954,6 +954,13 @@ _ROUND8_RECHECKS = _ROUND8_RECHECK_POOL[: 50 - len(_ROUND8_NEW)]
 # oldest-green. Round 8 burns the first 50-len(_ROUND8_NEW) pool
 # entries above IN ORDER; everything after that cut line carries over
 # to the r9 pool unchanged, followed by the remaining r3 rows.
+#
+# MANDATORY r9 item (deferred from r8 because the window was full and
+# a code change would stale the op's only driver row): route
+# kendall_tau_binned's concordant/discordant sums (Σ a.c·b.c ~ n²/2,
+# overflows int64 ~sf200) and its t1x2/t1y2 tie sums through
+# DECIMAL(38,0) — the mannwhitney u2a / wilcoxon twowp fix of r8 —
+# then declare it a code-changed recheck at the head of the r9 pool.
 
 _ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
 
