@@ -395,6 +395,9 @@ def compact_line(payload: dict, timings: dict[str, float]) -> str:
     compact = {k: payload[k] for k in _COMPACT_KEYS if k in payload}
     ranked = sorted(timings, key=timings.get, reverse=True)
     compact["n_queries"] = len(timings)
+    # crash-isolated failures surface on the line by count (names in
+    # BENCH_DETAIL.json) — a partial battery must not read as complete
+    compact["n_errors"] = len(payload.get("errors") or {})
     compact["detail"] = "BENCH_DETAIL.json"
     line = ""
     for keep in list(range(len(ranked), 0, -5)) + [0]:
@@ -407,7 +410,8 @@ def compact_line(payload: dict, timings: dict[str, float]) -> str:
 
 
 def build_payload(timings: dict[str, float], skew: dict[str, float],
-                  sf, cold: dict[str, float]) -> dict:
+                  sf, cold: dict[str, float],
+                  errors: dict[str, str] | None = None) -> dict:
     """The full bench payload — written verbatim to BENCH_DETAIL.json.
     Kept as a named constructor so tests/test_bench_contract.py feeds
     compact_line() the REAL shape instead of a hand-kept mirror (the
@@ -424,6 +428,7 @@ def build_payload(timings: dict[str, float], skew: dict[str, float],
         "(r1/r2 re-collected memoized plans; 10-20x under-reported); "
         "cold_first_run = first execution incl. cache materialization",
         "cold_first_run": cold,
+        "errors": errors or {},
         "excluded": EXCLUDED,
     }
 
@@ -441,10 +446,14 @@ def main() -> None:
 
     from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
-    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
-        df = load_table(spark, sf_dir, t)
-        df.agg(*[F.min(c) for c in df.columns]).collect()
-    qs["topk_orders"](spark, sf_dir).count()
+    try:
+        for t in ("lineitem", "orders", "customer", "documents",
+                  "embeddings", "events"):
+            df = load_table(spark, sf_dir, t)
+            df.agg(*[F.min(c) for c in df.columns]).collect()
+        qs["topk_orders"](spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"bench: warm-up FAILED: {exc}", file=sys.stderr)
 
     # Per-query methodology: one warm run absorbs JIT/codegen/page-
     # cache, then the MIN of 3 FRESH-PLAN executions is reported.
@@ -454,6 +463,7 @@ def main() -> None:
     # stage (measured 10-20x under-report on shuffle-heavy queries).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, mode in HEADLINE.items():
 
         def build() -> object:
@@ -474,28 +484,39 @@ def main() -> None:
             else:
                 df.collect()
 
-        # The warm-up run is also the COLD number: for operators that
-        # .cache() (semdedup, the iterative graph family, _doc_ppl
-        # consumers) the min-of-3 below reruns against a warm cache,
-        # which under-states a first-ever execution (semdedup: ~1.7 s
-        # warm vs ~8 s cold at sf0.1). Recording the first run per
-        # query keeps the methodology honest without changing the
-        # round-over-round comparable headline (VERDICT r6 item 5).
-        t0 = time.time()
-        run(build())
-        cold[name] = round(time.time() - t0, 3)
-        samples = []
-        for _ in range(3):
-            df = build()
+        # Crash isolation (VERDICT r8 item 1): one query hitting an
+        # environment defect (stale warehouse dir, bad parquet, OOM on
+        # a single plan) must record an err entry and move on — a
+        # partial artifact beats BENCH_r08's rc=1/parsed:null, where a
+        # single LOCATION_ALREADY_EXISTS zeroed the whole battery.
+        try:
+            # The warm-up run is also the COLD number: for operators
+            # that .cache() (semdedup, the iterative graph family,
+            # _doc_ppl consumers) the min-of-3 below reruns against a
+            # warm cache, which under-states a first-ever execution
+            # (semdedup: ~1.7 s warm vs ~8 s cold at sf0.1). Recording
+            # the first run per query keeps the methodology honest
+            # without changing the round-over-round comparable
+            # headline (VERDICT r6 item 5).
             t0 = time.time()
-            run(df)
-            samples.append(time.time() - t0)
-        # MIN of 3, not median: the box is a shared-host VM and noisy-
-        # neighbor windows lasting minutes poison every sample of a
-        # query that runs inside them (observed 0.8 s queries reading
-        # 30 s). Min estimates the contention-free execution; within a
-        # quiet window min and median agree to a few percent.
-        timings[name] = round(min(samples), 3)
+            run(build())
+            cold[name] = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(3):
+                df = build()
+                t0 = time.time()
+                run(df)
+                samples.append(time.time() - t0)
+            # MIN of 3, not median: the box is a shared-host VM and
+            # noisy-neighbor windows lasting minutes poison every
+            # sample of a query that runs inside them (observed 0.8 s
+            # queries reading 30 s). Min estimates the contention-free
+            # execution; within a quiet window min and median agree to
+            # a few percent.
+            timings[name] = round(min(samples), 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     # ---- skew-join comparison (VERDICT r1 #5): same pathological
     # key distribution (60% of the fact side on one key), three
@@ -531,11 +552,15 @@ def main() -> None:
             # reuse its shuffle files and skip the map stages entirely.
             # Warm JIT/caches on one instance, then time a FRESH plan
             # (identical Catalyst overhead for all three variants).
-            fn(spark, sf_dir).collect()
-            df = fn(spark, sf_dir)
-            t0 = time.time()
-            df.collect()
-            skew[f"skew_{label}"] = round(time.time() - t0, 3)
+            try:
+                fn(spark, sf_dir).collect()
+                df = fn(spark, sf_dir)
+                t0 = time.time()
+                df.collect()
+                skew[f"skew_{label}"] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"skew_{label}"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: skew_{label} FAILED", file=sys.stderr)
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -550,7 +575,7 @@ def main() -> None:
     # numbers are not comparable across that boundary.
     payload = build_payload(
         timings, skew, float(sf) if sf.replace(".", "").isdigit() else sf,
-        cold,
+        cold, errors,
     )
     # Full per-query detail goes to a FILE: the driver records only
     # the last 2000 chars of stdout, and the full 95-query JSON line

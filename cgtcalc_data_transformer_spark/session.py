@@ -42,6 +42,23 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Warehouse + Derby metastore dir, created once per process. mkdtemp
+# (NOT a pid-keyed name): /tmp persists across runs and pids recycle,
+# so a pid-keyed path can collide with a stale warehouse left by an
+# earlier process whose tables the fresh in-memory catalog has never
+# heard of — saveAsTable then throws LOCATION_ALREADY_EXISTS even in
+# overwrite mode (this zeroed the round-8 bench run). mkdtemp is
+# guaranteed-fresh and race-free.
+_WAREHOUSE_DIR: str | None = None
+
+
+def _warehouse_dir() -> str:
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="spark_wh_")
+    return _WAREHOUSE_DIR
+
+
 def get_spark(
     app_name: str = "cgtcalc-data-transformer-spark",
     master: str | None = None,
@@ -52,9 +69,10 @@ def get_spark(
     # Local mode: shuffle partitions ≈ cores. On a real cluster AQE
     # coalesces from a deliberately high initial number instead.
     shuffle_partitions = shuffle_partitions or int(cpus)
-    # warehouse + metastore in a per-process temp dir: bucketed-table
-    # writes (sources/bucketed.py) must not litter the caller's cwd
-    wh = os.path.join(tempfile.gettempdir(), f"spark_wh_{os.getpid()}")
+    # warehouse + metastore in a guaranteed-fresh temp dir: bucketed-
+    # table writes (sources/bucketed.py) must not litter the caller's
+    # cwd or collide with stale dirs from recycled pids
+    wh = _warehouse_dir()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -19,7 +19,32 @@ nothing leaks into the caller's cwd.
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Drop ``table`` from the catalog AND remove its would-be
+    warehouse location on disk.
+
+    ``mode("overwrite")`` can only replace a table the catalog knows
+    about; a directory left behind by an earlier process (recycled
+    pid, persistent /tmp) with a FRESH in-memory catalog makes
+    ``saveAsTable`` throw LOCATION_ALREADY_EXISTS — the exact failure
+    that zeroed the round-8 driver bench. Belt and braces: DROP IF
+    EXISTS covers the known-table case, the rmtree covers the
+    stale-orphan-directory case."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir") or ""
+    # warehouse.dir may be a plain path, file:/p, or file:///p —
+    # urlparse handles all three (.path is the filesystem path)
+    path = urlparse(wh).path or wh
+    loc = os.path.join(path, table.lower())
+    if path and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -32,6 +57,7 @@ def write_bucketed(
     """Persist ``df`` as a parquet table bucketed (and bucket-sorted)
     by ``key``. One full shuffle now; zero shuffles for every future
     join/agg on ``key``."""
+    _clear_stale_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)

@@ -44,7 +44,7 @@ def test_compact_line_carries_no_fat_fields():
     line = bench.compact_line(_payload(bench, timings), timings)
     parsed = json.loads(line)
     allowed = set(bench._COMPACT_KEYS) | {
-        "n_queries", "detail", "queries", "queries_shown"
+        "n_queries", "n_errors", "detail", "queries", "queries_shown"
     }
     assert set(parsed) <= allowed, set(parsed) - allowed
     assert "cold_first_run" not in parsed
@@ -102,3 +102,29 @@ def test_bench_line_floor_keep_zero_fits():
     assert parsed["queries_shown"] == 0
     assert parsed["queries"] == {}
     assert parsed["n_queries"] == 300
+
+
+def test_bench_errors_surface_as_count_not_fat_map():
+    """VERDICT r8 item 1c: a crash-isolated query failure must surface
+    on the compact line as a COUNT (names live in BENCH_DETAIL.json),
+    and the error map itself must never ride the line."""
+    bench = _load_bench()
+    timings = {f"q{i:03d}": 1.0 for i in range(20)}
+    skew = {"skew_plain": 1.0}
+    cold = dict(timings)
+    errors = {"join_bucketed": "SparkRuntimeException: LOCATION_ALREADY_EXISTS " * 8}
+    payload = bench.build_payload(timings, skew, 0.1, cold, errors)
+    assert payload["errors"] == errors  # full detail persisted
+    line = bench.compact_line(payload, timings)
+    parsed = json.loads(line)
+    assert parsed["n_errors"] == 1
+    assert "errors" not in parsed
+    assert "LOCATION_ALREADY_EXISTS" not in line
+
+
+def test_bench_errors_default_zero():
+    bench = _load_bench()
+    timings = {"q1": 1.0}
+    payload = bench.build_payload(timings, {}, 0.1, {"q1": 1.0})
+    parsed = json.loads(bench.compact_line(payload, timings))
+    assert parsed["n_errors"] == 0
