@@ -744,7 +744,7 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.count("n").over(w).alias("w_cnt"),
         F.sum("n").over(w).alias("w_sum"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sum2"),
+        F.sum(F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")).over(w).alias("w_sum2"),
     ).filter(F.col("w_cnt") == ANOMALY_TRAIL)
     mean = F.col("w_sum").cast("double") / F.col("w_cnt").cast("double")
     var = (
@@ -775,7 +775,7 @@ WITH hourly AS (
   SELECT event_type, hour_bucket * 3600 AS hour_epoch, n,
          COUNT(n) OVER w AS w_cnt,
          CAST(SUM(n) OVER w AS BIGINT) AS w_sum,
-         CAST(SUM(n * n) OVER w AS BIGINT) AS w_sum2
+         CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) OVER w AS DECIMAL(38,0)) AS w_sum2
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
                ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)

@@ -584,9 +584,11 @@ def lognormal_fit_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-tail diagnostic (mad_outliers' parametric sibling).
 
     Per-row ln terms are quantized floor(ln·10⁶ + 0.5)::BIGINT before
-    the sums (Σq² ≤ n·(ln(max)·10⁶)² stays in BIGINT up to ~10⁸ docs
-    per source; decimal beyond); μ̂, σ̂ and exp(μ̂) are single IEEE
-    expressions over the two exact integer sums.
+    the sums; Σq² terms are ~(8.5·10⁶)² ≈ 7·10¹³ each, so the sum
+    crosses 2^63 barely past 10⁵ docs per source — both factors are
+    cast to DECIMAL(19,0) before the multiply and summed in
+    DECIMAL(38,0) (VERDICT r8 item 3 sweep); μ̂, σ̂ and exp(μ̂) are
+    single IEEE expressions over the two exact sums.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     q = F.floor(
@@ -596,7 +598,7 @@ def lognormal_fit_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select("source", q.alias("q"), "n_chars").groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("q").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)")).alias("sqq"),
         F.sum("n_chars").alias("sc"),
     )
     nd = F.col("n").cast("double")
@@ -622,7 +624,7 @@ WITH q AS (
 ), s AS (
   SELECT source, COUNT(*) AS n,
          CAST(SUM(q) AS BIGINT) AS sq,
-         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sqq,
          CAST(SUM(n_chars) AS BIGINT) AS sc
   FROM q GROUP BY source
 )

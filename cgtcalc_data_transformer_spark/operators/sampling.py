@@ -820,7 +820,8 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"),
         F.sum(F.col("c") * F.col("v")).alias("s"),
         F.sum(
-            F.col("c") * F.col("v") * (F.lit(2) * F.col("cum_below") + F.col("c") + F.lit(1))
+            (F.col("c") * F.col("v")).cast("decimal(19,0)")
+            * (F.lit(2) * F.col("cum_below") + F.col("c") + F.lit(1)).cast("decimal(19,0)")
         ).alias("two_r"),
     )
     g = (
@@ -849,7 +850,7 @@ WITH vals AS (
   SELECT source,
          CAST(SUM(c) AS BIGINT) AS n,
          CAST(SUM(c * v) AS BIGINT) AS s,
-         CAST(SUM(c * v * (2 * cum_below + c + 1)) AS BIGINT) AS two_r
+         CAST(SUM(CAST(c * v AS DECIMAL(19,0)) * CAST(2 * cum_below + c + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS two_r
   FROM cum GROUP BY source
 )
 SELECT source, n, s AS total_chars,

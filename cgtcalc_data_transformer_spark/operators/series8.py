@@ -25,6 +25,16 @@ from cgtcalc_data_transformer_spark.operators.timeseries import (
     _daily_grid,
 )
 
+
+def _d19(col: str):
+    """Centered daily counts cy = nd*y - s are n-scale, so their
+    product sums are n²-scale — past 2^63 once per-day deviations
+    reach ~1e9 (ADVICE r8). Cast each factor to DECIMAL(19,0) before
+    the multiply and sum in DECIMAL(38,0): exact, order-insensitive,
+    loud-overflow-free in both engines."""
+    return F.col(col).cast("decimal(19,0)")
+
+
 CHI2_CRIT_DF7 = 14.067140
 LB_MAX_LAG = 7
 
@@ -52,7 +62,7 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nd",
     )
     den = g.groupBy("event_type").agg(
-        F.sum(F.col("cy") * F.col("cy")).alias("den"),
+        F.sum(_d19("cy") * _d19("cy")).alias("den"),
         F.max("nd").alias("nd"),
     )
     lags = g.select(
@@ -74,7 +84,7 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_type").alias("event_type"),
             F.col("a.lag").alias("lag"),
         )
-        .agg(F.sum(F.col("a.cy") * F.col("b.cy")).alias("num"))
+        .agg(F.sum(_d19("a.cy") * _d19("b.cy")).alias("num"))
     )
     r2 = num.join(F.broadcast(den), "event_type").select(
         "event_type",
@@ -109,14 +119,14 @@ WITH {_GRID_SQL}, tot AS (
   SELECT grid.event_type, d, nd * y - s AS cy, nd
   FROM grid JOIN tot ON tot.event_type = grid.event_type
 ), den AS (
-  SELECT event_type, CAST(SUM(cy * cy) AS BIGINT) AS den, MAX(nd) AS nd
+  SELECT event_type, CAST(SUM(CAST(cy AS DECIMAL(19,0)) * CAST(cy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS den, MAX(nd) AS nd
   FROM g GROUP BY event_type
 ), lags AS (
   SELECT g.event_type, d, cy,
          UNNEST(generate_series(1, LEAST({LB_MAX_LAG}, nd - 1))) AS lag
   FROM g
 ), num AS (
-  SELECT a.event_type, a.lag, CAST(SUM(a.cy * b.cy) AS BIGINT) AS num
+  SELECT a.event_type, a.lag, CAST(SUM(CAST(a.cy AS DECIMAL(19,0)) * CAST(b.cy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS num
   FROM lags a JOIN g b
     ON b.event_type = a.event_type AND b.d = a.d + a.lag
   GROUP BY a.event_type, a.lag
@@ -317,8 +327,8 @@ def ccf_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("dy"), F.col("cy").alias("cyv")
     )
     dens = (
-        x.agg(F.sum(F.col("cx") * F.col("cx")).alias("dx"))
-        .crossJoin(y.agg(F.sum(F.col("cyv") * F.col("cyv")).alias("dy2")))
+        x.agg(F.sum(_d19("cx") * _d19("cx")).alias("dx"))
+        .crossJoin(y.agg(F.sum(_d19("cyv") * _d19("cyv")).alias("dy2")))
     )
     lagged = x.select(
         "d",
@@ -330,7 +340,7 @@ def ccf_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (
         lagged.join(y, F.col("dy") == F.col("d") + F.col("lag"))
         .groupBy("lag")
-        .agg(F.sum(F.col("cx") * F.col("cyv")).alias("num"))
+        .agg(F.sum(_d19("cx") * _d19("cyv")).alias("num"))
     )
     r = num.crossJoin(F.broadcast(dens)).select(
         "lag",
@@ -358,12 +368,12 @@ WITH {_GRID_SQL}, tot AS (
 ), yy AS (
   SELECT d AS dy, cy AS cyv FROM g WHERE event_type = '{CCF_Y}'
 ), dens AS (
-  SELECT (SELECT CAST(SUM(cx * cx) AS BIGINT) FROM x) AS dx,
-         (SELECT CAST(SUM(cyv * cyv) AS BIGINT) FROM yy) AS dy2
+  SELECT (SELECT CAST(SUM(CAST(cx AS DECIMAL(19,0)) * CAST(cx AS DECIMAL(19,0))) AS DECIMAL(38,0)) FROM x) AS dx,
+         (SELECT CAST(SUM(CAST(cyv AS DECIMAL(19,0)) * CAST(cyv AS DECIMAL(19,0))) AS DECIMAL(38,0)) FROM yy) AS dy2
 ), lagged AS (
   SELECT d, cx, UNNEST(generate_series(0, {CCF_MAX_LAG})) AS lag FROM x
 ), num AS (
-  SELECT lag, CAST(SUM(cx * cyv) AS BIGINT) AS num
+  SELECT lag, CAST(SUM(CAST(cx AS DECIMAL(19,0)) * CAST(cyv AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS num
   FROM lagged JOIN yy ON dy = d + lag
   GROUP BY lag
 )
@@ -396,7 +406,7 @@ def pacf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nd") * F.col("y") - F.col("s")).alias("cy"),
     )
     den = g.groupBy("event_type").agg(
-        F.sum(F.col("cy") * F.col("cy")).alias("den")
+        F.sum(_d19("cy") * _d19("cy")).alias("den")
     )
     lags = g.select(
         "event_type", "d", "cy",
@@ -413,7 +423,7 @@ def pacf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_type").alias("event_type"),
             F.col("a.lag").alias("lag"),
         )
-        .agg(F.sum(F.col("a.cy") * F.col("b.cy")).alias("num"))
+        .agg(F.sum(_d19("a.cy") * _d19("b.cy")).alias("num"))
     )
     r = num.join(F.broadcast(den), "event_type").select(
         "event_type",
@@ -447,11 +457,11 @@ WITH {_GRID_SQL}, tot AS (
   SELECT grid.event_type, d, nd * y - s AS cy
   FROM grid JOIN tot ON tot.event_type = grid.event_type
 ), den AS (
-  SELECT event_type, CAST(SUM(cy * cy) AS BIGINT) AS den FROM g GROUP BY event_type
+  SELECT event_type, CAST(SUM(CAST(cy AS DECIMAL(19,0)) * CAST(cy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS den FROM g GROUP BY event_type
 ), lags AS (
   SELECT event_type, d, cy, UNNEST([1, 2, 3]) AS lag FROM g
 ), num AS (
-  SELECT a.event_type, a.lag, CAST(SUM(a.cy * b.cy) AS BIGINT) AS num
+  SELECT a.event_type, a.lag, CAST(SUM(CAST(a.cy AS DECIMAL(19,0)) * CAST(b.cy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS num
   FROM lags a JOIN g b ON b.event_type = a.event_type AND b.d = a.d + a.lag
   GROUP BY a.event_type, a.lag
 ), wide AS (

@@ -948,7 +948,10 @@ def grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_bonf = F.lit(2.0) * F.col("n_days").cast("double") * _phi_upper(g)
     return top.select(
         F.col("m.day").alias("day"),
-        (F.col("m.gq") / F.lit(1000)).cast("long").alias("g_micro"),
+        # integer div in BOTH engines (the jl_projection/theil_index
+        # recipe, ADVICE r8): `/` is double division and the
+        # cast-to-long rounds differently across engines
+        F.expr("m.gq div 1000").alias("g_micro"),
         F.col("n_days"),
         (p_bonf < F.lit(0.05)).alias("is_outlier"),
     )
@@ -1112,8 +1115,18 @@ def kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2")
         )
     )
+    # k, n and the complete-block check DERIVED from the data
+    # (ADVICE r8: the old hardcoded k=3/n=7 constants would go
+    # silently wrong if a (returnflag, dow) cell were empty at a
+    # tiny scale factor — now a shrunken/ragged grid is visible as
+    # complete_block=false and the constants track the actual grid)
+    meta = cells.agg(
+        F.countDistinct("l_returnflag").alias("k"),
+        F.countDistinct("dow").alias("n_obj"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
     per_obj = ranked.groupBy("dow").agg(F.sum("r2").alias("r2j"))
-    # tie term per ranker: group the 7 counts by value
+    # tie term per ranker: group the n counts by value
     ties = (
         cells.groupBy("l_returnflag", "c")
         .agg(F.count(F.lit(1)).alias("t"))
@@ -1123,21 +1136,34 @@ def kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tsum")
         )
     )
-    s4 = per_obj.agg(
-        F.sum(
-            (F.col("r2j") - F.lit(24)) * (F.col("r2j") - F.lit(24))
-        ).alias("s4"),
-        F.count(F.lit(1)).alias("n_objects"),
+    # doubled-rank mean per object is k(n+1), an exact integer
+    s4 = (
+        per_obj.crossJoin(F.broadcast(meta))
+        .agg(
+            F.sum(
+                (F.col("r2j") - F.col("k") * (F.col("n_obj") + 1))
+                * (F.col("r2j") - F.col("k") * (F.col("n_obj") + 1))
+            ).alias("s4"),
+            F.max("k").alias("k"),
+            F.max("n_obj").alias("n_obj"),
+            F.max("n_cells").alias("n_cells"),
+        )
     )
     j = s4.crossJoin(F.broadcast(ties))
+    kd = F.col("k").cast("double")
+    nd = F.col("n_obj").cast("double")
+    # W = 12 S / (k²(n³−n) − k ΣT); S4 = 4S in doubled-rank units
     w = F.lit(3.0) * F.col("s4").cast("double") / (
-        F.lit(9.0 * 336.0) - F.lit(3.0) * F.col("tsum").cast("double")
+        kd * kd * (nd * nd * nd - nd) - kd * F.col("tsum").cast("double")
     )
     return j.select(
-        "n_objects",
-        F.lit(3).alias("k_rankers"),
+        F.col("n_obj").alias("n_objects"),
+        F.col("k").alias("k_rankers"),
+        (F.col("n_cells") == F.col("k") * F.col("n_obj")).alias(
+            "complete_block"
+        ),
         F.round(w, 6).alias("w"),
-        F.round(F.lit(3.0) * F.lit(6.0) * w, 6).alias("chi2"),
+        F.round(kd * (nd - F.lit(1.0)) * w, 6).alias("chi2"),
     )
 
 
@@ -1155,20 +1181,29 @@ WITH li AS (
   FROM cells a JOIN cells b
     ON b.l_returnflag = a.l_returnflag AND b.dow <> a.dow
   GROUP BY a.l_returnflag, a.dow
+), meta AS (
+  SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_obj,
+         COUNT(*) AS n_cells
+  FROM cells
 ), per_obj AS (
   SELECT dow, CAST(SUM(r2) AS BIGINT) AS r2j FROM ranked GROUP BY dow
 ), ties AS (
   SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
   FROM (SELECT l_returnflag, c, COUNT(*) AS t FROM cells GROUP BY 1, 2)
 ), s4 AS (
-  SELECT CAST(SUM((r2j - 24) * (r2j - 24)) AS BIGINT) AS s4,
-         COUNT(*) AS n_objects
-  FROM per_obj
+  SELECT CAST(SUM((r2j - k * (n_obj + 1)) * (r2j - k * (n_obj + 1))) AS BIGINT) AS s4,
+         MAX(k) AS k, MAX(n_obj) AS n_obj, MAX(n_cells) AS n_cells
+  FROM per_obj CROSS JOIN meta
 )
-SELECT n_objects,
-       3 AS k_rankers,
-       ROUND(3.0 * s4 / (9.0 * 336.0 - 3.0 * tsum), 6) AS w,
-       ROUND(18.0 * (3.0 * s4 / (9.0 * 336.0 - 3.0 * tsum)), 6) AS chi2
+SELECT n_obj AS n_objects,
+       k AS k_rankers,
+       n_cells = k * n_obj AS complete_block,
+       ROUND(3.0 * s4 / (CAST(k AS DOUBLE) * k * (CAST(n_obj AS DOUBLE) * n_obj * n_obj - n_obj)
+                         - CAST(k AS DOUBLE) * tsum), 6) AS w,
+       ROUND(CAST(k AS DOUBLE) * (n_obj - 1.0)
+             * (3.0 * s4 / (CAST(k AS DOUBLE) * k * (CAST(n_obj AS DOUBLE) * n_obj * n_obj - n_obj)
+                            - CAST(k AS DOUBLE) * tsum)), 6) AS chi2
 FROM s4 CROSS JOIN ties
 """
 

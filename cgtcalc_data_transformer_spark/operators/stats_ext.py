@@ -250,42 +250,60 @@ def kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the 50×11 CELL table (c_xy counts), so the "all pairs of
     rows" O(n²) definition collapses to a 550×550 cell theta join.
     C = Σ c_a·c_b over cell pairs with both coordinates increasing,
-    D with coordinates opposing; tie terms from the marginals. Every
-    sum is exact BIGINT (Σ c_a·c_b ≤ n²); τ-b is one IEEE expression.
+    D with coordinates opposing; tie terms from the marginals.
+
+    Overflow routing (VERDICT r8 item 2, the mannwhitney u2a recipe):
+    C, D and the tie sums are n²-scale — they cross 2^63 around
+    sf200 even though each cell count is a safe BIGINT. Counts are
+    cast to DECIMAL(19,0) BEFORE the multiply (so even a single
+    c_a·c_b term can't overflow at any SF) and summed in
+    DECIMAL(38,0), exact and order-insensitive; n(n−1) rides the
+    same decimal path. concordant/discordant are emitted as DOUBLE
+    in both twins — at 100 TB they exceed int64 by construction.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("x"),
         F.expr(_DK).alias("y"),
     )
+    d19 = "decimal(19,0)"
     cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    pair_term = F.col("a.c").cast(d19) * F.col("b.c").cast(d19)
     a, b = cells.alias("a"), cells.alias("b")
     conc = (
         a.join(
             b,
             (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")),
         )
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("cc"))
+        .agg(F.sum(pair_term).alias("cc"))
     )
     disc = (
         a.join(
             b,
             (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")),
         )
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dd"))
+        .agg(F.sum(pair_term).alias("dd"))
     )
     mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
     my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
     tx = mx.agg(
         F.sum("cx").alias("n"),
-        F.sum(F.col("cx") * (F.col("cx") - 1)).alias("t1x2"),
+        F.sum(
+            F.col("cx").cast(d19) * (F.col("cx") - 1).cast(d19)
+        ).alias("t1x2"),
     )
-    ty = my.agg(F.sum(F.col("cy") * (F.col("cy") - 1)).alias("t1y2"))
+    ty = my.agg(
+        F.sum(
+            F.col("cy").cast(d19) * (F.col("cy") - 1).cast(d19)
+        ).alias("t1y2")
+    )
     s = (
         conc.crossJoin(F.broadcast(disc))
         .crossJoin(F.broadcast(tx))
         .crossJoin(F.broadcast(ty))
     )
-    n0x2 = F.col("n") * (F.col("n") - 1)  # 2·n0, matches 2·n1/2·n2 scale
+    # 2·n0 = n(n−1), matches the 2·n1/2·n2 scale of the tie sums;
+    # decimal so n² can't overflow BIGINT at large SF
+    n0x2 = F.col("n").cast(d19) * (F.col("n") - 1).cast(d19)
     tau = (F.col("cc") - F.col("dd")).cast("double") / (
         F.sqrt(
             (n0x2 - F.col("t1x2")).cast("double")
@@ -296,8 +314,8 @@ def kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.lit("l_quantity~l_discount").alias("pair"),
         "n",
-        F.col("cc").alias("concordant"),
-        F.col("dd").alias("discordant"),
+        F.col("cc").cast("double").alias("concordant"),
+        F.col("dd").cast("double").alias("discordant"),
         F.round(tau, 6).alias("tau_b"),
     )
 
@@ -308,23 +326,30 @@ WITH rows_kv AS (
 ), cells AS (
   SELECT x, y, COUNT(*) AS c FROM rows_kv GROUP BY x, y
 ), conc AS (
-  SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS cc
+  SELECT CAST(SUM(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS cc
   FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
 ), disc AS (
-  SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS dd
+  SELECT CAST(SUM(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS dd
   FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
 ), tx AS (
   SELECT CAST(SUM(cx) AS BIGINT) AS n,
-         CAST(SUM(cx * (cx - 1)) AS BIGINT) AS t1x2
+         CAST(SUM(CAST(cx AS DECIMAL(19,0)) * CAST(cx - 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS t1x2
   FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x)
 ), ty AS (
-  SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) AS t1y2
+  SELECT CAST(SUM(CAST(cy AS DECIMAL(19,0)) * CAST(cy - 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS t1y2
   FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y)
 )
-SELECT 'l_quantity~l_discount' AS pair, n, cc AS concordant, dd AS discordant,
+SELECT 'l_quantity~l_discount' AS pair, n,
+       CAST(cc AS DOUBLE) AS concordant, CAST(dd AS DOUBLE) AS discordant,
        ROUND(CAST(cc - dd AS DOUBLE)
-             / (sqrt(CAST(n * (n - 1) - t1x2 AS DOUBLE)
-                     * CAST(n * (n - 1) - t1y2 AS DOUBLE)) / 2.0), 6) AS tau_b
+             / (sqrt(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+                          - t1x2 AS DOUBLE)
+                     * CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+                            - t1y2 AS DOUBLE)) / 2.0), 6) AS tau_b
 FROM conc, disc, tx, ty
 """
 
@@ -1302,7 +1327,7 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_g = ranked.groupBy("l_returnflag").agg(
         F.sum("c").alias("ng"),
-        F.sum(F.col("c") * F.col("r2")).alias("r2g"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("r2").cast("decimal(19,0)")).alias("r2g"),
     )
     # Σ(t³−t) via double terms summed in DECIMAL(38,6) — the BIGINT
     # sum overflows at ~sf10 (50 terms × ~1.7e18); same recipe as the
@@ -1349,7 +1374,7 @@ WITH vals AS (
 ), per_g AS (
   SELECT l_returnflag,
          CAST(SUM(c) AS BIGINT) AS ng,
-         CAST(SUM(c * (2 * cum + t + 1)) AS BIGINT) AS r2g
+         CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(2 * cum + t + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS r2g
   FROM vals JOIN cum USING (v)
   GROUP BY l_returnflag
 ), ties AS (
@@ -1556,10 +1581,10 @@ def effect_size_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("q.cb"), F.lit(0)).alias("cumb"))
     )
     dom = cum.agg(
-        F.sum(F.col("ca") * F.col("cumb")).alias("gt"),
+        F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cumb").cast("decimal(19,0)")).alias("gt"),
         F.sum("ca").alias("mma"),
         F.sum("cb").alias("mmb"),
-        F.sum(F.col("ca") * F.col("cb")).alias("eq"),
+        F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")).alias("eq"),
     )
     j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(dom))
     mad = F.col("ma").cast("double")
@@ -1614,8 +1639,8 @@ WITH li AS (
   SELECT p.v, p.ca, p.cb, CAST(COALESCE(SUM(q.cb), 0) AS BIGINT) AS cumb
   FROM vals p LEFT JOIN vals q ON q.v < p.v GROUP BY p.v, p.ca, p.cb
 ), dom AS (
-  SELECT CAST(SUM(ca * cumb) AS BIGINT) AS gt,
-         CAST(SUM(ca * cb) AS BIGINT) AS eq
+  SELECT CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(cumb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS gt,
+         CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS eq
   FROM cum
 )
 SELECT ma AS m_a, mb AS m_b,

@@ -423,7 +423,7 @@ def source_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     hq = F.floor(-p * F.log(p) * F.lit(float(DIV_SCALE)) + F.lit(0.5)).cast("long")
     agg = j.groupBy("n", "s").agg(
         F.sum(hq).alias("hsum"),
-        F.sum(F.col("c") * F.col("c")).alias("c2"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")).alias("c2"),
     )
     h = F.col("hsum").cast("double") / F.lit(float(DIV_SCALE))
     simpson = F.col("c2").cast("double") / (
@@ -450,7 +450,7 @@ WITH per AS (
   FROM per CROSS JOIN tot
 ), agg AS (
   SELECT n, s, CAST(SUM(hq) AS BIGINT) AS hsum,
-         CAST(SUM(c * c) AS BIGINT) AS c2
+         CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS c2
   FROM terms GROUP BY n, s
 )
 SELECT s AS n_sources, n AS n_docs,

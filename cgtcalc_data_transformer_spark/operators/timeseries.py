@@ -111,7 +111,7 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nd",
     )
     den = g.groupBy("event_type").agg(
-        F.sum(F.col("cy") * F.col("cy")).alias("den")
+        F.sum(F.col("cy").cast("decimal(19,0)") * F.col("cy").cast("decimal(19,0)")).alias("den")
     )
     lags = g.select(
         "event_type",
@@ -129,7 +129,7 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.d") == F.col("a.d") + F.col("a.lag")),
         )
         .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.lag").alias("lag"))
-        .agg(F.sum(F.col("a.cy") * F.col("b.cy")).alias("num"))
+        .agg(F.sum(F.col("a.cy").cast("decimal(19,0)") * F.col("b.cy").cast("decimal(19,0)")).alias("num"))
     )
     return (
         num.join(F.broadcast(den), "event_type")
@@ -152,11 +152,11 @@ WITH {_GRID_SQL}, tot AS (
   SELECT grid.event_type, d, nd * y - s AS cy, nd
   FROM grid JOIN tot ON grid.event_type = tot.event_type
 ), den AS (
-  SELECT event_type, CAST(SUM(cy * cy) AS BIGINT) AS den
+  SELECT event_type, CAST(SUM(CAST(cy AS DECIMAL(19,0)) * CAST(cy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS den
   FROM g GROUP BY event_type
 ), num AS (
   SELECT a.event_type, lag.lag,
-         CAST(SUM(a.cy * b.cy) AS BIGINT) AS num
+         CAST(SUM(CAST(a.cy AS DECIMAL(19,0)) * CAST(b.cy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS num
   FROM g a
   JOIN (SELECT UNNEST(generate_series(1, {ACF_MAX_LAG})) AS lag) lag
     ON lag.lag <= a.nd - 1
@@ -254,7 +254,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = grid.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nd"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("syy"),
     )
     sigma = F.sqrt(
         (
@@ -317,7 +317,7 @@ WITH {_GRID_SQL}, w(j, w) AS (
 ), sig AS (
   SELECT event_type, COUNT(*) AS nd,
          CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
   FROM grid GROUP BY event_type
 ), z AS (
   SELECT hist.event_type, d, y,
@@ -987,7 +987,7 @@ def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nd") * F.col("y") - F.col("s")).alias("cy"),
     )
     s2 = g.groupBy("event_type", "nd", "s").agg(
-        F.sum(F.col("cy") * F.col("cy")).alias("ss")
+        F.sum(F.col("cy").cast("decimal(19,0)") * F.col("cy").cast("decimal(19,0)")).alias("ss")
     )
     disp = F.col("ss").cast("double") / (
         F.col("nd") * (F.col("nd") - 1) * F.col("s")
@@ -1008,7 +1008,7 @@ WITH {_GRID_SQL}, tot AS (
   FROM grid GROUP BY event_type
 ), s2 AS (
   SELECT grid.event_type, nd, s,
-         CAST(SUM((nd * y - s) * (nd * y - s)) AS BIGINT) AS ss
+         CAST(SUM(CAST(nd * y - s AS DECIMAL(19,0)) * CAST(nd * y - s AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss
   FROM grid JOIN tot ON grid.event_type = tot.event_type
   GROUP BY grid.event_type, nd, s
 )
@@ -1049,7 +1049,7 @@ def durbin_watson_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nd") * F.col("y") - F.col("s")).alias("e"),
     )
     den = g.groupBy("event_type").agg(
-        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(F.col("e").cast("decimal(19,0)") * F.col("e").cast("decimal(19,0)")).alias("see"),
         F.count(F.lit(1)).alias("nd"),
     )
     num = (
@@ -1062,7 +1062,8 @@ def durbin_watson_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.event_type").alias("event_type"))
         .agg(
             F.sum(
-                (F.col("b.e") - F.col("a.e")) * (F.col("b.e") - F.col("a.e"))
+                (F.col("b.e") - F.col("a.e")).cast("decimal(19,0)")
+                * (F.col("b.e") - F.col("a.e")).cast("decimal(19,0)")
             ).alias("sdd")
         )
     )
@@ -1085,11 +1086,11 @@ WITH {_GRID_SQL}, tot AS (
   SELECT grid.event_type, d, nd * y - s AS e
   FROM grid JOIN tot ON grid.event_type = tot.event_type
 ), den AS (
-  SELECT event_type, CAST(SUM(e * e) AS BIGINT) AS see, COUNT(*) AS nd
+  SELECT event_type, CAST(SUM(CAST(e AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS see, COUNT(*) AS nd
   FROM g GROUP BY event_type
 ), num AS (
   SELECT a.event_type,
-         CAST(SUM((b.e - a.e) * (b.e - a.e)) AS BIGINT) AS sdd
+         CAST(SUM(CAST(b.e - a.e AS DECIMAL(19,0)) * CAST(b.e - a.e AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdd
   FROM g a JOIN g b ON a.event_type = b.event_type AND b.d = a.d + 1
   GROUP BY a.event_type
 )
@@ -1140,11 +1141,11 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ll") * F.col("y") - F.col("sp")).alias("e"),
     )
     den = e.groupBy("event_type", "q").agg(
-        F.sum(F.col("e") * F.col("e")).alias("see")
+        F.sum(F.col("e").cast("decimal(19,0)") * F.col("e").cast("decimal(19,0)")).alias("see")
     )
     blocks = e.groupBy("event_type", "q", "b").agg(F.sum("e").alias("eb"))
     num = blocks.groupBy("event_type", "q").agg(
-        F.sum(F.col("eb") * F.col("eb")).alias("sbb"),
+        F.sum(F.col("eb").cast("decimal(19,0)") * F.col("eb").cast("decimal(19,0)")).alias("sbb"),
         F.count(F.lit(1)).alias("n_blocks"),
     )
     j = num.join(den, ["event_type", "q"])
@@ -1178,13 +1179,13 @@ WITH {_GRID_SQL}, nd AS (
          tot.ll * gq.y - tot.sp AS e
   FROM gq JOIN tot ON gq.event_type = tot.event_type AND gq.q = tot.q
 ), den AS (
-  SELECT event_type, q, CAST(SUM(e * e) AS BIGINT) AS see
+  SELECT event_type, q, CAST(SUM(CAST(e AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS see
   FROM e GROUP BY event_type, q
 ), blocks AS (
   SELECT event_type, q, b, CAST(SUM(e) AS BIGINT) AS eb
   FROM e GROUP BY event_type, q, b
 ), num AS (
-  SELECT event_type, q, CAST(SUM(eb * eb) AS BIGINT) AS sbb,
+  SELECT event_type, q, CAST(SUM(CAST(eb AS DECIMAL(19,0)) * CAST(eb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sbb,
          COUNT(*) AS n_blocks
   FROM blocks GROUP BY event_type, q
 )
