@@ -820,11 +820,108 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
+_ROUND9_NEW: list[str] = []
+
+# Priority-ordered recheck pool: code-changed-this-round FIRST (their
+# r8-or-earlier hash rows are stale by definition), then the flagship,
+# then the oldest green rows. Only the first 50-len(_ROUND9_NEW)
+# burn slots.
+_ROUND9_RECHECK_POOL = [
+    # -- code changed this round: the DECIMAL(38,0) overflow sweep
+    # (VERDICT r8 items 2-3 + ADVICE r8; commit ec60ff1) --
+    "kendall_tau_binned",      # mandated: concordant/discordant sums
+    "degree_assortativity",    # d3-scale moments
+    "kendalls_w",              # derived k/n + complete_block gate
+    "grubbs_max_outlier",      # integer-div g_micro
+    "ljung_box_test",          # series8 centered products
+    "pacf_daily_counts",
+    "ccf_lagged",
+    "acf_daily_counts",        # timeseries centered products
+    "ewma_control_chart",
+    "poisson_dispersion_test",
+    "durbin_watson_stat",
+    "variance_ratio_test",
+    "kruskal_wallis_test",     # r2g rank sum
+    "effect_size_panel",       # gt/eq pair sums
+    "events_rate_anomaly",     # windowed sum of squares
+    "source_diversity_indices",
+    "gini_concentration",
+    "lognormal_fit_doclen",
+    # code changed this round: stale-warehouse fix in write_bucketed
+    # (commit 534462d — re-enters the window only now that the fix
+    # landed, per VERDICT r8 item 4)
+    "join_bucketed",
+    # flagship entry() twin — keep a fresh row every round
+    "canonical_orders",
+    # -- oldest rows (r1): dedup/window core freshness sweep --
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "grouped_zscore",
+    "subquery_scalar",
+    # -- next-oldest (r2): parsers, TPC-H tail, join/agg/window/set core --
+    "parse_freetrade",
+    "parse_ii",
+    "parse_fidelity",
+    "parse_bullionvault",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_nation_year",
+    "q11_important_value",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_dormant_value",
+    "sql_frontend_q13",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_geo",
+    "join_salted",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "window_running_total",
+    "window_topk",
+    "window_lag_gap",
+    "window_range_frame",
+    "window_ntile",
+    "topk_orders",
+    "setop_intersect",
+    "setop_except",
+    "pivot_status",
+    "unpivot_status",
+    "range_join_bands",
+    # -- r3 buffer (used only while _ROUND9_NEW is short) --
+    "ann_ivf",
+    "ann_lsh",
+    "asof_join",
+    "boilerplate_score",
+    "cdc_latest",
+    "contamination_check",
+    "dedup_incremental",
+    "dq_checks",
+    "emb_centroid_stats",
+    "emb_normalize",
+]
+
+_ROUND9_RECHECKS = _ROUND9_RECHECK_POOL[: 50 - len(_ROUND9_NEW)]
+_ROUND9_WINDOW = [*_ROUND9_NEW, *_ROUND9_RECHECKS]
+
+# ---- round-8 window (historical; artifact CORRECTNESS_r08.json) -----
 _ROUND8_NEW: list[str] = [
     "welch_t_test",
     "levene_test",
@@ -948,27 +1045,19 @@ _ROUND8_RECHECK_POOL = [
 ]
 
 _ROUND8_RECHECKS = _ROUND8_RECHECK_POOL[: 50 - len(_ROUND8_NEW)]
-
-# Round-9 rotation plan (mechanical): bump CURRENT_ROUND to 9, start
-# _ROUND9_NEW empty, refill the pool code-changed-first then
-# oldest-green. Round 8 burns the first 50-len(_ROUND8_NEW) pool
-# entries above IN ORDER; everything after that cut line carries over
-# to the r9 pool unchanged, followed by the remaining r3 rows.
-#
-# MANDATORY r9 item (deferred from r8 because the window was full and
-# a code change would stale the op's only driver row): route
-# kendall_tau_binned's concordant/discordant sums (Σ a.c·b.c ~ n²/2,
-# overflows int64 ~sf200) and its t1x2/t1y2 tie sums through
-# DECIMAL(38,0) — the mannwhitney u2a / wilcoxon twowp fix of r8 —
-# then declare it a code-changed recheck at the head of the r9 pool.
-
 _ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
+
+# Round-10 rotation plan (mechanical): bump CURRENT_ROUND to 10,
+# start _ROUND10_NEW empty, refill the pool code-changed-first then
+# oldest-green. Round 9 burns the first 50-len(_ROUND9_NEW) pool
+# entries IN ORDER; everything after that cut line carries over,
+# followed by the remaining r3 rows (emb_quantize onward).
 
 # Generic aliases — tests and tooling reference these so a future
 # rotation only touches this module.
-_ROUND_NEW = _ROUND8_NEW
-_ROUND_RECHECKS = _ROUND8_RECHECKS
-_ROUND_WINDOW = _ROUND8_WINDOW
+_ROUND_NEW = _ROUND9_NEW
+_ROUND_RECHECKS = _ROUND9_RECHECKS
+_ROUND_WINDOW = _ROUND9_WINDOW
 
 # Rows-only streaming engine runs (all carry an r5 record; kept out of
 # the round-6 window — oracled slots are stronger):
