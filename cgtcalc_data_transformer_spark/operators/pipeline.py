@@ -58,9 +58,18 @@ def merge_sorted(
         # (pyspark/errors/exceptions/base.py, DataFrameQueryContextLogger)
         # as a scary JSON ERROR on every in-memory CLI run — mute that
         # one logger for the duration of the probe.
-        import logging
+        #
+        # MUST fetch it through PySpark's own accessor: plain
+        # logging.getLogger() would CREATE and cache a stdlib Logger
+        # under that name, and PySpark's captured-error path later
+        # calls .exception(..., file=...) on it — a kwarg only the
+        # PySparkLogger subclass accepts — turning every subsequent
+        # DataFrame-context error in the process into a masking
+        # TypeError (VERDICT r9 #1; pinned by
+        # tests/test_pipeline.py::test_tag_probe_does_not_poison_pyspark_logger).
+        from pyspark.logger import PySparkLogger
 
-        qlog = logging.getLogger("DataFrameQueryContextLogger")
+        qlog = PySparkLogger.getLogger("DataFrameQueryContextLogger")
         prev_disabled = qlog.disabled
         qlog.disabled = True
         try:

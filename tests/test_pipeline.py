@@ -56,3 +56,38 @@ def test_report(spark):
     rep = report(df, new_count=7)
     assert rep["total"] == 7
     assert len(rep["sample"]) == 5
+
+
+def test_tag_probe_does_not_poison_pyspark_logger(spark):
+    """Regression for VERDICT r9 #1: merge_sorted's _metadata probe
+    muted `DataFrameQueryContextLogger` via stdlib logging.getLogger,
+    which CREATES a plain logging.Logger and caches it by name.
+    PySpark 4's captured-error path later fetches the same name
+    expecting its PySparkLogger subclass (whose .exception accepts a
+    `file=` kwarg) and crashed with
+    `TypeError: Logger._log() got an unexpected keyword argument 'file'`,
+    masking the real Spark exception process-wide. After any pipeline
+    run, a post-pipeline ANSI error must still surface as the real
+    Spark exception, not the TypeError."""
+    import logging
+
+    from pyspark.logger import PySparkLogger
+    from pyspark.sql import functions as F
+
+    # 1. Run the pipeline (in-memory source exercises the probe's
+    #    failure branch — the one that touches the logger).
+    merge_sorted(None, _lines_df(spark, ["BUY 01/01/2024 A 1 1 0"])).collect()
+
+    # 2. The cached logger must still be PySpark's subclass.
+    assert isinstance(
+        logging.getLogger("DataFrameQueryContextLogger"), PySparkLogger
+    )
+
+    # 3. A post-pipeline ANSI overflow surfaces as the Spark error,
+    #    with its real message — not a masking TypeError.
+    import pytest
+
+    df = spark.createDataFrame([(2**62,), (2**62,)], "x long")
+    with pytest.raises(Exception, match="(?i)overflow|out of range") as ei:
+        df.agg(F.sum(F.col("x") + F.col("x"))).collect()
+    assert not isinstance(ei.value, TypeError)
