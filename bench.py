@@ -337,6 +337,16 @@ HEADLINE: dict[str, str] = {
     "modularity_regions": "collect",
     "qq_deciles": "collect",
     "odds_ratio_ci": "collect",
+    # round-10 ordered/robust rank tests + nominal association (stats9)
+    "jonckheere_terpstra": "collect",
+    "brunner_munzel": "collect",
+    "mantel_haenszel_or": "collect",
+    "cuped_adjustment": "collect",
+    "cramers_v_segment_nation": "collect",
+    "mutual_information_nominal": "collect",
+    "goodman_kruskal_lambda": "collect",
+    "bowker_symmetry": "collect",
+    "adjusted_rand_index": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -468,9 +468,13 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select(
         "user_id", F.expr(f"ts div {DAY_NS}").alias("day")
     )
+    # Integer division in BOTH twins (ADVICE r9): `/` is double
+    # division and cast-to-long truncates toward zero in Spark but
+    # the DuckDB CAST rounds to nearest — odd mn+mx picked different
+    # mid days (the jl_projection/theil `div` rule).
     bounds = ev.agg(
-        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
-    )
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
     per_user = ev.crossJoin(F.broadcast(bounds)).groupBy("user_id").agg(
         F.sum((F.col("day") <= F.col("mid")).cast("long")).alias("x"),
         F.sum((F.col("day") > F.col("mid")).cast("long")).alias("y"),
@@ -507,7 +511,7 @@ CUPED_SQL = """
 WITH ev AS (
   SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
 ), bounds AS (
-  SELECT CAST((MIN(day) + MAX(day)) / 2 AS BIGINT) AS mid FROM ev
+  SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev
 ), per_user AS (
   SELECT user_id,
          CAST(SUM(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
@@ -568,7 +572,16 @@ def cramers_v_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One count aggregation → ≤125 cells; each cell's χ² term
     (n·o − r·c)²/(n·r·c) is computed from exact integers in double
-    and quantized to the 1e-6 grid before the bounded sum.
+    and quantized to the 1e-6 grid before the bounded sum. Cells
+    ABSENT from the count table (o = 0) still owe their expected
+    count e = r·c/n to χ² — rather than generating them, use
+    Σ_all e = n, so the missing-cell contribution is exactly
+    n − Σ_observed r·c/n (ADVICE r9). The significance gate derives
+    the critical value from the ACTUAL dof via the Wilson-Hilferty
+    cube approximation (x·x·x, not pow — multiplication is
+    correctly-rounded IEEE in both engines; at df = 96 it gives
+    119.88 vs the exact 119.87, a 0.01 gap that only matters within
+    half an ulp of the boundary).
     """
     cells = _seg_nation_cells(spark, sf_dir)
     rows_m = cells.groupBy("seg").agg(F.sum("o").alias("r"))
@@ -585,20 +598,38 @@ def cramers_v_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ndl, od, rd, cd = (F.col(x).cast("double") for x in ("n", "o", "r", "c"))
     term = (ndl * od - rd * cd) * (ndl * od - rd * cd) / (ndl * rd * cd)
+    ecov = rd * cd / ndl
+
+    def q6(x):
+        return F.floor(x * F.lit(float(MH_S)) + F.lit(0.5)).cast("decimal(38,0)")
+
     s = j.groupBy("n", "nr", "nc").agg(
-        F.sum(
-            F.floor(term * F.lit(float(MH_S)) + F.lit(0.5)).cast("decimal(38,0)")
-        ).alias("chi2q")
+        F.sum(q6(term)).alias("chi2q"),
+        F.sum(q6(ecov)).alias("ecovq"),
+        F.count(F.lit(1)).alias("n_cells"),
     )
-    chi2 = F.col("chi2q").cast("double") / F.lit(float(MH_S))
+    mhs = F.lit(float(MH_S))
+    chi2 = (
+        F.col("chi2q").cast("double") / mhs
+        + (F.col("n").cast("double") - F.col("ecovq").cast("double") / mhs)
+    )
+    dof = (F.col("nr") - 1) * (F.col("nc") - 1)
+    dofd = dof.cast("double")
+    wh = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dofd)
+        + F.lit(1.644854) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd))
+    )
+    crit = dofd * wh * wh * wh
     kmin = F.least(F.col("nr"), F.col("nc")) - 1
     v = F.sqrt(chi2 / (F.col("n").cast("double") * kmin.cast("double")))
     return s.select(
         "n",
-        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        dof.alias("dof"),
+        (F.col("n_cells") == F.col("nr") * F.col("nc")).alias("complete_grid"),
         F.round(chi2, 6).alias("chi2"),
         F.round(v, 6).alias("cramers_v"),
-        (chi2 > F.lit(CHI2_CRIT_DF96)).alias("significant"),
+        (chi2 > crit).alias("significant"),
     )
 
 
@@ -612,17 +643,28 @@ WITH {_SEG_NATION_CELLS_SQL}, meta AS (
          CAST(SUM(CAST(floor((CAST(n AS DOUBLE) * o - CAST(r AS DOUBLE) * c)
                              * (CAST(n AS DOUBLE) * o - CAST(r AS DOUBLE) * c)
                              / (CAST(n AS DOUBLE) * r * c) * {MH_S} + 0.5)
-                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS chi2q
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS chi2q,
+         CAST(SUM(CAST(floor(CAST(r AS DOUBLE) * c / n * {MH_S} + 0.5)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ecovq,
+         COUNT(*) AS n_cells
   FROM cells JOIN rows_m USING (seg) JOIN cols_m USING (nat)
   CROSS JOIN tot CROSS JOIN meta
   GROUP BY n, nr, nc
+), f AS (
+  SELECT n, nr, nc, n_cells,
+         CAST(chi2q AS DOUBLE) / {MH_S}
+           + (CAST(n AS DOUBLE) - CAST(ecovq AS DOUBLE) / {MH_S}) AS chi2,
+         (nr - 1) * (nc - 1) AS dof,
+         1.0 - 2.0 / (9.0 * ((nr - 1) * (nc - 1)))
+           + 1.644854 * sqrt(2.0 / (9.0 * ((nr - 1) * (nc - 1)))) AS wh
+  FROM s
 )
-SELECT n, (nr - 1) * (nc - 1) AS dof,
-       ROUND(CAST(chi2q AS DOUBLE) / {MH_S}, 6) AS chi2,
-       ROUND(sqrt(CAST(chi2q AS DOUBLE) / {MH_S}
-                  / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))), 6) AS cramers_v,
-       CAST(chi2q AS DOUBLE) / {MH_S} > {CHI2_CRIT_DF96} AS significant
-FROM s
+SELECT n, dof,
+       n_cells = nr * nc AS complete_grid,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(sqrt(chi2 / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))), 6) AS cramers_v,
+       chi2 > CAST(dof AS DOUBLE) * wh * wh * wh AS significant
+FROM f
 """
 
 
@@ -803,22 +845,23 @@ def bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("mn"), F.lit(4)).alias("i"),
         F.pmod(F.col("mx"), F.lit(4)).alias("j"),
     ).agg(F.count(F.lit(1)).alias("nij"))
-    pairs = (
-        table.alias("u")
-        .join(
-            F.broadcast(table.alias("w")),
-            (F.col("w.i") == F.col("u.j")) & (F.col("w.j") == F.col("u.i")),
-            "left",
-        )
-        .filter(F.col("u.i") < F.col("u.j"))
-        .select(
-            F.col("u.nij").alias("nij"),
-            F.coalesce(F.col("w.nij"), F.lit(0)).alias("nji"),
-        )
+    # Symmetrize BEFORE pairing (ADVICE r9): the old upper-triangle
+    # LEFT JOIN dropped any (i,j) pair whose n_ij row was absent but
+    # whose n_ji row existed — losing a chi2 contribution of exactly
+    # n_ji and a dof. Re-key every off-diagonal cell on
+    # (least(i,j), greatest(i,j)) and aggregate both orientations.
+    off = table.filter(F.col("i") != F.col("j")).select(
+        F.least("i", "j").alias("lo"),
+        F.greatest("i", "j").alias("hi"),
+        F.when(F.col("i") < F.col("j"), F.col("nij")).otherwise(F.lit(0)).alias("fwd"),
+        F.when(F.col("i") > F.col("j"), F.col("nij")).otherwise(F.lit(0)).alias("bwd"),
+    )
+    pairs = off.groupBy("lo", "hi").agg(
+        F.sum("fwd").alias("nij"), F.sum("bwd").alias("nji")
     )
     diff = (F.col("nij") - F.col("nji")).cast("double")
     tot = (F.col("nij") + F.col("nji")).cast("double")
-    s = pairs.filter(F.col("nij") + F.col("nji") > 0).agg(
+    s = pairs.agg(
         F.count(F.lit(1)).alias("dof"),
         F.sum(
             F.floor(diff * diff / tot * F.lit(float(MH_S)) + F.lit(0.5))
@@ -826,14 +869,18 @@ def bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2q"),
     )
     chi2 = F.col("chi2q").cast("double") / F.lit(float(MH_S))
+    # dof = 0 (no off-diagonal traffic at all) must not feed
+    # element_at index 0 — 1-based lookup throws under ANSI. Clamp
+    # the index and gate the verdict on dof > 0 (chi2 is NULL there,
+    # and false-AND-NULL is false in both engines).
     crit = F.element_at(
         F.array(F.lit(3.841459), F.lit(5.991465), F.lit(7.814728)),
-        F.col("dof").cast("int"),
+        F.greatest(F.col("dof"), F.lit(1)).cast("int"),
     )
     return s.select(
         "dof",
         F.round(chi2, 6).alias("chi2"),
-        (chi2 > crit).alias("asymmetric"),
+        ((F.col("dof") > 0) & (chi2 > crit)).alias("asymmetric"),
     )
 
 
@@ -849,20 +896,25 @@ WITH li AS (
 ), tbl AS (
   SELECT mn % 4 AS i, mx % 4 AS j, COUNT(*) AS nij
   FROM per_order GROUP BY 1, 2
+), off AS (
+  SELECT LEAST(i, j) AS lo, GREATEST(i, j) AS hi,
+         CASE WHEN i < j THEN nij ELSE 0 END AS fwd,
+         CASE WHEN i > j THEN nij ELSE 0 END AS bwd
+  FROM tbl WHERE i <> j
 ), pairs AS (
-  SELECT u.nij AS nij, COALESCE(w.nij, 0) AS nji
-  FROM tbl u LEFT JOIN tbl w ON w.i = u.j AND w.j = u.i
-  WHERE u.i < u.j
+  SELECT lo, hi, CAST(SUM(fwd) AS BIGINT) AS nij, CAST(SUM(bwd) AS BIGINT) AS nji
+  FROM off GROUP BY lo, hi
 ), s AS (
   SELECT COUNT(*) AS dof,
          CAST(SUM(CAST(floor(CAST(nij - nji AS DOUBLE) * (nij - nji)
                              / (nij + nji) * {MH_S} + 0.5) AS DECIMAL(38,0)))
               AS DECIMAL(38,0)) AS chi2q
-  FROM pairs WHERE nij + nji > 0
+  FROM pairs
 )
 SELECT dof,
        ROUND(CAST(chi2q AS DOUBLE) / {MH_S}, 6) AS chi2,
-       CAST(chi2q AS DOUBLE) / {MH_S} > [3.841459, 5.991465, 7.814728][dof] AS asymmetric
+       dof > 0 AND CAST(chi2q AS DOUBLE) / {MH_S}
+         > [3.841459, 5.991465, 7.814728][GREATEST(dof, 1)] AS asymmetric
 FROM s
 """
 

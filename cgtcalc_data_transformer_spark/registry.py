@@ -45,6 +45,7 @@ from cgtcalc_data_transformer_spark.operators import (
     skyline,
     stats_ext,
     stats8,
+    stats9,
     profiling,
     sketch8,
     series8,
@@ -800,6 +801,32 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "modularity_regions": (graph.modularity_regions, graph.MODULARITY_SQL),
     "qq_deciles": (stats8.qq_deciles, stats8.QQ_DECILES_SQL),
     "odds_ratio_ci": (stats8.odds_ratio_ci, stats8.ODDS_RATIO_SQL),
+    # ---- round 10: ordered/robust rank tests, stratified epi, CUPED,
+    # nominal-association panel (operators/stats9.py) ----
+    "jonckheere_terpstra": (
+        stats9.jonckheere_terpstra,
+        stats9.JONCKHEERE_SQL,
+    ),
+    "brunner_munzel": (stats9.brunner_munzel, stats9.BRUNNER_MUNZEL_SQL),
+    "mantel_haenszel_or": (
+        stats9.mantel_haenszel_or,
+        stats9.MANTEL_HAENSZEL_SQL,
+    ),
+    "cuped_adjustment": (stats9.cuped_adjustment, stats9.CUPED_SQL),
+    "cramers_v_segment_nation": (
+        stats9.cramers_v_segment_nation,
+        stats9.CRAMERS_V_SQL,
+    ),
+    "mutual_information_nominal": (
+        stats9.mutual_information_nominal,
+        stats9.MUTUAL_INFORMATION_SQL,
+    ),
+    "goodman_kruskal_lambda": (
+        stats9.goodman_kruskal_lambda,
+        stats9.GK_LAMBDA_SQL,
+    ),
+    "bowker_symmetry": (stats9.bowker_symmetry, stats9.BOWKER_SQL),
+    "adjusted_rand_index": (stats9.adjusted_rand_index, stats9.ARI_SQL),
 }
 
 
@@ -820,11 +847,93 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
+_ROUND10_NEW: list[str] = [
+    "jonckheere_terpstra",
+    "brunner_munzel",
+    "mantel_haenszel_or",
+    "cuped_adjustment",
+    "cramers_v_segment_nation",
+    "mutual_information_nominal",
+    "goodman_kruskal_lambda",
+    "bowker_symmetry",
+    "adjusted_rand_index",
+]
+
+# Priority-ordered recheck pool: code-changed-this-round FIRST (the
+# pipeline.py logger fix touches merge_sorted, canonical_orders' sort
+# path — and it is the flagship anyway), then the oldest green rows:
+# round 9 burned the r9 pool through agg_distinct, leaving these 15
+# r2 rows, then the whole of r3 in registry order.
+_ROUND10_RECHECK_POOL = [
+    # code changed this round (logger-cache fix in merge_sorted's
+    # probe, commit 467526f) + flagship entry() twin
+    "canonical_orders",
+    # -- oldest rows (r2 leftovers): agg/window/setop tail --
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "window_running_total",
+    "window_topk",
+    "window_lag_gap",
+    "window_range_frame",
+    "window_ntile",
+    "topk_orders",
+    "setop_intersect",
+    "setop_except",
+    "pivot_status",
+    "unpivot_status",
+    "range_join_bands",
+    # -- next-oldest (r3), registry order --
+    "skew_join_plain",
+    "skew_join_salted",
+    "skew_join_salted_partial",
+    "sample_per_group",
+    "histogram_prices",
+    "knn_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "emb_normalize",
+    "emb_quantize",
+    "emb_centroid_stats",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_tfidf",
+    "text_chunks",
+    "text_normalize",
+    "contamination_check",
+    "mix_sources",
+    "boilerplate_score",
+    "pii_redact",
+    "pack_batches",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_json",
+    "asof_join",
+    "events_funnel",
+    "events_resample_daily",
+    "dq_checks",
+    "zorder_layout",
+    "cdc_latest",
+    "dedup_incremental",
+    "scd2_intervals",
+    "multimodal_metadata",
+    "events_attribution",
+]
+
+_ROUND10_RECHECKS = _ROUND10_RECHECK_POOL[: 50 - len(_ROUND10_NEW)]
+_ROUND10_WINDOW = [*_ROUND10_NEW, *_ROUND10_RECHECKS]
+
+# ---- round-9 window (historical; artifact CORRECTNESS_r09.json) -----
 _ROUND9_NEW: list[str] = []
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (their
@@ -1047,17 +1156,19 @@ _ROUND8_RECHECK_POOL = [
 _ROUND8_RECHECKS = _ROUND8_RECHECK_POOL[: 50 - len(_ROUND8_NEW)]
 _ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
 
-# Round-10 rotation plan (mechanical): bump CURRENT_ROUND to 10,
-# start _ROUND10_NEW empty, refill the pool code-changed-first then
-# oldest-green. Round 9 burns the first 50-len(_ROUND9_NEW) pool
+# Round-11 rotation plan (mechanical): bump CURRENT_ROUND to 11,
+# start _ROUND11_NEW empty, refill the pool code-changed-first then
+# oldest-green. Round 10 burns the first 50-len(_ROUND10_NEW) pool
 # entries IN ORDER; everything after that cut line carries over,
-# followed by the remaining r3 rows (emb_quantize onward).
+# followed by the remaining r3 rows (multimodal decode/resize/
+# frame_sample are rows-only — skip them) and then r4's rows in
+# registry order.
 
 # Generic aliases — tests and tooling reference these so a future
 # rotation only touches this module.
-_ROUND_NEW = _ROUND9_NEW
-_ROUND_RECHECKS = _ROUND9_RECHECKS
-_ROUND_WINDOW = _ROUND9_WINDOW
+_ROUND_NEW = _ROUND10_NEW
+_ROUND_RECHECKS = _ROUND10_RECHECKS
+_ROUND_WINDOW = _ROUND10_WINDOW
 
 # Rows-only streaming engine runs (all carry an r5 record; kept out of
 # the round-6 window — oracled slots are stronger):

@@ -56,6 +56,14 @@ def _warehouse_dir() -> str:
     global _WAREHOUSE_DIR
     if _WAREHOUSE_DIR is None:
         _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="spark_wh_")
+        # /tmp persists across runs here, so without cleanup every
+        # process leaks a spark_wh_* dir full of bucketed parquet
+        # copies (ADVICE r9). Best-effort removal at exit — the JVM
+        # may still hold Derby locks, hence ignore_errors.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
     return _WAREHOUSE_DIR
 
 

@@ -144,6 +144,14 @@ BNLJ_OK = {
     "source_diversity_indices",  # |sources|-row frame x 1-row totals
     "modularity_regions",  # 25-cell region grid x 1-row m/intra scalar
     "qq_deciles",  # 50-value cumulative grid x 1-row totals scalar
+    # round 10 — value-domain-bounded theta joins / 1-row scalars:
+    "jonckheere_terpstra",  # 5x|delay-domain| cell-table theta self-join
+    "brunner_munzel",  # 50-value count-table cumulative theta join
+    "cuped_adjustment",  # 1-row (mn,mx)->mid split-day scalar crossJoin
+    "cramers_v_segment_nation",  # <=125-cell grid x 1-row totals scalar
+    "mutual_information_nominal",  # <=125-cell grid x 1-row totals scalar
+    "goodman_kruskal_lambda",  # 4x 1-row max/sum scalars crossJoined
+    "adjusted_rand_index",  # 3x 1-row pair-sum scalars crossJoined
 }
 
 
