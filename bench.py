@@ -347,6 +347,11 @@ HEADLINE: dict[str, str] = {
     "goodman_kruskal_lambda": "collect",
     "bowker_symmetry": "collect",
     "adjusted_rand_index": "collect",
+    "isotonic_calibration": "collect",
+    "label_propagation": "collect",
+    "prefixspan_topk": "collect",
+    "forecast_error_audit": "collect",
+    "quantile_sketch_audit": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -46,6 +46,7 @@ from cgtcalc_data_transformer_spark.operators import (
     stats_ext,
     stats8,
     stats9,
+    stats10,
     profiling,
     sketch8,
     series8,
@@ -827,6 +828,25 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "bowker_symmetry": (stats9.bowker_symmetry, stats9.BOWKER_SQL),
     "adjusted_rand_index": (stats9.adjusted_rand_index, stats9.ARI_SQL),
+    # ---- round 10: PAV, LPA, PrefixSpan, forecast audit, quantile
+    # sketch (operators/stats10.py) ----
+    "isotonic_calibration": (
+        stats10.isotonic_calibration,
+        stats10.ISOTONIC_SQL,
+    ),
+    "label_propagation": (
+        stats10.label_propagation,
+        stats10.LABEL_PROPAGATION_SQL,
+    ),
+    "prefixspan_topk": (stats10.prefixspan_topk, stats10.PREFIXSPAN_SQL),
+    "forecast_error_audit": (
+        stats10.forecast_error_audit,
+        stats10.FORECAST_ERROR_SQL,
+    ),
+    "quantile_sketch_audit": (
+        stats10.quantile_sketch_audit,
+        stats10.QUANTILE_SKETCH_SQL,
+    ),
 }
 
 
@@ -862,6 +882,11 @@ _ROUND10_NEW: list[str] = [
     "goodman_kruskal_lambda",
     "bowker_symmetry",
     "adjusted_rand_index",
+    "isotonic_calibration",
+    "label_propagation",
+    "prefixspan_topk",
+    "forecast_error_audit",
+    "quantile_sketch_audit",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (the

@@ -152,6 +152,11 @@ BNLJ_OK = {
     "mutual_information_nominal",  # <=125-cell grid x 1-row totals scalar
     "goodman_kruskal_lambda",  # 4x 1-row max/sum scalars crossJoined
     "adjusted_rand_index",  # 3x 1-row pair-sum scalars crossJoined
+    "isotonic_calibration",  # <=10-bin grid interval theta joins
+    "label_propagation",  # 1-row community/node-count scalar crossJoin
+    "prefixspan_topk",  # 1-row n_sessions scalar crossJoin
+    "forecast_error_audit",  # day-grid EWMA horizon theta join + 1-row y0
+    "quantile_sketch_audit",  # 256-bin prefix theta join + 1-row bounds
 }
 
 

@@ -1,0 +1,210 @@
+"""Round-10 staple-operator tests: independent naive-Python
+reimplementations for stats10 (PAV isotonic, label propagation,
+PrefixSpan, forecast-error audit, quantile sketch) — textbook
+loop/sort formulations sharing no plan machinery with the Spark
+bounded-grid implementations.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_isotonic_matches_pav_loop(spark):
+    """The minimax closed form must equal the classic sequential
+    pool-adjacent-violators algorithm, and the fit must be monotone."""
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        ECE_BINS,
+        ECE_SC,
+        _nearest_centroid_scores,
+    )
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        isotonic_calibration,
+    )
+
+    per_vec = _nearest_centroid_scores(spark, SF).collect()
+    bins = defaultdict(lambda: [0, 0])  # bin -> [n, correct]
+    for r in per_vec:
+        b = min(ECE_BINS - 1, max(0, r["conf_i"] * ECE_BINS // ECE_SC))
+        bins[b][0] += 1
+        bins[b][1] += r["correct"]
+    order = sorted(bins)
+    # classic PAV: pool adjacent blocks while a violation exists
+    blocks = [[bins[b][0], bins[b][1], [b]] for b in order]  # n, c, members
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            n1, c1, m1 = blocks[i]
+            n2, c2, m2 = blocks[i + 1]
+            if c1 / n1 > c2 / n2:
+                blocks[i : i + 2] = [[n1 + n2, c1 + c2, m1 + m2]]
+                changed = True
+                break
+    iso = {}
+    for n, c, members in blocks:
+        for b in members:
+            iso[b] = c / n
+    rows = isotonic_calibration(spark, SF).collect()
+    assert [r["bin"] for r in rows] == order
+    prev = -1
+    for r in rows:
+        b = r["bin"]
+        assert r["n"] == bins[b][0]
+        want_acc = int(bins[b][1] * 10**6 / bins[b][0] + 0.5)
+        assert abs(r["acc_micro"] - want_acc) <= 1
+        want_iso = int(iso[b] * 10**6 + 0.5)
+        assert abs(r["iso_micro"] - want_iso) <= 1
+        assert r["iso_micro"] >= prev  # monotone by construction
+        prev = r["iso_micro"]
+
+
+def test_label_propagation_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        LPA_ROUNDS,
+        _lpa_edges,
+        label_propagation,
+    )
+
+    edges = [(r["src"], r["dst"]) for r in _lpa_edges(spark, SF).collect()]
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[s].append(d)
+    labels = {n: n for n in nbrs}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for n in nbrs:
+            votes = Counter(labels[d] for d in nbrs[n])
+            votes[labels[n]] += 1  # self vote
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    comms = Counter(labels.values())
+    top = sorted(comms.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = label_propagation(spark, SF).collect()
+    assert [(r["community"], r["size"]) for r in rows] == top
+    assert rows[0]["n_communities"] == len(comms)
+    assert rows[0]["n_nodes"] == len(labels)
+
+
+def _sessions(spark):
+    from cgtcalc_data_transformer_spark.operators.events import SESSION_GAP_NS
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = (
+        load_events(spark, SF)
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    sessions = []
+    for u in by_user:
+        evs = sorted(by_user[u])
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > SESSION_GAP_NS:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+    return sessions
+
+
+def test_prefixspan_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        SEQ_TOP_K,
+        prefixspan_topk,
+    )
+
+    sessions = _sessions(spark)
+    support = Counter()
+    for s in sessions:
+        types = [t for _, _, t in s]  # already time-ordered
+        found = set()
+        n = len(types)
+        for i in range(n):
+            found.add((types[i],))
+            for j in range(i + 1, n):
+                found.add((types[i], types[j]))
+                for k in range(j + 1, n):
+                    found.add((types[i], types[j], types[k]))
+        for pat in found:
+            support[pat] += 1
+    ranked = sorted(
+        ((">".join(p), len(p), c) for p, c in support.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:SEQ_TOP_K]
+    rows = prefixspan_topk(spark, SF).collect()
+    assert [(r["pattern"], r["length"], r["support"]) for r in rows] == ranked
+    assert rows[0]["n_sessions"] == len(sessions)
+
+
+def test_forecast_error_audit_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        FC_EVAL_MIN_D,
+        FC_SEASON,
+        forecast_error_audit,
+    )
+    from cgtcalc_data_transformer_spark.operators.timeseries import (
+        _daily_grid,
+    )
+
+    grid = defaultdict(dict)
+    for r in _daily_grid(spark, SF).collect():
+        grid[r["event_type"]][r["d"]] = r["y"]
+    rows = {r["event_type"]: r for r in forecast_error_audit(spark, SF).collect()}
+    alpha = 0.2
+    for t, days in grid.items():
+        dmax = max(days)
+        # exact float SES recursion z_t = alpha*y_t + (1-alpha)*z_{t-1}
+        z = {0: float(days[0])}
+        for d in range(1, dmax + 1):
+            z[d] = alpha * days[d] + (1 - alpha) * z[d - 1]
+        ae_n = ae_s = ae_e = 0.0
+        n_eval = 0
+        for d in range(FC_EVAL_MIN_D, dmax + 1):
+            n_eval += 1
+            ae_n += abs(days[d] - days[d - 1])
+            ae_s += abs(days[d] - days[d - FC_SEASON])
+            ae_e += abs(days[d] - z[d - 1])
+        r = rows[t]
+        assert r["n_eval"] == n_eval
+        assert r["mae_naive"] == ae_n / n_eval  # exact integer ratio
+        assert r["mae_snaive"] == ae_s / n_eval
+        # SES weights are 1e-12-grid literals truncated at 120 days —
+        # ppm-level drift vs the float recursion
+        assert abs(r["mae_ses"] - ae_e / n_eval) < 1e-3
+        assert abs(r["mase_naive"] - ae_n / ae_s) < 1e-6
+        assert abs(r["mase_ses"] - ae_e / ae_s) < 1e-3
+
+
+def test_quantile_sketch_audit_matches_sorted_truth(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        QS_BINS,
+        quantile_sketch_audit,
+    )
+
+    vals = sorted(
+        (r["o_totalprice"], r["o_orderkey"])
+        for r in load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    lo, hi = vals[0][0], vals[-1][0]
+    width = (hi - lo) / QS_BINS
+    rows = {r["qt"]: r for r in quantile_sketch_audit(spark, SF).collect()}
+    assert set(rows) == {50, 95}
+    for qt, r in rows.items():
+        k = (qt * n + 99) // 100  # ceiling rank
+        assert r["n"] == n and r["k"] == k
+        assert r["exact"] == vals[k - 1][0]  # exact order statistic
+        # the sketch's error bound is one bin width
+        assert abs(r["est"] - r["exact"]) <= width + 1e-9
+        assert r["err_micro"] == int(abs(r["est"] - r["exact"]) * 10**6 + 0.5)
