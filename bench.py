@@ -352,6 +352,12 @@ HEADLINE: dict[str, str] = {
     "prefixspan_topk": "collect",
     "forecast_error_audit": "collect",
     "quantile_sketch_audit": "collect",
+    "energy_distance_test": "collect",
+    "cramer_von_mises": "collect",
+    "transitivity_parts": "collect",
+    "hampel_filter_daily": "collect",
+    "platt_scaling": "collect",
+    "bloom_fpr_audit": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -40,6 +40,7 @@ from cgtcalc_data_transformer_spark.operators.timeseries import (
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
 MICRO = 10**6
+_D19 = "decimal(19,0)"  # per-factor overflow routing (stats9 recipe)
 
 # Shared DuckDB CTE: per-vector (conf_i, correct) of the
 # nearest-centroid classifier — the exact text of ECE_SQL's prefix
@@ -732,4 +733,595 @@ SELECT qt, n, k, est, exact,
        CAST(floor(abs(est - exact) * {MICRO} + 0.5) AS BIGINT) AS err_micro
 FROM exact
 ORDER BY qt
+"""
+
+
+# ---------------------------------------- energy distance two-sample
+def _quantity_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, ca, cb): per-quantity-value counts of 'F' vs 'O' lineitem
+    rows — the bounded 50-value frame shared by brunner_munzel,
+    energy_distance_test and cramer_von_mises."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v"), "l_linestatus"
+    )
+    return li.groupBy("v").agg(
+        F.sum((F.col("l_linestatus") == "F").cast("long")).alias("ca"),
+        F.sum((F.col("l_linestatus") == "O").cast("long")).alias("cb"),
+    )
+
+
+_VALS_SQL = """
+vals AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem GROUP BY 1
+)"""
+
+
+def energy_distance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely-Rizzo two-sample ENERGY distance between the quantity
+    distributions of 'F' and 'O' lineitems: E = 2·E|X−Y| − E|X−X'|
+    − E|Y−Y'| and the test statistic T = (n_a·n_b/(n_a+n_b))·E —
+    the metric two-sample test that is consistent against EVERY
+    distributional difference (KS and CvM lose power on tail/spread
+    changes; energy does not privilege location).
+
+    The value domain is 50 points, so all three pairwise-|difference|
+    expectations collapse to one 50×50 cell cross-product: each term
+    count_u·count_v·|u−v| rides the DECIMAL(19,0)-factor routing
+    (inner factor c·|u−v| stays far inside BIGINT), and the three
+    sums are exact DECIMAL(38,0) integers at any row count. E and T
+    are then closed forms over exact values; outputs are micro-unit
+    BIGINTs (pure rationals — the ROUND ties hazard class).
+    """
+    vals = _quantity_value_counts(spark, sf_dir)
+    a, b = vals.alias("a"), vals.alias("b")
+    w = F.abs(F.col("a.v") - F.col("b.v"))
+    pairs = a.join(F.broadcast(b), F.lit(True)).agg(
+        F.sum(
+            F.col("a.ca").cast(_D19) * (F.col("b.cb") * w).cast(_D19)
+        ).alias("sab"),
+        F.sum(
+            F.col("a.ca").cast(_D19) * (F.col("b.ca") * w).cast(_D19)
+        ).alias("saa"),
+        F.sum(
+            F.col("a.cb").cast(_D19) * (F.col("b.cb") * w).cast(_D19)
+        ).alias("sbb"),
+    )
+    tots = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    s = pairs.crossJoin(F.broadcast(tots))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    e = (
+        F.lit(2.0) * F.col("sab").cast("double") / (nad * nbd)
+        - F.col("saa").cast("double") / (nad * nad)
+        - F.col("sbb").cast("double") / (nbd * nbd)
+    )
+    t = nad * nbd / (nad + nbd) * e
+    mic = F.lit(float(MICRO))
+    return s.select(
+        "na",
+        "nb",
+        F.floor(e * mic + F.lit(0.5)).cast("long").alias("e_dist_micro"),
+        F.floor(t * mic + F.lit(0.5)).cast("long").alias("t_stat_micro"),
+    )
+
+
+ENERGY_DISTANCE_SQL = f"""
+WITH {_VALS_SQL}, pairs AS (
+  SELECT
+    CAST(SUM(CAST(a.ca AS DECIMAL(19,0)) * CAST(b.cb * abs(a.v - b.v) AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sab,
+    CAST(SUM(CAST(a.ca AS DECIMAL(19,0)) * CAST(b.ca * abs(a.v - b.v) AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS saa,
+    CAST(SUM(CAST(a.cb AS DECIMAL(19,0)) * CAST(b.cb * abs(a.v - b.v) AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sbb
+  FROM vals a CROSS JOIN vals b
+), tots AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+)
+SELECT na, nb,
+       CAST(floor((2.0 * CAST(sab AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                   - CAST(saa AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+                   - CAST(sbb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+                  * {MICRO} + 0.5) AS BIGINT) AS e_dist_micro,
+       CAST(floor(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                  * (2.0 * CAST(sab AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                     - CAST(saa AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+                     - CAST(sbb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+                  * {MICRO} + 0.5) AS BIGINT) AS t_stat_micro
+FROM pairs, tots
+"""
+
+
+# ------------------------------------ Cramér-von Mises two-sample test
+CVM_CRIT_5PCT = 0.461  # limiting T1 distribution, Anderson (1962)
+
+
+def cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test on the same F-vs-O quantity
+    frame: T = (n_a·n_b/N²)·Σ_pooled (F̂_a(z) − F̂_b(z))² — the
+    integrated-squared-ECDF companion to ks_test_quantity (KS reads
+    the worst single gap; CvM reads the whole discrepancy profile,
+    and is the stronger test against many small departures).
+
+    Inclusive ECDFs come from one cumulative theta join over the
+    50-value count table (the brunner_munzel recipe); each pooled
+    term (ca+cb)·(F̂_a−F̂_b)² is built from exact int/int divisions
+    and quantized to the 1e-6 grid before the DECIMAL(38,0) sum
+    (drift_psi recipe). The leading factor is computed as
+    (n_a/N)·(n_b/N)·Σ — ratios first, so nothing leaves the exact
+    double range at any corpus size.
+    """
+    vals = _quantity_value_counts(spark, sf_dir)
+    cum = (
+        vals.alias("p")
+        .join(F.broadcast(vals.alias("q")), F.col("q.v") < F.col("p.v"), "left")
+        .groupBy(
+            F.col("p.v").alias("v"),
+            F.col("p.ca").alias("ca"),
+            F.col("p.cb").alias("cb"),
+        )
+        .agg(
+            F.coalesce(F.sum("q.ca"), F.lit(0)).alias("cbel_a"),
+            F.coalesce(F.sum("q.cb"), F.lit(0)).alias("cbel_b"),
+        )
+    )
+    tots = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = cum.crossJoin(F.broadcast(tots))
+    fa = (F.col("cbel_a") + F.col("ca")).cast("double") / F.col("na").cast("double")
+    fb = (F.col("cbel_b") + F.col("cb")).cast("double") / F.col("nb").cast("double")
+    d = fa - fb
+    termq = F.floor(
+        (F.col("ca") + F.col("cb")).cast("double") * d * d * F.lit(float(MICRO))
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    s = j.groupBy("na", "nb").agg(F.sum(termq).alias("sq"))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = nad + nbd
+    t = (nad / nd) * (nbd / nd) * (F.col("sq").cast("double") / F.lit(float(MICRO)))
+    return s.select(
+        "na",
+        "nb",
+        F.floor(t * F.lit(float(MICRO)) + F.lit(0.5)).cast("long").alias("cvm_t_micro"),
+        (t > F.lit(CVM_CRIT_5PCT)).alias("significant"),
+    )
+
+
+CRAMER_VON_MISES_SQL = f"""
+WITH {_VALS_SQL}, cum AS (
+  SELECT p.v, p.ca, p.cb,
+         CAST(COALESCE(SUM(q.ca), 0) AS BIGINT) AS cbel_a,
+         CAST(COALESCE(SUM(q.cb), 0) AS BIGINT) AS cbel_b
+  FROM vals p LEFT JOIN vals q ON q.v < p.v
+  GROUP BY p.v, p.ca, p.cb
+), tots AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+), s AS (
+  SELECT na, nb,
+         CAST(SUM(CAST(floor(CAST(ca + cb AS DOUBLE)
+             * (CAST(cbel_a + ca AS DOUBLE) / na - CAST(cbel_b + cb AS DOUBLE) / nb)
+             * (CAST(cbel_a + ca AS DOUBLE) / na - CAST(cbel_b + cb AS DOUBLE) / nb)
+             * {MICRO} + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+  FROM cum CROSS JOIN tots
+  GROUP BY na, nb
+)
+SELECT na, nb,
+       CAST(floor((CAST(na AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+                  * (CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+                  * (CAST(sq AS DOUBLE) / {MICRO}) * {MICRO} + 0.5) AS BIGINT) AS cvm_t_micro,
+       (CAST(na AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+         * (CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + nb))
+         * (CAST(sq AS DOUBLE) / {MICRO}) > {CVM_CRIT_5PCT} AS significant
+FROM s
+"""
+
+
+# -------------------------------------- global clustering coefficient
+def transitivity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the part
+    co-purchase graph: C = 3·triangles / wedges, where wedges =
+    Σ_v d_v(d_v−1)/2 — the one-number answer to 'do co-purchases
+    CLUSTER or just radiate from hubs' that the raw triangle count
+    (graph.py:133) cannot give because its denominator is missing.
+
+    Triangles reuse triangle_count_parts' degree-oriented O(E^1.5)
+    enumeration verbatim; the wedge sum is one aggregation over the
+    degree table with d(d−1) DECIMAL-routed (d² would overflow int64
+    exactly on the hub parts this graph grows at scale). C is one
+    int-ratio division, reported in micro units.
+    """
+    from cgtcalc_data_transformer_spark.operators.graph import (
+        triangle_count_parts,
+    )
+
+    tri = triangle_count_parts(spark, sf_dir)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg").cast(_D19) * (F.col("deg") - 1).cast(_D19)).alias(
+            "w2"
+        )
+    )
+    s = tri.crossJoin(F.broadcast(wedges))
+    c = (
+        F.lit(3.0)
+        * F.col("n_triangles").cast("double")
+        / (F.col("w2").cast("double") / F.lit(2.0))
+    )
+    return s.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        (F.col("w2").cast("decimal(38,0)") / F.lit(2)).cast("long").alias("n_wedges"),
+        F.floor(c * F.lit(float(MICRO)) + F.lit(0.5)).cast("long").alias(
+            "transitivity_micro"
+        ),
+    )
+
+
+TRANSITIVITY_SQL = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), agg AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT COUNT(*) FROM edges) AS n_edges,
+         (SELECT COUNT(*)
+          FROM edges e1
+          JOIN edges e2 ON e2.u = e1.v
+          JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+         (SELECT CAST(SUM(CAST(deg AS DECIMAL(19,0)) * CAST(deg - 1 AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) FROM deg) AS w2
+)
+SELECT n_nodes, n_edges, n_triangles,
+       CAST(w2 / 2 AS BIGINT) AS n_wedges,
+       CAST(floor(3.0 * CAST(n_triangles AS DOUBLE) / (CAST(w2 AS DOUBLE) / 2.0)
+                  * {MICRO} + 0.5) AS BIGINT) AS transitivity_micro
+FROM agg
+"""
+
+
+# ------------------------------------------- Hampel filter (day grid)
+HAMPEL_HALF = 3          # window = 7 days centered
+HAMPEL_K_X10K = 44478    # 3 · 1.4826 · 10⁴ (Gaussian MAD consistency)
+
+
+def hampel_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter on per-type daily counts: flag days
+    where |y − median₇| > 3·1.4826·MAD₇ over the centered 7-day
+    window — the ROBUST spike detector that, unlike the mean/std
+    events_rate_anomaly, cannot have its own threshold dragged up by
+    the outlier it is trying to catch (one bad day inflates a std;
+    it barely moves a median).
+
+    The window is a bounded partitioned frame (7 rows per day per
+    type); median and MAD are element_at(array_sort(...), 4) over the
+    collected 7-integer arrays — exact integer order statistics, no
+    percentile approximation. The flag comparison is pure integer
+    (|y−med|·10⁴ > 44478·MAD), so the per-type rollup is exact at
+    any scale; MAD = 0 windows fall back to flagging any y ≠ median.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
+    )
+    arr = F.collect_list("y").over(w)
+    g = grid.withColumn("arr", arr).filter(
+        F.size("arr") == 2 * HAMPEL_HALF + 1
+    )
+    med = F.element_at(F.array_sort("arr"), HAMPEL_HALF + 1)
+    g = g.withColumn("med", med)
+    mad = F.element_at(
+        F.array_sort(
+            F.transform("arr", lambda x: F.abs(x - F.col("med")))
+        ),
+        HAMPEL_HALF + 1,
+    )
+    g = g.withColumn("mad", mad)
+    dev = F.abs(F.col("y") - F.col("med"))
+    is_out = F.when(
+        F.col("mad") > 0,
+        dev * F.lit(10**4) > F.lit(HAMPEL_K_X10K) * F.col("mad"),
+    ).otherwise(dev > 0)
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.max(dev).alias("max_abs_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HAMPEL_SQL = f"""
+WITH {_GRID_SQL}, win AS (
+  SELECT event_type, d, y,
+         list(y) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                       AND {HAMPEL_HALF} FOLLOWING) AS arr
+  FROM grid
+), full_win AS (
+  SELECT event_type, d, y,
+         list_sort(arr)[{HAMPEL_HALF + 1}] AS med
+  FROM win WHERE len(arr) = {2 * HAMPEL_HALF + 1}
+), scored AS (
+  SELECT f.event_type, f.d, f.y, f.med,
+         list_sort(list_transform(w.arr, x -> abs(x - f.med)))[{HAMPEL_HALF + 1}] AS mad
+  FROM full_win f JOIN win w ON w.event_type = f.event_type AND w.d = f.d
+)
+SELECT event_type,
+       COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN (mad > 0 AND abs(y - med) * 10000 > {HAMPEL_K_X10K} * mad)
+                       OR (mad = 0 AND abs(y - med) > 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(MAX(abs(y - med)) AS BIGINT) AS max_abs_dev
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ----------------------------------------------------- Platt scaling
+PLATT_BIN = 10**4  # conf_i (1e-6 grid) → percent grid feature
+
+
+def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt (1999) sigmoid recalibration of the nearest-centroid
+    confidence: logistic regression correct ~ σ(β₀ + β₁·conf%) via
+    IRLS on the percent-binned confidence — the PARAMETRIC companion
+    to isotonic_calibration (isotonic fits any monotone shape from
+    the data; Platt assumes the sigmoid and wins when bins are thin).
+
+    Rides logistic_regression_irls' proven determinism recipe
+    (stats_ext.py:1013): the sufficient statistics live on a ≤101-row
+    percent grid, each IRLS step quantizes per-bin terms to 1e-6 and
+    the betas to 1e-9, and the driver-side loop (bounded collect, the
+    kmeans-centroid pattern) walks the identical rational sequence as
+    the oracle's unrolled CTEs.
+    """
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        LOGIT_ITERS,
+        LOGIT_TS,
+        _logit_step,
+    )
+
+    per_vec = _nearest_centroid_scores(spark, sf_dir)
+    # clamp at 0 BEFORE the integer division: Spark `div` truncates
+    # toward zero, DuckDB `//` floors — they disagree on negatives
+    bins_df = per_vec.groupBy(
+        F.expr(f"greatest(conf_i, 0L) div {PLATT_BIN}").alias("x")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("correct").alias("y"),
+    )
+    bins = [(r["x"], r["n"], r["y"]) for r in bins_df.collect()]  # ≤ 101
+    bins.sort()
+    b0, b1 = 0.0, 0.0
+    for _ in range(LOGIT_ITERS):
+        b0, b1 = _logit_step(bins, b0, b1)
+    import math as _m
+
+    n_tot = sum(n for _, n, _ in bins)
+    llq = 0
+    for x, n, y in bins:
+        p = 1.0 / (1.0 + _m.exp(-(b0 + b1 * x)))
+        llq += _m.floor(
+            (y * _m.log(p) + (n - y) * _m.log(1.0 - p)) * LOGIT_TS + 0.5
+        )
+    out = [(n_tot, b0, b1, -llq / LOGIT_TS / n_tot)]
+    return spark.createDataFrame(
+        out, "n long, beta0 double, beta1 double, avg_log_loss double"
+    )
+
+
+def _platt_sql() -> str:
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        LOGIT_BS,
+        LOGIT_ITERS,
+        LOGIT_TS,
+    )
+
+    steps = []
+    for k in range(1, LOGIT_ITERS + 1):
+        steps.append(f""", s{k} AS (
+  SELECT
+    CAST(SUM(CAST(floor((y - n * (1.0 / (1.0 + exp(-(b0 + b1 * x))))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+    CAST(SUM(CAST(floor(x * (y - n * (1.0 / (1.0 + exp(-(b0 + b1 * x))))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+    CAST(SUM(CAST(floor(n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h00,
+    CAST(SUM(CAST(floor(x * n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h01,
+    CAST(SUM(CAST(floor(x * x * n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h11
+  FROM bins, b{k - 1}
+), b{k} AS (
+  SELECT floor((b0 + (CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
+               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b0,
+         floor((b1 + (CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
+                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
+               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b1
+  FROM s{k}, b{k - 1}
+)""")
+    return f"""
+WITH {_PER_VEC_SQL}, bins AS MATERIALIZED (
+  SELECT GREATEST(conf_i, 0) // {PLATT_BIN} AS x, COUNT(*) AS n,
+         CAST(SUM(correct) AS BIGINT) AS y
+  FROM flat GROUP BY 1
+), b0 AS (SELECT 0.0 AS b0, 0.0 AS b1){''.join(steps)}
+SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS n,
+       b0 AS beta0,
+       b1 AS beta1,
+       (-(SELECT CAST(SUM(CAST(floor((y * ln(1.0 / (1.0 + exp(-(b0 + b1 * x))))
+                                      + (n - y) * ln(1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))))
+                                     * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT)
+          FROM bins) / {LOGIT_TS}.0)
+       / (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS avg_log_loss
+FROM b{LOGIT_ITERS}
+"""
+
+
+PLATT_SQL = _platt_sql()
+
+
+# ------------------------------------------ Bloom-filter FPR audit
+BLOOM_M = 1 << 17   # bits
+BLOOM_K = 4         # hash functions
+
+
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized vs theoretical false-positive rate of a Bloom filter
+    over the H1-buyer custkey set, probed with every customer who did
+    NOT buy in H1 — the pre-flight audit for the runtime Bloom join
+    pruning this engine already ships (layout.py
+    bloom_filter_pruned_join): before trusting a filter to prune a
+    100 TB scan, measure that its realized FPR matches
+    (1 − e^{−kn/m})^k on real key distributions.
+
+    The filter is md5-derived (position_i = md5(key·i) mod m — the
+    same engine-portable hash family as the split/shuffle ops), so
+    'bits' are a DISTINCT position table built by one aggregation;
+    probing is an equality join of probe positions against it, and a
+    probe false-positives iff all K of its positions hit. Everything
+    is exact integers except the theoretical rate (one exp, identical
+    IEEE, micro-quantized).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.month("o_orderdate").alias("mo")
+    )
+    members = (
+        orders.filter(F.col("mo") <= 6).select(
+            F.col("o_custkey").alias("key")
+        ).distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    probes = cust.join(members, "key", "left_anti")
+
+    def positions(df: DataFrame) -> DataFrame:
+        ks = spark.range(1, BLOOM_K + 1).select(
+            F.col("id").cast("int").alias("i")
+        )
+        return df.crossJoin(F.broadcast(ks)).select(
+            "key",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col("key"), F.col("i"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(BLOOM_M)
+            ).alias("pos"),
+        )
+
+    bits = positions(members).select("pos").distinct()
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    n_members = members.agg(F.count(F.lit(1)).alias("n_members"))
+    probe_pos = positions(probes)
+    hits = (
+        probe_pos.join(bits, "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .filter(F.col("h") == BLOOM_K)
+        .agg(F.count(F.lit(1)).alias("n_false_pos"))
+    )
+    n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    s = (
+        hits.crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+    )
+    x = F.lit(1.0) - F.exp(
+        -F.lit(float(BLOOM_K))
+        * F.col("n_members").cast("double")
+        / F.lit(float(BLOOM_M))
+    )
+    theory = x * x * x * x  # k = 4 as exact multiplications, no pow()
+    return s.select(
+        "n_members",
+        F.lit(BLOOM_M).alias("m_bits"),
+        F.lit(BLOOM_K).alias("k_hashes"),
+        "bits_set",
+        "n_probes",
+        "n_false_pos",
+        (
+            F.col("n_false_pos").cast("double")
+            / F.col("n_probes").cast("double")
+        ).alias("fpr_real"),
+        F.floor(theory * F.lit(float(MICRO)) + F.lit(0.5))
+        .cast("long")
+        .alias("fpr_theory_micro"),
+    )
+
+
+BLOOM_FPR_SQL = f"""
+WITH members AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS key FROM orders WHERE month(o_orderdate) <= 6
+), probes AS MATERIALIZED (
+  SELECT c_custkey AS key FROM customer
+  WHERE c_custkey NOT IN (SELECT key FROM members)
+), ks AS (SELECT UNNEST([1, 2, 3, 4]) AS i),
+mpos AS (
+  SELECT ('0x' || substr(md5(key::VARCHAR || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT
+         % {BLOOM_M} AS pos
+  FROM members CROSS JOIN ks
+), bits AS MATERIALIZED (
+  SELECT DISTINCT pos FROM mpos
+), ppos AS (
+  SELECT key,
+         ('0x' || substr(md5(key::VARCHAR || '#' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT
+         % {BLOOM_M} AS pos
+  FROM probes CROSS JOIN ks
+), fp AS (
+  SELECT COUNT(*) AS n_false_pos FROM (
+    SELECT key FROM ppos JOIN bits USING (pos) GROUP BY key
+    HAVING COUNT(*) = {BLOOM_K}
+  )
+), agg AS (
+  SELECT (SELECT COUNT(*) FROM members) AS n_members,
+         (SELECT COUNT(*) FROM bits) AS bits_set,
+         (SELECT COUNT(*) FROM probes) AS n_probes,
+         (SELECT n_false_pos FROM fp) AS n_false_pos
+)
+SELECT n_members, {BLOOM_M} AS m_bits, {BLOOM_K} AS k_hashes, bits_set,
+       n_probes, n_false_pos,
+       CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE) AS fpr_real,
+       CAST(floor((1.0 - exp(-{BLOOM_K}.0 * CAST(n_members AS DOUBLE) / {BLOOM_M}.0))
+                  * (1.0 - exp(-{BLOOM_K}.0 * CAST(n_members AS DOUBLE) / {BLOOM_M}.0))
+                  * (1.0 - exp(-{BLOOM_K}.0 * CAST(n_members AS DOUBLE) / {BLOOM_M}.0))
+                  * (1.0 - exp(-{BLOOM_K}.0 * CAST(n_members AS DOUBLE) / {BLOOM_M}.0))
+                  * {MICRO} + 0.5) AS BIGINT) AS fpr_theory_micro
+FROM agg
 """

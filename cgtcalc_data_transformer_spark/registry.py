@@ -847,6 +847,24 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats10.quantile_sketch_audit,
         stats10.QUANTILE_SKETCH_SQL,
     ),
+    "energy_distance_test": (
+        stats10.energy_distance_test,
+        stats10.ENERGY_DISTANCE_SQL,
+    ),
+    "cramer_von_mises": (
+        stats10.cramer_von_mises,
+        stats10.CRAMER_VON_MISES_SQL,
+    ),
+    "transitivity_parts": (
+        stats10.transitivity_parts,
+        stats10.TRANSITIVITY_SQL,
+    ),
+    "hampel_filter_daily": (
+        stats10.hampel_filter_daily,
+        stats10.HAMPEL_SQL,
+    ),
+    "platt_scaling": (stats10.platt_scaling, stats10.PLATT_SQL),
+    "bloom_fpr_audit": (stats10.bloom_fpr_audit, stats10.BLOOM_FPR_SQL),
 }
 
 
@@ -887,6 +905,12 @@ _ROUND10_NEW: list[str] = [
     "prefixspan_topk",
     "forecast_error_audit",
     "quantile_sketch_audit",
+    "energy_distance_test",
+    "cramer_von_mises",
+    "transitivity_parts",
+    "hampel_filter_daily",
+    "platt_scaling",
+    "bloom_fpr_audit",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (the

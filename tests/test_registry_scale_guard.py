@@ -157,6 +157,12 @@ BNLJ_OK = {
     "prefixspan_topk",  # 1-row n_sessions scalar crossJoin
     "forecast_error_audit",  # day-grid EWMA horizon theta join + 1-row y0
     "quantile_sketch_audit",  # 256-bin prefix theta join + 1-row bounds
+    "energy_distance_test",  # 50x50 value-cell cross product + 1-row totals
+    "cramer_von_mises",  # 50-value cumulative theta join + 1-row totals
+    "transitivity_parts",  # 1-row triangle/wedge scalars crossJoined
+    "hampel_filter_daily",  # |types| x |days| bounded grid expand (_daily_grid)
+    "platt_scaling",  # bounded percent-grid collect (driver IRLS loop)
+    "bloom_fpr_audit",  # 4-row hash-index crossJoin + 1-row count scalars
 }
 
 

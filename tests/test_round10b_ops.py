@@ -208,3 +208,181 @@ def test_quantile_sketch_audit_matches_sorted_truth(spark):
         # the sketch's error bound is one bin width
         assert abs(r["est"] - r["exact"]) <= width + 1e-9
         assert r["err_micro"] == int(abs(r["est"] - r["exact"]) * 10**6 + 0.5)
+
+
+def _quant_by_status(spark):
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_linestatus")
+        .collect()
+    )
+    a = [int(r["l_quantity"]) for r in rows if r["l_linestatus"] == "F"]
+    b = [int(r["l_quantity"]) for r in rows if r["l_linestatus"] == "O"]
+    return a, b
+
+
+def test_energy_distance_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        energy_distance_test,
+    )
+
+    a, b = _quant_by_status(spark)
+    ca, cb = Counter(a), Counter(b)
+    sab = sum(ca[u] * cb[v] * abs(u - v) for u in ca for v in cb)
+    saa = sum(ca[u] * ca[v] * abs(u - v) for u in ca for v in ca)
+    sbb = sum(cb[u] * cb[v] * abs(u - v) for u in cb for v in cb)
+    na, nb = len(a), len(b)
+    e = 2 * sab / (na * nb) - saa / (na * na) - sbb / (nb * nb)
+    t = na * nb / (na + nb) * e
+    row = energy_distance_test(spark, SF).collect()[0]
+    assert row["na"] == na and row["nb"] == nb
+    assert abs(row["e_dist_micro"] - int(e * 10**6 + 0.5)) <= 1
+    assert abs(row["t_stat_micro"] - int(t * 10**6 + 0.5)) <= 1
+
+
+def test_cramer_von_mises_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        cramer_von_mises,
+    )
+
+    a, b = _quant_by_status(spark)
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    nn = na + nb
+    vals = sorted(set(a) | set(b))
+    cum_a = cum_b = 0
+    s = 0.0
+    for v in vals:
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        d = cum_a / na - cum_b / nb
+        s += (ca.get(v, 0) + cb.get(v, 0)) * d * d
+    t = (na / nn) * (nb / nn) * s
+    row = cramer_von_mises(spark, SF).collect()[0]
+    assert row["na"] == na and row["nb"] == nb
+    assert abs(row["cvm_t_micro"] - int(t * 10**6 + 0.5)) <= 2
+    assert row["significant"] == (t > 0.461)
+
+
+def test_transitivity_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        transitivity_parts,
+    )
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in rows:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v])
+    tri //= 3  # each triangle seen from its 3 edges
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in adj)
+    row = transitivity_parts(spark, SF).collect()[0]
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    assert row["transitivity_micro"] == int(3 * tri / wedges * 10**6 + 0.5)
+
+
+def test_hampel_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        HAMPEL_HALF,
+        HAMPEL_K_X10K,
+        hampel_filter_daily,
+    )
+    from cgtcalc_data_transformer_spark.operators.timeseries import _daily_grid
+
+    grid = defaultdict(dict)
+    for r in _daily_grid(spark, SF).collect():
+        grid[r["event_type"]][r["d"]] = r["y"]
+    rows = {r["event_type"]: r for r in hampel_filter_daily(spark, SF).collect()}
+    for t, days in grid.items():
+        dmax = max(days)
+        n_eval = n_out = 0
+        max_dev = 0
+        for d in range(HAMPEL_HALF, dmax - HAMPEL_HALF + 1):
+            win = sorted(days[i] for i in range(d - HAMPEL_HALF, d + HAMPEL_HALF + 1))
+            med = win[HAMPEL_HALF]
+            mad = sorted(abs(x - med) for x in win)[HAMPEL_HALF]
+            dev = abs(days[d] - med)
+            n_eval += 1
+            max_dev = max(max_dev, dev)
+            if (mad > 0 and dev * 10**4 > HAMPEL_K_X10K * mad) or (
+                mad == 0 and dev > 0
+            ):
+                n_out += 1
+        r = rows[t]
+        assert r["n_eval"] == n_eval
+        assert r["n_outliers"] == n_out
+        assert r["max_abs_dev"] == max_dev
+
+
+def test_platt_scaling_matches_naive_irls(spark):
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        _nearest_centroid_scores,
+    )
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        PLATT_BIN,
+        platt_scaling,
+    )
+    from cgtcalc_data_transformer_spark.operators.stats_ext import (
+        LOGIT_ITERS,
+        _logit_step,
+    )
+
+    per_vec = _nearest_centroid_scores(spark, SF).collect()
+    bins = Counter()
+    wins = Counter()
+    for r in per_vec:
+        x = max(r["conf_i"], 0) // PLATT_BIN
+        bins[x] += 1
+        wins[x] += r["correct"]
+    table = sorted((x, bins[x], wins[x]) for x in bins)
+    b0, b1 = 0.0, 0.0
+    for _ in range(LOGIT_ITERS):
+        b0, b1 = _logit_step(table, b0, b1)
+    row = platt_scaling(spark, SF).collect()[0]
+    assert row["n"] == sum(bins.values())
+    assert row["beta0"] == b0  # identical quantized rational walk
+    assert row["beta1"] == b1
+    # the sigmoid slope should be positive: higher confidence, more
+    # correct (the calibration signal Platt exists to capture)
+    assert b1 > 0
+
+
+def test_bloom_fpr_realized_close_to_theory(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_fpr_audit,
+    )
+
+    row = bloom_fpr_audit(spark, SF).collect()[0]
+    assert row["m_bits"] == BLOOM_M and row["k_hashes"] == BLOOM_K
+    assert row["n_false_pos"] <= row["n_probes"]
+    # bits_set sanity: at most k*n distinct positions
+    assert row["bits_set"] <= BLOOM_K * row["n_members"]
+    import math
+
+    theory = (1 - math.exp(-BLOOM_K * row["n_members"] / BLOOM_M)) ** BLOOM_K
+    assert abs(row["fpr_theory_micro"] / 10**6 - theory) < 2e-6
+    # realized FPR within an order of magnitude of theory (tiny n at
+    # sf0.001 → wide binomial noise; the audit's job is the COMPARISON)
+    assert row["fpr_real"] <= max(10 * theory, 0.01)
