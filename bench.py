@@ -358,6 +358,10 @@ HEADLINE: dict[str, str] = {
     "hampel_filter_daily": "collect",
     "platt_scaling": "collect",
     "bloom_fpr_audit": "collect",
+    "logrank_test": "collect",
+    "chow_test": "collect",
+    "dunn_posthoc_test": "collect",
+    "spectral_entropy_daily": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -41,6 +41,7 @@ from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
 MICRO = 10**6
 _D19 = "decimal(19,0)"  # per-factor overflow routing (stats9 recipe)
+_D38 = "decimal(38,6)"  # double-term sums (n³-scale tie terms)
 
 # Shared DuckDB CTE: per-vector (conf_i, correct) of the
 # nearest-centroid classifier — the exact text of ECE_SQL's prefix
@@ -933,17 +934,15 @@ def transitivity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly on the hub parts this graph grows at scale). C is one
     int-ratio division, reported in micro units.
     """
-    from cgtcalc_data_transformer_spark.operators.graph import (
-        triangle_count_parts,
-    )
-
-    tri = triangle_count_parts(spark, sf_dir)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
+    # ONE cached edge build feeds degrees, the wedge sum, the oriented
+    # wedge join AND the closing semi-join (calling the triangle op
+    # and rebuilding edges here would scan+self-join lineitem twice)
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
@@ -951,12 +950,47 @@ def transitivity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .cache()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .cache()
+    )
+    # degree-oriented wedge enumeration + closure (graph.py:133 shape)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+    w1, w2_ = oriented.alias("w1"), oriented.alias("w2")
+    closed = (
+        w1.join(w2_, F.col("w1.s") == F.col("w2.s"))
+        .filter(F.col("w1.d") < F.col("w2.d"))
+        .select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
+        .join(
+            edges,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_semi",
+        )
+    )
+    tri = (
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
     )
     wedges = deg.agg(
         F.sum(F.col("deg").cast(_D19) * (F.col("deg") - 1).cast(_D19)).alias(
@@ -1325,3 +1359,572 @@ SELECT n_members, {BLOOM_M} AS m_bits, {BLOOM_K} AS k_hashes, bits_set,
                   * {MICRO} + 0.5) AS BIGINT) AS fpr_theory_micro
 FROM agg
 """
+
+
+# ----------------------------------------------------- log-rank test
+LOGRANK_CRIT_DF1 = 3.841459
+
+
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test comparing TIME TO FIRST PURCHASE
+    between the two halves of a deterministic user split (user_id
+    mod 2) — the censoring-aware two-group comparison that completes
+    the survival toolkit (kaplan_meier_churn draws curves; log-rank
+    says whether two curves differ). On a hash split the truth is
+    'no difference', so this is the A/A null contract every
+    experiment harness needs: a significant readout here means the
+    machinery, not the users, is broken.
+
+    Duration = first purchase day − first active day; users who
+    never purchase are right-censored at the observation horizon.
+    (Churn durations are NOT usable here: at small SFs every user is
+    still active near the horizon, so the churn event count is zero
+    and the statistic is 0/0 — purchases exist at every SF.)
+    Everything after the per-user rollup lives on the bounded
+    duration-domain table: per-group at-risk counts via one theta
+    join of the pooled t-grid, hypergeometric E₀/V terms quantized to
+    the 1e-6 grid before the DECIMAL(38,0) sums, χ² = (O₀−E₀)²/V as
+    one closed form with an explicit V = 0 guard.
+    """
+    from cgtcalc_data_transformer_spark.operators.events import DAY_NS
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    ev = load_events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.expr(f"ts div {DAY_NS}").alias("day"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    horizon = act.agg(F.max("day").alias("h"))
+    users = (
+        act.groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.min(F.when(F.col("is_p") == 1, F.col("day"))).alias("pd"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("user_id") % 2).alias("g"),
+            (F.coalesce(F.col("pd"), F.col("h")) - F.col("fd")).alias("t"),
+            F.col("pd").isNotNull().cast("long").alias("event"),
+        )
+    )
+    per_gt = users.groupBy("g", "t").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    tgrid = per_gt.select("t").distinct()
+    risk = (
+        tgrid.alias("a")
+        .join(F.broadcast(per_gt.alias("b")), F.col("b.t") >= F.col("a.t"))
+        .groupBy(F.col("a.t").alias("t"), F.col("b.g").alias("g"))
+        .agg(F.sum("b.m").alias("n_risk"))
+    )
+    dt = per_gt.select("g", "t", "d")
+    wide = (
+        risk.join(dt, ["g", "t"], "left")
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, F.col("n_risk"))).alias("n0"),
+            F.sum(F.when(F.col("g") == 1, F.col("n_risk"))).alias("n1"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == 0, F.col("d"))), F.lit(0)
+            ).alias("d0"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == 1, F.col("d"))), F.lit(0)
+            ).alias("d1"),
+        )
+        .select(
+            "t",
+            F.coalesce("n0", F.lit(0)).alias("n0"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            "d0",
+            "d1",
+        )
+    )
+    dd = (F.col("d0") + F.col("d1")).cast("double")
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    e0 = dd * n0d / nn
+    v = dd * (n0d / nn) * (n1d / nn) * (nn - dd) / (nn - F.lit(1.0))
+    mic = F.lit(float(MICRO))
+
+    def q6(x):
+        return F.floor(x * mic + F.lit(0.5)).cast("decimal(38,0)")
+
+    s = wide.filter((F.col("d0") + F.col("d1") > 0) & (F.col("n0") + F.col("n1") > 1)).agg(
+        F.sum("d0").alias("o0"),
+        F.sum("d1").alias("o1"),
+        F.sum(q6(e0)).alias("e0q"),
+        F.sum(q6(v)).alias("vq"),
+    )
+    e0d = F.col("e0q").cast("double") / mic
+    chi2 = F.when(
+        F.col("vq") > 0,
+        (F.col("o0").cast("double") - e0d)
+        * (F.col("o0").cast("double") - e0d)
+        / (F.col("vq").cast("double") / mic),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        F.coalesce("o0", F.lit(0)).alias("o0"),
+        F.coalesce("o1", F.lit(0)).alias("o1"),
+        F.coalesce(F.floor(e0d * mic + F.lit(0.5)).cast("long"), F.lit(0)).alias(
+            "e0_micro"
+        ),
+        F.floor(chi2 * mic + F.lit(0.5)).cast("long").alias("chi2_micro"),
+        (chi2 > F.lit(LOGRANK_CRIT_DF1)).alias("significant"),
+    )
+
+
+from cgtcalc_data_transformer_spark.operators.events import (  # noqa: E402
+    DAY_NS as _DAY_NS,
+    KM_CENSOR_GAP as _KM_GAP,
+)
+
+LOGRANK_SQL = f"""
+WITH act AS (
+  SELECT user_id, epoch_ns(ts) // {_DAY_NS} AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+), horizon AS (
+  SELECT MAX(day) AS h FROM act
+), users AS (
+  SELECT user_id % 2 AS g, COALESCE(pd, h) - fd AS t,
+         CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (SELECT user_id, MIN(day) AS fd,
+               MIN(CASE WHEN is_p = 1 THEN day END) AS pd
+        FROM act GROUP BY user_id), horizon
+), per_gt AS (
+  SELECT g, t, CAST(SUM(event) AS BIGINT) AS d, COUNT(*) AS m
+  FROM users GROUP BY g, t
+), tgrid AS (SELECT DISTINCT t FROM per_gt),
+risk AS (
+  SELECT a.t, b.g, CAST(SUM(b.m) AS BIGINT) AS n_risk
+  FROM tgrid a JOIN per_gt b ON b.t >= a.t
+  GROUP BY a.t, b.g
+), wide AS (
+  SELECT r.t,
+         COALESCE(SUM(CASE WHEN r.g = 0 THEN r.n_risk END), 0) AS n0,
+         COALESCE(SUM(CASE WHEN r.g = 1 THEN r.n_risk END), 0) AS n1,
+         COALESCE(SUM(CASE WHEN r.g = 0 THEN p.d END), 0) AS d0,
+         COALESCE(SUM(CASE WHEN r.g = 1 THEN p.d END), 0) AS d1
+  FROM risk r LEFT JOIN per_gt p ON p.g = r.g AND p.t = r.t
+  GROUP BY r.t
+), s AS (
+  SELECT CAST(SUM(d0) AS BIGINT) AS o0, CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(CAST(floor(CAST(d0 + d1 AS DOUBLE) * n0 / (n0 + n1)
+                             * {MICRO} + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS e0q,
+         CAST(SUM(CAST(floor(CAST(d0 + d1 AS DOUBLE)
+                             * (CAST(n0 AS DOUBLE) / (n0 + n1))
+                             * (CAST(n1 AS DOUBLE) / (n0 + n1))
+                             * ((n0 + n1) - (d0 + d1)) / ((n0 + n1) - 1.0)
+                             * {MICRO} + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vq
+  FROM wide WHERE d0 + d1 > 0 AND n0 + n1 > 1
+)
+SELECT COALESCE(o0, 0) AS o0, COALESCE(o1, 0) AS o1,
+       COALESCE(CAST(floor(CAST(e0q AS DOUBLE) / {MICRO} * {MICRO} + 0.5) AS BIGINT), 0) AS e0_micro,
+       CAST(floor((CASE WHEN vq > 0 THEN
+                     (o0 - CAST(e0q AS DOUBLE) / {MICRO}) * (o0 - CAST(e0q AS DOUBLE) / {MICRO})
+                     / (CAST(vq AS DOUBLE) / {MICRO}) ELSE 0.0 END) * {MICRO} + 0.5) AS BIGINT) AS chi2_micro,
+       (CASE WHEN vq > 0 THEN
+          (o0 - CAST(e0q AS DOUBLE) / {MICRO}) * (o0 - CAST(e0q AS DOUBLE) / {MICRO})
+          / (CAST(vq AS DOUBLE) / {MICRO}) ELSE 0.0 END) > {LOGRANK_CRIT_DF1} AS significant
+FROM s
+"""
+
+
+# ------------------------------------------------------- Chow test
+CHOW_F_CRIT = 2.9957  # F(2, inf) upper 5% — asymptotic gate, day grids
+                      # here have n >> k so the large-denominator form
+
+
+def chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow (1960) structural-break test on each event type's daily
+    trend: does the linear model y ~ day fitted on the first half of
+    the observation window differ from the second half — the
+    regression-regime-change companion to changepoint_split (which
+    finds the best break in MEANS; Chow tests a KNOWN break in the
+    fitted line, the standard before/after-launch readout).
+
+    Pooled and per-segment SSRs come from exact moment sums (y², d·y
+    DECIMAL-routed per factor); each SSR is a closed form over those
+    exact values, and F = ((SSR_p − SSR₁ − SSR₂)/2) /
+    ((SSR₁+SSR₂)/(n−4)) is one identical IEEE expression. The break
+    day is (D−1) div 2 — integer division in both twins.
+    """
+    grid = _daily_grid(spark, sf_dir)
+    bounds = grid.agg(F.expr("(max(d)) div 2").alias("brk"))
+    g = grid.crossJoin(F.broadcast(bounds)).withColumn(
+        "seg", (F.col("d") >= F.col("brk")).cast("int")
+    )
+
+    def moments(df, prefix):
+        return [
+            F.count(F.lit(1)).alias(f"{prefix}n"),
+            F.sum("d").alias(f"{prefix}sd"),
+            F.sum("y").alias(f"{prefix}sy"),
+            F.sum(F.col("d").cast(_D19) * F.col("y").cast(_D19)).alias(
+                f"{prefix}sdy"
+            ),
+            F.sum(F.col("d").cast(_D19) * F.col("d").cast(_D19)).alias(
+                f"{prefix}sdd"
+            ),
+            F.sum(F.col("y").cast(_D19) * F.col("y").cast(_D19)).alias(
+                f"{prefix}syy"
+            ),
+        ]
+
+    seg = g.groupBy("event_type", "seg").agg(*moments(g, ""))
+    wide = seg.groupBy("event_type").agg(
+        *[
+            F.sum(F.when(F.col("seg") == s_, F.col(c))).alias(f"{c}{s_}")
+            for s_ in (0, 1)
+            for c in ("n", "sd", "sy", "sdy", "sdd", "syy")
+        ]
+    )
+
+    def ssr(n, sd, sy, sdy, sdd, syy):
+        nd = F.col(n).cast("double")
+        sdd_ = F.col(sdd).cast("double") - F.col(sd).cast("double") * F.col(
+            sd
+        ).cast("double") / nd
+        sdy_ = F.col(sdy).cast("double") - F.col(sd).cast("double") * F.col(
+            sy
+        ).cast("double") / nd
+        syy_ = F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(
+            sy
+        ).cast("double") / nd
+        return syy_ - sdy_ * sdy_ / sdd_
+
+    ssr0 = ssr("n0", "sd0", "sy0", "sdy0", "sdd0", "syy0")
+    ssr1 = ssr("n1", "sd1", "sy1", "sdy1", "sdd1", "syy1")
+    # pooled moments = sums of the two segments
+    pooled = wide.select(
+        "event_type",
+        (F.col("n0") + F.col("n1")).alias("n"),
+        (F.col("sd0") + F.col("sd1")).alias("sd"),
+        (F.col("sy0") + F.col("sy1")).alias("sy"),
+        (F.col("sdy0") + F.col("sdy1")).alias("sdy"),
+        (F.col("sdd0") + F.col("sdd1")).alias("sdd"),
+        (F.col("syy0") + F.col("syy1")).alias("syy"),
+        ssr0.alias("ssr0"),
+        ssr1.alias("ssr1"),
+    )
+    ssrp = ssr("n", "sd", "sy", "sdy", "sdd", "syy")
+    nd = F.col("n").cast("double")
+    fstat = ((ssrp - F.col("ssr0") - F.col("ssr1")) / F.lit(2.0)) / (
+        (F.col("ssr0") + F.col("ssr1")) / (nd - F.lit(4.0))
+    )
+    mic = F.lit(float(MICRO))
+    return pooled.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.floor(fstat * mic + F.lit(0.5)).cast("long").alias("f_micro"),
+        (fstat > F.lit(CHOW_F_CRIT)).alias("break_detected"),
+    ).orderBy("event_type")
+
+
+CHOW_SQL = f"""
+WITH {_GRID_SQL}, brk AS (
+  SELECT MAX(d) // 2 AS brk FROM grid
+), segs AS (
+  SELECT event_type, CASE WHEN d >= brk THEN 1 ELSE 0 END AS seg,
+         COUNT(*) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdy,
+         CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdd,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
+  FROM grid CROSS JOIN brk GROUP BY 1, 2
+), wide AS (
+  SELECT event_type,
+         SUM(CASE WHEN seg = 0 THEN n END) AS n0, SUM(CASE WHEN seg = 1 THEN n END) AS n1,
+         SUM(CASE WHEN seg = 0 THEN sd END) AS sd0, SUM(CASE WHEN seg = 1 THEN sd END) AS sd1,
+         SUM(CASE WHEN seg = 0 THEN sy END) AS sy0, SUM(CASE WHEN seg = 1 THEN sy END) AS sy1,
+         SUM(CASE WHEN seg = 0 THEN sdy END) AS sdy0, SUM(CASE WHEN seg = 1 THEN sdy END) AS sdy1,
+         SUM(CASE WHEN seg = 0 THEN sdd END) AS sdd0, SUM(CASE WHEN seg = 1 THEN sdd END) AS sdd1,
+         SUM(CASE WHEN seg = 0 THEN syy END) AS syy0, SUM(CASE WHEN seg = 1 THEN syy END) AS syy1
+  FROM segs GROUP BY event_type
+), f AS (
+  SELECT event_type, n0 + n1 AS n,
+         (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / n0)
+           - (CAST(sdy0 AS DOUBLE) - CAST(sd0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / n0)
+             * (CAST(sdy0 AS DOUBLE) - CAST(sd0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / n0)
+             / (CAST(sdd0 AS DOUBLE) - CAST(sd0 AS DOUBLE) * CAST(sd0 AS DOUBLE) / n0) AS ssr0,
+         (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / n1)
+           - (CAST(sdy1 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / n1)
+             * (CAST(sdy1 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / n1)
+             / (CAST(sdd1 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n1) AS ssr1,
+         (CAST(syy0 + syy1 AS DOUBLE) - CAST(sy0 + sy1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE) / (n0 + n1))
+           - (CAST(sdy0 + sdy1 AS DOUBLE) - CAST(sd0 + sd1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE) / (n0 + n1))
+             * (CAST(sdy0 + sdy1 AS DOUBLE) - CAST(sd0 + sd1 AS DOUBLE) * CAST(sy0 + sy1 AS DOUBLE) / (n0 + n1))
+             / (CAST(sdd0 + sdd1 AS DOUBLE) - CAST(sd0 + sd1 AS DOUBLE) * CAST(sd0 + sd1 AS DOUBLE) / (n0 + n1)) AS ssrp
+  FROM wide
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(((ssrp - ssr0 - ssr1) / 2.0) / ((ssr0 + ssr1) / (CAST(n AS DOUBLE) - 4.0))
+                  * {MICRO} + 0.5) AS BIGINT) AS f_micro,
+       ((ssrp - ssr0 - ssr1) / 2.0) / ((ssr0 + ssr1) / (CAST(n AS DOUBLE) - 4.0))
+         > {CHOW_F_CRIT} AS break_detected
+FROM f
+ORDER BY event_type
+"""
+
+
+# ----------------------------------------------- Dunn post-hoc test
+DUNN_Z_CRIT = 2.39398  # two-sided 5% Bonferroni over 3 comparisons
+
+
+def dunn_posthoc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn (1964) post-hoc pairwise comparisons after Kruskal-Wallis
+    over the three return-flag groups on quantity — the test you run
+    AFTER kruskal_wallis_test rejects, to learn WHICH groups differ,
+    with the shared-rank-variance denominator and Bonferroni gate
+    that naive pairwise Mann-Whitneys get wrong.
+
+    Doubled pooled midranks on the 50-value grid keep every rank sum
+    an exact integer (2R(v) = 2·cum_below + c + 1); the tie term
+    Σ(t³−t) rides the double-term→DECIMAL(38,6) route; each pairwise
+    z is one closed form over exact values, reported in micro units.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v"), "l_returnflag"
+    )
+    vals = li.groupBy("v").agg(
+        *[
+            F.sum((F.col("l_returnflag") == fl).cast("long")).alias(f"c{fl}")
+            for fl in ("A", "N", "R")
+        ]
+    )
+    cum = (
+        vals.alias("p")
+        .join(F.broadcast(vals.alias("q")), F.col("q.v") < F.col("p.v"), "left")
+        .groupBy(
+            F.col("p.v").alias("v"),
+            F.col("p.cA").alias("cA"),
+            F.col("p.cN").alias("cN"),
+            F.col("p.cR").alias("cR"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("q.cA") + F.col("q.cN") + F.col("q.cR")), F.lit(0)
+            ).alias("below")
+        )
+    )
+    ct = F.col("cA") + F.col("cN") + F.col("cR")
+    r2 = F.lit(2) * F.col("below") + ct + 1  # doubled pooled midrank
+    tdbl = ct.cast("double")
+    s = cum.agg(
+        *[F.sum(f"c{fl}").alias(f"n{fl}") for fl in ("A", "N", "R")],
+        *[
+            F.sum(F.col(f"c{fl}").cast(_D19) * r2.cast(_D19)).alias(f"r{fl}")
+            for fl in ("A", "N", "R")
+        ],
+        F.sum((tdbl * tdbl * tdbl - tdbl).cast(_D38)).alias("ties"),
+    )
+    nn = (F.col("nA") + F.col("nN") + F.col("nR")).cast("double")
+    base_var = nn * (nn + 1) / F.lit(12.0) - F.col("ties").cast("double") / (
+        F.lit(12.0) * (nn - 1)
+    )
+    mic = F.lit(float(MICRO))
+    out = None
+    for g1, g2 in (("A", "N"), ("A", "R"), ("N", "R")):
+        m1 = F.col(f"r{g1}").cast("double") / (
+            F.lit(2.0) * F.col(f"n{g1}").cast("double")
+        )
+        m2 = F.col(f"r{g2}").cast("double") / (
+            F.lit(2.0) * F.col(f"n{g2}").cast("double")
+        )
+        se = F.sqrt(
+            base_var
+            * (
+                F.lit(1.0) / F.col(f"n{g1}").cast("double")
+                + F.lit(1.0) / F.col(f"n{g2}").cast("double")
+            )
+        )
+        z = (m1 - m2) / se
+        row = s.select(
+            F.lit(f"{g1}-{g2}").alias("pair"),
+            F.col(f"n{g1}").alias("n1"),
+            F.col(f"n{g2}").alias("n2"),
+            F.floor(z * mic + F.lit(0.5)).cast("long").alias("z_micro"),
+            (F.abs(z) > F.lit(DUNN_Z_CRIT)).alias("significant"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")
+
+
+DUNN_SQL = f"""
+WITH vals AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cA,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cN,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cR
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT p.v, p.cA, p.cN, p.cR,
+         CAST(COALESCE(SUM(q.cA + q.cN + q.cR), 0) AS BIGINT) AS below
+  FROM vals p LEFT JOIN vals q ON q.v < p.v
+  GROUP BY p.v, p.cA, p.cN, p.cR
+), s AS (
+  SELECT CAST(SUM(cA) AS BIGINT) AS nA, CAST(SUM(cN) AS BIGINT) AS nN,
+         CAST(SUM(cR) AS BIGINT) AS nR,
+         CAST(SUM(CAST(cA AS DECIMAL(19,0)) * CAST(2 * below + cA + cN + cR + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS rA,
+         CAST(SUM(CAST(cN AS DECIMAL(19,0)) * CAST(2 * below + cA + cN + cR + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS rN,
+         CAST(SUM(CAST(cR AS DECIMAL(19,0)) * CAST(2 * below + cA + cN + cR + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS rR,
+         CAST(SUM(CAST(CAST(cA + cN + cR AS DOUBLE) * (cA + cN + cR) * (cA + cN + cR)
+                       - (cA + cN + cR) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS ties
+  FROM cum
+), base AS (
+  SELECT *,
+         CAST(nA + nN + nR AS DOUBLE) * (nA + nN + nR + 1) / 12.0
+           - CAST(ties AS DOUBLE) / (12.0 * (CAST(nA + nN + nR AS DOUBLE) - 1)) AS bv
+  FROM s
+), pairs AS (
+  SELECT 'A-N' AS pair, nA AS n1, nN AS n2,
+         (CAST(rA AS DOUBLE) / (2.0 * nA) - CAST(rN AS DOUBLE) / (2.0 * nN))
+           / sqrt(bv * (1.0 / nA + 1.0 / nN)) AS z
+  FROM base
+  UNION ALL
+  SELECT 'A-R', nA, nR,
+         (CAST(rA AS DOUBLE) / (2.0 * nA) - CAST(rR AS DOUBLE) / (2.0 * nR))
+           / sqrt(bv * (1.0 / nA + 1.0 / nR))
+  FROM base
+  UNION ALL
+  SELECT 'N-R', nN, nR,
+         (CAST(rN AS DOUBLE) / (2.0 * nN) - CAST(rR AS DOUBLE) / (2.0 * nR))
+           / sqrt(bv * (1.0 / nN + 1.0 / nR))
+  FROM base
+)
+SELECT pair, n1, n2,
+       CAST(floor(z * {MICRO} + 0.5) AS BIGINT) AS z_micro,
+       abs(z) > {DUNN_Z_CRIT} AS significant
+FROM pairs
+ORDER BY pair
+"""
+
+
+# ------------------------------------------------- spectral entropy
+def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of each event type's daily counts
+    over the tested rhythm frequencies (periods 7/14/30 days): H =
+    −Σ pᵢ·ln pᵢ / ln 3 where pᵢ is the share of spectral power at
+    period i — the one-number 'is this series rhythmic or noise'
+    summary (H → 0: one dominant cycle; H → 1: power spread evenly),
+    complementing periodogram_fixed's raw per-period amplitudes.
+
+    The C/S projections reuse series8's precomputed 1e-9 integer
+    cos/sin weight tables (engine trig never runs inside the sums);
+    powers C²+S² are DECIMAL-routed exact integers, the shares are
+    exact-value divisions, and H is ln on identical doubles,
+    micro-quantized.
+    """
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        _PG_COS,
+        _PG_SIN,
+        PG_PERIODS,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    aggs = []
+    for p in PG_PERIODS:
+        wc = F.array(*[F.lit(v) for v in _PG_COS[p]])
+        ws = F.array(*[F.lit(v) for v in _PG_SIN[p]])
+        idx = (F.col("d") % p + 1).cast("int")
+        aggs.append(F.sum(F.col("y") * F.element_at(wc, idx)).alias(f"c{p}"))
+        aggs.append(F.sum(F.col("y") * F.element_at(ws, idx)).alias(f"s{p}"))
+    agg = grid.groupBy("event_type").agg(*aggs)
+    pw = {
+        p: F.col(f"c{p}").cast(_D19) * F.col(f"c{p}").cast(_D19)
+        + F.col(f"s{p}").cast(_D19) * F.col(f"s{p}").cast(_D19)
+        for p in PG_PERIODS
+    }
+    withp = agg.select(
+        "event_type", *[pw[p].alias(f"p{p}") for p in PG_PERIODS]
+    )
+    tot = sum((F.col(f"p{p}") for p in PG_PERIODS[1:]), F.col(f"p{PG_PERIODS[0]}"))
+    mic = F.lit(float(MICRO))
+    share = {
+        p: F.col(f"p{p}").cast("double") / tot.cast("double")
+        for p in PG_PERIODS
+    }
+    import math as _m
+
+    h = sum(
+        (
+            -share[p]
+            * F.when(share[p] > 0, F.log(share[p])).otherwise(F.lit(0.0))
+            for p in PG_PERIODS[1:]
+        ),
+        -share[PG_PERIODS[0]]
+        * F.when(share[PG_PERIODS[0]] > 0, F.log(share[PG_PERIODS[0]])).otherwise(
+            F.lit(0.0)
+        ),
+    ) / F.lit(_m.log(float(len(PG_PERIODS))))
+    return withp.select(
+        "event_type",
+        *[
+            F.floor(share[p] * mic + F.lit(0.5)).cast("long").alias(f"share{p}_micro")
+            for p in PG_PERIODS
+        ],
+        F.floor(h * mic + F.lit(0.5)).cast("long").alias("entropy_micro"),
+    ).orderBy("event_type")
+
+
+def _spectral_sql() -> str:
+    import math as _m
+
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        _PG_COS,
+        _PG_SIN,
+        PG_PERIODS,
+    )
+
+    proj = []
+    for p in PG_PERIODS:
+        cos_list = ", ".join(str(v) for v in _PG_COS[p])
+        sin_list = ", ".join(str(v) for v in _PG_SIN[p])
+        proj.append(
+            f"CAST(SUM(y * ([{cos_list}])[(d % {p}) + 1]) AS BIGINT) AS c{p}"
+        )
+        proj.append(
+            f"CAST(SUM(y * ([{sin_list}])[(d % {p}) + 1]) AS BIGINT) AS s{p}"
+        )
+    pws = ",\n         ".join(
+        f"CAST(CAST(c{p} AS DECIMAL(19,0)) * CAST(c{p} AS DECIMAL(19,0))"
+        f" + CAST(s{p} AS DECIMAL(19,0)) * CAST(s{p} AS DECIMAL(19,0))"
+        f" AS DECIMAL(38,0)) AS p{p}"
+        for p in PG_PERIODS
+    )
+    tot = " + ".join(f"CAST(p{p} AS DOUBLE)" for p in PG_PERIODS)
+    shares = ",\n       ".join(
+        f"CAST(floor(CAST(p{p} AS DOUBLE) / ({tot}) * {MICRO} + 0.5) AS BIGINT)"
+        f" AS share{p}_micro"
+        for p in PG_PERIODS
+    )
+    hterms = " + ".join(
+        f"(-(CAST(p{p} AS DOUBLE) / ({tot}))"
+        f" * (CASE WHEN CAST(p{p} AS DOUBLE) / ({tot}) > 0"
+        f" THEN ln(CAST(p{p} AS DOUBLE) / ({tot})) ELSE 0.0 END))"
+        for p in PG_PERIODS
+    )
+    ln_k = _m.log(float(len(PG_PERIODS)))
+    body = ",\n         ".join(proj)
+    return f"""
+WITH {_GRID_SQL}, agg AS (
+  SELECT event_type,
+         {body}
+  FROM grid GROUP BY event_type
+), pw AS (
+  SELECT event_type,
+         {pws}
+  FROM agg
+)
+SELECT event_type,
+       {shares},
+       CAST(floor(({hterms}) / {ln_k!r} * {MICRO} + 0.5) AS BIGINT) AS entropy_micro
+FROM pw
+ORDER BY event_type
+"""
+
+
+SPECTRAL_ENTROPY_SQL = _spectral_sql()

@@ -865,6 +865,13 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "platt_scaling": (stats10.platt_scaling, stats10.PLATT_SQL),
     "bloom_fpr_audit": (stats10.bloom_fpr_audit, stats10.BLOOM_FPR_SQL),
+    "logrank_test": (stats10.logrank_test, stats10.LOGRANK_SQL),
+    "chow_test": (stats10.chow_test, stats10.CHOW_SQL),
+    "dunn_posthoc_test": (stats10.dunn_posthoc_test, stats10.DUNN_SQL),
+    "spectral_entropy_daily": (
+        stats10.spectral_entropy_daily,
+        stats10.SPECTRAL_ENTROPY_SQL,
+    ),
 }
 
 
@@ -911,6 +918,10 @@ _ROUND10_NEW: list[str] = [
     "hampel_filter_daily",
     "platt_scaling",
     "bloom_fpr_audit",
+    "logrank_test",
+    "chow_test",
+    "dunn_posthoc_test",
+    "spectral_entropy_daily",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (the

@@ -163,6 +163,10 @@ BNLJ_OK = {
     "hampel_filter_daily",  # |types| x |days| bounded grid expand (_daily_grid)
     "platt_scaling",  # bounded percent-grid collect (driver IRLS loop)
     "bloom_fpr_audit",  # 4-row hash-index crossJoin + 1-row count scalars
+    "logrank_test",  # duration-domain at-risk theta join + 1-row horizon
+    "chow_test",  # |types|x|days| bounded grid expand (_daily_grid)
+    "dunn_posthoc_test",  # 50-value cumulative theta join + 1-row rank sums
+    "spectral_entropy_daily",  # |types|x|days| bounded grid expand
 }
 
 

@@ -386,3 +386,159 @@ def test_bloom_fpr_realized_close_to_theory(spark):
     # realized FPR within an order of magnitude of theory (tiny n at
     # sf0.001 → wide binomial noise; the audit's job is the COMPARISON)
     assert row["fpr_real"] <= max(10 * theory, 0.01)
+
+
+def test_logrank_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.events import DAY_NS
+    from cgtcalc_data_transformer_spark.operators.stats10 import logrank_test
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = (
+        load_events(spark, SF).select("user_id", "ts", "event_type").collect()
+    )
+    first = {}
+    first_p = {}
+    horizon = 0
+    for r in rows:
+        d = r["ts"] // DAY_NS
+        horizon = max(horizon, d)
+        u = r["user_id"]
+        first[u] = min(first.get(u, d), d)
+        if r["event_type"] == "purchase":
+            first_p[u] = min(first_p.get(u, d), d)
+    users = []  # (group, duration, event)
+    for u in first:
+        if u in first_p:
+            users.append((u % 2, first_p[u] - first[u], 1))
+        else:
+            users.append((u % 2, horizon - first[u], 0))
+    times = sorted({t for _, t, e in users if True})
+    o0 = sum(e for g, _, e in users if g == 0)
+    o1 = sum(e for g, _, e in users if g == 1)
+    e0 = v = 0.0
+    for t in times:
+        d0 = sum(e for g, tt, e in users if g == 0 and tt == t)
+        d1 = sum(e for g, tt, e in users if g == 1 and tt == t)
+        n0 = sum(1 for g, tt, _ in users if g == 0 and tt >= t)
+        n1 = sum(1 for g, tt, _ in users if g == 1 and tt >= t)
+        d, n = d0 + d1, n0 + n1
+        if d == 0 or n <= 1:
+            continue
+        e0 += d * n0 / n
+        v += d * (n0 / n) * (n1 / n) * (n - d) / (n - 1)
+    chi2 = (o0 - e0) ** 2 / v
+    row = logrank_test(spark, SF).collect()[0]
+    assert row["o0"] == o0 and row["o1"] == o1
+    assert abs(row["e0_micro"] - int(e0 * 10**6 + 0.5)) <= 2
+    assert abs(row["chi2_micro"] / 10**6 - chi2) < 1e-3
+    assert row["significant"] == (row["chi2_micro"] / 10**6 > 3.841459)
+
+
+def test_chow_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import chow_test
+    from cgtcalc_data_transformer_spark.operators.timeseries import _daily_grid
+
+    grid = defaultdict(dict)
+    for r in _daily_grid(spark, SF).collect():
+        grid[r["event_type"]][r["d"]] = r["y"]
+    rows = {r["event_type"]: r for r in chow_test(spark, SF).collect()}
+
+    def ssr(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts) - sx * sx / n
+        sxy = sum(x * y for x, y in pts) - sx * sy / n
+        syy = sum(y * y for _, y in pts) - sy * sy / n
+        return syy - sxy * sxy / sxx
+
+    for t, dd in grid.items():
+        dmax = max(dd)
+        brk = dmax // 2
+        pts = [(d, dd[d]) for d in sorted(dd)]
+        s1 = [(x, y) for x, y in pts if x < brk]
+        s2 = [(x, y) for x, y in pts if x >= brk]
+        f = ((ssr(pts) - ssr(s1) - ssr(s2)) / 2) / (
+            (ssr(s1) + ssr(s2)) / (len(pts) - 4)
+        )
+        r = rows[t]
+        assert r["n_days"] == len(pts)
+        assert abs(r["f_micro"] / 10**6 - f) < 1e-4
+        assert r["break_detected"] == (r["f_micro"] / 10**6 > 2.9957)
+
+
+def test_dunn_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        DUNN_Z_CRIT,
+        dunn_posthoc_test,
+    )
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append(int(r["l_quantity"]))
+    pooled = sorted(v for g in groups.values() for v in g)
+    nn = len(pooled)
+    # midrank per value
+    mid = {}
+    i = 0
+    while i < nn:
+        j = i
+        while j < nn and pooled[j] == pooled[i]:
+            j += 1
+        mid[pooled[i]] = (i + 1 + j) / 2
+        i = j
+    ties = sum(
+        c**3 - c for c in Counter(pooled).values()
+    )
+    bv = nn * (nn + 1) / 12 - ties / (12 * (nn - 1))
+    got = {r["pair"]: r for r in dunn_posthoc_test(spark, SF).collect()}
+    for g1, g2 in (("A", "N"), ("A", "R"), ("N", "R")):
+        m1 = sum(mid[v] for v in groups[g1]) / len(groups[g1])
+        m2 = sum(mid[v] for v in groups[g2]) / len(groups[g2])
+        import math
+
+        z = (m1 - m2) / math.sqrt(bv * (1 / len(groups[g1]) + 1 / len(groups[g2])))
+        r = got[f"{g1}-{g2}"]
+        assert r["n1"] == len(groups[g1]) and r["n2"] == len(groups[g2])
+        assert abs(r["z_micro"] / 10**6 - z) < 1e-5
+        assert r["significant"] == (abs(z) > DUNN_Z_CRIT)
+
+
+def test_spectral_entropy_matches_naive(spark):
+    import math
+
+    from cgtcalc_data_transformer_spark.operators.series8 import (
+        _PG_COS,
+        _PG_SIN,
+        PG_PERIODS,
+    )
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        spectral_entropy_daily,
+    )
+    from cgtcalc_data_transformer_spark.operators.timeseries import _daily_grid
+
+    grid = defaultdict(dict)
+    for r in _daily_grid(spark, SF).collect():
+        grid[r["event_type"]][r["d"]] = r["y"]
+    rows = {r["event_type"]: r for r in spectral_entropy_daily(spark, SF).collect()}
+    for t, dd in grid.items():
+        powers = {}
+        for p in PG_PERIODS:
+            c = sum(y * _PG_COS[p][d % p] for d, y in dd.items())
+            s = sum(y * _PG_SIN[p][d % p] for d, y in dd.items())
+            powers[p] = c * c + s * s
+        tot = sum(powers.values())
+        shares = {p: powers[p] / tot for p in PG_PERIODS}
+        h = -sum(s * math.log(s) for s in shares.values() if s > 0) / math.log(
+            len(PG_PERIODS)
+        )
+        r = rows[t]
+        for p in PG_PERIODS:
+            assert abs(r[f"share{p}_micro"] / 10**6 - shares[p]) < 2e-6
+        assert abs(r["entropy_micro"] / 10**6 - h) < 2e-6
+        assert 0 <= r["entropy_micro"] <= 10**6
