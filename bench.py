@@ -362,6 +362,8 @@ HEADLINE: dict[str, str] = {
     "chow_test": "collect",
     "dunn_posthoc_test": "collect",
     "spectral_entropy_daily": "collect",
+    "weighted_kappa_transitions": "collect",
+    "anderson_darling_2sample": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -1928,3 +1928,224 @@ ORDER BY event_type
 
 
 SPECTRAL_ENTROPY_SQL = _spectral_sql()
+
+
+# ------------------------------------------------- Cohen's kappa
+def weighted_kappa_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ (1960) and linear-weighted κ between the return flag
+    of an order's FIRST and LAST line — chance-corrected agreement
+    over the same 3×3 transition table Bowker tests for symmetry
+    (bowker asks 'are disagreements directional'; κ asks 'is there
+    more agreement than chance at all'). The first/last pick is the
+    shared lexicographic BIGINT encode (stats9.bowker_symmetry).
+
+    Exact integer arithmetic end-to-end: p_o, p_e and both weighted
+    disagreement sums are integer-count ratios (Σ d·n_ij, Σ d·r_i·c_j
+    with d = |i−j| — DECIMAL-routed margins product), divided once;
+    outputs micro-quantized (the C/N ROUND-ties class).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            (F.col("l_linenumber") * 64 + F.col("l_quantity").cast("long")) * 4
+            + F.when(F.col("l_returnflag") == "A", 0)
+            .when(F.col("l_returnflag") == "N", 1)
+            .otherwise(2)
+        ).alias("key"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("key").alias("mn"),
+        F.max("key").alias("mx"),
+        F.count(F.lit(1)).alias("nl"),
+    ).filter(F.col("nl") >= 2)
+    table = per_order.groupBy(
+        F.pmod(F.col("mn"), F.lit(4)).alias("i"),
+        F.pmod(F.col("mx"), F.lit(4)).alias("j"),
+    ).agg(F.count(F.lit(1)).alias("nij")).cache()
+    rows_m = table.groupBy("i").agg(F.sum("nij").alias("r"))
+    cols_m = table.groupBy("j").agg(F.sum("nij").alias("c"))
+    tot = table.agg(F.sum("nij").alias("n"))
+    diag = table.filter(F.col("i") == F.col("j")).agg(
+        F.coalesce(F.sum("nij"), F.lit(0)).alias("agree")
+    )
+    wobs = table.agg(
+        F.sum(F.abs(F.col("i") - F.col("j")) * F.col("nij")).alias("wo")
+    )
+    # fold the tiny |i−j| (≤ 2) into the r factor BEFORE the decimal
+    # product — a D38→D19 downcast of r·c would throw at scale
+    wexp = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .agg(
+            F.sum(
+                (F.abs(F.col("i") - F.col("j")) * F.col("r")).cast(_D19)
+                * F.col("c").cast(_D19)
+            ).alias("we")
+        )
+    )
+    chance = (
+        rows_m.join(cols_m, F.col("i") == F.col("j"))
+        .agg(F.sum(F.col("r").cast(_D19) * F.col("c").cast(_D19)).alias("rc"))
+    )
+    s = (
+        tot.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(wobs))
+        .crossJoin(F.broadcast(wexp))
+        .crossJoin(F.broadcast(chance))
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = F.col("rc").cast("double") / (nd * nd)
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+    kw = F.lit(1.0) - (F.col("wo").cast("double") / nd) / (
+        F.col("we").cast("double") / (nd * nd)
+    )
+    mic = F.lit(float(MICRO))
+    return s.select(
+        "n",
+        F.floor(po * mic + F.lit(0.5)).cast("long").alias("po_micro"),
+        F.floor(pe * mic + F.lit(0.5)).cast("long").alias("pe_micro"),
+        F.floor(kappa * mic + F.lit(0.5)).cast("long").alias("kappa_micro"),
+        F.floor(kw * mic + F.lit(0.5)).cast("long").alias("kappa_w_micro"),
+    )
+
+
+WEIGHTED_KAPPA_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         (l_linenumber * 64 + CAST(l_quantity AS BIGINT)) * 4
+         + CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS key
+  FROM lineitem
+), per_order AS (
+  SELECT l_orderkey, MIN(key) AS mn, MAX(key) AS mx, COUNT(*) AS nl
+  FROM li GROUP BY l_orderkey HAVING COUNT(*) >= 2
+), tbl AS MATERIALIZED (
+  SELECT mn % 4 AS i, mx % 4 AS j, COUNT(*) AS nij
+  FROM per_order GROUP BY 1, 2
+), rows_m AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS r FROM tbl GROUP BY i),
+cols_m AS (SELECT j, CAST(SUM(nij) AS BIGINT) AS c FROM tbl GROUP BY j),
+agg AS (
+  SELECT (SELECT CAST(SUM(nij) AS BIGINT) FROM tbl) AS n,
+         (SELECT COALESCE(CAST(SUM(nij) AS BIGINT), 0) FROM tbl WHERE i = j) AS agree,
+         (SELECT CAST(SUM(abs(i - j) * nij) AS BIGINT) FROM tbl) AS wo,
+         (SELECT CAST(SUM(CAST(abs(i - j) * r AS DECIMAL(19,0))
+                          * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0))
+          FROM rows_m CROSS JOIN cols_m) AS we,
+         (SELECT CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0))
+          FROM rows_m JOIN cols_m ON i = j) AS rc
+)
+SELECT n,
+       CAST(floor(CAST(agree AS DOUBLE) / n * {MICRO} + 0.5) AS BIGINT) AS po_micro,
+       CAST(floor(CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * n) * {MICRO} + 0.5) AS BIGINT) AS pe_micro,
+       CAST(floor((CAST(agree AS DOUBLE) / n - CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                  / (1.0 - CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                  * {MICRO} + 0.5) AS BIGINT) AS kappa_micro,
+       CAST(floor((1.0 - (CAST(wo AS DOUBLE) / n)
+                         / (CAST(we AS DOUBLE) / (CAST(n AS DOUBLE) * n)))
+                  * {MICRO} + 0.5) AS BIGINT) AS kappa_w_micro
+FROM agg
+"""
+
+
+# --------------------------------- Anderson-Darling two-sample test
+AD_CRIT_5PCT = 2.492  # Pettitt (1976) asymptotic two-sample 5% point
+
+
+def anderson_darling_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling test on the F-vs-O quantity frame
+    (Scholz-Stephens 1987, k = 2, discrete form): the tail-weighted
+    member of the ECDF-test family — KS reads the worst gap, CvM the
+    average, AD re-weights by 1/(H(1−H)) so tail departures count,
+    which is where corpus-quality distribution shifts usually live.
+
+    A² = Σ_i (1/nᵢ) Σ_{cells, B<N} (l/N)·(N·Mᵢ − nᵢ·B)²/(B·(N−B))
+    over the 50-value pooled grid: B and Mᵢ are inclusive cumulative
+    counts from the shared cumulative theta join; each cell term is
+    an exact-integer rational in double, quantized to 1e-6 before
+    the DECIMAL(38,0) sum. Gate vs the asymptotic 5% point (2.492).
+    """
+    vals = _quantity_value_counts(spark, sf_dir)
+    cum = (
+        vals.alias("p")
+        .join(F.broadcast(vals.alias("q")), F.col("q.v") < F.col("p.v"), "left")
+        .groupBy(
+            F.col("p.v").alias("v"),
+            F.col("p.ca").alias("ca"),
+            F.col("p.cb").alias("cb"),
+        )
+        .agg(
+            F.coalesce(F.sum("q.ca"), F.lit(0)).alias("cbel_a"),
+            F.coalesce(F.sum("q.cb"), F.lit(0)).alias("cbel_b"),
+        )
+    )
+    tots = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = cum.crossJoin(F.broadcast(tots))
+    ma = (F.col("cbel_a") + F.col("ca")).cast("double")
+    mb = (F.col("cbel_b") + F.col("cb")).cast("double")
+    bt = ma + mb
+    nn = (F.col("na") + F.col("nb")).cast("double")
+    ll = (F.col("ca") + F.col("cb")).cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ta = (
+        (ll / nn)
+        * (nn * ma - nad * bt)
+        * (nn * ma - nad * bt)
+        / (bt * (nn - bt))
+        / nad
+    )
+    tb = (
+        (ll / nn)
+        * (nn * mb - nbd * bt)
+        * (nn * mb - nbd * bt)
+        / (bt * (nn - bt))
+        / nbd
+    )
+    mic = F.lit(float(MICRO))
+    termq = F.when(
+        bt < nn, F.floor((ta + tb) * mic + F.lit(0.5)).cast("decimal(38,0)")
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    s = j.groupBy("na", "nb").agg(F.sum(termq).alias("a2q"))
+    a2 = F.col("a2q").cast("double") / mic
+    return s.select(
+        "na",
+        "nb",
+        F.floor(a2 * mic + F.lit(0.5)).cast("long").alias("a2_micro"),
+        (a2 > F.lit(AD_CRIT_5PCT)).alias("significant"),
+    )
+
+
+ANDERSON_DARLING_SQL = f"""
+WITH {_VALS_SQL}, cum AS (
+  SELECT p.v, p.ca, p.cb,
+         CAST(COALESCE(SUM(q.ca), 0) AS BIGINT) AS cbel_a,
+         CAST(COALESCE(SUM(q.cb), 0) AS BIGINT) AS cbel_b
+  FROM vals p LEFT JOIN vals q ON q.v < p.v
+  GROUP BY p.v, p.ca, p.cb
+), tots AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+), s AS (
+  SELECT na, nb,
+         CAST(SUM(CASE WHEN (cbel_a + ca + cbel_b + cb) < (na + nb) THEN
+           CAST(floor((
+             (CAST(ca + cb AS DOUBLE) / (na + nb))
+             * ((na + nb) * CAST(cbel_a + ca AS DOUBLE) - na * CAST(cbel_a + ca + cbel_b + cb AS DOUBLE))
+             * ((na + nb) * CAST(cbel_a + ca AS DOUBLE) - na * CAST(cbel_a + ca + cbel_b + cb AS DOUBLE))
+             / (CAST(cbel_a + ca + cbel_b + cb AS DOUBLE) * ((na + nb) - CAST(cbel_a + ca + cbel_b + cb AS DOUBLE)))
+             / na
+             +
+             (CAST(ca + cb AS DOUBLE) / (na + nb))
+             * ((na + nb) * CAST(cbel_b + cb AS DOUBLE) - nb * CAST(cbel_a + ca + cbel_b + cb AS DOUBLE))
+             * ((na + nb) * CAST(cbel_b + cb AS DOUBLE) - nb * CAST(cbel_a + ca + cbel_b + cb AS DOUBLE))
+             / (CAST(cbel_a + ca + cbel_b + cb AS DOUBLE) * ((na + nb) - CAST(cbel_a + ca + cbel_b + cb AS DOUBLE)))
+             / nb
+           ) * {MICRO} + 0.5) AS DECIMAL(38,0))
+         ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS a2q
+  FROM cum CROSS JOIN tots
+  GROUP BY na, nb
+)
+SELECT na, nb,
+       CAST(floor(CAST(a2q AS DOUBLE) / {MICRO} * {MICRO} + 0.5) AS BIGINT) AS a2_micro,
+       CAST(a2q AS DOUBLE) / {MICRO} > {AD_CRIT_5PCT} AS significant
+FROM s
+"""

@@ -872,6 +872,14 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats10.spectral_entropy_daily,
         stats10.SPECTRAL_ENTROPY_SQL,
     ),
+    "weighted_kappa_transitions": (
+        stats10.weighted_kappa_transitions,
+        stats10.WEIGHTED_KAPPA_SQL,
+    ),
+    "anderson_darling_2sample": (
+        stats10.anderson_darling_2sample,
+        stats10.ANDERSON_DARLING_SQL,
+    ),
 }
 
 
@@ -922,6 +930,8 @@ _ROUND10_NEW: list[str] = [
     "chow_test",
     "dunn_posthoc_test",
     "spectral_entropy_daily",
+    "weighted_kappa_transitions",
+    "anderson_darling_2sample",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (the

@@ -167,6 +167,8 @@ BNLJ_OK = {
     "chow_test",  # |types|x|days| bounded grid expand (_daily_grid)
     "dunn_posthoc_test",  # 50-value cumulative theta join + 1-row rank sums
     "spectral_entropy_daily",  # |types|x|days| bounded grid expand
+    "weighted_kappa_transitions",  # 3x3 margin cross + 1-row scalars
+    "anderson_darling_2sample",  # 50-value cumulative theta join + totals
 }
 
 

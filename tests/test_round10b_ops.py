@@ -542,3 +542,73 @@ def test_spectral_entropy_matches_naive(spark):
             assert abs(r[f"share{p}_micro"] / 10**6 - shares[p]) < 2e-6
         assert abs(r["entropy_micro"] / 10**6 - h) < 2e-6
         assert 0 <= r["entropy_micro"] <= 10**6
+
+
+def test_weighted_kappa_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        weighted_kappa_transitions,
+    )
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .collect()
+    )
+    flag_code = {"A": 0, "N": 1, "R": 2}
+    per_order = defaultdict(list)
+    for r in rows:
+        per_order[r["l_orderkey"]].append(
+            (int(r["l_linenumber"]), int(r["l_quantity"]), flag_code[r["l_returnflag"]])
+        )
+    table = Counter()
+    for lines in per_order.values():
+        if len(lines) < 2:
+            continue
+        lines.sort()
+        table[(lines[0][2], lines[-1][2])] += 1
+    n = sum(table.values())
+    rm = Counter()
+    cm = Counter()
+    for (i, j), c in table.items():
+        rm[i] += c
+        cm[j] += c
+    po = sum(c for (i, j), c in table.items() if i == j) / n
+    pe = sum(rm[i] * cm[i] for i in rm if i in cm) / n**2
+    kappa = (po - pe) / (1 - pe)
+    wo = sum(abs(i - j) * c for (i, j), c in table.items()) / n
+    we = sum(abs(i - j) * rm[i] * cm[j] for i in rm for j in cm) / n**2
+    kw = 1 - wo / we
+    row = weighted_kappa_transitions(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["po_micro"] / 10**6 - po) < 2e-6
+    assert abs(row["pe_micro"] / 10**6 - pe) < 2e-6
+    assert abs(row["kappa_micro"] / 10**6 - kappa) < 1e-5
+    assert abs(row["kappa_w_micro"] / 10**6 - kw) < 1e-5
+
+
+def test_anderson_darling_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats10 import (
+        AD_CRIT_5PCT,
+        anderson_darling_2sample,
+    )
+
+    a, b = _quant_by_status(spark)
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    nn = na + nb
+    vals = sorted(set(a) | set(b))
+    ma = mb = 0
+    a2 = 0.0
+    for v in vals:
+        ma += ca.get(v, 0)
+        mb += cb.get(v, 0)
+        bt = ma + mb
+        if bt >= nn:
+            continue
+        ll = ca.get(v, 0) + cb.get(v, 0)
+        a2 += (ll / nn) * (nn * ma - na * bt) ** 2 / (bt * (nn - bt)) / na
+        a2 += (ll / nn) * (nn * mb - nb * bt) ** 2 / (bt * (nn - bt)) / nb
+    row = anderson_darling_2sample(spark, SF).collect()[0]
+    assert row["na"] == na and row["nb"] == nb
+    assert abs(row["a2_micro"] / 10**6 - a2) < 1e-4
+    assert row["significant"] == (row["a2_micro"] / 10**6 > AD_CRIT_5PCT)
