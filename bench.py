@@ -364,6 +364,14 @@ HEADLINE: dict[str, str] = {
     "spectral_entropy_daily": "collect",
     "weighted_kappa_transitions": "collect",
     "anderson_darling_2sample": "collect",
+    # round-11: PQ training (2 bounded collects) runs at plan-build
+    # like platt's bin collect; what re-executes — and what this rows
+    # times — is the production query path: encode + LUT equality
+    # join + per-query top-k (resp. + the exact-baseline audit join).
+    "pq_ann": "collect",
+    "pq_recall_audit": "collect",
+    "weighted_sample_per_group": "collect",
+    "simjoin_prefix_summary": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -107,20 +107,10 @@ ORDER BY keep_doc_id
 
 
 # ----------------------------------------------- exact n-gram Jaccard
-def _jaccard_for_pairs(
-    pairs: DataFrame, shingles: DataFrame, threshold: float | None = None
-) -> DataFrame:
-    """Exact Jaccard for given (doc_a, doc_b) pairs via exploded-row
-    intersection counts (no arrays; zero-overlap pairs get 0).
-
-    ``threshold`` filters on the UNROUNDED ratio via the multiply
-    form ``inter >= t * union`` — exact in double for t=0.5 (power of
-    two) and integer operands < 2^53, so the emitted predicate
-    coincides with the prefix/length filters' "true jaccard >= t"
-    guarantee (ADVICE r5: filtering the ROUND(...,6) value admitted
-    pairs in [t - 5e-7, t) that the lossless filters may prune).
-    ``jaccard`` stays rounded for display only.
-    """
+def _pair_overlap(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, n_a, n_b) exact integer overlap stats
+    for given pairs via exploded-row intersection counts (no arrays;
+    zero-overlap pairs get inter = 0)."""
     sizes = shingle_sizes(shingles)
     inter = (
         pairs.join(
@@ -133,12 +123,29 @@ def _jaccard_for_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
+    return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .withColumn("inter", F.coalesce("inter", F.lit(0)))
         .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
     )
+
+
+def _jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame, threshold: float | None = None
+) -> DataFrame:
+    """Exact Jaccard for given (doc_a, doc_b) pairs (see
+    ``_pair_overlap`` for the integer machinery).
+
+    ``threshold`` filters on the UNROUNDED ratio via the multiply
+    form ``inter >= t * union`` — exact in double for t=0.5 (power of
+    two) and integer operands < 2^53, so the emitted predicate
+    coincides with the prefix/length filters' "true jaccard >= t"
+    guarantee (ADVICE r5: filtering the ROUND(...,6) value admitted
+    pairs in [t - 5e-7, t) that the lossless filters may prune).
+    ``jaccard`` stays rounded for display only.
+    """
+    out = _pair_overlap(pairs, shingles)
     if threshold is not None:
         out = out.filter(
             F.col("inter")
@@ -262,6 +269,18 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → distinct pairs → exploded-intersection verify. No
     doc×doc product anywhere; every join is an equality join.
     """
+    cands, shingles = _prefix_candidates(spark, sf_dir)
+    return _jaccard_for_pairs(
+        cands, shingles, threshold=JACCARD_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
+
+
+def _prefix_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, cached shingles) — the shared AllPairs
+    prefix+length filter machinery behind simjoin_prefix and
+    simjoin_prefix_summary."""
     from pyspark.sql import Window
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
@@ -306,15 +325,118 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _jaccard_for_pairs(
-        cands, shingles, threshold=JACCARD_THRESHOLD
-    ).orderBy("doc_a", "doc_b")
+    return cands, shingles
 
 
 # Lossless filter ⇒ same rows as the quadratic ground truth; using the
 # independent quadratic SQL as the oracle cross-checks the whole
 # prefix machinery, not just the arithmetic.
 SIMJOIN_PREFIX_SQL = DEDUP_NGRAM_SQL
+
+
+# ------------------------- monitoring summary of the exact sim join
+SIMJOIN_SUMMARY_K = 5   # example pairs reported
+
+
+def simjoin_prefix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only/top-K summary of the exact prefix-filtered
+    similarity join (VERDICT r10 item 6): per Jaccard DECILE BAND the
+    number of qualifying pairs, plus the SIMJOIN_SUMMARY_K
+    highest-similarity example pairs — the monitoring-shaped output
+    whose size is bounded by (bands + K) rows no matter the corpus,
+    unlike ``simjoin_prefix`` whose full pair LIST is the product
+    (output-bound ~10× at 10× data, SCALING.md). Run THIS when the
+    question is "how much near-duplication is there", and the full
+    join only when materializing pairs is the point.
+
+    Same lossless candidate machinery (one shared implementation,
+    ``_prefix_candidates``); the band index and jaccard_micro are
+    exact integer divisions of the overlap counts (no float compare
+    anywhere), sentinel −1 fills the columns the other row kind
+    doesn't use (NULL-free: both engines' pandas bridges widen
+    nullable int64 to float64, which the type-strict driver hash
+    would flag).
+    """
+    cands, shingles = _prefix_candidates(spark, sf_dir)
+    ov = (
+        _pair_overlap(cands, shingles)
+        .filter(
+            F.col("inter")
+            >= F.lit(JACCARD_THRESHOLD)
+            * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .withColumn("ub", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("10 * inter div ub").cast("long").alias("band"),
+            F.expr("1000000 * inter div ub").cast("long").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+    bands = ov.groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        F.lit("band").alias("kind"),
+        "band",
+        "n_pairs",
+        F.lit(-1).cast("long").alias("doc_a"),
+        F.lit(-1).cast("long").alias("doc_b"),
+        F.lit(-1).cast("long").alias("jaccard_micro"),
+    )
+    examples = (
+        ov.orderBy(F.desc("jaccard_micro"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(SIMJOIN_SUMMARY_K)
+        .select(
+            F.lit("example").alias("kind"),
+            "band",
+            F.lit(-1).cast("long").alias("n_pairs"),
+            "doc_a",
+            "doc_b",
+            "jaccard_micro",
+        )
+    )
+    return bands.unionByName(examples).orderBy(
+        "kind", "band", "doc_a", "doc_b"
+    )
+
+
+SIMJOIN_SUMMARY_SQL = (
+    _SHINGLES_CTE
+    + """
+, sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM shingled WHERE len(shingles) > 0
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), ipairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), ov AS (
+  SELECT doc_a, doc_b,
+         CAST(10 * inter // (sa.n_sh + sb.n_sh - inter) AS BIGINT) AS band,
+         CAST({MICRO} * inter // (sa.n_sh + sb.n_sh - inter) AS BIGINT)
+           AS jaccard_micro
+  FROM ipairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter >= 0.5 * (sa.n_sh + sb.n_sh - inter)
+)
+SELECT * FROM (
+  SELECT 'band' AS kind, band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(-1 AS BIGINT) AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
+         CAST(-1 AS BIGINT) AS jaccard_micro
+  FROM ov GROUP BY band
+  UNION ALL
+  SELECT 'example' AS kind, band, CAST(-1 AS BIGINT) AS n_pairs,
+         doc_a, doc_b, jaccard_micro
+  FROM (SELECT * FROM ov
+        ORDER BY jaccard_micro DESC, doc_a ASC, doc_b ASC
+        LIMIT {K})
+)
+ORDER BY kind, band, doc_a, doc_b
+"""
+).format(MICRO=10**6, K=SIMJOIN_SUMMARY_K)
 
 
 # ---------------------------------- repeated-substring (span) dedup

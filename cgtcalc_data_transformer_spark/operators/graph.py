@@ -130,6 +130,75 @@ LIMIT {PR_TOP_K}
 
 
 # ------------------------------------------------- triangle counting
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) edge set of the part co-purchase graph
+    (parts sharing an order are adjacent), cached — the shared edge
+    build for triangle_count_parts and transitivity_parts. The
+    self-join is order-local (within l_orderkey, bounded by
+    lines-per-order); callers reuse the ONE cached frame for
+    degrees, wedges, and the closing semi-join."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical (u < v) undirected edge set."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented wedge enumeration (the "compact-forward"
+    algorithm), shared by triangle_count_parts and
+    transitivity_parts: orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, then enumerate
+    wedges only between OUT-neighbors. Orientation bounds every
+    out-degree by O(sqrt(2E)), so the wedge join is O(E^1.5) instead
+    of sum(deg^2) — the difference between feasible and not on a
+    power-law co-purchase graph. Returns (x < y) open wedges; closing
+    them with one left-semi join against `edges` counts each triangle
+    exactly once, from its unique minimum-(degree, id) corner."""
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    return (
+        w1.join(w2, F.col("w1.s") == F.col("w2.s"))
+        .filter(F.col("w1.d") < F.col("w2.d"))
+        .select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
+    )
+
+
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the part co-purchase graph (parts sharing an
     order are adjacent): n_nodes / n_edges / n_triangles.
@@ -151,49 +220,9 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a different enumeration of the same invariant, so the match
     proves the oriented rewrite counts every triangle once.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .cache()  # feeds degrees, wedges, and the closing semi-join
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-            .alias("e")
-        )
-        .select("e.s", "e.d")
-    )
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
-    wedges = (
-        w1.join(w2, F.col("w1.s") == F.col("w2.s"))
-        .filter(F.col("w1.d") < F.col("w2.d"))
-        .select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
-    )
+    edges = copurchase_edges(spark, sf_dir)
+    deg = node_degrees(edges)
+    wedges = oriented_wedges(edges, deg)
     closed = wedges.join(
         edges,
         (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),

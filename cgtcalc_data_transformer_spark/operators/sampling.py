@@ -658,6 +658,77 @@ LIMIT {WOR_K}
 """
 
 
+# --------------------- per-group fixed-k weighted sample (WOR)
+GROUP_WOR_K = 5   # docs kept per source
+
+
+def weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-PER-GROUP weighted sampling without replacement — the
+    everyday "k example docs per source" curation primitive (VERDICT
+    r10 item 4): Efraimidis-Spirakis exponential keys exactly as
+    ``weighted_sample_wor`` above (each row's key is a deterministic
+    md5-uniform raised to 1/weight, monotone form ln(u)/w quantized
+    to 1e-8), but ranked WITHIN each source instead of globally, so
+    every source contributes exactly min(k, |source|) docs no matter
+    how skewed the corpus mix is — the global top-K would let one
+    giant source crowd out the tail.
+
+    Plan: one row-local codegen projection (hash, ln, divide), then
+    a per-group top-k window — Spark rewrites rank-filter windows
+    into WindowGroupLimit (partial per-partition top-k BEFORE the
+    shuffle, kmv_distinct's shape), so the exchange moves at most
+    k rows per (source, partition), not the corpus. Weight =
+    n_chars: longer docs are proportionally more likely, the
+    length-balanced panel a curation reviewer actually wants.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.lit(1), F.col("n_chars")).cast("long")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(_WOR_U_BUCKETS)
+    key_int = F.floor(F.log(u) / w.cast("double") * 1e8 + 0.5).cast("long")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        w.alias("weight"),
+        key_int.alias("key_int"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("key_int"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= GROUP_WOR_K)
+        .orderBy("source", "rn")
+    )
+
+
+WEIGHTED_GROUP_WOR_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         GREATEST(1, n_chars) AS weight,
+         CAST(FLOOR(
+           ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+               + 0.5) / {_WOR_U_BUCKETS})
+           / CAST(GREATEST(1, n_chars) AS DOUBLE)
+           * 1e8 + 0.5) AS BIGINT) AS key_int
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, weight, key_int,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY key_int DESC, doc_id ASC) AS INT) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, weight, key_int, rn
+FROM ranked
+WHERE rn <= {GROUP_WOR_K}
+ORDER BY source, rn
+"""
+
+
 # -------------------------- PSI / Jensen-Shannon binned drift twins
 PSI_BINS = 64          # value-domain resolution of the binned divergences
 PSI_SCALE = 10**6      # per-bin term quantization (see below)

@@ -929,63 +929,27 @@ def transitivity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph.py:133) cannot give because its denominator is missing.
 
     Triangles reuse triangle_count_parts' degree-oriented O(E^1.5)
-    enumeration verbatim; the wedge sum is one aggregation over the
-    degree table with d(d−1) DECIMAL-routed (d² would overflow int64
-    exactly on the hub parts this graph grows at scale). C is one
-    int-ratio division, reported in micro units.
+    enumeration via the shared graph.py helpers (copurchase_edges /
+    node_degrees / oriented_wedges — ONE implementation of the wedge
+    discipline, per VERDICT r10); the wedge sum is one aggregation
+    over the degree table with d(d−1) DECIMAL-routed (d² would
+    overflow int64 exactly on the hub parts this graph grows at
+    scale). C is one int-ratio division, reported in micro units.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from cgtcalc_data_transformer_spark.operators.graph import (
+        copurchase_edges,
+        node_degrees,
+        oriented_wedges,
     )
-    a, b = li.alias("a"), li.alias("b")
+
     # ONE cached edge build feeds degrees, the wedge sum, the oriented
-    # wedge join AND the closing semi-join (calling the triangle op
-    # and rebuilding edges here would scan+self-join lineitem twice)
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .cache()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .cache()
-    )
-    # degree-oriented wedge enumeration + closure (graph.py:133 shape)
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-            .alias("e")
-        )
-        .select("e.s", "e.d")
-    )
-    w1, w2_ = oriented.alias("w1"), oriented.alias("w2")
-    closed = (
-        w1.join(w2_, F.col("w1.s") == F.col("w2.s"))
-        .filter(F.col("w1.d") < F.col("w2.d"))
-        .select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
-        .join(
-            edges,
-            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-            "left_semi",
-        )
+    # wedge join AND the closing semi-join
+    edges = copurchase_edges(spark, sf_dir)
+    deg = node_degrees(edges).cache()
+    closed = oriented_wedges(edges, deg).join(
+        edges,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_semi",
     )
     tri = (
         closed.agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -1166,10 +1130,12 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         b0, b1 = _logit_step(bins, b0, b1)
     import math as _m
 
+    from cgtcalc_data_transformer_spark.operators.stats_ext import _clamp_p
+
     n_tot = sum(n for _, n, _ in bins)
     llq = 0
     for x, n, y in bins:
-        p = 1.0 / (1.0 + _m.exp(-(b0 + b1 * x)))
+        p = _clamp_p(1.0 / (1.0 + _m.exp(-(b0 + b1 * x))))
         llq += _m.floor(
             (y * _m.log(p) + (n - y) * _m.log(1.0 - p)) * LOGIT_TS + 0.5
         )
@@ -1180,47 +1146,21 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _platt_sql() -> str:
+    # the IRLS step chain and loss tail are the SHARED text from
+    # stats_ext (logit_steps_sql/logit_loss_sql) — one implementation
+    # of the Newton walk for both logistic oracles, det-guarded and
+    # ln-clamped (ADVICE r10)
     from cgtcalc_data_transformer_spark.operators.stats_ext import (
-        LOGIT_BS,
-        LOGIT_ITERS,
-        LOGIT_TS,
+        logit_loss_sql,
+        logit_steps_sql,
     )
 
-    steps = []
-    for k in range(1, LOGIT_ITERS + 1):
-        steps.append(f""", s{k} AS (
-  SELECT
-    CAST(SUM(CAST(floor((y - n * (1.0 / (1.0 + exp(-(b0 + b1 * x))))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS g0,
-    CAST(SUM(CAST(floor(x * (y - n * (1.0 / (1.0 + exp(-(b0 + b1 * x))))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS g1,
-    CAST(SUM(CAST(floor(n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h00,
-    CAST(SUM(CAST(floor(x * n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h01,
-    CAST(SUM(CAST(floor(x * x * n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h11
-  FROM bins, b{k - 1}
-), b{k} AS (
-  SELECT floor((b0 + (CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
-                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
-               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b0,
-         floor((b1 + (CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
-                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
-               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b1
-  FROM s{k}, b{k - 1}
-)""")
     return f"""
 WITH {_PER_VEC_SQL}, bins AS MATERIALIZED (
   SELECT GREATEST(conf_i, 0) // {PLATT_BIN} AS x, COUNT(*) AS n,
          CAST(SUM(correct) AS BIGINT) AS y
   FROM flat GROUP BY 1
-), b0 AS (SELECT 0.0 AS b0, 0.0 AS b1){''.join(steps)}
-SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS n,
-       b0 AS beta0,
-       b1 AS beta1,
-       (-(SELECT CAST(SUM(CAST(floor((y * ln(1.0 / (1.0 + exp(-(b0 + b1 * x))))
-                                      + (n - y) * ln(1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))))
-                                     * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT)
-          FROM bins) / {LOGIT_TS}.0)
-       / (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS avg_log_loss
-FROM b{LOGIT_ITERS}
-"""
+), b0 AS (SELECT 0.0 AS b0, 0.0 AS b1){logit_steps_sql()}{logit_loss_sql()}"""
 
 
 PLATT_SQL = _platt_sql()
@@ -1843,8 +1783,13 @@ def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = sum((F.col(f"p{p}") for p in PG_PERIODS[1:]), F.col(f"p{PG_PERIODS[0]}"))
     mic = F.lit(float(MICRO))
+    # tot = 0 (an all-constant projection) would make every share
+    # 0/0 NaN; define shares as 0 there instead (ADVICE r10), which
+    # also pins entropy to 0 via the existing share>0 ln guards
     share = {
-        p: F.col(f"p{p}").cast("double") / tot.cast("double")
+        p: F.when(
+            tot > F.lit(0), F.col(f"p{p}").cast("double") / tot.cast("double")
+        ).otherwise(F.lit(0.0))
         for p in PG_PERIODS
     }
     import math as _m
@@ -1896,15 +1841,24 @@ def _spectral_sql() -> str:
         for p in PG_PERIODS
     )
     tot = " + ".join(f"CAST(p{p} AS DOUBLE)" for p in PG_PERIODS)
+
+    # share = 0 when total spectral power is 0 (all-constant
+    # projection), mirroring the Spark twin's F.when guard
+    def sh(p: int) -> str:
+        return (
+            f"(CASE WHEN ({tot}) > 0"
+            f" THEN CAST(p{p} AS DOUBLE) / ({tot}) ELSE 0.0 END)"
+        )
+
     shares = ",\n       ".join(
-        f"CAST(floor(CAST(p{p} AS DOUBLE) / ({tot}) * {MICRO} + 0.5) AS BIGINT)"
+        f"CAST(floor({sh(p)} * {MICRO} + 0.5) AS BIGINT)"
         f" AS share{p}_micro"
         for p in PG_PERIODS
     )
     hterms = " + ".join(
-        f"(-(CAST(p{p} AS DOUBLE) / ({tot}))"
-        f" * (CASE WHEN CAST(p{p} AS DOUBLE) / ({tot}) > 0"
-        f" THEN ln(CAST(p{p} AS DOUBLE) / ({tot})) ELSE 0.0 END))"
+        f"(-{sh(p)}"
+        f" * (CASE WHEN {sh(p)} > 0"
+        f" THEN ln({sh(p)}) ELSE 0.0 END))"
         for p in PG_PERIODS
     )
     ln_k = _m.log(float(len(PG_PERIODS)))

@@ -39,6 +39,20 @@ _D38 = "decimal(38,6)"
 MH_S = 10**6           # per-stratum term quantization grid
 NAT_S = 10**9          # per-cell ln/entropy quantization grid
 
+# Exact chi-square 0.95 quantiles for the dof values the segment ×
+# nation grid can reach with all 25 nations present (nr = 2..5
+# segments → dof = (nr−1)·24). Computed once offline by bisection on
+# the regularized incomplete gamma to 1e-6 (cross-checked against the
+# published df=1/2/10 values 3.841459/5.991465/18.307038); both twins
+# use these literals and fall back to Wilson-Hilferty only for
+# unlisted dof (ADVICE r10).
+CHI2_CRIT_95 = {24: 36.415029, 48: 65.170769, 72: 92.80827, 96: 119.870939}
+_CHI2_CRIT_CASE = (
+    "CASE dof "
+    + " ".join(f"WHEN {d} THEN {v!r}" for d, v in CHI2_CRIT_95.items())
+    + " ELSE CAST(dof AS DOUBLE) * wh * wh * wh END"
+)
+
 
 def _d19(c):
     return c.cast(_D19)
@@ -566,12 +580,13 @@ def cramers_v_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ABSENT from the count table (o = 0) still owe their expected
     count e = r·c/n to χ² — rather than generating them, use
     Σ_all e = n, so the missing-cell contribution is exactly
-    n − Σ_observed r·c/n (ADVICE r9). The significance gate derives
-    the critical value from the ACTUAL dof via the Wilson-Hilferty
-    cube approximation (x·x·x, not pow — multiplication is
-    correctly-rounded IEEE in both engines; at df = 96 it gives
-    119.88 vs the exact 119.87, a 0.01 gap that only matters within
-    half an ulp of the boundary).
+    n − Σ_observed r·c/n (ADVICE r9). The significance gate uses the
+    EXACT chi2(0.95) critical value from the CHI2_CRIT_95 literal
+    table for the reachable dof values (24/48/72/96 — ADVICE r10:
+    Wilson-Hilferty is ~0.01 off at df = 96, enough to flip a
+    boundary verdict), falling back to the Wilson-Hilferty cube
+    approximation (x·x·x, not pow — multiplication is
+    correctly-rounded IEEE in both engines) only for unlisted dof.
     """
     cells = _seg_nation_cells(spark, sf_dir)
     rows_m = cells.groupBy("seg").agg(F.sum("o").alias("r"))
@@ -610,7 +625,13 @@ def cramers_v_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(2.0) / (F.lit(9.0) * dofd)
         + F.lit(1.644854) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofd))
     )
+    # exact chi2(0.95) critical values for the dof this grid can
+    # actually reach with all 25 nations present (nr = 2..5 segments);
+    # Wilson-Hilferty only for unlisted dof (ADVICE r10 — WH is ~0.01
+    # off at df = 96, enough to flip a boundary verdict)
     crit = dofd * wh * wh * wh
+    for d, cv in CHI2_CRIT_95.items():
+        crit = F.when(dof == F.lit(d), F.lit(cv)).otherwise(crit)
     kmin = F.least(F.col("nr"), F.col("nc")) - 1
     v = F.sqrt(chi2 / (F.col("n").cast("double") * kmin.cast("double")))
     return s.select(
@@ -653,7 +674,7 @@ SELECT n, dof,
        n_cells = nr * nc AS complete_grid,
        ROUND(chi2, 6) AS chi2,
        ROUND(sqrt(chi2 / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))), 6) AS cramers_v,
-       chi2 > CAST(dof AS DOUBLE) * wh * wh * wh AS significant
+       chi2 > {_CHI2_CRIT_CASE} AS significant
 FROM f
 """
 

@@ -1027,6 +1027,12 @@ def _logit_step(bins, b0, b1):
         h01 += _m.floor(x * n * w * LOGIT_TS + 0.5)
         h11 += _m.floor(x * x * n * w * LOGIT_TS + 0.5)
     det = float(h00) * float(h11) - float(h01) * float(h01)
+    if det == 0.0:
+        # degenerate Hessian (e.g. a single occupied x bin, or IRLS
+        # drove every p to 0/1): skip the Newton step rather than
+        # divide by zero — mirrored in the SQL twins' CASE guard
+        # (ADVICE r10)
+        return (b0, b1)
     nb0 = b0 + (float(h11) * g0 - float(h01) * g1) / det
     nb1 = b1 + (float(h00) * g1 - float(h01) * g0) / det
     return (
@@ -1067,7 +1073,7 @@ def logistic_regression_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = sum(n for _, n, _ in bins)
     llq = 0
     for x, n, y in bins:
-        p = 1.0 / (1.0 + _m.exp(-(b0 + b1 * x)))
+        p = _clamp_p(1.0 / (1.0 + _m.exp(-(b0 + b1 * x))))
         llq += _m.floor(
             (y * _m.log(p) + (n - y) * _m.log(1.0 - p)) * LOGIT_TS + 0.5
         )
@@ -1080,7 +1086,32 @@ def logistic_regression_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logit_sql() -> str:
+# log-loss probability clamp: keeps ln() off exact 0/1 when IRLS
+# drives a bin's sigmoid to saturation (ADVICE r10); an identity on
+# any p more than 1e-12 from the bounds, so realized values (and
+# driver hashes) are unchanged on non-degenerate data
+LOGIT_EPS = 1e-12
+
+
+def _clamp_p(p: float) -> float:
+    return min(max(p, LOGIT_EPS), 1.0 - LOGIT_EPS)
+
+
+def _sql_clamp(expr: str) -> str:
+    return f"GREATEST(LEAST({expr}, 1.0 - {LOGIT_EPS!r}), {LOGIT_EPS!r})"
+
+
+def logit_steps_sql() -> str:
+    """The unrolled IRLS/Newton CTE chain over a `bins`(x, n, y)
+    table — ONE text shared by logistic_regression_irls's and
+    platt_scaling's oracles so the two twins can never drift. Each
+    b{{k}} guards the 2x2 solve against a zero determinant (single
+    occupied bin / fully saturated sigmoid) by skipping the step,
+    mirroring _logit_step's early return."""
+    det = (
+        "(CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)"
+        " - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE))"
+    )
     steps = []
     for k in range(1, LOGIT_ITERS + 1):
         steps.append(f""", s{k} AS (
@@ -1092,30 +1123,43 @@ def _logit_sql() -> str:
     CAST(SUM(CAST(floor(x * x * n * (1.0 / (1.0 + exp(-(b0 + b1 * x)))) * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT) AS h11
   FROM bins, b{k - 1}
 ), b{k} AS (
-  SELECT floor((b0 + (CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
-                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
-               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b0,
+  SELECT CASE WHEN {det} = 0 THEN b0 ELSE
+         floor((b0 + (CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+                     / {det})
+               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 END AS b0,
+         CASE WHEN {det} = 0 THEN b1 ELSE
          floor((b1 + (CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
-                     / (CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)))
-               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 AS b1
+                     / {det})
+               * {LOGIT_BS} + 0.5) / {LOGIT_BS}.0 END AS b1
   FROM s{k}, b{k - 1}
 )""")
+    return "".join(steps)
+
+
+def logit_loss_sql() -> str:
+    """The avg-log-loss SELECT tail over `bins` + b{LOGIT_ITERS},
+    shared by both logistic oracles; sigmoid clamped off 0/1."""
+    p = "1.0 / (1.0 + exp(-(b0 + b1 * x)))"
     return f"""
-WITH bins AS MATERIALIZED (
-  SELECT CAST(l_quantity AS BIGINT) AS x, COUNT(*) AS n,
-         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS y
-  FROM lineitem GROUP BY 1
-), b0 AS (SELECT 0.0 AS b0, 0.0 AS b1){''.join(steps)}
 SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS n,
        b0 AS beta0,
        b1 AS beta1,
-       (-(SELECT CAST(SUM(CAST(floor((y * ln(1.0 / (1.0 + exp(-(b0 + b1 * x))))
-                                      + (n - y) * ln(1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))))
+       (-(SELECT CAST(SUM(CAST(floor((y * ln({_sql_clamp(p)})
+                                      + (n - y) * ln({_sql_clamp(f"1.0 - {p}")}))
                                      * {LOGIT_TS} + 0.5) AS BIGINT)) AS BIGINT)
           FROM bins) / {LOGIT_TS}.0)
        / (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS avg_log_loss
 FROM b{LOGIT_ITERS}
 """
+
+
+def _logit_sql() -> str:
+    return f"""
+WITH bins AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS x, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), b0 AS (SELECT 0.0 AS b0, 0.0 AS b1){logit_steps_sql()}{logit_loss_sql()}"""
 
 
 LOGISTIC_IRLS_SQL = _logit_sql()

@@ -31,6 +31,7 @@ from cgtcalc_data_transformer_spark.operators import (
     layout,
     linkage,
     mlprep,
+    pq as pq_mod,
     quality,
     events,
     fidelity,
@@ -64,6 +65,7 @@ from cgtcalc_data_transformer_spark.sources import (
     orc,
     partitioned,
 )
+from cgtcalc_data_transformer_spark.sources import avro as avro_src
 from cgtcalc_data_transformer_spark.sources import jsonl
 from cgtcalc_data_transformer_spark.sources import xml as xml_src
 from cgtcalc_data_transformer_spark.sources import csv as csv_mod
@@ -880,7 +882,28 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats10.anderson_darling_2sample,
         stats10.ANDERSON_DARLING_SQL,
     ),
+    # ---- round-11 additions -----------------------------------------
+    "pq_ann": (pq_mod.pq_ann, pq_mod.PQ_ANN_SQL),
+    "pq_recall_audit": (pq_mod.pq_recall_audit, pq_mod.PQ_RECALL_SQL),
+    "weighted_sample_per_group": (
+        sampling.weighted_sample_per_group,
+        sampling.WEIGHTED_GROUP_WOR_SQL,
+    ),
+    "simjoin_prefix_summary": (
+        dedup.simjoin_prefix_summary,
+        dedup.SIMJOIN_SUMMARY_SQL,
+    ),
 }
+
+# Avro interchange is availability-gated (sources/avro.py module doc):
+# the spark-avro DataSource is a separate package this container does
+# not ship, so the entry exists only where the jar does — same
+# contract as the protobuf-gated transformWithStateInPandas.
+if avro_src.avro_available():  # pragma: no cover — jar absent here
+    _ALL["avro_roundtrip"] = (
+        avro_src.avro_roundtrip,
+        avro_src.AVRO_ROUNDTRIP_SQL,
+    )
 
 
 # ---- round-8 driver window (slots 1-50) ------------------------------
@@ -900,11 +923,132 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
+_ROUND11_NEW: list[str] = [
+    "pq_ann",
+    "pq_recall_audit",
+    "weighted_sample_per_group",
+    "simjoin_prefix_summary",
+]
+
+# Priority-ordered recheck pool: code-changed-this-round FIRST (their
+# r10-or-earlier hash rows are stale by definition), then the
+# flagship, then the oldest green rows per the r10 rotation plan:
+# round 10 burned the r10 pool through ann_ivf, so the oldest
+# unburned rows are the r3 tail from emb_normalize onward, then r4's
+# rows in registry order (multimodal decode/resize/frame_sample are
+# rows-only — skipped). Only the first 50-len(_ROUND11_NEW) burn
+# slots.
+_ROUND11_RECHECK_POOL = [
+    # -- code changed this round --
+    # wedge enumeration extracted to ONE shared graph.py helper
+    # (VERDICT r10 item 5)
+    "triangle_count_parts",
+    "transitivity_parts",
+    # det-guarded Newton step + ln-clamped loss, shared step SQL
+    # (ADVICE r10)
+    "platt_scaling",
+    "logistic_regression_irls",
+    # zero-total-power share guard (ADVICE r10)
+    "spectral_entropy_daily",
+    # exact chi2 critical-value table replaces WH at reachable dof
+    # (ADVICE r10)
+    "cramers_v_segment_nation",
+    # prefix-filter machinery factored into _prefix_candidates /
+    # _pair_overlap (shared with the new simjoin_prefix_summary);
+    # dedup_minhash_lsh verifies candidates through the refactored
+    # _jaccard_for_pairs
+    "simjoin_prefix",
+    "dedup_minhash_lsh",
+    # flagship entry() twin — keep a fresh row every round
+    "canonical_orders",
+    # -- oldest rows (r3 tail, post-ann_ivf cut), registry order --
+    "emb_normalize",
+    "emb_quantize",
+    "emb_centroid_stats",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_tfidf",
+    "text_chunks",
+    "text_normalize",
+    "contamination_check",
+    "mix_sources",
+    "boilerplate_score",
+    "pii_redact",
+    "pack_batches",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_json",
+    "asof_join",
+    "events_funnel",
+    "events_resample_daily",
+    "dq_checks",
+    "zorder_layout",
+    "cdc_latest",
+    "dedup_incremental",
+    "scd2_intervals",
+    "multimodal_metadata",
+    "events_attribution",
+    # -- next-oldest (r4), registry order --
+    "parse_bullionvault_pyds",
+    "doc_similarity_tfidf",
+    "partition_pruning",
+    "pagerank_suppliers",
+    "compact_orders",
+    "text_perplexity_bigram",
+    "vocab_topk",
+    "curate_corpus",
+    "kmeans_embeddings",
+    "text_hashing_tf",
+    "cms_heavy_hitters",
+    "text_search_and",
+    "emb_pca_power",
+    "ivm_refresh_revenue",
+    "orc_roundtrip",
+    "split_assign",
+    "text_repetition",
+    "length_outliers",
+    "events_user_sequences",
+    "events_retention",
+    "events_transition_matrix",
+    "merge_upsert",
+    "histogram_equidepth",
+    "sample_weighted",
+    "record_linkage",
+    "erasure_propagate",
+    "bm25_rank",
+    "schema_evolution",
+    "dynamic_partition_pruning",
+    "interval_join_binned",
+    "hll_segment_union",
+    "bloom_filter_pruned_join",
+    "events_top_paths",
+    "cogroup_reconcile",
+    "join_shuffle_hash_hint",
+    "events_rate_anomaly",
+    "source_divergence",
+    "csv_quarantine",
+    "events_static_enrich",
+    "split_leakage_check",
+    "temperature_resample",
+    "xml_roundtrip",
+    "events_variant",
+    "events_attribution_outer",
+    "jsonl_roundtrip",
+]
+
+_ROUND11_RECHECKS = _ROUND11_RECHECK_POOL[: 50 - len(_ROUND11_NEW)]
+_ROUND11_WINDOW = [*_ROUND11_NEW, *_ROUND11_RECHECKS]
+
+# ---- round-10 window (historical; artifact CORRECTNESS_r10.json) -----
 _ROUND10_NEW: list[str] = [
     "jonckheere_terpstra",
     "brunner_munzel",
@@ -1226,19 +1370,17 @@ _ROUND8_RECHECK_POOL = [
 _ROUND8_RECHECKS = _ROUND8_RECHECK_POOL[: 50 - len(_ROUND8_NEW)]
 _ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
 
-# Round-11 rotation plan (mechanical): bump CURRENT_ROUND to 11,
-# start _ROUND11_NEW empty, refill the pool code-changed-first then
-# oldest-green. Round 10 burns the first 50-len(_ROUND10_NEW) pool
+# Round-12 rotation plan (mechanical): bump CURRENT_ROUND to 12,
+# start _ROUND12_NEW empty, refill the pool code-changed-first then
+# oldest-green. Round 11 burns the first 50-len(_ROUND11_NEW) pool
 # entries IN ORDER; everything after that cut line carries over,
-# followed by the remaining r3 rows (multimodal decode/resize/
-# frame_sample are rows-only — skip them) and then r4's rows in
-# registry order.
+# followed by the remaining r4 rows in registry order and then r5's.
 
 # Generic aliases — tests and tooling reference these so a future
 # rotation only touches this module.
-_ROUND_NEW = _ROUND10_NEW
-_ROUND_RECHECKS = _ROUND10_RECHECKS
-_ROUND_WINDOW = _ROUND10_WINDOW
+_ROUND_NEW = _ROUND11_NEW
+_ROUND_RECHECKS = _ROUND11_RECHECKS
+_ROUND_WINDOW = _ROUND11_WINDOW
 
 # Rows-only streaming engine runs (all carry an r5 record; kept out of
 # the round-6 window — oracled slots are stronger):
