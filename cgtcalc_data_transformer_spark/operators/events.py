@@ -1885,10 +1885,11 @@ def _risk_table(activity: DataFrame) -> DataFrame:
     )
 
 
-def _km_from_activity(activity: DataFrame) -> DataFrame:
-    """KM core over a distinct (user_id, day) frame — split out so the
-    d == n_risk → S(t) = 0 branch is unit-testable with synthetic
-    activity (the driver corpus never reaches it)."""
+def _km_terms(activity: DataFrame) -> DataFrame:
+    """(t, d, c, n_risk, li, zi): the risk table with each day's
+    quantized ln(1 − d/n) survival term and the d == n_risk zero
+    flag — the KM prefix-sum input shared by _km_from_activity and
+    weibull_survival_fit (stats11)."""
     at_risk = _risk_table(activity)
     term_i = F.when(
         (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
@@ -1913,7 +1914,14 @@ def _km_from_activity(activity: DataFrame) -> DataFrame:
         .cast("long")
         .alias("zi")
     )
-    terms = at_risk.select("t", "d", "c", "n_risk", term_i.alias("li"), zero_i)
+    return at_risk.select("t", "d", "c", "n_risk", term_i.alias("li"), zero_i)
+
+
+def _km_from_activity(activity: DataFrame) -> DataFrame:
+    """KM core over a distinct (user_id, day) frame — split out so the
+    d == n_risk → S(t) = 0 branch is unit-testable with synthetic
+    activity (the driver corpus never reaches it)."""
+    terms = _km_terms(activity)
     # S(t) = exp(prefix sum of li up to and including t), forced to
     # exact 0 once any prefix day carries the zero flag
     surv = (
@@ -1940,8 +1948,10 @@ def _km_from_activity(activity: DataFrame) -> DataFrame:
     return surv
 
 
-KAPLAN_MEIER_SQL = f"""
-WITH activity AS (
+# activity → users → per_t → at_risk → terms CTE chain shared by the
+# kaplan_meier_churn and weibull_survival_fit oracles (the Weibull fit
+# regresses over exactly this KM prefix-sum frame — one definition).
+_KM_TERMS_SQL = f"""activity AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
 ), horizon AS (
   SELECT MAX(day) AS h FROM activity
@@ -1966,7 +1976,10 @@ WITH activity AS (
               ELSE 0 END AS li,
          CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS zi
   FROM at_risk
-)
+)"""
+
+KAPLAN_MEIER_SQL = f"""
+WITH {_KM_TERMS_SQL}
 SELECT a.t, a.n_risk AS n_at_risk, a.d AS n_churned, a.c AS n_censored,
        CASE WHEN CAST(SUM(b.zi) AS BIGINT) > 0 THEN 0.0
             ELSE ROUND(exp(CAST(SUM(b.li) AS BIGINT) / {KM_S}.0), 6)

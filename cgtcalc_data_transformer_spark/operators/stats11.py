@@ -1,0 +1,1394 @@
+"""Round-11 engine staples: distribution distances (Wasserstein-1,
+Jensen-Shannon / Hellinger / total-variation panel), rank dispersion
+(Ansari-Bradley), ordinal association (gamma + Somers' d), inequality
+(Atkinson), privacy audits (l-diversity, t-closeness), long-memory
+(Hurst rescaled range), parametric survival (Weibull fit over the
+Kaplan-Meier curve), sequential testing (SPRT), and multiple-testing
+machinery (Holm step-down, Fisher's combined meta-test).
+
+Reference parity note: the reference (cgtcalc-data-transformer,
+~732 LoC broker-CSV ETL, `/root/reference/index.js`) has no analytics
+surface — these are engine extensions in the SURVEY.md §2.2 sense,
+each riding machinery already proven here (the 50-value quantity
+grid, the duration-domain risk table, the A&S normal tail, the
+bounded theta-join convention).
+
+Engine-exactness discipline (stats_ext conventions): bounded grids
+(50 quantity values, 11 balance bands, ≤125 quasi-identifier groups,
+power-of-2 R/S blocks), integer counts everywhere, int/int division
+and sqrt as the only unquantized double ops, floor(x·S + 0.5)
+quantization BEFORE every cross-engine sum of ln/rational terms.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cgtcalc_data_transformer_spark.operators.events import (
+    _km_terms,
+    _KM_TERMS_SQL,
+    KM_S,
+)
+from cgtcalc_data_transformer_spark.operators.stats9 import NAT_S
+from cgtcalc_data_transformer_spark.operators.stats10 import (
+    MICRO,
+    _D19,
+    _quantity_value_counts,
+    _VALS_SQL,
+)
+from cgtcalc_data_transformer_spark.operators.timeseries import (
+    DAY_NS,
+    rate_change_ranked,
+    _RATE_RANKED_SQL,
+)
+from cgtcalc_data_transformer_spark.sources.tpch import load_events, load_table
+
+Z_CRIT_5PCT = 1.959964  # two-sided 5% normal critical value
+
+
+# ------------------------------------------------- Wasserstein-1 (EMD)
+def wasserstein_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the 'F' and 'O'
+    lineitem quantity distributions: W₁ = ∫|F_A(x) − F_B(x)|dx — the
+    distribution-shift measure that, unlike KS/CvM/AD, reads in the
+    UNITS of the variable ("the distributions are ~0.3 quantity units
+    apart"), which is what drift dashboards actually want to show.
+
+    On the bounded 50-value grid the integral is the exact finite sum
+    Σ_v |CA_v/n_a − CB_v/n_b| · (next(v) − v) over cells with a
+    successor (the top cell's CDF gap is identically 0). Inclusive
+    cumulative counts and the successor both come from broadcast
+    theta joins over the 50-row frame; each cell term is quantized
+    floor(x·1e6 + 0.5) before the DECIMAL(38,0) sum, so the total is
+    exact at any row count and the only data-sized work is the one
+    value-count aggregation.
+    """
+    vals = _quantity_value_counts(spark, sf_dir)
+    cum = (
+        vals.alias("p")
+        .join(F.broadcast(vals.alias("q")), F.col("q.v") <= F.col("p.v"))
+        .groupBy(F.col("p.v").alias("v"))
+        .agg(
+            F.sum("q.ca").alias("cum_a"),
+            F.sum("q.cb").alias("cum_b"),
+        )
+    )
+    nxt = (
+        vals.alias("p")
+        .join(F.broadcast(vals.alias("r")), F.col("r.v") > F.col("p.v"))
+        .groupBy(F.col("p.v").alias("v"))
+        .agg(F.min("r.v").alias("nv"))
+    )
+    tots = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = cum.join(nxt, "v").crossJoin(F.broadcast(tots))
+    gap = (
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na").cast("double")
+            - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+        )
+        * (F.col("nv") - F.col("v")).cast("double")
+    )
+    termq = F.floor(gap * F.lit(float(MICRO)) + F.lit(0.5)).cast("decimal(38,0)")
+    return (
+        j.groupBy("na", "nb")
+        .agg(F.sum(termq).alias("wq"))
+        .select(
+            "na",
+            "nb",
+            F.col("wq").cast("long").alias("w1_micro"),
+        )
+    )
+
+
+WASSERSTEIN_SQL = f"""
+WITH {_VALS_SQL}, cum AS (
+  SELECT p.v, CAST(SUM(q.ca) AS BIGINT) AS cum_a,
+         CAST(SUM(q.cb) AS BIGINT) AS cum_b
+  FROM vals p JOIN vals q ON q.v <= p.v
+  GROUP BY p.v
+), nxt AS (
+  SELECT p.v, MIN(r.v) AS nv FROM vals p JOIN vals r ON r.v > p.v GROUP BY p.v
+), tots AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+)
+SELECT na, nb,
+       CAST(CAST(SUM(CAST(floor(
+         abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)
+         * (nv - cum.v) * {MICRO} + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       AS BIGINT) AS w1_micro
+FROM cum JOIN nxt ON cum.v = nxt.v CROSS JOIN tots
+GROUP BY na, nb
+"""
+
+
+# ------------------------------- JS / Hellinger / total-variation panel
+def distribution_distance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-divergence panel between the 'F' and 'O' quantity
+    distributions: total variation (the worst-case probability gap),
+    Hellinger (the geometric middle ground), and Jensen-Shannon
+    divergence in nats (the symmetrized, always-finite KL that
+    corpus-mix monitoring standardizes on). Three views of the same
+    pair: TV bounds decision regret, JS bounds TV² (Pinsker-style),
+    Hellinger² sits between halved TV and JS.
+
+    One pass: per-cell (p_v, q_v) shares on the 50-value grid from
+    one count aggregation + a 1-row totals broadcast; each term is
+    quantized to the 1e-9 grid before the exact integer sum (zero
+    shares contribute 0 by the standard 0·ln 0 = 0 convention —
+    F.when guards, no NaN path). Final sqrt for Hellinger is
+    correctly-rounded IEEE over an exact rational.
+    """
+    vals = _quantity_value_counts(spark, sf_dir)
+    tots = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = vals.crossJoin(F.broadcast(tots))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    sc = F.lit(float(NAT_S))
+
+    def q9(x):
+        return F.floor(x * sc + F.lit(0.5)).cast("long")
+
+    tv_t = q9(F.abs(p - q) / F.lit(2.0))
+    hl_t = q9((F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q)) / F.lit(2.0))
+    js_t = q9(
+        F.when(p > 0, p / F.lit(2.0) * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q / F.lit(2.0) * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    s = j.groupBy("na", "nb").agg(
+        F.sum(tv_t).alias("tvq"),
+        F.sum(hl_t).alias("hlq"),
+        F.sum(js_t).alias("jsq"),
+    )
+    mic = F.lit(float(MICRO))
+    return s.select(
+        "na",
+        "nb",
+        F.floor(F.col("tvq").cast("double") / sc * mic + F.lit(0.5))
+        .cast("long")
+        .alias("tv_micro"),
+        F.floor(F.sqrt(F.col("hlq").cast("double") / sc) * mic + F.lit(0.5))
+        .cast("long")
+        .alias("hellinger_micro"),
+        F.floor(F.col("jsq").cast("double") / sc * mic + F.lit(0.5))
+        .cast("long")
+        .alias("js_micro"),
+    )
+
+
+DIST_PANEL_SQL = f"""
+WITH {_VALS_SQL}, tots AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+), terms AS (
+  SELECT na, nb,
+         CAST(floor(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                    / 2.0 * {NAT_S} + 0.5) AS BIGINT) AS tvq,
+         CAST(floor((sqrt(CAST(ca AS DOUBLE) / na) - sqrt(CAST(cb AS DOUBLE) / nb))
+                    * (sqrt(CAST(ca AS DOUBLE) / na) - sqrt(CAST(cb AS DOUBLE) / nb))
+                    / 2.0 * {NAT_S} + 0.5) AS BIGINT) AS hlq,
+         CAST(floor(
+           (CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) / na / 2.0
+                 * ln((CAST(ca AS DOUBLE) / na)
+                      / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0))
+            ELSE 0.0 END
+            +
+            CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) / nb / 2.0
+                 * ln((CAST(cb AS DOUBLE) / nb)
+                      / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0))
+            ELSE 0.0 END) * {NAT_S} + 0.5) AS BIGINT) AS jsq
+  FROM vals CROSS JOIN tots
+)
+SELECT na, nb,
+       CAST(floor(CAST(SUM(tvq) AS DOUBLE) / {NAT_S} * {MICRO} + 0.5) AS BIGINT)
+         AS tv_micro,
+       CAST(floor(sqrt(CAST(SUM(hlq) AS DOUBLE) / {NAT_S}) * {MICRO} + 0.5) AS BIGINT)
+         AS hellinger_micro,
+       CAST(floor(CAST(SUM(jsq) AS DOUBLE) / {NAT_S} * {MICRO} + 0.5) AS BIGINT)
+         AS js_micro
+FROM terms GROUP BY na, nb
+"""
+
+
+# ------------------------------------------------ Ansari-Bradley test
+def ansari_bradley_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank dispersion test between the 'F' and 'O'
+    quantity samples (Ansari & Bradley 1960): score every pooled
+    observation a_j = min(rank_j, N+1−rank_j) — scores peak at the
+    center and fall toward both extremes — and test whether group A's
+    score sum W is what random assignment predicts. Small W ⇒ group A
+    sits in the tails ⇒ larger spread; the rank-based answer to "same
+    scale?" that needs no normality (Levene/Bartlett's assumption).
+
+    Tie handling is exact, not approximate: a tied value block
+    occupies ranks lo..hi, and the block's TOTAL score B_v =
+    S(hi) − S(lo−1) has the closed form S(k) = k(k+1)/2 for k ≤
+    ⌊(N+1)/2⌋ else S(h) + ((N−h)(N−h+1) − (N−k)(N−k+1))/2 — exact
+    integers, so midrank averaging never touches a double until the
+    final W. Permutation moments come from the same blocks
+    (E[W] = n_a·T₁/N, Var[W] = n_a·n_b(Σa² − T₁²/N)/(N(N−1)) — the
+    finite-sampling-without-replacement identity), making the z-gate
+    tie-correct by construction.
+
+    Overflow routing: S(k) ~ N²/4 crosses int64 around N ≈ 6e9 rows,
+    so the closed form runs DOUBLED (2·S(k), no /2 anywhere) with
+    DECIMAL(19,0)-cast factors and DECIMAL(38,0) block scores — exact
+    at any SF; doubles appear only in the per-cell quantized terms.
+    """
+    vals = _quantity_value_counts(spark, sf_dir)
+    below = (
+        vals.alias("p")
+        .join(F.broadcast(vals.alias("q")), F.col("q.v") < F.col("p.v"), "left")
+        .groupBy(
+            F.col("p.v").alias("v"),
+            F.col("p.ca").alias("ca"),
+            F.col("p.cb").alias("cb"),
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("q.ca") + F.col("q.cb")), F.lit(0)).alias(
+                "nbel"
+            )
+        )
+    )
+    tots = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = below.crossJoin(F.broadcast(tots))
+    n = F.col("na") + F.col("nb")
+    h = F.expr("(na + nb + 1) div 2")
+    lo1 = F.col("nbel")  # = lo − 1
+    hi = F.col("nbel") + F.col("ca") + F.col("cb")
+    t = F.col("ca") + F.col("cb")
+    nd19, hd19 = n.cast(_D19), h.cast(_D19)
+
+    def s2_of(k):
+        # 2·S(k), S(k) = sum_{j=1..k} min(j, N+1-j) — exact decimal
+        kd = k.cast(_D19)
+        return F.when(k <= h, kd * (kd + 1)).otherwise(
+            hd19 * (hd19 + 1)
+            + (nd19 - hd19) * (nd19 - hd19 + 1)
+            - (nd19 - kd) * (nd19 - kd + 1)
+        )
+
+    bv2 = (s2_of(hi) - s2_of(lo1)).alias("bv2")  # 2·(block score sum)
+    cells = j.select("v", "ca", "cb", "na", "nb", t.alias("t"), bv2)
+    mic = F.lit(float(MICRO))
+    bvd = F.col("bv2").cast("double") / F.lit(2.0)
+    wq = F.floor(
+        F.col("ca").cast("double") * bvd / F.col("t").cast("double") * mic
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    sq2 = F.floor(
+        bvd * bvd / F.col("t").cast("double") * mic + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    s = cells.groupBy("na", "nb").agg(
+        F.sum(wq).alias("wq"),
+        F.sum(sq2).alias("sq2"),
+        F.sum("bv2").alias("t12"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = nad + nbd
+    w = F.col("wq").cast("double") / mic
+    sumsq = F.col("sq2").cast("double") / mic
+    t1d = F.col("t12").cast("double") / F.lit(2.0)
+    ew = nad * t1d / nd
+    varw = nad * nbd * (sumsq - t1d * t1d / nd) / (nd * (nd - F.lit(1.0)))
+    z = (w - ew) / F.sqrt(varw)
+    return s.select(
+        "na",
+        "nb",
+        F.floor(w * mic + F.lit(0.5)).cast("long").alias("w_micro"),
+        F.floor(ew * mic + F.lit(0.5)).cast("long").alias("ew_micro"),
+        F.floor(z * mic + F.lit(0.5)).cast("long").alias("z_micro"),
+        (F.abs(z) > F.lit(Z_CRIT_5PCT)).alias("significant"),
+    )
+
+
+ANSARI_BRADLEY_SQL = f"""
+WITH {_VALS_SQL}, below AS (
+  SELECT p.v, p.ca, p.cb,
+         CAST(COALESCE(SUM(q.ca + q.cb), 0) AS BIGINT) AS nbel
+  FROM vals p LEFT JOIN vals q ON q.v < p.v
+  GROUP BY p.v, p.ca, p.cb
+), tots AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+), cells AS (
+  SELECT v, ca, cb, na, nb, ca + cb AS t,
+         (CASE WHEN nbel + ca + cb <= (na + nb + 1) // 2
+               THEN CAST(nbel + ca + cb AS HUGEINT) * (nbel + ca + cb + 1)
+               ELSE CAST((na + nb + 1) // 2 AS HUGEINT) * ((na + nb + 1) // 2 + 1)
+                    + CAST(na + nb - (na + nb + 1) // 2 AS HUGEINT)
+                      * (na + nb - (na + nb + 1) // 2 + 1)
+                    - CAST(na + nb - nbel - ca - cb AS HUGEINT)
+                      * (na + nb - nbel - ca - cb + 1)
+          END
+          -
+          CASE WHEN nbel <= (na + nb + 1) // 2
+               THEN CAST(nbel AS HUGEINT) * (nbel + 1)
+               ELSE CAST((na + nb + 1) // 2 AS HUGEINT) * ((na + nb + 1) // 2 + 1)
+                    + CAST(na + nb - (na + nb + 1) // 2 AS HUGEINT)
+                      * (na + nb - (na + nb + 1) // 2 + 1)
+                    - CAST(na + nb - nbel AS HUGEINT) * (na + nb - nbel + 1)
+          END) AS bv2
+  FROM below CROSS JOIN tots
+), s AS (
+  SELECT na, nb,
+         CAST(SUM(CAST(floor(CAST(ca AS DOUBLE) * (CAST(bv2 AS DOUBLE) / 2.0)
+                             / t * {MICRO} + 0.5)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS wq,
+         CAST(SUM(CAST(floor((CAST(bv2 AS DOUBLE) / 2.0) * (CAST(bv2 AS DOUBLE) / 2.0)
+                             / t * {MICRO} + 0.5)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq2,
+         SUM(bv2) AS t12
+  FROM cells GROUP BY na, nb
+)
+SELECT na, nb,
+       CAST(floor(CAST(wq AS DOUBLE) / {MICRO} * {MICRO} + 0.5) AS BIGINT) AS w_micro,
+       CAST(floor(CAST(na AS DOUBLE) * (CAST(t12 AS DOUBLE) / 2.0) / (na + nb)
+                  * {MICRO} + 0.5) AS BIGINT) AS ew_micro,
+       CAST(floor(
+         (CAST(wq AS DOUBLE) / {MICRO}
+          - CAST(na AS DOUBLE) * (CAST(t12 AS DOUBLE) / 2.0) / (na + nb))
+         / sqrt(CAST(na AS DOUBLE) * nb
+                * (CAST(sq2 AS DOUBLE) / {MICRO}
+                   - (CAST(t12 AS DOUBLE) / 2.0) * (CAST(t12 AS DOUBLE) / 2.0)
+                     / (na + nb))
+                / (CAST(na + nb AS DOUBLE) * (na + nb - 1.0)))
+         * {MICRO} + 0.5) AS BIGINT) AS z_micro,
+       abs((CAST(wq AS DOUBLE) / {MICRO}
+            - CAST(na AS DOUBLE) * (CAST(t12 AS DOUBLE) / 2.0) / (na + nb))
+           / sqrt(CAST(na AS DOUBLE) * nb
+                  * (CAST(sq2 AS DOUBLE) / {MICRO}
+                     - (CAST(t12 AS DOUBLE) / 2.0) * (CAST(t12 AS DOUBLE) / 2.0)
+                       / (na + nb))
+                  / (CAST(na + nb AS DOUBLE) * (na + nb - 1.0))))
+         > {Z_CRIT_5PCT} AS significant
+FROM s
+"""
+
+
+# ------------------------------- gamma / Somers' d ordinal association
+_DK = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"  # stats_ext._DK
+
+
+def ordinal_association_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma and both Somers' d coefficients for
+    l_quantity × l_discount — the ordinal-association panel that
+    completes kendall_tau_binned: gamma ignores ties entirely
+    ((C−D)/(C+D)), Somers' d penalizes ties on the DEPENDENT side
+    only (d_yx = (C−D)/(pairs not tied on X)) — the directional
+    effect size ordinal-outcome models report.
+
+    Same exact-pair-accounting shape as kendall_tau_binned: all
+    counting on the bounded 50×11 cell grid (two theta self-joins
+    for C and D, marginal tie sums), DECIMAL(19,0)-cast factors and
+    DECIMAL(38,0) sums so nothing overflows at any SF; every pair
+    of rows falls in exactly one of {concordant, discordant, tied-X,
+    tied-Y-only} and the three denominators are assembled from the
+    doubled tie identities, no window, no sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr(_DK).alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    pair_term = F.col("a.c").cast(_D19) * F.col("b.c").cast(_D19)
+    a, b = cells.alias("a"), cells.alias("b")
+    conc = a.join(
+        b, (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y"))
+    ).agg(F.sum(pair_term).alias("cc"))
+    disc = a.join(
+        b, (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y"))
+    ).agg(F.sum(pair_term).alias("dd"))
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tx = mx.agg(
+        F.sum("cx").alias("n"),
+        F.sum(F.col("cx").cast(_D19) * (F.col("cx") - 1).cast(_D19)).alias(
+            "t1x2"
+        ),
+    )
+    ty = my.agg(
+        F.sum(F.col("cy").cast(_D19) * (F.col("cy") - 1).cast(_D19)).alias(
+            "t1y2"
+        )
+    )
+    s = (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    cd = (F.col("cc") - F.col("dd")).cast("double")
+    n0x2 = F.col("n").cast(_D19) * (F.col("n") - 1).cast(_D19)
+    gamma = cd / (F.col("cc") + F.col("dd")).cast("double")
+    d_yx = cd / ((n0x2 - F.col("t1x2")).cast("double") / F.lit(2.0))
+    d_xy = cd / ((n0x2 - F.col("t1y2")).cast("double") / F.lit(2.0))
+    return s.select(
+        F.lit("l_quantity~l_discount").alias("pair"),
+        "n",
+        F.col("cc").cast("double").alias("concordant"),
+        F.col("dd").cast("double").alias("discordant"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(d_yx, 6).alias("somers_d_yx"),
+        F.round(d_xy, 6).alias("somers_d_xy"),
+    )
+
+
+ORDINAL_ASSOC_SQL = f"""
+WITH rows_kv AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x, {_DK} AS y FROM lineitem
+), cells AS (
+  SELECT x, y, COUNT(*) AS c FROM rows_kv GROUP BY x, y
+), conc AS (
+  SELECT CAST(SUM(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS cc
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
+), disc AS (
+  SELECT CAST(SUM(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS dd
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
+), tx AS (
+  SELECT CAST(SUM(cx) AS BIGINT) AS n,
+         CAST(SUM(CAST(cx AS DECIMAL(19,0)) * CAST(cx - 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS t1x2
+  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x)
+), ty AS (
+  SELECT CAST(SUM(CAST(cy AS DECIMAL(19,0)) * CAST(cy - 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS t1y2
+  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y)
+)
+SELECT 'l_quantity~l_discount' AS pair, n,
+       CAST(cc AS DOUBLE) AS concordant, CAST(dd AS DOUBLE) AS discordant,
+       ROUND(CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE), 6) AS gamma,
+       ROUND(CAST(cc - dd AS DOUBLE)
+             / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+                     - t1x2 AS DOUBLE) / 2.0), 6) AS somers_d_yx,
+       ROUND(CAST(cc - dd AS DOUBLE)
+             / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+                     - t1y2 AS DOUBLE) / 2.0), 6) AS somers_d_xy
+FROM conc, disc, tx, ty
+"""
+
+
+# ---------------------------------------------------- Atkinson index
+ATK_S = 10**9  # per-entity term quantization (theil_index recipe)
+
+
+def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality indices over per-customer total spend at
+    three inequality aversions (Atkinson 1970): A(0.5) = 1 −
+    (mean(√(x/μ)))², A(1) = 1 − geomean(x)/μ, A(2) = 1 −
+    harmonic_mean(x)/μ — the welfare-grounded complement to
+    gini_concentration and theil_index ("what fraction of total
+    spend could be given up if it were split equally, at aversion
+    ε"), and the only inequality family whose parameter states WHOSE
+    inequality you care about (ε→0 top-sensitive, ε→2 bottom-
+    sensitive).
+
+    theil_index shape exactly: one per-customer DECIMAL(28,6) spend
+    rollup, a 1-row totals broadcast, then each entity's √(x/μ),
+    ln(x/μ) and μ/x terms quantized to the 1e-9 grid BEFORE the
+    exact integer sums; the three indices are closed forms over
+    those sums. All O(customers), one shuffle.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("x"))
+    )
+    tot = spend.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    j = spend.crossJoin(F.broadcast(tot))
+    xr = F.col("x").cast("double") / (
+        F.col("s").cast("double") / F.col("n").cast("double")
+    )
+    sc = F.lit(float(ATK_S))
+    hq = F.floor(F.sqrt(xr) * sc + F.lit(0.5)).cast("long")  # √(x/μ)
+    gq = F.floor(F.log(xr) * sc + F.lit(0.5)).cast("long")   # ln(x/μ)
+    iq = F.floor(F.lit(1.0) / xr * sc + F.lit(0.5)).cast("long")  # μ/x
+    s = (
+        j.select(hq.alias("hq"), gq.alias("gq"), iq.alias("iq"), "n")
+        .groupBy("n")
+        .agg(
+            F.sum("hq").alias("sh"),
+            F.sum("gq").alias("sg"),
+            F.sum("iq").alias("si"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean_h = F.col("sh").cast("double") / sc / nd
+    mean_g = F.col("sg").cast("double") / sc / nd
+    mean_i = F.col("si").cast("double") / sc / nd
+    mic = F.lit(float(MICRO))
+    return s.select(
+        F.col("n").alias("n_entities"),
+        F.floor((F.lit(1.0) - mean_h * mean_h) * mic + F.lit(0.5))
+        .cast("long")
+        .alias("atkinson_05_micro"),
+        F.floor((F.lit(1.0) - F.exp(mean_g)) * mic + F.lit(0.5))
+        .cast("long")
+        .alias("atkinson_1_micro"),
+        F.floor((F.lit(1.0) - F.lit(1.0) / mean_i) * mic + F.lit(0.5))
+        .cast("long")
+        .alias("atkinson_2_micro"),
+    )
+
+
+ATKINSON_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS x
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT SUM(x) AS s, COUNT(*) AS n FROM spend
+), terms AS (
+  SELECT n,
+         CAST(floor(sqrt(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                    * {ATK_S} + 0.5) AS BIGINT) AS hq,
+         CAST(floor(ln(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                    * {ATK_S} + 0.5) AS BIGINT) AS gq,
+         CAST(floor(1.0 / (CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                    * {ATK_S} + 0.5) AS BIGINT) AS iq
+  FROM spend CROSS JOIN tot
+), s AS (
+  SELECT n, SUM(hq) AS sh, SUM(gq) AS sg, SUM(iq) AS si
+  FROM terms GROUP BY n
+)
+SELECT n AS n_entities,
+       CAST(floor((1.0 - (CAST(sh AS DOUBLE) / {ATK_S} / CAST(n AS DOUBLE))
+                         * (CAST(sh AS DOUBLE) / {ATK_S} / CAST(n AS DOUBLE)))
+                  * {MICRO} + 0.5) AS BIGINT) AS atkinson_05_micro,
+       CAST(floor((1.0 - exp(CAST(sg AS DOUBLE) / {ATK_S} / CAST(n AS DOUBLE)))
+                  * {MICRO} + 0.5) AS BIGINT) AS atkinson_1_micro,
+       CAST(floor((1.0 - 1.0 / (CAST(si AS DOUBLE) / {ATK_S} / CAST(n AS DOUBLE)))
+                  * {MICRO} + 0.5) AS BIGINT) AS atkinson_2_micro
+FROM s
+"""
+
+
+# ------------------------------------------------- l-diversity audit
+BAL_BAND = "CAST(floor(c_acctbal / 1000.0) AS BIGINT)"  # −1..9, 11 bands
+L_MIN = 3  # required distinct sensitive values per equivalence class
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) over
+    the customer table: quasi-identifier = (nation, market segment),
+    sensitive attribute = account-balance band (floor(bal/1000), the
+    bounded 11-value domain). k-anonymity (k_anonymity_audit) stops
+    homogeneity attacks ONLY if every equivalence class also carries
+    ≥ l distinct sensitive values — this reports the l histogram:
+    for each observed diversity level l, how many classes sit at
+    that level, their total population, and whether the level fails
+    the l ≥ {L_MIN} policy.
+
+    Two strict aggregations (class → distinct-band count → histogram)
+    over equality shuffles; the sensitive domain is bounded so
+    count_distinct is exact and cheap at any SF. Output is ≤ 11 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", F.expr(BAL_BAND).alias("band")
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.countDistinct("band").alias("l"),
+        F.count(F.lit(1)).alias("size"),
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("size").alias("n_rows"),
+            F.min("size").alias("min_class_size"),
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_rows",
+            "min_class_size",
+            (F.col("l") < F.lit(L_MIN)).alias("violates_policy"),
+        )
+        .orderBy("l")
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(DISTINCT {BAL_BAND}) AS BIGINT) AS l,
+         COUNT(*) AS size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT l, COUNT(*) AS n_classes,
+       CAST(SUM(size) AS BIGINT) AS n_rows,
+       CAST(MIN(size) AS BIGINT) AS min_class_size,
+       l < {L_MIN} AS violates_policy
+FROM classes GROUP BY l ORDER BY l
+"""
+
+
+# ------------------------------------------------- t-closeness audit
+T_CLOSE = 0.2  # EMD threshold (Li, Li & Venkatasubramanian 2007)
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) over the
+    same (nation, segment) classes: even an l-diverse class leaks if
+    its sensitive-value DISTRIBUTION diverges from the table-wide
+    one (skewness attack), so the class-vs-global distance must stay
+    ≤ t. Sensitive attribute = the ordinal balance band; distance =
+    the ordinal EMD of the t-closeness paper, Σ_k |cumulative
+    share gap| / (m−1), on the bounded 11-band domain.
+
+    Shape: one (class × band) count aggregation, the global band
+    marginal broadcast onto it, cumulative gaps via the bounded
+    band-domain theta join, one row per equivalence class (≤ 125) —
+    per-class EMD micro-quantized from exact share rationals, gated
+    against t = {T_CLOSE}.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", F.expr(BAL_BAND).alias("band")
+    )
+    cells = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sizes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").alias("sz")
+    )
+    glob = cust.groupBy("band").agg(F.count(F.lit(1)).alias("g"))
+    gtot = glob.agg(F.sum("g").alias("gn"), F.count(F.lit(1)).alias("m"))
+    # class × band full grid (bands a class never hits still carry
+    # global mass into the cumulative gap) — glob is 11 rows,
+    # broadcast onto the ≤125-class key frame
+    filled = (
+        sizes.join(F.broadcast(glob), F.lit(True))
+        .join(cells, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "sz",
+            "band",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    # cumulative class/global counts up to each band: equality join on
+    # the class key + band inequality — per-class 11×11, any SF
+    cum = (
+        filled.alias("p")
+        .join(
+            filled.alias("q"),
+            (F.col("q.c_nationkey") == F.col("p.c_nationkey"))
+            & (F.col("q.c_mktsegment") == F.col("p.c_mktsegment"))
+            & (F.col("q.band") <= F.col("p.band")),
+        )
+        .groupBy(
+            F.col("p.c_nationkey").alias("nat"),
+            F.col("p.c_mktsegment").alias("seg"),
+            F.col("p.sz").alias("sz"),
+            F.col("p.band").alias("band"),
+        )
+        .agg(F.sum("q.c").alias("cum_c"), F.sum("q.g").alias("cum_g"))
+    )
+    j = cum.crossJoin(F.broadcast(gtot))
+    sc = F.lit(float(NAT_S))
+    term = F.floor(
+        F.abs(
+            F.col("cum_c").cast("double") / F.col("sz").cast("double")
+            - F.col("cum_g").cast("double") / F.col("gn").cast("double")
+        )
+        / (F.col("m") - F.lit(1)).cast("double")
+        * sc
+        + F.lit(0.5)
+    ).cast("long")
+    mic = F.lit(float(MICRO))
+    return (
+        j.select("nat", "seg", "sz", term.alias("tq"))
+        .groupBy("nat", "seg", "sz")
+        .agg(F.sum("tq").alias("eq"))
+        .select(
+            "nat",
+            "seg",
+            "sz",
+            F.floor(F.col("eq").cast("double") / sc * mic + F.lit(0.5))
+            .cast("long")
+            .alias("emd_micro"),
+            (
+                F.col("eq").cast("double") / sc > F.lit(T_CLOSE)
+            ).alias("exceeds_t"),
+        )
+        .orderBy("nat", "seg")
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment, {BAL_BAND} AS band FROM customer
+), cells AS (
+  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c
+  FROM cust GROUP BY c_nationkey, c_mktsegment, band
+), sizes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS sz
+  FROM cells GROUP BY c_nationkey, c_mktsegment
+), gband AS (
+  SELECT band, COUNT(*) AS g FROM cust GROUP BY band
+), gtot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS gn, COUNT(*) AS m FROM gband
+), filled AS (
+  SELECT s.c_nationkey, s.c_mktsegment, s.sz, gl.band, gl.g,
+         COALESCE(c.c, 0) AS c
+  FROM sizes s CROSS JOIN gband gl
+  LEFT JOIN cells c ON c.c_nationkey = s.c_nationkey
+   AND c.c_mktsegment = s.c_mktsegment AND c.band = gl.band
+), cum AS (
+  SELECT p.c_nationkey AS nat, p.c_mktsegment AS seg, p.sz, p.band,
+         CAST(SUM(q.c) AS BIGINT) AS cum_c,
+         CAST(SUM(q.g) AS BIGINT) AS cum_g
+  FROM filled p JOIN filled q
+    ON q.c_nationkey = p.c_nationkey AND q.c_mktsegment = p.c_mktsegment
+   AND q.band <= p.band
+  GROUP BY p.c_nationkey, p.c_mktsegment, p.sz, p.band
+), terms AS (
+  SELECT nat, seg, sz,
+         CAST(floor(abs(CAST(cum_c AS DOUBLE) / sz - CAST(cum_g AS DOUBLE) / gn)
+                    / CAST(m - 1 AS DOUBLE) * {NAT_S} + 0.5) AS BIGINT) AS tq
+  FROM cum CROSS JOIN gtot
+)
+SELECT nat, seg, sz,
+       CAST(floor(CAST(SUM(tq) AS DOUBLE) / {NAT_S} * {MICRO} + 0.5) AS BIGINT)
+         AS emd_micro,
+       CAST(SUM(tq) AS DOUBLE) / {NAT_S} > {T_CLOSE} AS exceeds_t
+FROM terms GROUP BY nat, seg, sz
+ORDER BY nat, seg
+"""
+
+
+# --------------------------------------------- Hurst rescaled range
+HURST_SIZES = (4, 8, 16, 32)  # powers of 2: block means are EXACT
+# ln(block size) as Python-computed literals so both engines consume
+# the identical IEEE constant (never re-derived per engine)
+_LN_SIZE_N = {s: math.floor(math.log(float(s)) * 1e9 + 0.5) for s in HURST_SIZES}
+
+
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series via rescaled-
+    range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis 1969):
+    split the zero-filled day series into blocks of 4/8/16/32 days,
+    compute each block's R (range of cumulative deviations from the
+    block mean) over S (population std), and read H as the slope of
+    ln(R/S) against ln(block size). H ≈ 0.5 ⇒ no long memory;
+    H > 0.5 ⇒ persistent load (capacity planning must model it);
+    H < 0.5 ⇒ mean reversion.
+
+    Engine-exactness by construction: block sizes are powers of two,
+    so R/S = R_num/√V_num with R_num = max−min over s·cum_j −
+    rank_j·Σy (exact DECIMAL integers) and V_num = s·Σy² − (Σy)²
+    (exact) — the ONLY doubles are one correctly-rounded √, one
+    ln quantized to 1e-9 per block, and the final 4-point slope
+    assembled from integer nano sums through exact DECIMAL products.
+    Work: one day rollup, a ×4 literal expand, within-block prefix
+    sums via a (block-key equality + day ≤ day) join bounded by 32².
+    """
+    ev = load_events(spark, sf_dir).select(
+        F.expr(f"ts div {DAY_NS}").alias("day")
+    )
+    bounds = ev.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("y"))
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("dmax") - F.col("dmin"))).alias(
+            "d"
+        )
+    )
+    grid = (
+        days.join(
+            counts.crossJoin(F.broadcast(bounds)).select(
+                (F.col("day") - F.col("dmin")).alias("d"), "y"
+            ),
+            "d",
+            "left",
+        )
+        .select("d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    sizes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s).cast("long") for s in HURST_SIZES])
+        ).alias("s")
+    )
+    sized = grid.crossJoin(F.broadcast(sizes)).select(
+        "s", "d", "y", F.expr("d div s").alias("b")
+    )
+    blocks = (
+        sized.groupBy("s", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("sum_y"),
+            F.sum(F.col("y").cast(_D19) * F.col("y").cast(_D19)).alias(
+                "sumsq"
+            ),
+        )
+        .filter(F.col("cnt") == F.col("s"))
+    )
+    cums = (
+        sized.alias("a")
+        .join(
+            sized.alias("j"),
+            (F.col("j.s") == F.col("a.s"))
+            & (F.col("j.b") == F.col("a.b"))
+            & (F.col("j.d") <= F.col("a.d")),
+        )
+        .groupBy(
+            F.col("a.s").alias("s"), F.col("a.b").alias("b"),
+            F.col("a.d").alias("d"),
+        )
+        .agg(F.sum("j.y").alias("cum"))
+    )
+    cd = cums.join(blocks, ["s", "b"]).select(
+        "s",
+        "b",
+        "sum_y",
+        "sumsq",
+        (
+            F.col("s").cast(_D19) * F.col("cum").cast(_D19)
+            - (F.col("d") - F.col("b") * F.col("s") + 1).cast(_D19)
+            * F.col("sum_y").cast(_D19)
+        ).alias("cd_num"),
+    )
+    rb = cd.groupBy("s", "b", "sum_y", "sumsq").agg(
+        (F.max("cd_num") - F.min("cd_num")).alias("r_num")
+    )
+    v_num = (
+        F.col("s").cast(_D19) * F.col("sumsq")
+        - F.col("sum_y").cast(_D19) * F.col("sum_y").cast(_D19)
+    )
+    sc = F.lit(float(NAT_S))
+    lq = F.floor(
+        F.log(
+            F.col("r_num").cast("double") / F.sqrt(v_num.cast("double"))
+        )
+        * sc
+        + F.lit(0.5)
+    ).cast("long")
+    per_s = (
+        rb.filter((F.col("r_num") > 0) & (v_num > 0))
+        .select("s", lq.alias("lq"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_blocks"), F.sum("lq").alias("sq"))
+    )
+    # round-half-up mean in nano units via double floor((2a+n)/(2n)) —
+    # identical IEEE both engines, no integer-division sign semantics
+    y_nano = F.floor(
+        (F.lit(2.0) * F.col("sq").cast("double") + F.col("n_blocks").cast("double"))
+        / (F.lit(2.0) * F.col("n_blocks").cast("double"))
+    ).cast("long")
+    x_nano = F.coalesce(
+        *[
+            F.when(F.col("s") == s, F.lit(n).cast("long"))
+            for s, n in _LN_SIZE_N.items()
+        ]
+    )
+    pts = per_s.select(
+        "s", "n_blocks", x_nano.alias("xq"), y_nano.alias("yq")
+    )
+    reg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq").cast(_D19) * F.col("yq").cast(_D19)).alias("sxy"),
+        F.sum(F.col("xq").cast(_D19) * F.col("xq").cast(_D19)).alias("sxx"),
+    )
+    num = (
+        F.col("k").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast(_D19) * F.col("sy").cast(_D19)
+    )
+    den = (
+        F.col("k").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast(_D19) * F.col("sx").cast(_D19)
+    )
+    hurst = num.cast("double") / den.cast("double")
+    mic = F.lit(float(MICRO))
+    h1 = reg.select(
+        F.floor(hurst * mic + F.lit(0.5)).cast("long").alias("hurst_micro")
+    )
+    return (
+        pts.crossJoin(F.broadcast(h1))
+        .select(
+            F.col("s").alias("block_size"),
+            "n_blocks",
+            F.col("yq").alias("avg_log_rs_nano"),
+            "hurst_micro",
+        )
+        .orderBy("block_size")
+    )
+
+
+_HURST_X_CASE = "CASE s " + " ".join(
+    f"WHEN {s} THEN {n}" for s, n in _LN_SIZE_N.items()
+) + " END"
+
+HURST_SQL = f"""
+WITH ev AS (
+  SELECT epoch_ns(ts) // {DAY_NS} AS day FROM events
+), bounds AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev
+), counts AS (
+  SELECT day, COUNT(*) AS y FROM ev GROUP BY day
+), grid AS (
+  SELECT gs.d, COALESCE(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0,
+          (SELECT dmax - dmin FROM bounds))) AS d) gs
+  LEFT JOIN (SELECT day - (SELECT dmin FROM bounds) AS d, y
+             FROM counts) c ON c.d = gs.d
+), sized AS (
+  SELECT s.s, g.d, g.y, g.d // s.s AS b
+  FROM grid g CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in HURST_SIZES)}]) AS s) s
+), blocks AS (
+  SELECT s, b, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS sum_y,
+         SUM(CAST(y AS HUGEINT) * y) AS sumsq
+  FROM sized GROUP BY s, b HAVING COUNT(*) = s
+), cums AS (
+  SELECT a.s, a.b, a.d, CAST(SUM(j.y) AS BIGINT) AS cum
+  FROM sized a JOIN sized j ON j.s = a.s AND j.b = a.b AND j.d <= a.d
+  GROUP BY a.s, a.b, a.d
+), cd AS (
+  SELECT c.s, c.b, bl.sum_y, bl.sumsq,
+         CAST(c.s AS HUGEINT) * c.cum
+         - CAST(c.d - c.b * c.s + 1 AS HUGEINT) * bl.sum_y AS cd_num
+  FROM cums c JOIN blocks bl ON bl.s = c.s AND bl.b = c.b
+), rb AS (
+  SELECT s, b, sum_y, sumsq, MAX(cd_num) - MIN(cd_num) AS r_num
+  FROM cd GROUP BY s, b, sum_y, sumsq
+), per_s AS (
+  SELECT s, COUNT(*) AS n_blocks,
+         CAST(SUM(CAST(floor(ln(CAST(r_num AS DOUBLE)
+                  / sqrt(CAST(CAST(s AS HUGEINT) * sumsq
+                              - CAST(sum_y AS HUGEINT) * sum_y AS DOUBLE)))
+               * {NAT_S} + 0.5) AS BIGINT)) AS BIGINT) AS sq
+  FROM rb
+  WHERE r_num > 0 AND CAST(s AS HUGEINT) * sumsq - CAST(sum_y AS HUGEINT) * sum_y > 0
+  GROUP BY s
+), pts AS (
+  SELECT s, n_blocks,
+         CAST({_HURST_X_CASE} AS BIGINT) AS xq,
+         CAST(floor((2.0 * sq + n_blocks) / (2.0 * n_blocks)) AS BIGINT) AS yq
+  FROM per_s
+), reg AS (
+  SELECT COUNT(*) AS k, CAST(SUM(xq) AS BIGINT) AS sx,
+         CAST(SUM(yq) AS BIGINT) AS sy,
+         SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+         SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+  FROM pts
+)
+SELECT s AS block_size, n_blocks, yq AS avg_log_rs_nano,
+       CAST(floor(CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                  * {MICRO} + 0.5) AS BIGINT) AS hurst_micro
+FROM pts CROSS JOIN reg
+ORDER BY block_size
+"""
+
+
+# --------------------------------------------- Weibull survival fit
+def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric Weibull fit over the Kaplan-Meier churn curve via
+    the classic probability-plot regression: S(t) = exp(−(t/λ)^k) ⇔
+    ln(−ln S(t)) = k·ln t − k·ln λ, so an OLS line through the KM
+    points gives shape k (k < 1: churn hazard falls with tenure —
+    survivors stabilize; k > 1: aging-out) and scale λ (the
+    characteristic lifetime) — the 2-parameter summary that lets
+    capacity/revenue models EXTRAPOLATE beyond the observed horizon,
+    which the non-parametric KM curve cannot.
+
+    Rides the exact KM machinery (events._km_terms): ln S(t) is the
+    prefix sum of 1e-9-quantized per-day terms, i.e. an exact integer
+    rational, so y = ln(−ls/1e9) and x = ln t are doubles of exact
+    integer inputs; both are re-quantized to nano-units and the OLS
+    closed form runs on exact DECIMAL(38,0) sums — the slope is a
+    ratio of exact integers cast to double. Points: t ≥ 1, no zero-
+    survival flag, at least one churn observed (ls < 0).
+    """
+    activity = load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts div {DAY_NS}").alias("day")
+    ).distinct()
+    terms = _km_terms(activity)
+    pref = (
+        terms.alias("a")
+        .join(F.broadcast(terms.alias("b")), F.col("b.t") <= F.col("a.t"))
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(F.sum("b.li").alias("ls"), F.sum("b.zi").alias("zs"))
+    )
+    pts = pref.filter(
+        (F.col("t") >= 1) & (F.col("zs") == 0) & (F.col("ls") < 0)
+    )
+    sc = F.lit(float(NAT_S))
+    x = F.log(F.col("t").cast("double"))
+    y = F.log(-F.col("ls").cast("double") / F.lit(float(KM_S)))
+    xq = F.floor(x * sc + F.lit(0.5)).cast("long")
+    yq = F.floor(y * sc + F.lit(0.5)).cast("long")
+    q = pts.select(xq.alias("xq"), yq.alias("yq"))
+    reg = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq").cast(_D19) * F.col("yq").cast(_D19)).alias("sxy"),
+        F.sum(F.col("xq").cast(_D19) * F.col("xq").cast(_D19)).alias("sxx"),
+        F.sum(F.col("yq").cast(_D19) * F.col("yq").cast(_D19)).alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    num = n38 * F.col("sxy") - F.col("sx").cast(_D19) * F.col("sy").cast(_D19)
+    den = n38 * F.col("sxx") - F.col("sx").cast(_D19) * F.col("sx").cast(_D19)
+    dyy = n38 * F.col("syy") - F.col("sy").cast(_D19) * F.col("sy").cast(_D19)
+    k = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") / sc
+        - k * (F.col("sx").cast("double") / sc)
+    ) / F.col("n").cast("double")
+    lam = F.exp(-intercept / k)
+    r2 = (
+        num.cast("double")
+        * num.cast("double")
+        / (den.cast("double") * dyy.cast("double"))
+    )
+    mic = F.lit(float(MICRO))
+    return reg.select(
+        F.col("n").alias("n_points"),
+        F.floor(k * mic + F.lit(0.5)).cast("long").alias("shape_micro"),
+        F.floor(lam * mic + F.lit(0.5)).cast("long").alias("scale_micro"),
+        F.floor(r2 * mic + F.lit(0.5)).cast("long").alias("r2_micro"),
+    )
+
+
+WEIBULL_SQL = f"""
+WITH {_KM_TERMS_SQL}, pref AS (
+  SELECT a.t, CAST(SUM(b.li) AS BIGINT) AS ls, CAST(SUM(b.zi) AS BIGINT) AS zs
+  FROM terms a JOIN terms b ON b.t <= a.t
+  GROUP BY a.t
+), q AS (
+  SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * {NAT_S} + 0.5) AS BIGINT) AS xq,
+         CAST(floor(ln(-CAST(ls AS DOUBLE) / {KM_S}) * {NAT_S} + 0.5) AS BIGINT) AS yq
+  FROM pref WHERE t >= 1 AND zs = 0 AND ls < 0
+), reg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sx,
+         CAST(SUM(yq) AS BIGINT) AS sy,
+         SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+         SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+         SUM(CAST(yq AS HUGEINT) * yq) AS syy
+  FROM q
+)
+SELECT n AS n_points,
+       CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                  * {MICRO} + 0.5) AS BIGINT) AS shape_micro,
+       CAST(floor(exp(-((CAST(sy AS DOUBLE) / {NAT_S}
+                         - (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                            / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / {NAT_S}))
+                        / CAST(n AS DOUBLE))
+                      / (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                         / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+                  * {MICRO} + 0.5) AS BIGINT) AS scale_micro,
+       CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                     * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                  * {MICRO} + 0.5) AS BIGINT) AS r2_micro
+FROM reg
+"""
+
+
+# ------------------------------------------------- SPRT sequential
+SPRT_P0 = 0.18   # H0 conversion (purchase share) rate
+SPRT_P1 = 0.22   # H1 conversion rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+# LLR increments and Wald boundaries as Python-computed nano literals
+# — both twins consume the identical IEEE constants
+SPRT_L1_N = math.floor(math.log(SPRT_P1 / SPRT_P0) * 1e9 + 0.5)
+SPRT_L0_N = math.floor(math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e9 + 0.5)
+SPRT_A_N = math.floor(math.log((1 - SPRT_BETA) / SPRT_ALPHA) * 1e9 + 0.5)
+SPRT_B_N = math.floor(math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * 1e9 + 0.5)
+
+
+def sprt_sequential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) replayed
+    over the event stream, per deterministic A/B user bucket: the
+    cumulative log-likelihood ratio of the daily purchase-conversion
+    counts under H1 (p = {SPRT_P1}) vs H0 (p = {SPRT_P0}), walked
+    day by day until it crosses a Wald boundary (ln((1−β)/α) above ⇒
+    accept H1, ln(β/(1−α)) below ⇒ accept H0) — the "peek as often
+    as you like" test every experimentation platform needs because
+    fixed-horizon z-tests inflate false positives under continuous
+    monitoring.
+
+    Fully integer: the two LLR increments and both boundaries are
+    Python-computed nano-unit literals, the cumulative walk is
+    counts × constants through DECIMAL(38,0) (exact at any SF), and
+    first-crossing days are MIN aggregates over the bounded day
+    domain (theta-join prefix convention, no window).
+    """
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr(f"ts div {DAY_NS}").alias("day"),
+    )
+    bounds = ev.agg(F.min("day").alias("dmin"))
+    variant = F.when(hash_bucket(F.col("user_id"), 2) == 0, "A").otherwise(
+        "B"
+    )
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            variant.alias("variant"),
+            (F.col("day") - F.col("dmin")).alias("d"),
+            (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        )
+        .groupBy("variant", "d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    )
+    cum = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            (F.col("b.variant") == F.col("a.variant"))
+            & (F.col("b.d") <= F.col("a.d")),
+        )
+        .groupBy(F.col("a.variant").alias("variant"), F.col("a.d").alias("d"))
+        .agg(F.sum("b.n").alias("ncum"), F.sum("b.c").alias("ccum"))
+    )
+    llr = (
+        F.col("ccum").cast(_D19) * F.lit(SPRT_L1_N).cast(_D19)
+        + (F.col("ncum") - F.col("ccum")).cast(_D19)
+        * F.lit(SPRT_L0_N).cast(_D19)
+    ).alias("llr_n")
+    walked = cum.select("variant", "d", "ncum", "ccum", llr)
+    s = walked.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("ncum").alias("n_total"),
+        F.max("ccum").alias("conv_total"),
+        F.min(
+            F.when(F.col("llr_n") >= F.lit(SPRT_A_N), F.col("d"))
+        ).alias("first_h1"),
+        F.min(
+            F.when(F.col("llr_n") <= F.lit(SPRT_B_N), F.col("d"))
+        ).alias("first_h0"),
+        F.expr("max_by(llr_n, d)").alias("llr_last"),
+    )
+    mic = F.lit(float(MICRO))
+    decision = (
+        F.when(
+            F.col("first_h1").isNotNull()
+            & (
+                F.col("first_h0").isNull()
+                | (F.col("first_h1") < F.col("first_h0"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("first_h0").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return s.select(
+        "variant",
+        "n_days",
+        "n_total",
+        "conv_total",
+        decision.alias("decision"),
+        F.coalesce(
+            F.least(F.col("first_h1"), F.col("first_h0")),
+            F.coalesce(F.col("first_h1"), F.col("first_h0"), F.lit(-1)),
+        ).alias("cross_day"),
+        F.floor(
+            F.col("llr_last").cast("double") / F.lit(1e9) * mic + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("llr_final_micro"),
+    ).orderBy("variant")
+
+
+SPRT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), bounds AS (
+  SELECT MIN(day) AS dmin FROM ev
+), daily AS (
+  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         day - (SELECT dmin FROM bounds) AS d,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT a.variant, a.d,
+         CAST(SUM(b.n) AS BIGINT) AS ncum, CAST(SUM(b.c) AS BIGINT) AS ccum,
+         CAST(SUM(b.c) AS HUGEINT) * {SPRT_L1_N}
+         + (CAST(SUM(b.n) AS HUGEINT) - CAST(SUM(b.c) AS HUGEINT)) * {SPRT_L0_N}
+           AS llr_n
+  FROM daily a JOIN daily b ON b.variant = a.variant AND b.d <= a.d
+  GROUP BY a.variant, a.d
+), s AS (
+  SELECT variant, COUNT(*) AS n_days, MAX(ncum) AS n_total,
+         MAX(ccum) AS conv_total,
+         MIN(CASE WHEN llr_n >= {SPRT_A_N} THEN d END) AS first_h1,
+         MIN(CASE WHEN llr_n <= {SPRT_B_N} THEN d END) AS first_h0,
+         max_by(llr_n, d) AS llr_last
+  FROM cum GROUP BY variant
+)
+SELECT variant, n_days, n_total, conv_total,
+       CASE WHEN first_h1 IS NOT NULL
+                 AND (first_h0 IS NULL OR first_h1 < first_h0)
+            THEN 'accept_h1'
+            WHEN first_h0 IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       COALESCE(LEAST(first_h1, first_h0),
+                COALESCE(first_h1, first_h0, -1)) AS cross_day,
+       CAST(floor(CAST(llr_n_final AS DOUBLE) / 1000000000.0 * {MICRO} + 0.5)
+            AS BIGINT) AS llr_final_micro
+FROM (SELECT *, llr_last AS llr_n_final FROM s)
+ORDER BY variant
+"""
+
+
+# ------------------------------------------- Holm step-down control
+HOLM_ALPHA = 0.05
+
+
+def holm_bonferroni_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down FWER control (Holm 1979) over the same per-type
+    rate-change panel as bh_fdr_control — the uniformly-more-powerful
+    replacement for plain Bonferroni when the guarantee needed is
+    family-wise error (no false rejection at all), not BH's FDR
+    (a controlled FRACTION of false rejections): sort p ascending,
+    compare p_(i) against α/(m−i+1), stop at the first failure.
+
+    Shares timeseries.rate_change_ranked verbatim (one scoring +
+    ranking definition for all three multiple-testing twins); the
+    step-down running max — adj_p(r) = max_{i≤r}(m−i+1)·p_(i), reject
+    iff adj_p ≤ α — is the bounded m-row theta join, mirroring BH's
+    step-up kmax scan.
+    """
+    ranked = rate_change_ranked(spark, sf_dir)
+    adj = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), F.col("b.rank") <= F.col("a.rank"))
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.c1").alias("c1"),
+            F.col("a.c2").alias("c2"),
+            F.col("a.z").alias("z"),
+            F.col("a.p").alias("p"),
+            F.col("a.rank").alias("rank"),
+        )
+        .agg(
+            F.max(
+                (F.col("b.m") - F.col("b.rank") + 1).cast("double")
+                * F.col("b.p")
+            ).alias("adj_raw")
+        )
+    )
+    return adj.select(
+        "event_type",
+        "c1",
+        "c2",
+        F.round(F.col("z"), 6).alias("z_stat"),
+        F.round(F.col("p"), 6).alias("p_value"),
+        "rank",
+        F.round(F.least(F.lit(1.0), F.col("adj_raw")), 6).alias("adj_p"),
+        (F.col("adj_raw") <= F.lit(HOLM_ALPHA)).alias("rejected"),
+    ).orderBy("rank", "event_type")
+
+
+HOLM_SQL = f"""
+WITH {_RATE_RANKED_SQL}
+SELECT a.event_type, a.c1, a.c2,
+       ROUND(a.z, 6) AS z_stat,
+       ROUND(a.p, 6) AS p_value,
+       a.rank,
+       ROUND(LEAST(1.0, MAX(CAST(b.m - b.rank + 1 AS DOUBLE) * b.p)), 6) AS adj_p,
+       MAX(CAST(b.m - b.rank + 1 AS DOUBLE) * b.p) <= {HOLM_ALPHA} AS rejected
+FROM ranked a JOIN ranked b ON b.rank <= a.rank
+GROUP BY a.event_type, a.c1, a.c2, a.z, a.p, a.rank
+ORDER BY a.rank, a.event_type
+"""
+
+
+# --------------------------------------- Fisher's combined meta-test
+# χ²(df) 5% critical values for the reachable even dof (df = 2m, m =
+# |event types|); published 6-dp table values (cross-checked against
+# the df=10 value stats9 pins), Wilson-Hilferty cube only beyond.
+FISHER_CHI2_CRIT_95 = {
+    2: 5.991465, 4: 9.487729, 6: 12.591587, 8: 15.507313,
+    10: 18.307038, 12: 21.026070, 14: 23.684791, 16: 26.296228,
+    18: 28.869299, 20: 31.410433,
+}
+_Z95_1SIDED = 1.644854
+
+
+def fisher_combined_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's combined probability test (Fisher 1932) over the m
+    per-type rate-change p-values: X = −2·Σ ln p_i ~ χ²(2m) under the
+    global null — the meta-analytic "is ANYTHING moving" gate that
+    complements bh_fdr_control/holm (which ask WHICH type moved).
+    Sensitive to one strong signal among many nulls, which is the
+    regression-detection case monitoring cares about.
+
+    Per-type ln p quantized to the 1e-9 grid before the m-term sum
+    (p > 0 always: the A&S 7.1.26 tail is a positive closed form);
+    the 5% gate uses exact critical values for the reachable even
+    dof and Wilson-Hilferty only beyond the table (the stats9
+    cramers_v discipline).
+    """
+    ranked = rate_change_ranked(spark, sf_dir)
+    sc = F.lit(float(NAT_S))
+    lq = F.floor(F.log(F.col("p")) * sc + F.lit(0.5)).cast("long")
+    s = ranked.select("m", lq.alias("lq")).groupBy("m").agg(
+        F.sum("lq").alias("slq")
+    )
+    x_stat = F.lit(-2.0) * (F.col("slq").cast("double") / sc)
+    dof = (F.lit(2) * F.col("m")).cast("long")
+    wh_dof = dof.cast("double")
+    wh = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * wh_dof)
+        + F.lit(_Z95_1SIDED) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * wh_dof))
+    )
+    crit = F.coalesce(
+        *[
+            F.when(dof == d, F.lit(v))
+            for d, v in FISHER_CHI2_CRIT_95.items()
+        ],
+        wh_dof * wh * wh * wh,
+    )
+    mic = F.lit(float(MICRO))
+    return s.select(
+        F.col("m").alias("n_tests"),
+        dof.alias("dof"),
+        F.floor(x_stat * mic + F.lit(0.5)).cast("long").alias("x_stat_micro"),
+        F.floor(crit * mic + F.lit(0.5)).cast("long").alias("crit_micro"),
+        (x_stat > crit).alias("significant"),
+    )
+
+
+_FISHER_CRIT_CASE = (
+    "CASE dof "
+    + " ".join(f"WHEN {d} THEN {v!r}" for d, v in FISHER_CHI2_CRIT_95.items())
+    + f" ELSE CAST(dof AS DOUBLE)"
+      f" * (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))"
+      f"    + {_Z95_1SIDED} * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE))))"
+      f" * (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))"
+      f"    + {_Z95_1SIDED} * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE))))"
+      f" * (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))"
+      f"    + {_Z95_1SIDED} * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE)))) END"
+)
+
+FISHER_META_SQL = f"""
+WITH {_RATE_RANKED_SQL}, s AS (
+  SELECT m, CAST(SUM(CAST(floor(ln(p) * {NAT_S} + 0.5) AS BIGINT)) AS BIGINT) AS slq
+  FROM ranked GROUP BY m
+), f AS (
+  SELECT m, CAST(2 * m AS BIGINT) AS dof,
+         -2.0 * (CAST(slq AS DOUBLE) / {NAT_S}) AS x_stat
+  FROM s
+)
+SELECT m AS n_tests, dof,
+       CAST(floor(x_stat * {MICRO} + 0.5) AS BIGINT) AS x_stat_micro,
+       CAST(floor(({_FISHER_CRIT_CASE}) * {MICRO} + 0.5) AS BIGINT) AS crit_micro,
+       x_stat > ({_FISHER_CRIT_CASE}) AS significant
+FROM f
+"""

@@ -494,20 +494,13 @@ _AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 _SQRT2 = math.sqrt(2.0)
 
 
-def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini-Hochberg FDR control (1995) over per-type rate-change
-    tests: each event type's share of traffic in the first half of
-    the horizon vs the second (two-proportion z-test), then the BH
-    step-up rule at q = 0.05 picks which changes survive multiple
-    testing — the correction every metrics platform needs the moment
-    it watches more than one counter.
-
-    The m tests come from ONE count aggregation (type × half); the
-    normal tail is the A&S 7.1.26 closed form (identical IEEE per
-    engine — no erf builtin, no p-value lookup service); ranks and
-    the step-up max run on the m-row bounded frame via the theta-join
-    convention. Adding event types grows m, never the data passes.
-    """
+def rate_change_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, c1, c2, m, z, p, rank): the per-type half-vs-half
+    rate-change test panel with A&S 7.1.26 two-sided p-values and
+    ascending-p ranks (ties broken by event_type) — the shared input
+    of bh_fdr_control, holm_bonferroni_panel and
+    fisher_combined_meta. One count aggregation over events; ranks
+    via the m-row bounded theta join."""
     ev = load_events(spark, sf_dir).select(
         "event_type", F.expr(f"ts div {DAY_NS}").alias("day")
     )
@@ -575,6 +568,24 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.count(F.col("b.p")) + 1).alias("rank"))
     )
+    return ranked
+
+
+def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (1995) over per-type rate-change
+    tests: each event type's share of traffic in the first half of
+    the horizon vs the second (two-proportion z-test), then the BH
+    step-up rule at q = 0.05 picks which changes survive multiple
+    testing — the correction every metrics platform needs the moment
+    it watches more than one counter.
+
+    The m tests come from ONE count aggregation (type × half); the
+    normal tail is the A&S 7.1.26 closed form (identical IEEE per
+    engine — no erf builtin, no p-value lookup service); ranks and
+    the step-up max run on the m-row bounded frame via the theta-join
+    convention. Adding event types grows m, never the data passes.
+    """
+    ranked = rate_change_ranked(spark, sf_dir)
     ok = F.col("p") <= F.lit(BH_Q) * F.col("rank").cast("double") / F.col(
         "m"
     ).cast("double")
@@ -596,8 +607,11 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BH_FDR_SQL = f"""
-WITH ev AS (
+# ev → per → scored → pv → ranked CTE chain shared by the
+# bh_fdr_control / holm_bonferroni_panel / fisher_combined_meta
+# oracles (one definition — the multiple-testing twins must score
+# and rank identically by construction).
+_RATE_RANKED_SQL = f"""ev AS (
   SELECT event_type, epoch_ns(ts) // {DAY_NS} AS day FROM events
 ), bounds AS (
   SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev
@@ -645,7 +659,10 @@ WITH ev AS (
   FROM pv a LEFT JOIN pv b
     ON b.p < a.p OR (b.p = a.p AND b.event_type < a.event_type)
   GROUP BY a.event_type, a.c1, a.c2, a.m, a.z, a.p
-), kmax AS (
+)"""
+
+BH_FDR_SQL = f"""
+WITH {_RATE_RANKED_SQL}, kmax AS (
   SELECT MAX(CASE WHEN p <= {BH_Q} * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)
                   THEN rank ELSE 0 END) AS kmax
   FROM ranked
