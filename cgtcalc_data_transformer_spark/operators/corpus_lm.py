@@ -1410,3 +1410,258 @@ FROM th JOIN tot ON th.lang = tot.lang
 GROUP BY th.lang, threshold
 ORDER BY th.lang, threshold
 """
+
+
+# ------------------------------------------- stupid backoff scoring
+SB_ALPHA = 0.4                 # Brants et al. 2007 backoff weight
+SB_ALPHA2 = SB_ALPHA * SB_ALPHA  # two backoff hops (Python-exact literal)
+SB_S = 10**9                   # per-trigram-type score quantization
+
+
+def _lang_trigrams(docs: DataFrame) -> DataFrame:
+    """(lang, tg) one row per trigram OCCURRENCE (the _lang_bigrams
+    zip_with shape, one more zip)."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.slice(toks, 2, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tris = F.zip_with(
+        pairs,
+        F.slice(toks, 3, n - 2),
+        lambda p, c: F.concat_ws(" ", p, c),
+    )
+    return docs.filter(n >= 3).select("lang", F.explode(tris).alias("tg"))
+
+
+def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007 — the
+    smoothing Google's "Large Language Models in Machine
+    Translation" showed beats Kneser-Ney at web scale because it
+    needs NO discount tuning): score(w3|w1w2) = c(w1w2w3)/c(w1w2),
+    else α·c(w2w3)/c(w2), else α²·c(w3)/N, on a 90/10 md5 doc split
+    (train counts, held-out scoring — the ngram_novelty convention).
+    Per language: positions resolved at each backoff level and the
+    mean next-token score — the cheap LM-quality probe you run on a
+    corpus slice before paying for a real perplexity eval.
+
+    Scale shape: three train count tables (tri/bi/uni) and the held
+    trigram stream are aggregations over one tokenized pass each;
+    scoring is FOUR left equality joins at (lang, gram) granularity
+    on the DISTINCT held trigram types (scores depend only on the
+    type, so occurrences ride an integer multiplier). Per-type
+    scores are exact count rationals quantized to 1e-9 before the
+    occurrence-weighted DECIMAL sum — engine-exact at any SF.
+    """
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    docs = scatter(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "text",
+        (hash_bucket(F.col("doc_id")) < NOVELTY_TRAIN_PCT).alias("is_train"),
+    )
+    train = docs.filter(F.col("is_train"))
+    held = docs.filter(~F.col("is_train"))
+    t3 = _lang_trigrams(train).groupBy("lang", "tg").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    b2 = _lang_bigrams(train).groupBy("lang", "bg").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    u1 = (
+        train.select("lang", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ntot = u1.groupBy("lang").agg(F.sum("c1").alias("n_tok"))
+    held_t = _lang_trigrams(held).groupBy("lang", "tg").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    ab = F.substring_index(F.col("tg"), " ", 2)
+    bc = F.substring_index(F.col("tg"), " ", -2)
+    bmid = F.substring_index(bc, " ", 1)
+    cw = F.substring_index(F.col("tg"), " ", -1)
+    parts = held_t.select(
+        "lang",
+        "tg",
+        "occ",
+        ab.alias("ab"),
+        bc.alias("bc"),
+        bmid.alias("b"),
+        cw.alias("c"),
+    )
+    j = (
+        parts.join(t3, ["lang", "tg"], "left")
+        .join(
+            b2.select(
+                "lang", F.col("bg").alias("ab"), F.col("c2").alias("c2ab")
+            ),
+            ["lang", "ab"],
+            "left",
+        )
+        .join(
+            b2.select(
+                "lang", F.col("bg").alias("bc"), F.col("c2").alias("c2bc")
+            ),
+            ["lang", "bc"],
+            "left",
+        )
+        .join(
+            u1.select("lang", F.col("w").alias("b"), F.col("c1").alias("c1b")),
+            ["lang", "b"],
+            "left",
+        )
+        .join(
+            u1.select("lang", F.col("w").alias("c"), F.col("c1").alias("c1c")),
+            ["lang", "c"],
+            "left",
+        )
+        .join(F.broadcast(ntot), "lang")
+    )
+    sc = F.lit(float(SB_S))
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2ab").cast("double"),
+        )
+        .when(
+            F.col("c2bc").isNotNull(),
+            F.lit(SB_ALPHA)
+            * F.col("c2bc").cast("double")
+            / F.col("c1b").cast("double"),
+        )
+        .when(
+            F.col("c1c").isNotNull(),
+            F.lit(SB_ALPHA2)
+            * F.col("c1c").cast("double")
+            / F.col("n_tok").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit("tri"))
+        .when(F.col("c2bc").isNotNull(), F.lit("bi"))
+        .when(F.col("c1c").isNotNull(), F.lit("uni"))
+        .otherwise(F.lit("unseen"))
+    )
+    sq = F.floor(score * sc + F.lit(0.5)).cast("long")
+    terms = j.select(
+        "lang",
+        "occ",
+        level.alias("level"),
+        (F.col("occ").cast("decimal(19,0)") * sq.cast("decimal(19,0)")).alias(
+            "wq"
+        ),
+    )
+    s = terms.groupBy("lang").agg(
+        F.sum("occ").alias("n_positions"),
+        F.sum(F.when(F.col("level") == "tri", F.col("occ")).otherwise(0)).alias(
+            "n_tri"
+        ),
+        F.sum(F.when(F.col("level") == "bi", F.col("occ")).otherwise(0)).alias(
+            "n_bi"
+        ),
+        F.sum(F.when(F.col("level") == "uni", F.col("occ")).otherwise(0)).alias(
+            "n_uni"
+        ),
+        F.sum(
+            F.when(F.col("level") == "unseen", F.col("occ")).otherwise(0)
+        ).alias("n_unseen"),
+        F.sum("wq").alias("swq"),
+    )
+    mic = F.lit(float(10**6))
+    return s.select(
+        "lang",
+        "n_positions",
+        "n_tri",
+        "n_bi",
+        "n_uni",
+        "n_unseen",
+        F.floor(
+            F.col("swq").cast("double")
+            / sc
+            / F.col("n_positions").cast("double")
+            * mic
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_score_micro"),
+    ).orderBy("lang")
+
+
+STUPID_BACKOFF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+           % 100 < {NOVELTY_TRAIN_PCT} AS is_train,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+), tri_occ AS (
+  SELECT lang, is_train, unnest(
+           CASE WHEN len(w) >= 3
+                THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                ELSE [] END) AS tg
+  FROM toks
+), bi_occ AS (
+  SELECT lang, is_train, unnest(
+           CASE WHEN len(w) >= 2
+                THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                ELSE [] END) AS bg
+  FROM toks
+), uni_occ AS (
+  SELECT lang, is_train, unnest(w) AS u FROM toks
+), t3 AS (
+  SELECT lang, tg, COUNT(*) AS c3 FROM tri_occ WHERE is_train GROUP BY lang, tg
+), b2 AS (
+  SELECT lang, bg, COUNT(*) AS c2 FROM bi_occ WHERE is_train GROUP BY lang, bg
+), u1 AS (
+  SELECT lang, u, COUNT(*) AS c1 FROM uni_occ WHERE is_train GROUP BY lang, u
+), ntot AS (
+  SELECT lang, CAST(SUM(c1) AS BIGINT) AS n_tok FROM u1 GROUP BY lang
+), held_t AS (
+  SELECT lang, tg, COUNT(*) AS occ FROM tri_occ WHERE NOT is_train
+  GROUP BY lang, tg
+), parts AS (
+  SELECT lang, tg, occ,
+         array_to_string(string_split(tg, ' ')[1:2], ' ') AS ab,
+         array_to_string(string_split(tg, ' ')[2:3], ' ') AS bc,
+         string_split(tg, ' ')[2] AS b,
+         string_split(tg, ' ')[3] AS c
+  FROM held_t
+), j AS (
+  SELECT p.lang, p.occ,
+         CASE WHEN t3.c3 IS NOT NULL THEN 'tri'
+              WHEN bbc.c2 IS NOT NULL THEN 'bi'
+              WHEN uc.c1 IS NOT NULL THEN 'uni'
+              ELSE 'unseen' END AS level,
+         CAST(p.occ AS DECIMAL(19,0)) * CAST(CAST(floor(
+           CASE WHEN t3.c3 IS NOT NULL
+                THEN CAST(t3.c3 AS DOUBLE) / CAST(bab.c2 AS DOUBLE)
+                WHEN bbc.c2 IS NOT NULL
+                THEN {SB_ALPHA!r} * CAST(bbc.c2 AS DOUBLE) / CAST(ub.c1 AS DOUBLE)
+                WHEN uc.c1 IS NOT NULL
+                THEN {SB_ALPHA2!r} * CAST(uc.c1 AS DOUBLE) / CAST(ntot.n_tok AS DOUBLE)
+                ELSE 0.0 END * {SB_S} + 0.5) AS BIGINT) AS DECIMAL(19,0)) AS wq
+  FROM parts p
+  LEFT JOIN t3 ON t3.lang = p.lang AND t3.tg = p.tg
+  LEFT JOIN b2 bab ON bab.lang = p.lang AND bab.bg = p.ab
+  LEFT JOIN b2 bbc ON bbc.lang = p.lang AND bbc.bg = p.bc
+  LEFT JOIN u1 ub ON ub.lang = p.lang AND ub.u = p.b
+  LEFT JOIN u1 uc ON uc.lang = p.lang AND uc.u = p.c
+  JOIN ntot ON ntot.lang = p.lang
+)
+SELECT lang,
+       CAST(SUM(occ) AS BIGINT) AS n_positions,
+       CAST(SUM(CASE WHEN level = 'tri' THEN occ ELSE 0 END) AS BIGINT) AS n_tri,
+       CAST(SUM(CASE WHEN level = 'bi' THEN occ ELSE 0 END) AS BIGINT) AS n_bi,
+       CAST(SUM(CASE WHEN level = 'uni' THEN occ ELSE 0 END) AS BIGINT) AS n_uni,
+       CAST(SUM(CASE WHEN level = 'unseen' THEN occ ELSE 0 END) AS BIGINT) AS n_unseen,
+       CAST(floor(CAST(SUM(wq) AS DOUBLE) / {SB_S}
+                  / CAST(SUM(occ) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         AS avg_score_micro
+FROM j GROUP BY lang ORDER BY lang
+"""

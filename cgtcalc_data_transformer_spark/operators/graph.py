@@ -164,17 +164,20 @@ def node_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
+def oriented_wedges_centered(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """Degree-oriented wedge enumeration (the "compact-forward"
-    algorithm), shared by triangle_count_parts and
-    transitivity_parts: orient every undirected edge from its
-    lower-(degree, id) endpoint to the higher one, then enumerate
-    wedges only between OUT-neighbors. Orientation bounds every
-    out-degree by O(sqrt(2E)), so the wedge join is O(E^1.5) instead
-    of sum(deg^2) — the difference between feasible and not on a
-    power-law co-purchase graph. Returns (x < y) open wedges; closing
-    them with one left-semi join against `edges` counts each triangle
-    exactly once, from its unique minimum-(degree, id) corner."""
+    algorithm) with the wedge CENTER kept, shared by
+    triangle_count_parts, transitivity_parts (via oriented_wedges)
+    and local_clustering_topk (which needs all three triangle
+    corners): orient every undirected edge from its lower-(degree,
+    id) endpoint to the higher one, then enumerate wedges only
+    between OUT-neighbors. Orientation bounds every out-degree by
+    O(sqrt(2E)), so the wedge join is O(E^1.5) instead of
+    sum(deg^2) — the difference between feasible and not on a
+    power-law co-purchase graph. Returns (s, x, y) open wedges
+    (x < y, centered at s); closing them against `edges` counts each
+    triangle exactly once, from its unique minimum-(degree, id)
+    corner s."""
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     oriented = (
@@ -195,8 +198,19 @@ def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
     return (
         w1.join(w2, F.col("w1.s") == F.col("w2.s"))
         .filter(F.col("w1.d") < F.col("w2.d"))
-        .select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
+        .select(
+            F.col("w1.s").alias("s"),
+            F.col("w1.d").alias("x"),
+            F.col("w2.d").alias("y"),
+        )
     )
+
+
+def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """(x, y) open wedges — oriented_wedges_centered minus the center
+    column, the shape triangle_count_parts / transitivity_parts
+    consume (their closing semi-join only needs the endpoints)."""
+    return oriented_wedges_centered(edges, deg).select("x", "y")
 
 
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,4 +987,188 @@ WITH pairs AS (
 SELECT m AS n_edges, intra AS intra_edges,
        ROUND(CAST(intra AS DOUBLE) / m - exp_term, 6) AS modularity_q
 FROM q
+"""
+
+
+# ------------------------------------------ Jaccard link prediction
+JL_MICRO = 10**6
+
+
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction between suppliers over the
+    repeat-business bipartite graph — the set-overlap companion to
+    adamic_adar_links (same candidate wedges, different weighting):
+    score(s1, s2) = |N(s1) ∩ N(s2)| / |N(s1) ∪ N(s2)| over repeat-
+    customer neighbor sets. Jaccard is the baseline every link-
+    prediction paper reports first; AA then upgrades it by rarity-
+    weighting the shared neighbors.
+
+    Same scale shape as AA: the repeat-edge projection (≥
+    {AA_MIN_ORDERS} distinct orders) keeps wedge volume Σ deg(c)²
+    linear-ish, common-neighbor counts come from one equality
+    self-join on the customer, and degrees join back on supplier
+    keys. The score is an exact count rational, micro-quantized;
+    union size by inclusion-exclusion, never a set materialization.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    repeat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.countDistinct("l_orderkey").alias("nord"))
+        .filter(F.col("nord") >= AA_MIN_ORDERS)
+        .select("c", "s")
+    )
+    degs = repeat.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    degc = repeat.groupBy("c").agg(F.count(F.lit(1)).alias("cdeg"))
+    mids = repeat.join(degc.filter(F.col("cdeg") >= 2), "c").select("c", "s")
+    pairs = (
+        mids.alias("a")
+        .join(
+            mids.alias("b"),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common_customers"))
+        .filter(F.col("common_customers") >= AA_MIN_COMMON)
+    )
+    d1 = degs.select(F.col("s").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = degs.select(F.col("s").alias("s2"), F.col("deg").alias("deg2"))
+    scored = pairs.join(d1, "s1").join(d2, "s2")
+    union = (
+        F.col("deg1") + F.col("deg2") - F.col("common_customers")
+    ).cast("double")
+    jac = F.col("common_customers").cast("double") / union
+    return scored.select(
+        "s1",
+        "s2",
+        "common_customers",
+        "deg1",
+        "deg2",
+        F.floor(jac * F.lit(float(JL_MICRO)) + F.lit(0.5))
+        .cast("long")
+        .alias("jaccard_micro"),
+    ).orderBy("s1", "s2")
+
+
+JACCARD_LINKS_SQL = f"""
+WITH repeat_e AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+  HAVING COUNT(DISTINCT l_orderkey) >= {AA_MIN_ORDERS}
+), degs AS (
+  SELECT s, COUNT(*) AS deg FROM repeat_e GROUP BY s
+), degc AS (
+  SELECT c, COUNT(*) AS cdeg FROM repeat_e GROUP BY c
+), mids AS (
+  SELECT repeat_e.c, s FROM repeat_e JOIN degc ON repeat_e.c = degc.c
+  WHERE cdeg >= 2
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common_customers
+  FROM mids a JOIN mids b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= {AA_MIN_COMMON}
+)
+SELECT s1, s2, common_customers, d1.deg AS deg1, d2.deg AS deg2,
+       CAST(floor(CAST(common_customers AS DOUBLE)
+                  / CAST(d1.deg + d2.deg - common_customers AS DOUBLE)
+                  * {JL_MICRO} + 0.5) AS BIGINT) AS jaccard_micro
+FROM pairs JOIN degs d1 ON d1.s = s1 JOIN degs d2 ON d2.s = s2
+ORDER BY s1, s2
+"""
+
+
+# ------------------------------------- local clustering coefficient
+LCC_TOP_K = 20
+
+
+def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the part co-purchase
+    graph — c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the node-level
+    refinement of transitivity_parts (one global ratio hides which
+    parts sit in tight co-purchase cliques vs hub-and-spoke
+    neighborhoods); top-{LCC_TOP_K} nodes by coefficient.
+
+    Per-node triangle counts reuse the shared compact-forward
+    machinery: oriented_wedges_centered keeps the wedge center, the
+    closing equality join keeps all three corners of each triangle
+    (counted once, at its minimum-(degree, id) corner), and one
+    union-all explode credits tri(v) to each corner. Coefficient is
+    an exact count rational micro-quantized; the top-k is a
+    TakeOrderedAndProject with (coef, node) deterministic ordering —
+    no windows, no driver state.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = node_degrees(edges)
+    wedges = oriented_wedges_centered(edges, deg)
+    closed = wedges.join(
+        edges,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+    ).select("s", "x", "y")
+    corners = (
+        closed.select(F.col("s").alias("node"))
+        .unionAll(closed.select(F.col("x").alias("node")))
+        .unionAll(closed.select(F.col("y").alias("node")))
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    scored = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        )
+    )
+    coef = (
+        F.lit(2.0)
+        * F.col("triangles").cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg").cast("double") - F.lit(1.0)))
+    )
+    return (
+        scored.select(
+            "node",
+            "deg",
+            "triangles",
+            F.floor(coef * F.lit(float(JL_MICRO)) + F.lit(0.5))
+            .cast("long")
+            .alias("coef_micro"),
+        )
+        .orderBy(F.desc("coef_micro"), F.desc("triangles"), F.asc("node"))
+        .limit(LCC_TOP_K)
+    )
+
+
+LOCAL_CLUSTERING_SQL = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+), tri AS (
+  SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node
+)
+SELECT deg.node, deg.deg, COALESCE(tri.triangles, 0) AS triangles,
+       CAST(floor(2.0 * COALESCE(tri.triangles, 0)
+                  / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+                  * {JL_MICRO} + 0.5) AS BIGINT) AS coef_micro
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+WHERE deg.deg >= 2
+ORDER BY coef_micro DESC, triangles DESC, deg.node ASC
+LIMIT {LCC_TOP_K}
 """
