@@ -372,6 +372,22 @@ HEADLINE: dict[str, str] = {
     "pq_recall_audit": "collect",
     "weighted_sample_per_group": "collect",
     "simjoin_prefix_summary": "collect",
+    # round-11 stats/graph/corpus panel — all bounded-row results
+    "wasserstein_quantity": "collect",
+    "distribution_distance_panel": "collect",
+    "ansari_bradley_test": "collect",
+    "ordinal_association_panel": "collect",
+    "atkinson_index": "collect",
+    "l_diversity_audit": "collect",
+    "t_closeness_audit": "collect",
+    "hurst_rescaled_range": "collect",
+    "weibull_survival_fit": "collect",
+    "sprt_sequential_audit": "collect",
+    "holm_bonferroni_panel": "collect",
+    "fisher_combined_meta": "collect",
+    "jaccard_link_prediction": "exec",
+    "local_clustering_topk": "collect",
+    "stupid_backoff_score": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -26,11 +26,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cgtcalc_data_transformer_spark.operators.events import (
-    _km_terms,
-    _KM_TERMS_SQL,
-    KM_S,
-)
+from cgtcalc_data_transformer_spark.operators.events import KM_S
 from cgtcalc_data_transformer_spark.operators.stats9 import NAT_S
 from cgtcalc_data_transformer_spark.operators.stats10 import (
     MICRO,
@@ -986,27 +982,68 @@ ORDER BY block_size
 
 # --------------------------------------------- Weibull survival fit
 def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parametric Weibull fit over the Kaplan-Meier churn curve via
-    the classic probability-plot regression: S(t) = exp(−(t/λ)^k) ⇔
-    ln(−ln S(t)) = k·ln t − k·ln λ, so an OLS line through the KM
-    points gives shape k (k < 1: churn hazard falls with tenure —
-    survivors stabilize; k > 1: aging-out) and scale λ (the
-    characteristic lifetime) — the 2-parameter summary that lets
-    capacity/revenue models EXTRAPOLATE beyond the observed horizon,
-    which the non-parametric KM curve cannot.
+    """Parametric Weibull fit over the Kaplan-Meier TIME-TO-FIRST-
+    PURCHASE curve via the classic probability-plot regression:
+    S(t) = exp(−(t/λ)^k) ⇔ ln(−ln S(t)) = k·ln t − k·ln λ, so an OLS
+    line through the KM points gives shape k (k < 1: conversion
+    hazard falls with tenure; k > 1: ripening-to-purchase) and scale
+    λ (the characteristic time-to-convert) — the 2-parameter summary
+    that lets forecasting EXTRAPOLATE beyond the observed horizon,
+    which the non-parametric KM curve cannot. Durations follow the
+    logrank_test convention (first purchase − first active day,
+    never-purchasers censored at the horizon): churn durations are
+    degenerate at small SFs (zero events — the logrank docstring's
+    documented trap), purchases exist at every SF.
 
-    Rides the exact KM machinery (events._km_terms): ln S(t) is the
-    prefix sum of 1e-9-quantized per-day terms, i.e. an exact integer
-    rational, so y = ln(−ls/1e9) and x = ln t are doubles of exact
-    integer inputs; both are re-quantized to nano-units and the OLS
-    closed form runs on exact DECIMAL(38,0) sums — the slope is a
-    ratio of exact integers cast to double. Points: t ≥ 1, no zero-
-    survival flag, at least one churn observed (ls < 0).
+    KM discipline is events._km_terms' exactly: per-day
+    ln(1 − d/n) quantized to 1e-9 before the prefix sum, so ln S(t)
+    is an exact integer rational; y = ln(−ls/1e9) and x = ln t are
+    re-quantized to nano-units and the OLS closed form runs on exact
+    DECIMAL(38,0) sums — the slope is a ratio of exact integers cast
+    to double. Points: t ≥ 1, no zero-survival flag, S < 1 (ls < 0).
     """
-    activity = load_events(spark, sf_dir).select(
-        "user_id", F.expr(f"ts div {DAY_NS}").alias("day")
-    ).distinct()
-    terms = _km_terms(activity)
+    ev = load_events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.expr(f"ts div {DAY_NS}").alias("day"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    horizon = act.agg(F.max("day").alias("h"))
+    users = (
+        act.groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.min(F.when(F.col("is_p") == 1, F.col("day"))).alias("pd"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.coalesce(F.col("pd"), F.col("h")) - F.col("fd")).alias("t"),
+            F.col("pd").isNotNull().cast("long").alias("event"),
+        )
+    )
+    per_t = users.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.lit(1) - F.col("event")).alias("c"),
+    )
+    risk = (
+        per_t.alias("a")
+        .join(F.broadcast(per_t.alias("b")), F.col("b.t") >= F.col("a.t"))
+        .groupBy(F.col("a.t").alias("t"), F.col("a.d").alias("d"))
+        .agg(F.sum(F.col("b.d") + F.col("b.c")).alias("n_risk"))
+    )
+    li = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            * F.lit(float(KM_S))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    zi = ((F.col("d") > 0) & (F.col("n_risk") == F.col("d"))).cast("long")
+    terms = risk.select("t", li.alias("li"), zi.alias("zi"))
     pref = (
         terms.alias("a")
         .join(F.broadcast(terms.alias("b")), F.col("b.t") <= F.col("a.t"))
@@ -1055,7 +1092,35 @@ def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEIBULL_SQL = f"""
-WITH {_KM_TERMS_SQL}, pref AS (
+WITH act AS (
+  SELECT user_id, epoch_ns(ts) // {DAY_NS} AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+), horizon AS (
+  SELECT MAX(day) AS h FROM act
+), users AS (
+  SELECT COALESCE(pd, h) - fd AS t,
+         CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (SELECT user_id, MIN(day) AS fd,
+               MIN(CASE WHEN is_p = 1 THEN day END) AS pd
+        FROM act GROUP BY user_id), horizon
+), per_t AS (
+  SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM users GROUP BY t
+), risk AS (
+  SELECT a.t, a.d, CAST(SUM(b.d + b.c) AS BIGINT) AS n_risk
+  FROM per_t a JOIN per_t b ON b.t >= a.t
+  GROUP BY a.t, a.d
+), terms AS (
+  SELECT t,
+         CASE WHEN d > 0 AND n_risk > d
+              THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                              * {KM_S} + 0.5) AS BIGINT)
+              ELSE 0 END AS li,
+         CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS zi
+  FROM risk
+), pref AS (
   SELECT a.t, CAST(SUM(b.li) AS BIGINT) AS ls, CAST(SUM(b.zi) AS BIGINT) AS zs
   FROM terms a JOIN terms b ON b.t <= a.t
   GROUP BY a.t
@@ -1266,7 +1331,7 @@ def holm_bonferroni_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rate_change_ranked(spark, sf_dir)
     adj = (
         ranked.alias("a")
-        .join(ranked.alias("b"), F.col("b.rank") <= F.col("a.rank"))
+        .join(F.broadcast(ranked.alias("b")), F.col("b.rank") <= F.col("a.rank"))
         .groupBy(
             F.col("a.event_type").alias("event_type"),
             F.col("a.c1").alias("c1"),

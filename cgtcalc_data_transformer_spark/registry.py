@@ -48,6 +48,7 @@ from cgtcalc_data_transformer_spark.operators import (
     stats8,
     stats9,
     stats10,
+    stats11,
     profiling,
     sketch8,
     series8,
@@ -893,6 +894,48 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         dedup.simjoin_prefix_summary,
         dedup.SIMJOIN_SUMMARY_SQL,
     ),
+    "wasserstein_quantity": (
+        stats11.wasserstein_quantity,
+        stats11.WASSERSTEIN_SQL,
+    ),
+    "distribution_distance_panel": (
+        stats11.distribution_distance_panel,
+        stats11.DIST_PANEL_SQL,
+    ),
+    "ansari_bradley_test": (
+        stats11.ansari_bradley_test,
+        stats11.ANSARI_BRADLEY_SQL,
+    ),
+    "ordinal_association_panel": (
+        stats11.ordinal_association_panel,
+        stats11.ORDINAL_ASSOC_SQL,
+    ),
+    "atkinson_index": (stats11.atkinson_index, stats11.ATKINSON_SQL),
+    "l_diversity_audit": (stats11.l_diversity_audit, stats11.L_DIVERSITY_SQL),
+    "t_closeness_audit": (stats11.t_closeness_audit, stats11.T_CLOSENESS_SQL),
+    "hurst_rescaled_range": (stats11.hurst_rescaled_range, stats11.HURST_SQL),
+    "weibull_survival_fit": (
+        stats11.weibull_survival_fit,
+        stats11.WEIBULL_SQL,
+    ),
+    "sprt_sequential_audit": (stats11.sprt_sequential_audit, stats11.SPRT_SQL),
+    "holm_bonferroni_panel": (stats11.holm_bonferroni_panel, stats11.HOLM_SQL),
+    "fisher_combined_meta": (
+        stats11.fisher_combined_meta,
+        stats11.FISHER_META_SQL,
+    ),
+    "jaccard_link_prediction": (
+        graph.jaccard_link_prediction,
+        graph.JACCARD_LINKS_SQL,
+    ),
+    "local_clustering_topk": (
+        graph.local_clustering_topk,
+        graph.LOCAL_CLUSTERING_SQL,
+    ),
+    "stupid_backoff_score": (
+        corpus_lm.stupid_backoff_score,
+        corpus_lm.STUPID_BACKOFF_SQL,
+    ),
 }
 
 # Avro interchange is availability-gated (sources/avro.py module doc):
@@ -933,6 +976,21 @@ _ROUND11_NEW: list[str] = [
     "pq_recall_audit",
     "weighted_sample_per_group",
     "simjoin_prefix_summary",
+    "wasserstein_quantity",
+    "distribution_distance_panel",
+    "ansari_bradley_test",
+    "ordinal_association_panel",
+    "atkinson_index",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "hurst_rescaled_range",
+    "weibull_survival_fit",
+    "sprt_sequential_audit",
+    "holm_bonferroni_panel",
+    "fisher_combined_meta",
+    "jaccard_link_prediction",
+    "local_clustering_topk",
+    "stupid_backoff_score",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (their
@@ -946,9 +1004,20 @@ _ROUND11_NEW: list[str] = [
 _ROUND11_RECHECK_POOL = [
     # -- code changed this round --
     # wedge enumeration extracted to ONE shared graph.py helper
-    # (VERDICT r10 item 5)
+    # (VERDICT r10 item 5), then re-shaped again for
+    # local_clustering_topk (oriented_wedges_centered keeps the
+    # wedge center; oriented_wedges is now a thin projection)
     "triangle_count_parts",
     "transitivity_parts",
+    # bh_fdr_control's scoring+ranking split into
+    # rate_change_ranked / _RATE_RANKED_SQL (shared with the new
+    # holm_bonferroni_panel and fisher_combined_meta; BH_FDR_SQL
+    # verified byte-identical after the factoring)
+    "bh_fdr_control",
+    # _km_from_activity split into _km_terms + prefix pass (shared
+    # with the new weibull_survival_fit; KAPLAN_MEIER_SQL verified
+    # byte-identical)
+    "kaplan_meier_churn",
     # det-guarded Newton step + ln-clamped loss, shared step SQL
     # (ADVICE r10)
     "platt_scaling",

@@ -169,6 +169,19 @@ BNLJ_OK = {
     "spectral_entropy_daily",  # |types|x|days| bounded grid expand
     "weighted_kappa_transitions",  # 3x3 margin cross + 1-row scalars
     "anderson_darling_2sample",  # 50-value cumulative theta join + totals
+    # round 11 — value-domain-bounded theta joins / 1-row scalars:
+    "pq_recall_audit",  # inherits knn_bruteforce's N_QUERIES=8 broadcast, != cond
+    "wasserstein_quantity",  # 50-value cumulative/successor theta joins + totals
+    "distribution_distance_panel",  # 50-value grid x 1-row totals scalar
+    "ansari_bradley_test",  # 50-value tie-block theta join + 1-row totals
+    "ordinal_association_panel",  # 550-cell self-joins + 1-row tie scalars
+    "atkinson_index",  # 1-row totals scalar crossJoin (theil_index shape)
+    "t_closeness_audit",  # 11-band global marginal expand + 1-row gtot scalar
+    "hurst_rescaled_range",  # 4-size literal expand + day-grid blocks + 1-row slope
+    "weibull_survival_fit",  # duration-domain risk/prefix theta joins + horizon
+    "sprt_sequential_audit",  # 1-row dmin scalar + day-domain cumulative theta
+    "holm_bonferroni_panel",  # |types|-row ranked step-down theta join
+    "fisher_combined_meta",  # |types|-row p-value panel rollup (BH machinery)
 }
 
 
