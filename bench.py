@@ -388,6 +388,12 @@ HEADLINE: dict[str, str] = {
     "jaccard_link_prediction": "exec",
     "local_clustering_topk": "collect",
     "stupid_backoff_score": "collect",
+    "negbin_overdispersion_fit": "collect",
+    "kpss_stationarity": "collect",
+    "granger_causality_daily": "collect",
+    "frequent_triples": "collect",
+    "classifier_quality_panel": "collect",
+    "silhouette_labels_audit": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

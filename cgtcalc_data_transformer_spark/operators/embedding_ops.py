@@ -225,11 +225,11 @@ ECE_SD = 10**12   # quantization of per-component dot/norm terms
 ECE_SC = 10**6    # quantization of cosine confidence
 
 
-def _nearest_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, conf_i, correct): nearest-centroid prediction per
-    vector with exact 1e-6-rational cosine confidence — the shared
-    scoring core of ece_calibration and brier_decomposition (same
-    quantization discipline, documented there)."""
+def _centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, clabel, cos_i): exact 1e-6-rational cosine of
+    EVERY vector against EVERY label centroid — the full score table
+    behind _nearest_centroid_pred (argmax) and the stats11
+    silhouette audit (own-vs-best-other margin)."""
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
     exploded = emb.select(
         "vec_id", "label", F.posexplode(F.col("v")).alias("idx", "x")
@@ -255,8 +255,18 @@ def _nearest_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cc_i").cast("double") * F.col("xx_i").cast("double")
     )
     cos_i = F.floor(cos * F.lit(float(ECE_SC)) + F.lit(0.5)).cast("long")
+    return scored.select("vec_id", "label", "clabel", cos_i.alias("cos_i"))
+
+
+def _nearest_centroid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, pred, conf_i): nearest-centroid prediction per
+    vector with exact 1e-6-rational cosine confidence — the shared
+    scoring core of ece_calibration, brier_decomposition and the
+    stats11 classifier-quality panels (same quantization discipline,
+    documented at ece_calibration)."""
+    cos_i = F.col("cos_i")
     return (
-        scored.select(
+        _centroid_cosines(spark, sf_dir).select(
             "vec_id",
             "label",
             F.struct(
@@ -267,9 +277,21 @@ def _nearest_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("s").alias("m"))
         .select(
             "vec_id",
+            "label",
+            (-F.col("m.nl")).alias("pred"),
             F.col("m.ci").alias("conf_i"),
-            ((-F.col("m.nl")) == F.col("label")).cast("long").alias("correct"),
         )
+    )
+
+
+def _nearest_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, conf_i, correct): the _nearest_centroid_pred frame
+    projected to the hit/miss shape ece_calibration and
+    brier_decomposition consume."""
+    return _nearest_centroid_pred(spark, sf_dir).select(
+        "vec_id",
+        "conf_i",
+        (F.col("pred") == F.col("label")).cast("long").alias("correct"),
     )
 
 

@@ -1457,3 +1457,880 @@ SELECT m AS n_tests, dof,
        x_stat > ({_FISHER_CRIT_CASE}) AS significant
 FROM f
 """
+
+
+# ------------------------------- negative-binomial overdispersion fit
+def negbin_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of the per-type daily
+    count distribution: r = m²/(v−m), p = m/v — the overdispersion
+    model a Poisson rate monitor upgrades to the moment v > m says
+    arrivals cluster (poisson_dispersion_test DETECTS the
+    overdispersion; this op FITS the model you'd then simulate /
+    set control limits from). Per event type on the zero-filled day
+    grid.
+
+    Everything reduces to exact integers: with sy = Σy and num =
+    n·Σy² − sy² (both DECIMAL-exact), the gate v > m is the integer
+    compare num > n·sy, r = sy²/(num − n·sy) and p = n·sy/num are
+    exact-integer ratios, and mean/variance are the usual int/int
+    doubles. One grid aggregation per type, closed forms after.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.expr(f"ts div {DAY_NS}").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    bounds = ev.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("dmax") - F.col("dmin"))).alias(
+            "d"
+        )
+    )
+    types = counts.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(
+            counts.crossJoin(F.broadcast(bounds)).select(
+                "event_type",
+                (F.col("day") - F.col("dmin")).alias("d"),
+                "y",
+            ),
+            ["event_type", "d"],
+            "left",
+        )
+        .select("event_type", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast(_D19) * F.col("y").cast(_D19)).alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    sy38 = F.col("sy").cast(_D19)
+    num = n38 * F.col("syy") - sy38 * sy38  # n²·variance, exact
+    nsy = n38 * sy38                        # n²·mean, exact
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    var = num.cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    over = num > nsy  # v > m, exact integer compare
+    r = (sy38 * sy38).cast("double") / (num - nsy).cast("double")
+    p = nsy.cast("double") / num.cast("double")
+    mic = F.lit(float(MICRO))
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.floor(mean * mic + F.lit(0.5)).cast("long").alias("mean_micro"),
+        F.floor(var * mic + F.lit(0.5)).cast("long").alias("var_micro"),
+        over.alias("overdispersed"),
+        F.when(over, F.floor(r * mic + F.lit(0.5)).cast("long"))
+        .otherwise(F.lit(-1))
+        .alias("r_micro"),
+        F.when(over, F.floor(p * mic + F.lit(0.5)).cast("long"))
+        .otherwise(F.lit(-1))
+        .alias("p_micro"),
+    ).orderBy("event_type")
+
+
+NEGBIN_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), counts AS (
+  SELECT event_type, day, COUNT(*) AS y FROM ev GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev
+), grid AS (
+  SELECT t.event_type, gs.d, CAST(COALESCE(c.y, 0) AS BIGINT) AS y
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (SELECT UNNEST(generate_series(0,
+      (SELECT dmax - dmin FROM bounds))) AS d) gs
+  LEFT JOIN (SELECT event_type, day - (SELECT dmin FROM bounds) AS d, y
+             FROM counts) c
+    ON t.event_type = c.event_type AND gs.d = c.d
+), s AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM grid GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CAST(floor(CAST(sy AS DOUBLE) / n * {MICRO} + 0.5) AS BIGINT) AS mean_micro,
+       CAST(floor(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                  * {MICRO} + 0.5) AS BIGINT) AS var_micro,
+       n * syy - CAST(sy AS HUGEINT) * sy > CAST(n AS HUGEINT) * sy
+         AS overdispersed,
+       CASE WHEN n * syy - CAST(sy AS HUGEINT) * sy > CAST(n AS HUGEINT) * sy
+            THEN CAST(floor(CAST(CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                            / CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                   - CAST(n AS HUGEINT) * sy AS DOUBLE)
+                            * {MICRO} + 0.5) AS BIGINT)
+            ELSE -1 END AS r_micro,
+       CASE WHEN n * syy - CAST(sy AS HUGEINT) * sy > CAST(n AS HUGEINT) * sy
+            THEN CAST(floor(CAST(CAST(n AS HUGEINT) * sy AS DOUBLE)
+                            / CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                            * {MICRO} + 0.5) AS BIGINT)
+            ELSE -1 END AS p_micro
+FROM s ORDER BY event_type
+"""
+
+
+# ----------------------------------------------- KPSS stationarity
+KPSS_LAGS = 4           # Bartlett-kernel lags (fixed, bounded)
+KPSS_CRIT_5PCT = 0.463  # level-stationarity 5% point (KPSS 1992)
+
+
+def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+    Shin 1992) on the total daily event-count series — the
+    stationarity NULL companion to the trend tests already here
+    (mann_kendall_trend rejects when a trend exists; KPSS rejects
+    when the LEVEL wanders, i.e. unit-root-ish behavior): η =
+    n⁻²ΣS_t² over the Bartlett long-run variance with {KPSS_LAGS}
+    lags. Run both before fitting anything AR-flavored to daily
+    volume.
+
+    Exact-integer construction: E_t = n·y_t − Σy clears the mean
+    without a double, partial sums and lag products stay DECIMAL,
+    and with w_j = (5−j)/5 the whole statistic collapses to the
+    exact integer ratio 5·ΣSS_t² / (n·(5γ₀ + 2Σ(5−j)γ_j)) — one
+    double division at the end, micro-quantized.
+    """
+    ev = load_events(spark, sf_dir).select(
+        F.expr(f"ts div {DAY_NS}").alias("day")
+    )
+    bounds = ev.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("y"))
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.lit(0), F.col("dmax") - F.col("dmin"))
+            ).alias("d")
+        )
+        .join(
+            counts.crossJoin(F.broadcast(bounds)).select(
+                (F.col("day") - F.col("dmin")).alias("d"), "y"
+            ),
+            "d",
+            "left",
+        )
+        .select("d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    tot = grid.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+    e = grid.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (
+            F.col("n").cast(_D19) * F.col("y").cast(_D19)
+            - F.col("sy").cast(_D19)
+        ).alias("e"),
+    )
+    ss = (
+        e.alias("a")
+        .join(F.broadcast(e.alias("b")), F.col("b.d") <= F.col("a.d"))
+        .groupBy(F.col("a.d").alias("d"), F.col("a.n").alias("n"))
+        .agg(F.sum("b.e").alias("ss"))
+    )
+    num = ss.groupBy("n").agg(
+        F.sum(F.col("ss") * F.col("ss")).alias("ss2")
+    )
+    g0 = e.groupBy("n").agg(F.sum(F.col("e") * F.col("e")).alias("g0"))
+    lags = None
+    for j in range(1, KPSS_LAGS + 1):
+        gj = (
+            e.alias("a")
+            .join(
+                e.alias("b").select(
+                    (F.col("d") + j).alias("dj"), F.col("e").alias("ej")
+                ),
+                F.col("a.d") == F.col("dj"),
+            )
+            .groupBy("a.n")
+            .agg(F.sum(F.col("a.e") * F.col("ej")).alias(f"g{j}"))
+            .withColumnRenamed("n", "n_")
+        )
+        lags = gj if lags is None else lags.join(
+            gj.withColumnRenamed("n_", "n_"), "n_"
+        )
+    s = (
+        num.join(g0, "n")
+        .join(F.broadcast(lags), F.col("n") == F.col("n_"))
+    )
+    den = F.col("n").cast("decimal(38,0)") * (
+        F.lit(5).cast("decimal(38,0)") * F.col("g0")
+        + F.lit(2).cast("decimal(38,0)")
+        * (
+            F.lit(4).cast("decimal(38,0)") * F.col("g1")
+            + F.lit(3).cast("decimal(38,0)") * F.col("g2")
+            + F.lit(2).cast("decimal(38,0)") * F.col("g3")
+            + F.lit(1).cast("decimal(38,0)") * F.col("g4")
+        )
+    )
+    kpss = (
+        F.lit(5.0) * F.col("ss2").cast("double") / den.cast("double")
+    )
+    mic = F.lit(float(MICRO))
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.floor(kpss * mic + F.lit(0.5)).cast("long").alias("kpss_micro"),
+        (kpss < F.lit(KPSS_CRIT_5PCT)).alias("level_stationary"),
+    )
+
+
+KPSS_SQL = f"""
+WITH ev AS (
+  SELECT epoch_ns(ts) // {DAY_NS} AS day FROM events
+), bounds AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev
+), counts AS (
+  SELECT day, COUNT(*) AS y FROM ev GROUP BY day
+), grid AS (
+  SELECT gs.d, CAST(COALESCE(c.y, 0) AS BIGINT) AS y
+  FROM (SELECT UNNEST(generate_series(0,
+      (SELECT dmax - dmin FROM bounds))) AS d) gs
+  LEFT JOIN (SELECT day - (SELECT dmin FROM bounds) AS d, y FROM counts) c
+    ON c.d = gs.d
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy FROM grid
+), e AS (
+  SELECT d, n, CAST(n AS HUGEINT) * y - sy AS e FROM grid CROSS JOIN tot
+), ss AS (
+  SELECT a.d, a.n, SUM(b.e) AS ss FROM e a JOIN e b ON b.d <= a.d
+  GROUP BY a.d, a.n
+), parts AS (
+  SELECT n,
+         (SELECT SUM(ss * ss) FROM ss) AS ss2,
+         (SELECT SUM(e * e) FROM e) AS g0,
+         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 1) AS g1,
+         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 2) AS g2,
+         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 3) AS g3,
+         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 4) AS g4
+  FROM tot
+)
+SELECT n AS n_days,
+       CAST(floor(5.0 * CAST(ss2 AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT)
+                         * (5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + 1 * g4))
+                         AS DOUBLE)
+                  * {MICRO} + 0.5) AS BIGINT) AS kpss_micro,
+       5.0 * CAST(ss2 AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT)
+                * (5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + 1 * g4))
+                AS DOUBLE)
+         < {KPSS_CRIT_5PCT} AS level_stationary
+FROM parts
+"""
+
+
+# -------------------------------------------- Granger causality (lag 1)
+GRANGER_F_CRIT = 3.841459  # asymptotic chi2(1) 5% bound for the 1-df F
+
+
+def granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen between the daily 'view' and
+    'purchase' count series, both directions at lag 1: does
+    yesterday's x improve today's y prediction beyond yesterday's y
+    (F-test of the restricted vs unrestricted OLS)? The standard
+    lead-lag triage before anyone claims funnel causality from two
+    dashboard lines. The gate uses the asymptotic χ²(1) 5% bound
+    {GRANGER_F_CRIT} — at production day counts the F(1, n−3)
+    critical value converges to it from above, so the gate is
+    mildly conservative at small n (documented, not hidden).
+
+    One zero-filled two-series day grid, ONE lag-1 equality
+    self-join, then both directions are closed forms over the same
+    nine exact integer moment sums (counts and count products —
+    DECIMAL-routed, exact at any SF); the centered-moment Cramer
+    solve runs in doubles over those exact integers (a fixed
+    expression tree — no aggregation-order nondeterminism).
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.expr(f"ts div {DAY_NS}").alias("day")
+    )
+    bounds = ev.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wide = (
+        counts.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("day") - F.col("dmin")).alias("d"),
+            F.when(F.col("event_type") == "view", F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("xv"),
+            F.when(F.col("event_type") == "purchase", F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("yp"),
+        )
+        .groupBy("d")
+        .agg(F.sum("xv").alias("x"), F.sum("yp").alias("y"))
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.lit(0), F.col("dmax") - F.col("dmin"))
+            ).alias("d")
+        )
+        .join(wide, "d", "left")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    obs = (
+        grid.alias("t")
+        .join(
+            grid.alias("p").select(
+                (F.col("d") + 1).alias("dp"),
+                F.col("x").alias("xl"),
+                F.col("y").alias("yl"),
+            ),
+            F.col("t.d") == F.col("dp"),
+        )
+        .select("t.x", "t.y", "xl", "yl")
+    )
+
+    def d19(c):
+        return c.cast(_D19)
+
+    s = obs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xl").alias("sxl"),
+        F.sum("yl").alias("syl"),
+        F.sum(d19(F.col("x")) * d19(F.col("xl"))).alias("sxxl"),
+        F.sum(d19(F.col("x")) * d19(F.col("yl"))).alias("sxyl"),
+        F.sum(d19(F.col("y")) * d19(F.col("xl"))).alias("syxl"),
+        F.sum(d19(F.col("y")) * d19(F.col("yl"))).alias("syyl"),
+        F.sum(d19(F.col("x")) * d19(F.col("x"))).alias("sxx"),
+        F.sum(d19(F.col("y")) * d19(F.col("y"))).alias("syy"),
+        F.sum(d19(F.col("xl")) * d19(F.col("xl"))).alias("sxlxl"),
+        F.sum(d19(F.col("yl")) * d19(F.col("yl"))).alias("sylyl"),
+        F.sum(d19(F.col("xl")) * d19(F.col("yl"))).alias("sxlyl"),
+    )
+
+    def direction(tag, y_, sy_, syy_, own_l, s_own, s_ownown, s_y_own,
+                  cross_l, s_cross, s_crosscross, s_y_cross, s_own_cross):
+        """F stat for 'cross_l Granger-causes y_' given own lag."""
+        md = F.col("m").cast("double")
+        syd = F.col(sy_).cast("double")
+        cyy = md * F.col(syy_).cast("double") - syd * syd
+        col_ = F.col(s_own).cast("double")
+        cll = md * F.col(s_ownown).cast("double") - col_ * col_
+        cly = md * F.col(s_y_own).cast("double") - col_ * syd
+        cxd = F.col(s_cross).cast("double")
+        cxx = md * F.col(s_crosscross).cast("double") - cxd * cxd
+        cxy = md * F.col(s_y_cross).cast("double") - cxd * syd
+        clx = md * F.col(s_own_cross).cast("double") - col_ * cxd
+        rss_r = (cyy * cll - cly * cly) / (md * cll)
+        det = cll * cxx - clx * clx
+        b1 = (cly * cxx - cxy * clx) / det
+        b2 = (cxy * cll - cly * clx) / det
+        rss_u = (cyy - b1 * cly - b2 * cxy) / md
+        f = (rss_r - rss_u) * (md - F.lit(3.0)) / rss_u
+        return F.struct(
+            F.lit(tag).alias("direction"),
+            F.col("m").alias("n_obs"),
+            F.floor(f * F.lit(float(MICRO)) + F.lit(0.5))
+            .cast("long")
+            .alias("f_micro"),
+            (f > F.lit(GRANGER_F_CRIT)).alias("significant"),
+        )
+
+    both = s.select(
+        F.explode(
+            F.array(
+                direction(
+                    "view->purchase", "y", "sy", "syy",
+                    "yl", "syl", "sylyl", "syyl",
+                    "xl", "sxl", "sxlxl", "syxl", "sxlyl",
+                ),
+                direction(
+                    "purchase->view", "x", "sx", "sxx",
+                    "xl", "sxl", "sxlxl", "sxxl",
+                    "yl", "syl", "sylyl", "sxyl", "sxlyl",
+                ),
+            )
+        ).alias("r")
+    )
+    return both.select("r.*").orderBy("direction")
+
+
+_GRANGER_DIR_SQL = """
+  SELECT '{tag}' AS direction, m AS n_obs,
+         CAST(floor(
+           ((({cyy}) * ({cll}) - ({cly}) * ({cly})) / (CAST(m AS DOUBLE) * ({cll}))
+            - (({cyy})
+               - (({cly}) * ({cxx}) - ({cxy}) * ({clx}))
+                 / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cly})
+               - (({cxy}) * ({cll}) - ({cly}) * ({clx}))
+                 / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cxy}))
+              / CAST(m AS DOUBLE))
+           * (CAST(m AS DOUBLE) - 3.0)
+           / ((({cyy})
+               - (({cly}) * ({cxx}) - ({cxy}) * ({clx}))
+                 / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cly})
+               - (({cxy}) * ({cll}) - ({cly}) * ({clx}))
+                 / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cxy}))
+              / CAST(m AS DOUBLE))
+           * {MICRO} + 0.5) AS BIGINT) AS f_micro,
+         ((({cyy}) * ({cll}) - ({cly}) * ({cly})) / (CAST(m AS DOUBLE) * ({cll}))
+          - (({cyy})
+             - (({cly}) * ({cxx}) - ({cxy}) * ({clx}))
+               / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cly})
+             - (({cxy}) * ({cll}) - ({cly}) * ({clx}))
+               / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cxy}))
+            / CAST(m AS DOUBLE))
+         * (CAST(m AS DOUBLE) - 3.0)
+         / ((({cyy})
+             - (({cly}) * ({cxx}) - ({cxy}) * ({clx}))
+               / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cly})
+             - (({cxy}) * ({cll}) - ({cly}) * ({clx}))
+               / (({cll}) * ({cxx}) - ({clx}) * ({clx})) * ({cxy}))
+            / CAST(m AS DOUBLE))
+         > {crit} AS significant
+  FROM s
+"""
+
+
+def _granger_dir(tag, sy_, syy_, s_own, s_ownown, s_y_own,
+                 s_cross, s_crosscross, s_y_cross, s_own_cross):
+    md = "CAST(m AS DOUBLE)"
+    sub = {
+        "cyy": f"{md} * CAST({syy_} AS DOUBLE) - CAST({sy_} AS DOUBLE) * CAST({sy_} AS DOUBLE)",
+        "cll": f"{md} * CAST({s_ownown} AS DOUBLE) - CAST({s_own} AS DOUBLE) * CAST({s_own} AS DOUBLE)",
+        "cly": f"{md} * CAST({s_y_own} AS DOUBLE) - CAST({s_own} AS DOUBLE) * CAST({sy_} AS DOUBLE)",
+        "cxx": f"{md} * CAST({s_crosscross} AS DOUBLE) - CAST({s_cross} AS DOUBLE) * CAST({s_cross} AS DOUBLE)",
+        "cxy": f"{md} * CAST({s_y_cross} AS DOUBLE) - CAST({s_cross} AS DOUBLE) * CAST({sy_} AS DOUBLE)",
+        "clx": f"{md} * CAST({s_own_cross} AS DOUBLE) - CAST({s_own} AS DOUBLE) * CAST({s_cross} AS DOUBLE)",
+    }
+    return _GRANGER_DIR_SQL.format(
+        tag=tag, MICRO=MICRO, crit=GRANGER_F_CRIT, **sub
+    )
+
+
+GRANGER_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // {DAY_NS} AS day FROM events
+), bounds AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev
+), counts AS (
+  SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2
+), wide AS (
+  SELECT day - (SELECT dmin FROM bounds) AS d,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS y
+  FROM counts GROUP BY 1
+), grid AS (
+  SELECT gs.d, COALESCE(w.x, 0) AS x, COALESCE(w.y, 0) AS y
+  FROM (SELECT UNNEST(generate_series(0,
+      (SELECT dmax - dmin FROM bounds))) AS d) gs
+  LEFT JOIN wide w ON w.d = gs.d
+), obs AS (
+  SELECT t.x, t.y, p.x AS xl, p.y AS yl
+  FROM grid t JOIN grid p ON t.d = p.d + 1
+), s AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(xl) AS BIGINT) AS sxl, CAST(SUM(yl) AS BIGINT) AS syl,
+         SUM(CAST(x AS HUGEINT) * xl) AS sxxl,
+         SUM(CAST(x AS HUGEINT) * yl) AS sxyl,
+         SUM(CAST(y AS HUGEINT) * xl) AS syxl,
+         SUM(CAST(y AS HUGEINT) * yl) AS syyl,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(xl AS HUGEINT) * xl) AS sxlxl,
+         SUM(CAST(yl AS HUGEINT) * yl) AS sylyl,
+         SUM(CAST(xl AS HUGEINT) * yl) AS sxlyl
+  FROM obs
+)
+{_granger_dir("view->purchase", "sy", "syy", "syl", "sylyl", "syyl",
+              "sxl", "sxlxl", "syxl", "sxlyl")}
+UNION ALL
+{_granger_dir("purchase->view", "sx", "sxx", "sxl", "sxlxl", "sxxl",
+              "syl", "sylyl", "sxyl", "sxlyl")}
+ORDER BY direction
+"""
+
+
+# ------------------------------------------------ frequent triples
+TRIPLE_MIN_SUPPORT = 2
+TRIPLE_TOP_K = 20
+
+
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-TRIPLE mining over order baskets — the
+    A-priori step above frequent_pairs: top-{TRIPLE_TOP_K} part
+    triples by co-occurrence support with their independence lift
+    sup(abc)·N²/(sup(a)·sup(b)·sup(c)) — the bundle / combo-offer
+    primitive that pairs can't see (three items can co-occur far
+    above what all three pairwise lifts predict).
+
+    Plan shape mirrors frequent_pairs: triple generation is a
+    two-step ordered self-equality-join on l_orderkey (a < b < c),
+    fan-out bounded by C(basket, 3) — TPC-H baskets are ≤ 7 lines,
+    so ≤ 35 triples per order; the same heavy-tailed-retail basket
+    cap caveat applies upstream. Item supports and N reuse the ONE
+    cached distinct basket table; lift factors go through double
+    BEFORE multiplying (the collocations_pmi overflow discipline);
+    final top-K is a TakeOrderedAndProject with full deterministic
+    tie-breaking.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .cache()
+    )
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup_i"))
+    triples = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            li.alias("c"),
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    )
+    scored = (
+        triples.join(
+            item_sup.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("sup_i").alias("sup_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            item_sup.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("sup_i").alias("sup_b"),
+            ),
+            "part_b",
+        )
+        .join(
+            item_sup.select(
+                F.col("l_partkey").alias("part_c"),
+                F.col("sup_i").alias("sup_c"),
+            ),
+            "part_c",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .withColumn(
+            "lift_micro",
+            F.floor(
+                F.col("support").cast("double")
+                * F.col("n_baskets").cast("double")
+                * F.col("n_baskets").cast("double")
+                / (
+                    F.col("sup_a").cast("double")
+                    * F.col("sup_b").cast("double")
+                    * F.col("sup_c").cast("double")
+                )
+                * F.lit(float(MICRO))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.select(
+            "part_a", "part_b", "part_c", "support", "lift_micro"
+        )
+        .orderBy(
+            F.desc("support"),
+            F.desc("lift_micro"),
+            F.asc("part_a"),
+            F.asc("part_b"),
+            F.asc("part_c"),
+        )
+        .limit(TRIPLE_TOP_K)
+    )
+
+
+FREQUENT_TRIPLES_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li
+), item_sup AS (
+  SELECT l_partkey, COUNT(*) AS sup_i FROM li GROUP BY l_partkey
+), triples AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+         COUNT(*) AS support
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+)
+SELECT part_a, part_b, part_c, support,
+       CAST(floor(CAST(support AS DOUBLE)
+                  * CAST(n_baskets AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+                  / (CAST(sa.sup_i AS DOUBLE) * CAST(sb.sup_i AS DOUBLE)
+                     * CAST(sc.sup_i AS DOUBLE))
+                  * {MICRO} + 0.5) AS BIGINT) AS lift_micro
+FROM triples
+JOIN item_sup sa ON sa.l_partkey = part_a
+JOIN item_sup sb ON sb.l_partkey = part_b
+JOIN item_sup sc ON sc.l_partkey = part_c
+CROSS JOIN n
+ORDER BY support DESC, lift_micro DESC, part_a ASC, part_b ASC, part_c ASC
+LIMIT {TRIPLE_TOP_K}
+"""
+
+
+# ------------------------------------- classifier quality panel (MCC)
+def classifier_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass quality panel for the nearest-centroid classifier:
+    accuracy, macro-F1 and the multiclass Matthews correlation (the
+    R_k statistic — Gorodkin 2004), all from ONE confusion-matrix
+    aggregation over the shared per-vector prediction frame
+    (embedding_ops._nearest_centroid_pred, the same scoring
+    ece_calibration consumes). Accuracy hides class imbalance,
+    macro-F1 hides correlation structure; MCC is the single number
+    that only rewards doing well on EVERY class — the triple a
+    training-data curation loop should watch together.
+
+    MCC = (c·s − Σₖ pₖtₖ) / √((s² − Σpₖ²)(s² − Σtₖ²)) with c = trace,
+    s = total, pₖ/tₖ the predicted/actual marginals — all exact
+    DECIMAL-routed integers, one √ at the end; per-class F1 terms
+    are exact count rationals quantized to 1e-9 before the bounded
+    |classes|-row macro average.
+    """
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        _nearest_centroid_pred,
+    )
+
+    pred = _nearest_centroid_pred(spark, sf_dir)
+    cells = pred.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("c"))
+    t_m = cells.groupBy("label").agg(F.sum("c").alias("t"))
+    p_m = cells.groupBy("pred").agg(F.sum("c").alias("p"))
+    diag = cells.filter(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("k"), F.col("c").alias("tp")
+    )
+    per_class = (
+        t_m.select(F.col("label").alias("k"), "t")
+        .join(p_m.select(F.col("pred").alias("k"), "p"), "k", "left")
+        .join(diag, "k", "left")
+        .select(
+            "k",
+            "t",
+            F.coalesce("p", F.lit(0)).alias("p"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    sc = F.lit(float(NAT_S))
+    f1_q = F.floor(
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.col("t") + F.col("p")).cast("double")
+        * sc
+        + F.lit(0.5)
+    ).cast("long")
+    agg = per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("t").alias("s"),
+        F.sum("tp").alias("trace"),
+        F.sum(F.col("p").cast(_D19) * F.col("t").cast(_D19)).alias("spt"),
+        F.sum(F.col("p").cast(_D19) * F.col("p").cast(_D19)).alias("spp"),
+        F.sum(F.col("t").cast(_D19) * F.col("t").cast(_D19)).alias("stt"),
+        F.sum(f1_q).alias("f1q"),
+    )
+    s38 = F.col("s").cast("decimal(38,0)")
+    num = F.col("trace").cast("decimal(38,0)") * s38 - F.col("spt")
+    den = (
+        (s38 * s38 - F.col("spp")).cast("double")
+        * (s38 * s38 - F.col("stt")).cast("double")
+    )
+    mcc = num.cast("double") / F.sqrt(den)
+    mic = F.lit(float(MICRO))
+    return agg.select(
+        F.col("s").alias("n_vecs"),
+        "n_classes",
+        F.floor(
+            F.col("trace").cast("double") / F.col("s").cast("double") * mic
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("accuracy_micro"),
+        F.floor(
+            F.col("f1q").cast("double")
+            / sc
+            / F.col("n_classes").cast("double")
+            * mic
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("macro_f1_micro"),
+        F.floor(mcc * mic + F.lit(0.5)).cast("long").alias("mcc_micro"),
+    )
+
+
+# DuckDB twin: derive the prediction CTE from the SHARED per-vector
+# scoring prefix (stats10._PER_VEC_SQL — itself pinned to
+# embedding_ops.ECE_SQL), so all four consumers score identically by
+# construction.
+from cgtcalc_data_transformer_spark.operators.embedding_ops import ECE_SC
+from cgtcalc_data_transformer_spark.operators.stats10 import _PER_VEC_SQL
+
+_PRED_CTE = _PER_VEC_SQL.split("), flat AS (")[0] + """), predflat AS (
+  SELECT vec_id, label, -m.nl AS pred FROM per_vec
+)"""
+
+CLASSIFIER_QUALITY_SQL = f"""
+WITH {_PRED_CTE}, cells AS (
+  SELECT label, pred, COUNT(*) AS c FROM predflat GROUP BY label, pred
+), t_m AS (
+  SELECT label AS k, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY label
+), p_m AS (
+  SELECT pred AS k, CAST(SUM(c) AS BIGINT) AS p FROM cells GROUP BY pred
+), diag AS (
+  SELECT label AS k, c AS tp FROM cells WHERE label = pred
+), per_class AS (
+  SELECT t_m.k, t, COALESCE(p, 0) AS p, COALESCE(tp, 0) AS tp
+  FROM t_m LEFT JOIN p_m ON p_m.k = t_m.k LEFT JOIN diag ON diag.k = t_m.k
+), agg AS (
+  SELECT COUNT(*) AS n_classes, CAST(SUM(t) AS BIGINT) AS s,
+         CAST(SUM(tp) AS BIGINT) AS trace,
+         SUM(CAST(p AS HUGEINT) * t) AS spt,
+         SUM(CAST(p AS HUGEINT) * p) AS spp,
+         SUM(CAST(t AS HUGEINT) * t) AS stt,
+         CAST(SUM(CAST(floor(2.0 * tp / (t + p) * {NAT_S} + 0.5) AS BIGINT))
+              AS BIGINT) AS f1q
+  FROM per_class
+)
+SELECT s AS n_vecs, n_classes,
+       CAST(floor(CAST(trace AS DOUBLE) / s * {MICRO} + 0.5) AS BIGINT)
+         AS accuracy_micro,
+       CAST(floor(CAST(f1q AS DOUBLE) / {NAT_S} / CAST(n_classes AS DOUBLE)
+                  * {MICRO} + 0.5) AS BIGINT) AS macro_f1_micro,
+       CAST(floor(CAST(CAST(trace AS HUGEINT) * s - spt AS DOUBLE)
+                  / sqrt(CAST(CAST(s AS HUGEINT) * s - spp AS DOUBLE)
+                         * CAST(CAST(s AS HUGEINT) * s - stt AS DOUBLE))
+                  * {MICRO} + 0.5) AS BIGINT) AS mcc_micro
+FROM agg
+"""
+
+
+# --------------------------------------- silhouette (label clusters)
+def silhouette_labels_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based, cosine-distance) silhouette of the
+    LABEL partition of embedding space (Rousseeuw 1987; the
+    medoid-free variant production uses at scale): per vector,
+    a = 1 − cos(own centroid), b = 1 − cos(best other centroid),
+    s = (b − a)/max(a, b) ∈ [−1, 1] — near 1: labels form tight,
+    separated clusters (embedding space supports the labels); near
+    0/negative: label boundaries don't exist geometrically, so any
+    classifier or semdedup built on these regions is fighting the
+    geometry. Per-label mean silhouette + fraction s > 0.
+
+    Rides the FULL score table (embedding_ops._centroid_cosines —
+    one aggregation pass, |labels| cosines per vector); own/best-
+    other collapse per vector, per-vector s quantized to 1e-9 from
+    exact 1e-6-rational cosines, then one bounded per-label rollup.
+    """
+    from cgtcalc_data_transformer_spark.operators.embedding_ops import (
+        _centroid_cosines,
+    )
+
+    cosines = _centroid_cosines(spark, sf_dir)
+    per_vec = cosines.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("cos_i"))
+        ).alias("own_i"),
+        F.max(
+            F.when(F.col("clabel") != F.col("label"), F.col("cos_i"))
+        ).alias("oth_i"),
+    )
+    sc6 = F.lit(1e6)
+    a = (sc6 - F.col("own_i").cast("double")) / sc6
+    b = (sc6 - F.col("oth_i").cast("double")) / sc6
+    sil = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    sq = F.floor(sil * F.lit(float(NAT_S)) + F.lit(0.5)).cast("long")
+    per = per_vec.select(
+        "label", sq.alias("sq"), (sq > 0).cast("long").alias("pos")
+    )
+    mic = F.lit(float(MICRO))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sq").alias("ssq"),
+            F.sum("pos").alias("npos"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.floor(
+                F.col("ssq").cast("double")
+                / F.lit(float(NAT_S))
+                / F.col("n_vecs").cast("double")
+                * mic
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_sil_micro"),
+            F.floor(
+                F.col("npos").cast("double") / F.col("n_vecs").cast("double")
+                * mic
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("frac_separated_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+# scored-prefix slice of the shared per-vector SQL (everything up to
+# and including the `scored` CTE), then the cosine expression exactly
+# as per_vec spells it — one scoring definition across consumers.
+_SCORED_PREFIX = _PER_VEC_SQL.split("), per_vec AS (")[0] + ")"
+
+SILHOUETTE_SQL = f"""
+WITH {_SCORED_PREFIX}, cosines AS (
+  SELECT vec_id, label, clabel,
+         CAST(floor(dot_i / sqrt(CAST(cc_i AS DOUBLE) * CAST(xx_i AS DOUBLE))
+                    * {ECE_SC} + 0.5) AS BIGINT) AS cos_i
+  FROM scored
+), per_vec2 AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN cos_i END) AS own_i,
+         MAX(CASE WHEN clabel <> label THEN cos_i END) AS oth_i
+  FROM cosines GROUP BY vec_id, label
+), per AS (
+  SELECT label,
+         CAST(floor(CASE WHEN GREATEST((1000000.0 - own_i) / 1000000.0,
+                                       (1000000.0 - oth_i) / 1000000.0) > 0
+                    THEN ((1000000.0 - oth_i) / 1000000.0
+                          - (1000000.0 - own_i) / 1000000.0)
+                         / GREATEST((1000000.0 - own_i) / 1000000.0,
+                                    (1000000.0 - oth_i) / 1000000.0)
+                    ELSE 0.0 END * {NAT_S} + 0.5) AS BIGINT) AS sq
+  FROM per_vec2
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(floor(CAST(SUM(sq) AS DOUBLE) / {NAT_S} / COUNT(*)
+                  * {MICRO} + 0.5) AS BIGINT) AS mean_sil_micro,
+       CAST(floor(CAST(SUM(CASE WHEN sq > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * {MICRO} + 0.5) AS BIGINT)
+         AS frac_separated_micro
+FROM per GROUP BY label ORDER BY label
+"""

@@ -936,6 +936,24 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         corpus_lm.stupid_backoff_score,
         corpus_lm.STUPID_BACKOFF_SQL,
     ),
+    "negbin_overdispersion_fit": (
+        stats11.negbin_overdispersion_fit,
+        stats11.NEGBIN_SQL,
+    ),
+    "kpss_stationarity": (stats11.kpss_stationarity, stats11.KPSS_SQL),
+    "granger_causality_daily": (
+        stats11.granger_causality_daily,
+        stats11.GRANGER_SQL,
+    ),
+    "frequent_triples": (stats11.frequent_triples, stats11.FREQUENT_TRIPLES_SQL),
+    "classifier_quality_panel": (
+        stats11.classifier_quality_panel,
+        stats11.CLASSIFIER_QUALITY_SQL,
+    ),
+    "silhouette_labels_audit": (
+        stats11.silhouette_labels_audit,
+        stats11.SILHOUETTE_SQL,
+    ),
 }
 
 # Avro interchange is availability-gated (sources/avro.py module doc):
@@ -991,6 +1009,12 @@ _ROUND11_NEW: list[str] = [
     "jaccard_link_prediction",
     "local_clustering_topk",
     "stupid_backoff_score",
+    "negbin_overdispersion_fit",
+    "kpss_stationarity",
+    "granger_causality_daily",
+    "frequent_triples",
+    "classifier_quality_panel",
+    "silhouette_labels_audit",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (their
@@ -1018,6 +1042,12 @@ _ROUND11_RECHECK_POOL = [
     # with the new weibull_survival_fit; KAPLAN_MEIER_SQL verified
     # byte-identical)
     "kaplan_meier_churn",
+    # _nearest_centroid_scores refactored over _centroid_cosines /
+    # _nearest_centroid_pred (shared with the new
+    # classifier_quality_panel and silhouette_labels_audit)
+    "ece_calibration",
+    "brier_decomposition",
+    "isotonic_calibration",
     # det-guarded Newton step + ln-clamped loss, shared step SQL
     # (ADVICE r10)
     "platt_scaling",

@@ -182,6 +182,12 @@ BNLJ_OK = {
     "sprt_sequential_audit",  # 1-row dmin scalar + day-domain cumulative theta
     "holm_bonferroni_panel",  # |types|-row ranked step-down theta join
     "fisher_combined_meta",  # |types|-row p-value panel rollup (BH machinery)
+    "negbin_overdispersion_fit",  # |days|-grid expand + 1-row bounds scalar
+    "kpss_stationarity",  # |days|-grid partial-sum theta joins + 1-row totals
+    "granger_causality_daily",  # |days|-grid lag join + 1-row moment scalar
+    "frequent_triples",  # 1-row basket-count scalar crossJoin (pairs shape)
+    "classifier_quality_panel",  # |classes|-row confusion rollup (ECE shape)
+    "silhouette_labels_audit",  # |classes| cosines/vec, bounded centroid bcast
 }
 
 

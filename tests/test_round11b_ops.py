@@ -675,3 +675,269 @@ def test_per_vec_sql_prefix_pinned():
     from cgtcalc_data_transformer_spark.operators import embedding_ops, stats10
 
     assert stats10._PER_VEC_SQL.strip() in embedding_ops.ECE_SQL
+
+
+# -------------------------------------------- negbin / KPSS / Granger
+def _daily_series(spark, by_type=False):
+    from cgtcalc_data_transformer_spark.operators.events import DAY_NS
+    from cgtcalc_data_transformer_spark.sources.tpch import load_events
+
+    rows = (
+        load_events(spark, SF)
+        .selectExpr("event_type", f"ts div {DAY_NS} as day")
+        .collect()
+    )
+    dmin = min(r["day"] for r in rows)
+    dmax = max(r["day"] for r in rows)
+    n = dmax - dmin + 1
+    if not by_type:
+        series = [0] * n
+        for r in rows:
+            series[r["day"] - dmin] += 1
+        return series
+    out = defaultdict(lambda: [0] * n)
+    for r in rows:
+        out[r["event_type"]][r["day"] - dmin] += 1
+    return out
+
+
+def test_negbin_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats11 import (
+        negbin_overdispersion_fit,
+    )
+
+    per = _daily_series(spark, by_type=True)
+    got = {r["event_type"]: r for r in negbin_overdispersion_fit(spark, SF).collect()}
+    assert set(got) == set(per)
+    for et, ys in per.items():
+        n = len(ys)
+        m = sum(ys) / n
+        v = sum((y - m) ** 2 for y in ys) / n
+        g = got[et]
+        assert g["n_days"] == n
+        assert abs(g["mean_micro"] / 1e6 - m) < 2e-6
+        assert abs(g["var_micro"] / 1e6 - v) < 5e-6
+        assert g["overdispersed"] == (v > m)
+        if v > m:
+            assert abs(g["r_micro"] / 1e6 - m * m / (v - m)) < 1e-4
+            assert abs(g["p_micro"] / 1e6 - m / v) < 2e-6
+        else:
+            assert g["r_micro"] == -1 and g["p_micro"] == -1
+
+
+def test_kpss_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats11 import (
+        KPSS_CRIT_5PCT,
+        KPSS_LAGS,
+        kpss_stationarity,
+    )
+
+    ys = _daily_series(spark)
+    n = len(ys)
+    mean = sum(ys) / n
+    e = [y - mean for y in ys]
+    s_cum, ss2 = 0.0, 0.0
+    for x in e:
+        s_cum += x
+        ss2 += s_cum * s_cum
+    eta = ss2 / (n * n)
+    g = [sum(e[t] * e[t - j] for t in range(j, n)) / n for j in range(KPSS_LAGS + 1)]
+    s2 = g[0] + 2 * sum((1 - j / (KPSS_LAGS + 1)) * g[j] for j in range(1, KPSS_LAGS + 1))
+    kpss = eta / s2
+    row = kpss_stationarity(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["kpss_micro"] / 1e6 - kpss) < 1e-4
+    assert row["level_stationary"] == (kpss < KPSS_CRIT_5PCT)
+
+
+def test_granger_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats11 import (
+        GRANGER_F_CRIT,
+        granger_causality_daily,
+    )
+
+    import numpy as np
+
+    per = _daily_series(spark, by_type=True)
+    xs, ys = per["view"], per["purchase"]
+
+    def fstat(y, own, cross):
+        rows_ = list(zip(y[1:], own[:-1], cross[:-1]))
+        m = len(rows_)
+
+        def ols_rss(cols):
+            # textbook least-squares residual via numpy lstsq
+            X = np.column_stack([np.ones(m)] + cols)
+            yv = np.array([r[0] for r in rows_], dtype=float)
+            beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+            pred = X @ beta
+            return float(((yv - pred) ** 2).sum())
+
+        own_c = [np.array([r[1] for r in rows_], dtype=float)]
+        both = own_c + [np.array([r[2] for r in rows_], dtype=float)]
+        rss_r = ols_rss(own_c)
+        rss_u = ols_rss(both)
+        return (rss_r - rss_u) * (m - 3) / rss_u, m
+
+    f_vp, m = fstat(ys, ys, xs)   # does view cause purchase
+    f_pv, _ = fstat(xs, xs, ys)
+    got = {r["direction"]: r for r in granger_causality_daily(spark, SF).collect()}
+    assert got["view->purchase"]["n_obs"] == m
+    assert abs(got["view->purchase"]["f_micro"] / 1e6 - f_vp) < 1e-3 * max(1.0, abs(f_vp))
+    assert abs(got["purchase->view"]["f_micro"] / 1e6 - f_pv) < 1e-3 * max(1.0, abs(f_pv))
+    assert got["view->purchase"]["significant"] == (f_vp > GRANGER_F_CRIT)
+    assert got["purchase->view"]["significant"] == (f_pv > GRANGER_F_CRIT)
+
+
+def test_frequent_triples_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats11 import (
+        TRIPLE_MIN_SUPPORT,
+        TRIPLE_TOP_K,
+        frequent_triples,
+    )
+    from itertools import combinations
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    item_sup = Counter()
+    tri_sup = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item_sup[p] += 1
+        for t in combinations(sorted(parts), 3):
+            tri_sup[t] += 1
+    n = len(baskets)
+    scored = []
+    for (a, b, c), sup in tri_sup.items():
+        if sup < TRIPLE_MIN_SUPPORT:
+            continue
+        lift = math.floor(
+            sup * float(n) * float(n)
+            / (item_sup[a] * item_sup[b] * item_sup[c])
+            * 1e6
+            + 0.5
+        )
+        scored.append((-sup, -lift, a, b, c))
+    scored.sort()
+    expect = [
+        (a, b, c, -msup, -mlift)
+        for msup, mlift, a, b, c in scored[:TRIPLE_TOP_K]
+    ]
+    got = [
+        (r["part_a"], r["part_b"], r["part_c"], r["support"], r["lift_micro"])
+        for r in frequent_triples(spark, SF).collect()
+    ]
+    assert got == expect
+
+
+# ----------------------------- classifier quality / silhouette audit
+def _naive_centroid_cosines(spark):
+    """Replicate the shared quantized scoring: per-dim centroid =
+    round(avg, 6); per-pair sums of floor(term·1e6+0.5); cosine
+    floor(dot/sqrt(cc·xx)·1e6+0.5)."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {
+        r["vec_id"]: (r["label"], np.array([float(x) for x in r["embedding"]]))
+        for r in rows
+    }
+    labels = sorted({l for l, _ in vecs.values()})
+    dims = len(next(iter(vecs.values()))[1])
+    def round6_half_away(x):
+        # Spark/DuckDB ROUND(x, 6) is HALF-AWAY-FROM-ZERO; Python's
+        # round() is banker's — a half-tie centroid coordinate would
+        # silently diverge the whole cosine chain
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    cents = {}
+    for cl in labels:
+        members = [v for l, v in vecs.values() if l == cl]
+        cents[cl] = np.array(
+            [round6_half_away(float(sum(m[i] for m in members)) / len(members))
+             for i in range(dims)]
+        )
+    out = {}
+    for vid, (label, v) in vecs.items():
+        for cl in labels:
+            c = cents[cl]
+            dot = sum(math.floor(x * y * 1e12 + 0.5) for x, y in zip(v, c))
+            cc = sum(math.floor(y * y * 1e12 + 0.5) for y in c)
+            xx = sum(math.floor(x * x * 1e12 + 0.5) for x in v)
+            cos_i = math.floor(dot / math.sqrt(cc * xx) * 1e6 + 0.5)
+            out[(vid, cl)] = (label, cos_i)
+    return out, labels
+
+
+def test_classifier_quality_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats11 import (
+        classifier_quality_panel,
+    )
+
+    cosines, labels = _naive_centroid_cosines(spark)
+    vids = sorted({vid for vid, _ in cosines})
+    pred = {}
+    actual = {}
+    for vid in vids:
+        best = max(
+            (cosines[(vid, cl)][1], -cl) for cl in labels
+        )
+        pred[vid] = -best[1]
+        actual[vid] = cosines[(vid, labels[0])][0]
+    s = len(vids)
+    trace = sum(1 for v in vids if pred[v] == actual[v])
+    t = Counter(actual.values())
+    p = Counter(pred.values())
+    spt = sum(p[k] * t[k] for k in t)
+    spp = sum(x * x for x in p.values())
+    stt = sum(x * x for x in t.values())
+    mcc = (trace * s - spt) / math.sqrt((s * s - spp) * (s * s - stt))
+    f1s = [
+        2 * sum(1 for v in vids if pred[v] == k and actual[v] == k)
+        / (t[k] + p.get(k, 0))
+        for k in sorted(t)
+    ]
+    row = classifier_quality_panel(spark, SF).collect()[0]
+    assert row["n_vecs"] == s and row["n_classes"] == len(t)
+    assert abs(row["accuracy_micro"] / 1e6 - trace / s) < 2e-6
+    assert abs(row["macro_f1_micro"] / 1e6 - sum(f1s) / len(f1s)) < 2e-6
+    assert abs(row["mcc_micro"] / 1e6 - mcc) < 2e-6
+
+
+def test_silhouette_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats11 import (
+        silhouette_labels_audit,
+    )
+
+    cosines, labels = _naive_centroid_cosines(spark)
+    vids = sorted({vid for vid, _ in cosines})
+    per_label = defaultdict(list)
+    for vid in vids:
+        label = cosines[(vid, labels[0])][0]
+        own = cosines[(vid, label)][1]
+        oth = max(cosines[(vid, cl)][1] for cl in labels if cl != label)
+        a = (1e6 - own) / 1e6
+        b = (1e6 - oth) / 1e6
+        sil = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        per_label[label].append(sil)
+    got = {r["label"]: r for r in silhouette_labels_audit(spark, SF).collect()}
+    assert set(got) == set(per_label)
+    for label, sils in per_label.items():
+        g = got[label]
+        assert g["n_vecs"] == len(sils)
+        assert abs(g["mean_sil_micro"] / 1e6 - sum(sils) / len(sils)) < 1e-5
+        assert abs(
+            g["frac_separated_micro"] / 1e6
+            - sum(1 for x in sils if x > 1e-9) / len(sils)
+        ) < 2e-6
