@@ -394,6 +394,7 @@ HEADLINE: dict[str, str] = {
     "frequent_triples": "collect",
     "classifier_quality_panel": "collect",
     "silhouette_labels_audit": "collect",
+    "quantile_shift_panel": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

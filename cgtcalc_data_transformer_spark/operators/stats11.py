@@ -2334,3 +2334,78 @@ SELECT label, COUNT(*) AS n_vecs,
          AS frac_separated_micro
 FROM per GROUP BY label ORDER BY label
 """
+
+
+# --------------------------------------------- quantile shift panel
+def quantile_shift_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile quantile shift between the 'F' and 'O' quantity
+    distributions: for d = 10%..90%, the exact order statistic of
+    each group and their difference — the localization companion to
+    wasserstein_quantity (W₁ says HOW MUCH total mass moved; this
+    says WHERE: a tail-only shift shows zeros through the middle
+    deciles and spikes at d=90).
+
+    Exact order statistics with NO global sort: q_d = min{v :
+    cum(v) ≥ ⌈d·n/10⌉} over the 50-value inclusive cumulative grid
+    (the exact_median_2pass selection rule generalized to the decile
+    vector), thresholds in pure integer arithmetic ((n·d + 9) div 10
+    on positives — identical truncation both engines), one broadcast
+    theta join of the 9-row decile frame against the bounded grid.
+    """
+    vals = _quantity_value_counts(spark, sf_dir)
+    cum = (
+        vals.alias("p")
+        .join(F.broadcast(vals.alias("q")), F.col("q.v") <= F.col("p.v"))
+        .groupBy(F.col("p.v").alias("v"))
+        .agg(F.sum("q.ca").alias("cum_a"), F.sum("q.cb").alias("cum_b"))
+    )
+    tots = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    dec = (
+        tots.select(
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+            "na",
+            "nb",
+        )
+        .select(
+            "d",
+            F.expr("(na * d + 9) div 10").alias("ka"),
+            F.expr("(nb * d + 9) div 10").alias("kb"),
+        )
+    )
+    j = F.broadcast(dec).join(
+        cum,
+        (F.col("cum_a") >= F.col("ka")) | (F.col("cum_b") >= F.col("kb")),
+    )
+    picked = j.groupBy("d").agg(
+        F.min(F.when(F.col("cum_a") >= F.col("ka"), F.col("v"))).alias("qa"),
+        F.min(F.when(F.col("cum_b") >= F.col("kb"), F.col("v"))).alias("qb"),
+    )
+    return picked.select(
+        (F.col("d") * 10).alias("percentile"),
+        F.col("qa").alias("q_f"),
+        F.col("qb").alias("q_o"),
+        (F.col("qb") - F.col("qa")).alias("shift"),
+    ).orderBy("percentile")
+
+
+QUANTILE_SHIFT_SQL = f"""
+WITH {_VALS_SQL}, cum AS (
+  SELECT p.v, CAST(SUM(q.ca) AS BIGINT) AS cum_a,
+         CAST(SUM(q.cb) AS BIGINT) AS cum_b
+  FROM vals p JOIN vals q ON q.v <= p.v
+  GROUP BY p.v
+), tots AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+), dec AS (
+  SELECT d, (na * d + 9) // 10 AS ka, (nb * d + 9) // 10 AS kb
+  FROM (SELECT UNNEST(generate_series(1, 9)) AS d) CROSS JOIN tots
+)
+SELECT d * 10 AS percentile,
+       MIN(CASE WHEN cum_a >= ka THEN v END) AS q_f,
+       MIN(CASE WHEN cum_b >= kb THEN v END) AS q_o,
+       MIN(CASE WHEN cum_b >= kb THEN v END)
+         - MIN(CASE WHEN cum_a >= ka THEN v END) AS shift
+FROM dec JOIN cum ON cum_a >= ka OR cum_b >= kb
+GROUP BY d
+ORDER BY percentile
+"""

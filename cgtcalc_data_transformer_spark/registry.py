@@ -954,6 +954,10 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats11.silhouette_labels_audit,
         stats11.SILHOUETTE_SQL,
     ),
+    "quantile_shift_panel": (
+        stats11.quantile_shift_panel,
+        stats11.QUANTILE_SHIFT_SQL,
+    ),
 }
 
 # Avro interchange is availability-gated (sources/avro.py module doc):
@@ -1015,6 +1019,7 @@ _ROUND11_NEW: list[str] = [
     "frequent_triples",
     "classifier_quality_panel",
     "silhouette_labels_audit",
+    "quantile_shift_panel",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (their

@@ -188,6 +188,7 @@ BNLJ_OK = {
     "frequent_triples",  # 1-row basket-count scalar crossJoin (pairs shape)
     "classifier_quality_panel",  # |classes|-row confusion rollup (ECE shape)
     "silhouette_labels_audit",  # |classes| cosines/vec, bounded centroid bcast
+    "quantile_shift_panel",  # 9-row decile frame x 50-value cumulative grid
 }
 
 

@@ -941,3 +941,20 @@ def test_silhouette_matches_naive(spark):
             g["frac_separated_micro"] / 1e6
             - sum(1 for x in sils if x > 1e-9) / len(sils)
         ) < 2e-6
+
+
+def test_quantile_shift_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats11 import (
+        quantile_shift_panel,
+    )
+
+    a, b = _quantity_groups(spark)
+    a.sort()
+    b.sort()
+    got = {r["percentile"]: r for r in quantile_shift_panel(spark, SF).collect()}
+    assert set(got) == {10, 20, 30, 40, 50, 60, 70, 80, 90}
+    for d in range(1, 10):
+        qa = a[math.ceil(len(a) * d / 10) - 1]
+        qb = b[math.ceil(len(b) * d / 10) - 1]
+        g = got[d * 10]
+        assert g["q_f"] == qa and g["q_o"] == qb and g["shift"] == qb - qa
