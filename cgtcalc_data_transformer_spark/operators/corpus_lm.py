@@ -1453,7 +1453,10 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the DISTINCT held trigram types (scores depend only on the
     type, so occurrences ride an integer multiplier). Per-type
     scores are exact count rationals quantized to 1e-9 before the
-    occurrence-weighted DECIMAL sum — engine-exact at any SF.
+    occurrence-weighted DECIMAL sum — engine-exact at any SF. A
+    language whose docs all fall in the held split still surfaces —
+    as an all-unseen row (train totals are LEFT-joined), never a
+    silent drop.
     """
     from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
 
@@ -1519,7 +1522,13 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["lang", "c"],
             "left",
         )
-        .join(F.broadcast(ntot), "lang")
+        # LEFT join (ADVICE r11): a language whose docs ALL land in
+        # the 10% held split has no train rows, so an inner join here
+        # would silently DROP its held positions instead of reporting
+        # them as n_unseen. n_tok is only read inside the uni branch,
+        # which is guarded by c1c IS NOT NULL — impossible when the
+        # language has no train unigrams — so the null never divides.
+        .join(F.broadcast(ntot), "lang", "left")
     )
     sc = F.lit(float(SB_S))
     score = (
@@ -1652,7 +1661,7 @@ WITH toks AS (
   LEFT JOIN b2 bbc ON bbc.lang = p.lang AND bbc.bg = p.bc
   LEFT JOIN u1 ub ON ub.lang = p.lang AND ub.u = p.b
   LEFT JOIN u1 uc ON uc.lang = p.lang AND uc.u = p.c
-  JOIN ntot ON ntot.lang = p.lang
+  LEFT JOIN ntot ON ntot.lang = p.lang
 )
 SELECT lang,
        CAST(SUM(occ) AS BIGINT) AS n_positions,

@@ -374,6 +374,15 @@ def simjoin_prefix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard_micro"
             ),
         )
+        # Both output branches (the per-band rollup AND the top-K
+        # examples) derive from THIS frame; without the persist the
+        # union re-executes the candidate join + overlap aggregation
+        # once per branch — and exchange reuse can never recover it,
+        # because the self-join attribute dedup makes the duplicated
+        # subtrees non-identical (VERDICT r11: confirmed 2x execution,
+        # 9.87 s vs simjoin_prefix's 4.42 s at sf0.1). Same discipline
+        # as the shingles cache above; ov is band+pair-bounded, tiny.
+        .persist()
     )
     bands = ov.groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs")).select(
         F.lit("band").alias("kind"),

@@ -1094,7 +1094,7 @@ def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery: oriented_wedges_centered keeps the wedge center, the
     closing equality join keeps all three corners of each triangle
     (counted once, at its minimum-(degree, id) corner), and one
-    union-all explode credits tri(v) to each corner. Coefficient is
+    corner-array explode credits tri(v) to each corner. Coefficient is
     an exact count rational micro-quantized; the top-k is a
     TakeOrderedAndProject with (coef, node) deterministic ordering —
     no windows, no driver state.
@@ -1106,10 +1106,14 @@ def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
         (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
     ).select("s", "x", "y")
-    corners = (
-        closed.select(F.col("s").alias("node"))
-        .unionAll(closed.select(F.col("x").alias("node")))
-        .unionAll(closed.select(F.col("y").alias("node")))
+    # ONE pass over the closed-wedge frame: the 3-way union of
+    # single-column selects executed the O(E^1.5) wedge enumeration +
+    # closing join once per branch (VERDICT r11: confirmed 3x, 19
+    # SortMergeJoins vs triangle_count_parts' 6); exploding the
+    # corner array credits all three corners in a single execution,
+    # no cache needed.
+    corners = closed.select(
+        F.explode(F.array("s", "x", "y")).alias("node")
     )
     tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
     scored = (

@@ -422,8 +422,13 @@ def ordinal_association_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.lit("l_quantity~l_discount").alias("pair"),
         "n",
-        F.col("cc").cast("double").alias("concordant"),
-        F.col("dd").cast("double").alias("discordant"),
+        # BIGINT, not DOUBLE (ADVICE r11): pair counts scale N²/2 and
+        # lose integer exactness past 2^53 as doubles; as BIGINT they
+        # stay exact to 2^63 (N ≈ 4.3e9 rows) and past that the ANSI
+        # decimal→long cast fails LOUDLY instead of silently rounding
+        # — widen to DECIMAL(38,0) output if that SF is ever real.
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
         F.round(gamma, 6).alias("gamma"),
         F.round(d_yx, 6).alias("somers_d_yx"),
         F.round(d_xy, 6).alias("somers_d_xy"),
@@ -454,7 +459,7 @@ WITH rows_kv AS (
   FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y)
 )
 SELECT 'l_quantity~l_discount' AS pair, n,
-       CAST(cc AS DOUBLE) AS concordant, CAST(dd AS DOUBLE) AS discordant,
+       CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
        ROUND(CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE), 6) AS gamma,
        ROUND(CAST(cc - dd AS DOUBLE)
              / (CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
@@ -1592,9 +1597,12 @@ def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-integer construction: E_t = n·y_t − Σy clears the mean
     without a double, partial sums and lag products stay DECIMAL,
-    and with w_j = (5−j)/5 the whole statistic collapses to the
-    exact integer ratio 5·ΣSS_t² / (n·(5γ₀ + 2Σ(5−j)γ_j)) — one
-    double division at the end, micro-quantized.
+    and with L = {KPSS_LAGS} and w_j = (L+1−j)/(L+1) the statistic
+    collapses to the exact integer ratio (L+1)·ΣSS_t² /
+    (n·((L+1)γ₀ + 2Σ(L+1−j)γ_j)) — one double division at the end,
+    micro-quantized. Both twins DERIVE the weight collapse from
+    KPSS_LAGS, so retuning the bandwidth regrows the lag loop and
+    the denominator together.
     """
     ev = load_events(spark, sf_dir).select(
         F.expr(f"ts div {DAY_NS}").alias("day")
@@ -1656,18 +1664,20 @@ def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.join(g0, "n")
         .join(F.broadcast(lags), F.col("n") == F.col("n_"))
     )
+    # Bartlett weights w_j = (L+1-j)/(L+1) cleared of the divisor:
+    # den = n * ((L+1)*g0 + 2*SUM_j (L+1-j)*g_j), num scaled by L+1.
+    # DERIVED from KPSS_LAGS (ADVICE r11) so editing the constant
+    # regrows the lag loop AND the denominator together.
+    _L1 = KPSS_LAGS + 1
+    wsum = F.lit(_L1 - 1).cast("decimal(38,0)") * F.col("g1")
+    for j in range(2, KPSS_LAGS + 1):
+        wsum = wsum + F.lit(_L1 - j).cast("decimal(38,0)") * F.col(f"g{j}")
     den = F.col("n").cast("decimal(38,0)") * (
-        F.lit(5).cast("decimal(38,0)") * F.col("g0")
-        + F.lit(2).cast("decimal(38,0)")
-        * (
-            F.lit(4).cast("decimal(38,0)") * F.col("g1")
-            + F.lit(3).cast("decimal(38,0)") * F.col("g2")
-            + F.lit(2).cast("decimal(38,0)") * F.col("g3")
-            + F.lit(1).cast("decimal(38,0)") * F.col("g4")
-        )
+        F.lit(_L1).cast("decimal(38,0)") * F.col("g0")
+        + F.lit(2).cast("decimal(38,0)") * wsum
     )
     kpss = (
-        F.lit(5.0) * F.col("ss2").cast("double") / den.cast("double")
+        F.lit(float(_L1)) * F.col("ss2").cast("double") / den.cast("double")
     )
     mic = F.lit(float(MICRO))
     return s.select(
@@ -1676,6 +1686,17 @@ def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (kpss < F.lit(KPSS_CRIT_5PCT)).alias("level_stationary"),
     )
 
+
+# SQL-twin fragments, derived from the same KPSS_LAGS constant as the
+# Spark expression above (ADVICE r11 — no hardcoded weight collapse):
+_KPSS_GSUBS = ",\n".join(
+    f"         (SELECT SUM(a.e * b.e) FROM e a JOIN e b "
+    f"ON a.d = b.d + {j}) AS g{j}"
+    for j in range(1, KPSS_LAGS + 1)
+)
+_KPSS_DEN = f"{KPSS_LAGS + 1} * g0 + 2 * (" + " + ".join(
+    f"{KPSS_LAGS + 1 - j} * g{j}" for j in range(1, KPSS_LAGS + 1)
+) + ")"
 
 KPSS_SQL = f"""
 WITH ev AS (
@@ -1701,21 +1722,18 @@ WITH ev AS (
   SELECT n,
          (SELECT SUM(ss * ss) FROM ss) AS ss2,
          (SELECT SUM(e * e) FROM e) AS g0,
-         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 1) AS g1,
-         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 2) AS g2,
-         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 3) AS g3,
-         (SELECT SUM(a.e * b.e) FROM e a JOIN e b ON a.d = b.d + 4) AS g4
+{_KPSS_GSUBS}
   FROM tot
 )
 SELECT n AS n_days,
-       CAST(floor(5.0 * CAST(ss2 AS DOUBLE)
+       CAST(floor({KPSS_LAGS + 1}.0 * CAST(ss2 AS DOUBLE)
                   / CAST(CAST(n AS HUGEINT)
-                         * (5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + 1 * g4))
+                         * ({_KPSS_DEN})
                          AS DOUBLE)
                   * {MICRO} + 0.5) AS BIGINT) AS kpss_micro,
-       5.0 * CAST(ss2 AS DOUBLE)
+       {KPSS_LAGS + 1}.0 * CAST(ss2 AS DOUBLE)
          / CAST(CAST(n AS HUGEINT)
-                * (5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + 1 * g4))
+                * ({_KPSS_DEN})
                 AS DOUBLE)
          < {KPSS_CRIT_5PCT} AS level_stationary
 FROM parts
