@@ -395,6 +395,10 @@ HEADLINE: dict[str, str] = {
     "classifier_quality_panel": "collect",
     "silhouette_labels_audit": "collect",
     "quantile_shift_panel": "collect",
+    # round-12 additions
+    "ivfpq_ann": "collect",
+    "ivfpq_recall_audit": "collect",
+    "emb_quantize_recall": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -438,7 +442,26 @@ EXCLUDED = {
 # cold_first_run map ride the line past the driver's 2000-char tail
 # window even at the keep=0 floor — a whitelist can't regress that
 # way when main() grows a field (VERDICT r7 item 1).
-_COMPACT_KEYS = ("metric", "value", "unit", "sf", "skew_join")
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "sf", "skew_join", "calibrators",
+    "host_factor",
+)
+
+# Host-speed calibrators (VERDICT r11 item 2): three pinned queries
+# whose CODE IS FROZEN — any future edit to their operators must pick
+# new pins — run FIRST in every bench session with the same min-of-3
+# fresh-plan methodology. Their sf0.1 times in the frozen
+# BENCH_BASELINE.json divide the measured times into a host_factor
+# (geometric mean), making cross-round deltas self-adjudicating:
+# three consecutive rounds burned manual isolated re-measures telling
+# host drift from code cost (tools/scaling_notes_r10/r11.md). The
+# trio spans the stack: scan+agg (q1), shuffle-join chain (minhash
+# LSH), expression-heavy sketch (CMS).
+CALIBRATORS = {
+    "q1_pricing_summary": 0.833,
+    "dedup_minhash_lsh": 0.474,
+    "cms_heavy_hitters": 0.588,
+}
 
 
 def compact_line(payload: dict, timings: dict[str, float]) -> str:
@@ -469,7 +492,9 @@ def compact_line(payload: dict, timings: dict[str, float]) -> str:
 
 def build_payload(timings: dict[str, float], skew: dict[str, float],
                   sf, cold: dict[str, float],
-                  errors: dict[str, str] | None = None) -> dict:
+                  errors: dict[str, str] | None = None,
+                  calibrators: dict[str, float] | None = None,
+                  host_factor: float | None = None) -> dict:
     """The full bench payload — written verbatim to BENCH_DETAIL.json.
     Kept as a named constructor so tests/test_bench_contract.py feeds
     compact_line() the REAL shape instead of a hand-kept mirror (the
@@ -481,6 +506,12 @@ def build_payload(timings: dict[str, float], skew: dict[str, float],
         "unit": "sec",
         "queries": timings,
         "skew_join": skew,
+        "calibrators": calibrators or {},
+        # measured/baseline geometric mean over the calibrator trio at
+        # sf0.1 (None elsewhere: the pins are sf0.1 numbers). >1 =
+        # this session's host is SLOWER than the baseline session's;
+        # divide headline ratios by it before calling a mover real.
+        "host_factor": host_factor,
         "sf": sf,
         "methodology": "min-of-3 fresh-plan full executions "
         "(r1/r2 re-collected memoized plans; 10-20x under-reported); "
@@ -519,6 +550,38 @@ def main() -> None:
     # AdaptiveSparkPlanExec memoizes its result RDD, so re-collecting
     # reuses every shuffle's map output and times only the final
     # stage (measured 10-20x under-report on shuffle-heavy queries).
+    # ---- calibrators first (VERDICT r11 item 2): three code-frozen
+    # queries timed with the IDENTICAL methodology before anything
+    # else touches the session, so every bench/sweep artifact carries
+    # its own host-speed reading. Raw seconds always recorded;
+    # host_factor (vs the frozen sf0.1 baselines) only where the
+    # baselines apply.
+    calibrators: dict[str, float] = {}
+    for cal_name in CALIBRATORS:
+        try:
+            cal_mode = HEADLINE[cal_name]
+
+            def cal_build() -> object:
+                df = qs[cal_name](spark, sf_dir)
+                if cal_mode == "exec":
+                    df = df.select(
+                        F.bit_xor(
+                            F.xxhash64(F.struct(*df.columns))
+                        ).alias("checksum")
+                    )
+                return df
+
+            cal_build().collect()  # warm run (JIT/codegen/page cache)
+            samples = []
+            for _ in range(3):
+                df = cal_build()
+                t0 = time.time()
+                df.collect()
+                samples.append(time.time() - t0)
+            calibrators[cal_name] = round(min(samples), 3)
+        except Exception as exc:  # noqa: BLE001 — calibration is best-effort
+            print(f"bench: calibrator {cal_name} FAILED: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -631,9 +694,26 @@ def main() -> None:
     # measured 10-20x under-report on anything shuffle- or compute-
     # bound. From r3 on, each sample is a FRESH plan fully executed;
     # numbers are not comparable across that boundary.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # host_factor: geometric mean of measured/baseline over the trio —
+    # only meaningful at sf0.1, where the pinned baselines were taken.
+    host_factor = None
+    if sf_val == 0.1 and len(calibrators) == len(CALIBRATORS):
+        import math
+
+        host_factor = round(
+            math.exp(
+                sum(
+                    math.log(calibrators[n] / CALIBRATORS[n])
+                    for n in CALIBRATORS
+                )
+                / len(CALIBRATORS)
+            ),
+            3,
+        )
     payload = build_payload(
-        timings, skew, float(sf) if sf.replace(".", "").isdigit() else sf,
-        cold, errors,
+        timings, skew, sf_val,
+        cold, errors, calibrators, host_factor,
     )
     # Full per-query detail goes to a FILE: the driver records only
     # the last 2000 chars of stdout, and the full 95-query JSON line

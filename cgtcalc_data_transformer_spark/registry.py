@@ -31,6 +31,7 @@ from cgtcalc_data_transformer_spark.operators import (
     layout,
     linkage,
     mlprep,
+    ivfpq,
     pq as pq_mod,
     quality,
     events,
@@ -958,6 +959,16 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats11.quantile_shift_panel,
         stats11.QUANTILE_SHIFT_SQL,
     ),
+    # ---- round-12 additions -----------------------------------------
+    "ivfpq_ann": (ivfpq.ivfpq_ann, ivfpq.IVFPQ_ANN_SQL),
+    "ivfpq_recall_audit": (
+        ivfpq.ivfpq_recall_audit,
+        ivfpq.IVFPQ_RECALL_SQL,
+    ),
+    "emb_quantize_recall": (
+        ivfpq.emb_quantize_recall,
+        ivfpq.EMB_QUANTIZE_RECALL_SQL,
+    ),
 }
 
 # Avro interchange is availability-gated (sources/avro.py module doc):
@@ -988,11 +999,106 @@ if avro_src.avro_available():  # pragma: no cover — jar absent here
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
+_ROUND12_NEW: list[str] = [
+    "ivfpq_ann",
+    "ivfpq_recall_audit",
+    "emb_quantize_recall",
+]
+
+# Priority-ordered recheck pool: code-changed-this-round FIRST (their
+# r11-or-earlier hash rows are stale by definition), then the
+# flagship, then the oldest green rows per the r11 rotation plan:
+# round 11 burned the r11 pool through text_chunks, so the oldest
+# unburned rows are the r3 tail from text_normalize onward, then
+# r4's rows in registry order. Only the first 50-len(_ROUND12_NEW)
+# burn slots.
+_ROUND12_RECHECK_POOL = [
+    # -- code changed this round --
+    # union-recompute fix: ov persisted before the band/example
+    # branches (VERDICT r11 item 1a)
+    "simjoin_prefix_summary",
+    # union-recompute fix: 3-way corner union -> one corner-array
+    # explode (VERDICT r11 item 1b)
+    "local_clustering_topk",
+    # ADVICE r11: train totals LEFT-joined so held-only languages
+    # surface as all-unseen
+    "stupid_backoff_score",
+    # ADVICE r11: Bartlett weight collapse derived from KPSS_LAGS in
+    # both twins
+    "kpss_stationarity",
+    # ADVICE r11: concordant/discordant emitted as exact BIGINT
+    "ordinal_association_panel",
+    # VERDICT r11 item 4: the one r11 mover that was code-changed
+    # (embedding_ops _PER_VEC_SQL sharing) — isolated re-measure this
+    # round, plus a fresh hash row
+    "ece_calibration",
+    # flagship entry() twin — keep a fresh row every round
+    "canonical_orders",
+    # -- oldest rows (r3 tail, post-text_chunks cut), registry order --
+    "text_normalize",
+    "contamination_check",
+    "mix_sources",
+    "boilerplate_score",
+    "pii_redact",
+    "pack_batches",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_json",
+    "asof_join",
+    "events_funnel",
+    "events_resample_daily",
+    "dq_checks",
+    "zorder_layout",
+    "cdc_latest",
+    "dedup_incremental",
+    "scd2_intervals",
+    "multimodal_metadata",
+    "events_attribution",
+    # -- next-oldest (r4), registry order --
+    "parse_bullionvault_pyds",
+    "doc_similarity_tfidf",
+    "partition_pruning",
+    "pagerank_suppliers",
+    "compact_orders",
+    "text_perplexity_bigram",
+    "vocab_topk",
+    "curate_corpus",
+    "kmeans_embeddings",
+    "text_hashing_tf",
+    "cms_heavy_hitters",
+    "text_search_and",
+    "emb_pca_power",
+    "ivm_refresh_revenue",
+    "orc_roundtrip",
+    "split_assign",
+    "text_repetition",
+    "length_outliers",
+    "events_user_sequences",
+    "events_retention",
+    "events_transition_matrix",
+    "merge_upsert",
+    "histogram_equidepth",
+    "sample_weighted",
+    "record_linkage",
+    "erasure_propagate",
+    "bm25_rank",
+    "schema_evolution",
+    "dynamic_partition_pruning",
+    "interval_join_binned",
+    "hll_segment_union",
+    "bloom_filter_pruned_join",
+]
+
+_ROUND12_RECHECKS = _ROUND12_RECHECK_POOL[: 50 - len(_ROUND12_NEW)]
+_ROUND12_WINDOW = [*_ROUND12_NEW, *_ROUND12_RECHECKS]
+
+# ---- round-11 window (historical; artifact CORRECTNESS_r11.json) -----
 _ROUND11_NEW: list[str] = [
     "pq_ann",
     "pq_recall_audit",
@@ -1474,17 +1580,17 @@ _ROUND8_RECHECK_POOL = [
 _ROUND8_RECHECKS = _ROUND8_RECHECK_POOL[: 50 - len(_ROUND8_NEW)]
 _ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
 
-# Round-12 rotation plan (mechanical): bump CURRENT_ROUND to 12,
-# start _ROUND12_NEW empty, refill the pool code-changed-first then
-# oldest-green. Round 11 burns the first 50-len(_ROUND11_NEW) pool
+# Round-13 rotation plan (mechanical): bump CURRENT_ROUND to 13,
+# start _ROUND13_NEW empty, refill the pool code-changed-first then
+# oldest-green. Round 12 burns the first 50-len(_ROUND12_NEW) pool
 # entries IN ORDER; everything after that cut line carries over,
 # followed by the remaining r4 rows in registry order and then r5's.
 
 # Generic aliases — tests and tooling reference these so a future
 # rotation only touches this module.
-_ROUND_NEW = _ROUND11_NEW
-_ROUND_RECHECKS = _ROUND11_RECHECKS
-_ROUND_WINDOW = _ROUND11_WINDOW
+_ROUND_NEW = _ROUND12_NEW
+_ROUND_RECHECKS = _ROUND12_RECHECKS
+_ROUND_WINDOW = _ROUND12_WINDOW
 
 # Rows-only streaming engine runs (all carry an r5 record; kept out of
 # the round-6 window — oracled slots are stronger):

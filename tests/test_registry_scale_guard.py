@@ -189,6 +189,11 @@ BNLJ_OK = {
     "classifier_quality_panel",  # |classes|-row confusion rollup (ECE shape)
     "silhouette_labels_audit",  # |classes| cosines/vec, bounded centroid bcast
     "quantile_shift_panel",  # 9-row decile frame x 50-value cumulative grid
+    # round 12 — recall audits inherit knn_bruteforce's N_QUERIES=8
+    # broadcast with a != condition on the EXACT side (the thing being
+    # audited against); the approximate sides are equality joins
+    "ivfpq_recall_audit",
+    "emb_quantize_recall",
 }
 
 
