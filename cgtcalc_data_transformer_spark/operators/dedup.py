@@ -744,14 +744,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (the data never visits the driver). Near-dup components are tiny,
     so this converges in 2-3 rounds at any corpus size.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .distinct()
-        .cache()
-    )
+    # one mirror pass (r12 union audit): the fwd/rev self-union
+    # executed the caller's pair lineage — for dedup_clusters the
+    # whole MinHash-LSH candidate join — once per branch before the
+    # cache materialized
+    from cgtcalc_data_transformer_spark.operators.graph import mirror_edges
+
+    edges = mirror_edges(pairs, "doc_a", "doc_b").distinct().cache()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -292,6 +292,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = counts.crossJoin(
             F.broadcast(df.agg(F.count(F.lit(1)).alias(f"c{k}")))
         )
+    # CACHED (r12 union audit): one row, but every per-stage output
+    # row below projects from it — uncached, the whole progressive
+    # funnel-join chain re-executed once per stage
+    counts = counts.cache()
     stages = []
     for k, stage in enumerate(FUNNEL_STAGES):
         conv = (

@@ -219,10 +219,14 @@ def hll_segment_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern under test.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # CACHED (r12 union audit): the per-segment branch and the merged
+    # rollup both read this |years|-row sketch frame — uncached, the
+    # sketch build re-scanned orders once per branch, breaking the
+    # "never re-scanning the facts" promise below
     seg = orders.groupBy(F.year("o_orderdate").alias("segment_year")).agg(
         F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
         F.count_distinct("o_custkey").alias("exact_customers"),
-    )
+    ).cache()
     per_seg = seg.select(
         F.col("segment_year").cast("string").alias("segment"),
         "exact_customers",

@@ -27,6 +27,23 @@ PR_ITERATIONS = 3
 PR_TOP_K = 20
 
 
+def mirror_edges(pairs: DataFrame, c1: str, c2: str) -> DataFrame:
+    """Both orientations of an undirected pair set as (src, dst) in
+    ONE pass over `pairs`: an explode of the two-struct array. The
+    fwd.union(rev) spelling executes the pair lineage once per
+    branch — Catalyst's self-union attribute dedup makes the two
+    subtrees non-identical, so exchange reuse never recovers it (the
+    local_clustering_topk lesson, r12 union audit)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(c1).alias("src"), F.col(c2).alias("dst")),
+                F.struct(F.col(c2).alias("src"), F.col(c1).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected (src, dst) node pairs; node ids are
     prefixed ('C'/'S') because custkey and suppkey ranges overlap."""
@@ -40,9 +57,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.unionByName(rev)
+    return mirror_edges(pairs, "c", "s")
 
 
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +69,10 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     has degree ≥ 1 by construction), so the recurrence needs no
     dangling-mass redistribution term.
     """
-    edges = _edges(spark, sf_dir)
+    # CACHED (r12 union audit): edges feeds deg, the edges_deg
+    # attachment AND the node census below — three materializations
+    # of the lineitem⋈orders+distinct lineage without it
+    edges = _edges(spark, sf_dir).cache()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # one (src → outdeg) attachment reused by every iteration. CACHED:
     # an iterative plan references this frame once per iteration, and
@@ -317,11 +335,8 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    adj = (
-        canon.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionByName(canon.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .localCheckpoint()
-    )
+    # one pass over canon (mirror_edges), materialized once
+    adj = mirror_edges(canon, "u", "v").localCheckpoint()
     for _ in range(KCORE_ROUNDS):
         deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.filter(F.col("c") >= KCORE_K).select(F.col("src").alias("node"))
@@ -696,7 +711,12 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     throw loudly, but DuckDB silently widens to HUGEINT, masking
     the defect until the Spark side trips.
     """
-    edges = _edges(spark, sf_dir)
+    # CACHED (r12 union audit): edges is referenced three times below
+    # (the stream side plus both degree attachments) and each
+    # uncached reference re-executed the lineitem⋈orders+distinct
+    # lineage — measured as the 3.2 s outlier of the bounded-rollup
+    # family at sf0.1.
+    edges = _edges(spark, sf_dir).cache()
     d19 = "decimal(19,0)"
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     j = (
@@ -784,9 +804,15 @@ def harmonic_centrality_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # one mirror pass + CACHE (r12 union audit): edges is ≤|nations|²
+    # rows but its lineage is the 4-table trade join; the three BFS
+    # hops reference it five times
+    edges = (
+        mirror_edges(pairs, "a", "b")
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+        .cache()
+    )
     d1 = edges.select("a", "b", F.lit(1).alias("d"))
     two_hop = (
         d1.alias("x")
@@ -921,6 +947,10 @@ def modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "b")
         .groupBy("ra", "rb")
         .agg(F.count(F.lit(1)).alias("c"))
+        # CACHED (r12 union audit): the "ONE pass" promise above only
+        # holds if this |regions|²-row frame is materialized — the
+        # m/intra reduction and BOTH degs branches reference it
+        .cache()
     )
     m_intra = grid.agg(
         F.sum("c").alias("m"),

@@ -176,7 +176,10 @@ def periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt on identical inputs. rel_amp divides by the mean daily count
     so the number is comparable across types.
     """
-    grid = _daily_grid(spark, sf_dir)
+    # CACHED (r12 union audit): one weighted aggregation PER period
+    # reads this |types|×|days| frame — uncached, the events rollup
+    # re-executed once per tested frequency
+    grid = _daily_grid(spark, sf_dir).cache()
     out = None
     for p in PG_PERIODS:
         wc = F.array(*[F.lit(v) for v in _PG_COS[p]])

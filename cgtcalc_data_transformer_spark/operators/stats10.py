@@ -198,9 +198,11 @@ def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.unionByName(rev)
+    # one pass over pairs (r12 union audit) — the fwd/rev self-union
+    # executed the lineitem⋈orders+distinct lineage once per branch
+    from cgtcalc_data_transformer_spark.operators.graph import mirror_edges
+
+    return mirror_edges(pairs, "c", "s")
 
 
 def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1661,6 +1663,10 @@ def dunn_posthoc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum((tdbl * tdbl * tdbl - tdbl).cast(_D38)).alias("ties"),
     )
+    # CACHED (r12 union audit): one row, but all three pairwise-z
+    # output rows project from it — uncached, the rank machinery
+    # re-executed once per pair
+    s = s.cache()
     nn = (F.col("nA") + F.col("nN") + F.col("nR")).cast("double")
     base_var = nn * (nn + 1) / F.lit(12.0) - F.col("ties").cast("double") / (
         F.lit(12.0) * (nn - 1)

@@ -1037,6 +1037,22 @@ _ROUND12_RECHECK_POOL = [
     # (embedding_ops _PER_VEC_SQL sharing) — isolated re-measure this
     # round, plus a fresh hash row
     "ece_calibration",
+    # r12 union-over-shared-lineage audit (VERDICT r11 item 7): every
+    # site below had both union branches re-executing one uncached
+    # expensive frame; fixed with mirror_edges (one-pass explode)
+    # and/or a cache on the shared frame — all consumers re-burned
+    "degree_assortativity",
+    "pagerank_suppliers",
+    "harmonic_centrality_nations",
+    "modularity_regions",
+    "bfs_reach",
+    "kcore_parts",
+    "label_propagation",
+    "dedup_clusters",
+    "hll_segment_union",
+    "events_funnel",
+    "periodogram_fixed",
+    "dunn_posthoc_test",
     # flagship entry() twin — keep a fresh row every round
     "canonical_orders",
     # -- oldest rows (r3 tail, post-text_chunks cut), registry order --
@@ -1051,7 +1067,7 @@ _ROUND12_RECHECK_POOL = [
     "events_session",
     "events_json",
     "asof_join",
-    "events_funnel",
+    # (events_funnel moved to the code-changed block above)
     "events_resample_daily",
     "dq_checks",
     "zorder_layout",
@@ -1064,7 +1080,7 @@ _ROUND12_RECHECK_POOL = [
     "parse_bullionvault_pyds",
     "doc_similarity_tfidf",
     "partition_pruning",
-    "pagerank_suppliers",
+    # (pagerank_suppliers moved to the code-changed block above)
     "compact_orders",
     "text_perplexity_bigram",
     "vocab_topk",
@@ -1091,7 +1107,7 @@ _ROUND12_RECHECK_POOL = [
     "schema_evolution",
     "dynamic_partition_pruning",
     "interval_join_binned",
-    "hll_segment_union",
+    # (hll_segment_union moved to the code-changed block above)
     "bloom_filter_pruned_join",
 ]
 
