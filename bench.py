@@ -399,6 +399,10 @@ HEADLINE: dict[str, str] = {
     "ivfpq_ann": "collect",
     "ivfpq_recall_audit": "collect",
     "emb_quantize_recall": "collect",
+    "ab_srm_check": "collect",
+    "white_test_daily": "collect",
+    "newey_west_trend": "collect",
+    "hill_tail_index": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -50,6 +50,7 @@ from cgtcalc_data_transformer_spark.operators import (
     stats9,
     stats10,
     stats11,
+    stats12,
     profiling,
     sketch8,
     series8,
@@ -969,6 +970,10 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         ivfpq.emb_quantize_recall,
         ivfpq.EMB_QUANTIZE_RECALL_SQL,
     ),
+    "ab_srm_check": (stats12.ab_srm_check, stats12.AB_SRM_SQL),
+    "white_test_daily": (stats12.white_test_daily, stats12.WHITE_TEST_SQL),
+    "newey_west_trend": (stats12.newey_west_trend, stats12.NEWEY_WEST_SQL),
+    "hill_tail_index": (stats12.hill_tail_index, stats12.HILL_TAIL_SQL),
 }
 
 # Avro interchange is availability-gated (sources/avro.py module doc):
@@ -1008,6 +1013,10 @@ _ROUND12_NEW: list[str] = [
     "ivfpq_ann",
     "ivfpq_recall_audit",
     "emb_quantize_recall",
+    "ab_srm_check",
+    "white_test_daily",
+    "newey_west_trend",
+    "hill_tail_index",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (their

@@ -194,6 +194,10 @@ BNLJ_OK = {
     # audited against); the approximate sides are equality joins
     "ivfpq_recall_audit",
     "emb_quantize_recall",
+    # round 12 — bounded-grid regression diagnostics + 1-row scalars
+    "white_test_daily",  # |types|x|days| grid expand (_daily_grid shape)
+    "newey_west_trend",  # same grid expand + bounded lag joins
+    "hill_tail_index",  # (k+1)-row TakeOrdered frame x 1-row xmin scalar
 }
 
 

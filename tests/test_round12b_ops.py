@@ -1,0 +1,149 @@
+"""Round-12 statistics batch tests: independent naive-Python/numpy
+reimplementations (textbook formulations, numpy lstsq instead of the
+engine's Cramer solve) for SRM, White, Newey-West and Hill.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import numpy as np
+
+from cgtcalc_data_transformer_spark.sources.tpch import load_events, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _day_series(spark):
+    """{event_type: np.array of daily counts on the full zero-filled
+    grid} — the textbook re-derivation of _daily_grid."""
+    rows = load_events(spark, SF).select("event_type", "ts").collect()
+    day_ns = 86400 * 10**9
+    days = [int(r["ts"]) // day_ns for r in rows]
+    dmin, dmax = min(days), max(days)
+    n = dmax - dmin + 1
+    series = defaultdict(lambda: np.zeros(n))
+    for r, d in zip(rows, days):
+        series[r["event_type"]][d - dmin] += 1
+    return dict(series)
+
+
+def _resid_norm(y):
+    """Mean-normalized OLS residuals of y on t (textbook floats)."""
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    e = y - (a + b * t)
+    return e / y.mean(), b
+
+
+def test_ab_srm_check_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats12 import ab_srm_check
+
+    users = {
+        r["user_id"]
+        for r in load_events(spark, SF).select("user_id").distinct().collect()
+    }
+    arms = [
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 100 % 2
+        for u in users
+    ]
+    n1, n2 = arms.count(0), arms.count(1)
+    chi2 = (n1 - n2) ** 2 / (n1 + n2)
+    row = ab_srm_check(spark, SF).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["delta"] == n1 - n2
+    assert abs(row["chi2_micro"] / 1e6 - chi2) < 1e-5
+    assert row["srm_detected"] == (chi2 > 3.841459)
+
+
+def test_white_test_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats12 import (
+        white_test_daily,
+    )
+
+    series = _day_series(spark)
+    rows = {r["event_type"]: r for r in white_test_daily(spark, SF).collect()}
+    assert set(rows) == set(series)
+    for et, y in series.items():
+        w, _ = _resid_norm(y)
+        # the op's pinned 1e-6 z-quantization, then an INDEPENDENT
+        # solver (lstsq) for the auxiliary regression
+        z = np.floor(w * w * 1e6 + 0.5)
+        n = len(z)
+        t = np.arange(n, dtype=float)
+        X = np.column_stack([np.ones(n), t, t * t])
+        beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+        sse = float(np.sum((z - X @ beta) ** 2))
+        sst = float(np.sum((z - z.mean()) ** 2))
+        r2 = 1 - sse / sst if sst > 0 else 0.0
+        lm = n * r2
+        r = rows[et]
+        assert r["n_days"] == n
+        assert abs(r["r2_micro"] / 1e6 - r2) < 1e-4, (et, r, r2)
+        assert abs(r["lm_micro"] / 1e6 - lm) < n * 1e-4
+        assert r["heteroskedastic"] == (lm > 5.991465)
+
+
+def test_newey_west_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats12 import (
+        NW_LAGS,
+        newey_west_trend,
+    )
+
+    series = _day_series(spark)
+    rows = {r["event_type"]: r for r in newey_west_trend(spark, SF).collect()}
+    assert set(rows) == set(series)
+    for et, y in series.items():
+        w, b = _resid_norm(y)
+        n = len(y)
+        t = np.arange(n, dtype=float)
+        xc = t - t.mean()
+        b_norm = b / y.mean()
+        v = xc * w
+        sxxc = float(np.sum(xc * xc))
+        gam = [float(np.sum(v[: n - k] * v[k:])) for k in range(NW_LAGS + 1)]
+        s_nw = gam[0] + 2 * sum(
+            (1 - k / (NW_LAGS + 1)) * gam[k] for k in range(1, NW_LAGS + 1)
+        )
+        t_nw = b_norm * sxxc / math.sqrt(s_nw) if s_nw > 0 else 0.0
+        sig2 = float(np.sum(w * w)) / (n - 2)
+        t_ols = b_norm / math.sqrt(sig2 / sxxc) if sig2 > 0 else 0.0
+        r = rows[et]
+        assert r["n_days"] == n
+        assert abs(r["slope_nano"] / 1e9 - b) < 1e-6, (et, r["slope_nano"], b)
+        assert abs(r["t_ols_micro"] / 1e6 - t_ols) < 1e-3, (et, r, t_ols)
+        assert abs(r["t_nw_micro"] / 1e6 - t_nw) < 1e-3, (et, r, t_nw)
+        assert r["trend_significant"] == (abs(t_nw) > 1.96) or (
+            abs(abs(t_nw) - 1.96) < 1e-3
+        )
+
+
+def test_hill_tail_index_matches_naive(spark):
+    from cgtcalc_data_transformer_spark.operators.stats12 import (
+        HILL_K,
+        hill_tail_index,
+    )
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .collect()
+    )
+    ranked = sorted(
+        ((float(r["o_totalprice"]), int(r["o_orderkey"])) for r in rows),
+        key=lambda p: (-p[0], p[1]),
+    )[: HILL_K + 1]
+    xmin = min(p for p, _ in ranked)
+    inv = sum(math.log(p / xmin) for p, _ in ranked) / HILL_K
+    alpha = 1.0 / inv
+    row = hill_tail_index(spark, SF).collect()[0]
+    assert row["k"] == HILL_K
+    assert row["xmin_cents"] == round(xmin * 100)
+    assert abs(row["alpha_micro"] / 1e6 - alpha) < 1e-4
+    half = 1.96 / math.sqrt(HILL_K)
+    assert abs(row["alpha_lo_micro"] / 1e6 - alpha * (1 - half)) < 1e-4
+    assert abs(row["alpha_hi_micro"] / 1e6 - alpha * (1 + half)) < 1e-4
+    assert row["alpha_lo_micro"] < row["alpha_micro"] < row["alpha_hi_micro"]
