@@ -399,6 +399,7 @@ HEADLINE: dict[str, str] = {
     "ivfpq_ann": "collect",
     "ivfpq_recall_audit": "collect",
     "emb_quantize_recall": "collect",
+    "ivfpq_partitioned_probe": "collect",
     "ab_srm_check": "collect",
     "white_test_daily": "collect",
     "newey_west_trend": "collect",

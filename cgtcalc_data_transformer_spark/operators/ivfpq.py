@@ -437,6 +437,114 @@ def emb_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_codes_path() -> str:
+    """Per-process scratch dir for the cell-partitioned code table
+    (sources/partitioned.py hygiene)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_ivfpq_{os.getpid()}", "codes_by_cell"
+    )
+
+
+def ivfpq_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout claim of ``ivfpq_ann`` MATERIALIZED: write
+    the (vec_id, m, code) table partitioned BY CELL, then answer the
+    probe from the stored layout — the probed-cell predicate becomes
+    directory-level ``PartitionFilters`` (≤ NPROBE·N_QUERIES of
+    NLIST directories opened; the unprobed corpus is never read, not
+    even its parquet footers). Same ADC scoring join as ivfpq_ann,
+    identical output — the oracle IS the ivfpq_ann oracle; the
+    layout evidence is plan-asserted in tests/test_round12_ops.py.
+
+    The probed-cell set is collected at plan-build time — bounded by
+    min(NLIST, N_QUERIES·NPROBE) rows (the pca.py/pq.py bounded-
+    driver-state discipline) — so the scan filter is a static IN
+    list, prunable without runtime DPP machinery."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v"
+    )
+    cells = _cells(emb)
+    res = _residual(cells, "vec_id", "cell")
+    cb = _train_residual_codebooks(res.select("vec_id", "v"))
+    codes = (
+        _assign(_subvectors(res.select("vec_id", "v")), cb)
+        .select("vec_id", "m", "code")
+        .join(cells.select("vec_id", "cell"), "vec_id")
+    )
+    path = ivfpq_codes_path()
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    scores = _centroid_scores(F.col("v"), _ivf_centroids())
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "v",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(scores)), 1, IVF_NPROBE),
+                    lambda s: s["i"],
+                )
+            ).alias("cell"),
+        )
+    )
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    qres = _residual(probes, "query_id", "cell")
+    qsub = qres.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sv"),
+    )
+    kws = F.element_at(_codebook_lit(cb), F.col("m") + 1)
+    luts = qsub.select(
+        "query_id",
+        "cell",
+        "m",
+        F.explode(
+            F.transform(
+                kws,
+                lambda s: F.struct(
+                    s["k"].alias("k"), _adc_term(F.col("sv"), s).alias("dq")
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "query_id", "cell", "m",
+        F.col("e.k").alias("k"), F.col("e.dq").alias("dq"),
+    )
+    stored = spark.read.parquet(path).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    scored = (
+        stored.join(
+            F.broadcast(luts),
+            (stored["cell"] == luts["cell"])
+            & (stored["m"] == luts["m"])
+            & (stored["code"] == luts["k"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("dq").alias("adc_d2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2_micro"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "adc_d2_micro", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ------------------------------------------------------------- oracles
 def _ivfpq_train_sql() -> str:
     """Shared IVFADC CTE chain for both ivfpq oracles: coarse assign

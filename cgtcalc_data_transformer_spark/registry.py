@@ -970,6 +970,12 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         ivfpq.emb_quantize_recall,
         ivfpq.EMB_QUANTIZE_RECALL_SQL,
     ),
+    # same oracle as ivfpq_ann by design: the layout changes the scan,
+    # not the answer; the pruning evidence is plan-asserted in tests
+    "ivfpq_partitioned_probe": (
+        ivfpq.ivfpq_partitioned_probe,
+        ivfpq.IVFPQ_ANN_SQL,
+    ),
     "ab_srm_check": (stats12.ab_srm_check, stats12.AB_SRM_SQL),
     "white_test_daily": (stats12.white_test_daily, stats12.WHITE_TEST_SQL),
     "newey_west_trend": (stats12.newey_west_trend, stats12.NEWEY_WEST_SQL),
@@ -1013,6 +1019,7 @@ _ROUND12_NEW: list[str] = [
     "ivfpq_ann",
     "ivfpq_recall_audit",
     "emb_quantize_recall",
+    "ivfpq_partitioned_probe",
     "ab_srm_check",
     "white_test_daily",
     "newey_west_trend",

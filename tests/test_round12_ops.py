@@ -240,3 +240,26 @@ def test_emb_quantize_recall_matches_naive(spark):
         assert rows[q]["n_exact"] == TOP_K
         assert rows[q]["n_hit"] == len(hits)
         assert rows[q]["recall_micro"] == len(hits) * PQ_SCALE // TOP_K
+
+
+def test_ivfpq_partitioned_probe_prunes_and_matches(spark):
+    """The cell-partitioned code layout must (a) answer identically
+    to ivfpq_ann — the layout changes the scan, not the math — and
+    (b) show directory-level pruning: PartitionFilters carry the
+    probed-cell IN list and the scanned partition set is exactly the
+    probed cells, not all NLIST."""
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.ivfpq import (
+        ivfpq_ann,
+        ivfpq_partitioned_probe,
+    )
+
+    df = ivfpq_partitioned_probe(spark, SF)
+    got = [tuple(r) for r in df.collect()]
+    want = [tuple(r) for r in ivfpq_ann(spark, SF).collect()]
+    assert got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:1500]
