@@ -128,3 +128,18 @@ def test_bench_errors_default_zero():
     payload = bench.build_payload(timings, {}, 0.1, {"q1": 1.0})
     parsed = json.loads(bench.compact_line(payload, timings))
     assert parsed["n_errors"] == 0
+
+
+def test_calibrators_pinned_to_frozen_baseline():
+    """The calibrator trio's reference times must BE the frozen
+    BENCH_BASELINE values (host_factor is measured/baseline — a
+    silent drift of either side makes the ratio lie), and each pin
+    must be a benched HEADLINE query so the per-mode methodology
+    matches."""
+    bench = _load_bench()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "BENCH_BASELINE.json")) as fh:
+        base = json.load(fh)["queries"]
+    assert set(bench.CALIBRATORS) <= set(bench.HEADLINE)
+    for name, pinned in bench.CALIBRATORS.items():
+        assert base[name] == pinned, (name, pinned, base[name])
