@@ -404,6 +404,8 @@ HEADLINE: dict[str, str] = {
     "white_test_daily": "collect",
     "newey_west_trend": "collect",
     "hill_tail_index": "collect",
+    "mondrian_conformal_audit": "collect",
+    "fairness_selection_audit": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately

@@ -45,7 +45,7 @@ Reference parity: none — /root/reference is a parse-merge-sort CLI
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cgtcalc_data_transformer_spark.operators.timeseries import (
     _GRID_SQL,
@@ -567,3 +567,306 @@ SELECT {HILL_K} AS k,
                   * {MICRO} + 0.5) AS BIGINT) AS alpha_hi_micro
 FROM s
 """
+
+
+# --------------------------------- Mondrian split-conformal intervals
+CONF_ALPHA_PCT = 10      # 90% target coverage
+CONF_BINS = 1024         # selection-pass resolution (exact_median's)
+
+
+def mondrian_conformal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-conditional (Mondrian) split-conformal prediction
+    intervals for order totals (Vovk et al.; the distribution-free
+    interval recipe modern ML pipelines ship around ANY point
+    predictor): per priority group, fit ŷ = train-split mean, take
+    q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest |y−ŷ| on the calibration
+    split, and AUDIT the guarantee on the held-out eval split —
+    coverage(|y−ŷ| ≤ q̂) should read ≥ 1−α.
+
+    Scale shape: the order statistic is the exact_median_2pass
+    distributed-selection recipe verbatim (bounded bin histogram +
+    prefix window per group + in-bin rank — no global sort at any
+    volume); the md5 split is append-stable; the oracle is the
+    INDEPENDENT direct formulation (per-group ROW_NUMBER at rank k),
+    so the hash match cross-checks the whole selection machinery.
+    Residuals are floor-quantized to 1e-6 before ranking/comparison,
+    so selection and coverage decide on exact integers."""
+    from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        "o_totalprice",
+        hash_bucket(F.col("o_orderkey")).alias("b"),
+    )
+    tr = (
+        orders.filter(F.col("b") < 50)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mu"),
+        )
+    )
+    rq = F.floor(
+        F.abs(F.col("o_totalprice").cast("double") - F.col("mu"))
+        * F.lit(float(MICRO))
+        + F.lit(0.5)
+    ).cast("long")
+    cal = (
+        orders.filter((F.col("b") >= 50) & (F.col("b") < 75))
+        .join(F.broadcast(tr), "grp")
+        .select("grp", "o_orderkey", rq.alias("rq"))
+    )
+    bounds = cal.agg(F.min("rq").alias("lo"), F.max("rq").alias("hi"))
+    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(
+        float(CONF_BINS)
+    )
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(CONF_BINS - 1).cast("long"),
+            F.floor((F.col("rq") - F.col("lo")).cast("double") / width),
+        )
+    )
+    binned = cal.crossJoin(F.broadcast(bounds)).withColumn("bin", bin_col)
+    per_bin = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy("grp")
+    # k = ceil((n_cal+1)(1-alpha)), clamped to n_cal (k > n_cal means
+    # the distribution-free interval is infinite; the clamp keeps the
+    # audit finite and is the standard practical fallback)
+    k_expr = F.least(
+        F.expr(
+            f"({100 - CONF_ALPHA_PCT} * (n + 1) + 99) div 100"
+        ),
+        F.col("n"),
+    )
+    located = (
+        per_bin.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_grp))
+        .withColumn("k", k_expr)
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("k"))
+            & (F.col("cum") >= F.col("k"))
+        )
+        .select(
+            F.col("grp").alias("lgrp"),
+            F.col("bin").alias("target_bin"),
+            (F.col("cum") - F.col("cnt")).alias("before"),
+            "k",
+            F.col("n").alias("n_cal"),
+        )
+    )
+    in_bin = binned.join(
+        F.broadcast(located),
+        (F.col("grp") == F.col("lgrp")) & (F.col("bin") == F.col("target_bin")),
+    )
+    w_rank = Window.partitionBy("grp").orderBy("rq", "o_orderkey")
+    qhat = (
+        in_bin.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+        .select("grp", "n_cal", F.col("rq").alias("qhat_micro"))
+    )
+    ev = (
+        orders.filter(F.col("b") >= 75)
+        .join(F.broadcast(tr), "grp")
+        .select("grp", rq.alias("rq"))
+    )
+    cov = (
+        ev.join(F.broadcast(qhat.select("grp", "qhat_micro")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("rq") <= F.col("qhat_micro")).cast("long")
+            ).alias("covered"),
+        )
+    )
+    return (
+        tr.join(qhat, "grp")
+        .join(cov, "grp")
+        .select(
+            "grp",
+            "n_train",
+            "n_cal",
+            "n_eval",
+            "qhat_micro",
+            F.expr("covered * 1000000 div n_eval").alias("coverage_micro"),
+            (
+                F.expr("covered * 1000000 div n_eval")
+                >= F.lit((100 - CONF_ALPHA_PCT) * 10**4)
+            ).alias("meets_alpha"),
+        )
+        .orderBy("grp")
+    )
+
+
+MONDRIAN_CONFORMAL_SQL = f"""
+WITH split AS (
+  SELECT o_orderpriority AS grp, o_orderkey, o_totalprice,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT
+           % 100 AS b
+  FROM orders
+), tr AS (
+  SELECT grp, COUNT(*) AS n_train,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM split WHERE b < 50 GROUP BY grp
+), cal AS (
+  SELECT s.grp, s.o_orderkey,
+         CAST(floor(abs(CAST(o_totalprice AS DOUBLE) - mu) * {MICRO} + 0.5)
+              AS BIGINT) AS rq
+  FROM split s JOIN tr ON s.grp = tr.grp
+  WHERE b >= 50 AND b < 75
+), ranked AS (
+  SELECT grp, rq,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rq, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n_cal
+  FROM cal
+), qhat AS (
+  SELECT grp, n_cal, rq AS qhat_micro
+  FROM ranked
+  WHERE rn = LEAST(({100 - CONF_ALPHA_PCT} * (n_cal + 1) + 99) // 100, n_cal)
+), ev AS (
+  SELECT s.grp,
+         CAST(floor(abs(CAST(o_totalprice AS DOUBLE) - mu) * {MICRO} + 0.5)
+              AS BIGINT) AS rq
+  FROM split s JOIN tr ON s.grp = tr.grp
+  WHERE b >= 75
+), cov AS (
+  SELECT e.grp, COUNT(*) AS n_eval,
+         CAST(SUM(CASE WHEN e.rq <= q.qhat_micro THEN 1 ELSE 0 END)
+              AS BIGINT) AS covered
+  FROM ev e JOIN qhat q ON e.grp = q.grp GROUP BY e.grp
+)
+SELECT t.grp, t.n_train, q.n_cal, c.n_eval, q.qhat_micro,
+       covered * {MICRO} // n_eval AS coverage_micro,
+       covered * {MICRO} // n_eval >= {(100 - CONF_ALPHA_PCT) * 10**4}
+         AS meets_alpha
+FROM tr t JOIN qhat q ON t.grp = q.grp JOIN cov c ON t.grp = c.grp
+ORDER BY t.grp
+"""
+
+
+# ------------------------------------- language-fairness of the gate
+FOUR_FIFTHS_MICRO = 800_000
+
+
+def fairness_selection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit of the corpus QUALITY gate (quality
+    score ≥ threshold AND exact-dedup survivor — curate_corpus's
+    admission WITHOUT its language filter, which would make the
+    question vacuous) across languages: per-language selection rate,
+    the ratio to the overall rate, and the EEOC four-fifths flag
+    (ratio < 0.8 = the filter disparately excludes that language —
+    the bias check multilingual-corpus pipelines publish).
+
+    Counting only: rates and ratios are exact integer cross-products
+    (DECIMAL, then one identical double division), one broadcast of
+    the 1-row totals. Composition, not reimplementation: the gate is
+    the existing text_quality + dedup_exact operators, so any fix
+    there flows through (the curate_corpus discipline)."""
+    from cgtcalc_data_transformer_spark.operators import dedup, textops
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quality = textops.text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    survivors = dedup.dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    from cgtcalc_data_transformer_spark.operators.curation import (
+        CURATE_MIN_QUALITY,
+    )
+
+    kept = (
+        quality.filter(F.col("quality_score") >= CURATE_MIN_QUALITY)
+        .join(survivors, "doc_id")
+        .select("doc_id", F.lit(1).alias("is_kept"))
+    )
+    per = (
+        docs.join(kept, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_kept", F.lit(0))).alias("n_kept"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_kept").alias("t_kept")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ratio = F.when(
+        F.col("t_kept") > 0,
+        F.floor(
+            (
+                F.col("n_kept").cast(_D38)
+                * F.col("t_docs").cast(_D38)
+                * F.lit(MICRO).cast(_D38)
+            ).cast("double")
+            / (F.col("n_docs").cast(_D38) * F.col("t_kept").cast(_D38)).cast(
+                "double"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(-1))
+    return j.select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        F.expr("n_kept * 1000000 div n_docs").alias("rate_micro"),
+        ratio.alias("impact_ratio_micro"),
+        (ratio < F.lit(FOUR_FIFTHS_MICRO)).alias("four_fifths_flag"),
+    ).orderBy("lang")
+
+
+def _fairness_sql() -> str:
+    from cgtcalc_data_transformer_spark.operators import dedup, textops
+    from cgtcalc_data_transformer_spark.operators.curation import (
+        CURATE_MIN_QUALITY,
+    )
+
+    return f"""
+WITH q AS ({textops.TEXT_QUALITY_SQL}),
+     d AS ({dedup.DEDUP_EXACT_SQL}),
+     kept AS (
+  SELECT q.doc_id FROM q JOIN d ON d.keep_doc_id = q.doc_id
+  WHERE q.quality_score >= {CURATE_MIN_QUALITY}
+), per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+  FROM documents doc LEFT JOIN kept k ON doc.doc_id = k.doc_id
+  GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+         CAST(SUM(n_kept) AS BIGINT) AS t_kept
+  FROM per
+)
+SELECT lang, n_docs, n_kept,
+       n_kept * {MICRO} // n_docs AS rate_micro,
+       CASE WHEN t_kept > 0
+            THEN CAST(floor(
+              CAST(CAST(n_kept AS HUGEINT) * t_docs * {MICRO} AS DOUBLE)
+              / CAST(CAST(n_docs AS HUGEINT) * t_kept AS DOUBLE))
+              AS BIGINT)
+            ELSE -1 END AS impact_ratio_micro,
+       CASE WHEN t_kept > 0
+            THEN CAST(floor(
+              CAST(CAST(n_kept AS HUGEINT) * t_docs * {MICRO} AS DOUBLE)
+              / CAST(CAST(n_docs AS HUGEINT) * t_kept AS DOUBLE))
+              AS BIGINT)
+            ELSE -1 END < {FOUR_FIFTHS_MICRO} AS four_fifths_flag
+FROM per CROSS JOIN tot
+ORDER BY lang
+"""
+
+
+FAIRNESS_SELECTION_SQL = _fairness_sql()

@@ -980,6 +980,14 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     "white_test_daily": (stats12.white_test_daily, stats12.WHITE_TEST_SQL),
     "newey_west_trend": (stats12.newey_west_trend, stats12.NEWEY_WEST_SQL),
     "hill_tail_index": (stats12.hill_tail_index, stats12.HILL_TAIL_SQL),
+    "mondrian_conformal_audit": (
+        stats12.mondrian_conformal_audit,
+        stats12.MONDRIAN_CONFORMAL_SQL,
+    ),
+    "fairness_selection_audit": (
+        stats12.fairness_selection_audit,
+        stats12.FAIRNESS_SELECTION_SQL,
+    ),
 }
 
 # Avro interchange is availability-gated (sources/avro.py module doc):
@@ -1024,6 +1032,8 @@ _ROUND12_NEW: list[str] = [
     "white_test_daily",
     "newey_west_trend",
     "hill_tail_index",
+    "mondrian_conformal_audit",
+    "fairness_selection_audit",
 ]
 
 # Priority-ordered recheck pool: code-changed-this-round FIRST (their

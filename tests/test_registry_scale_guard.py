@@ -198,6 +198,8 @@ BNLJ_OK = {
     "white_test_daily",  # |types|x|days| grid expand (_daily_grid shape)
     "newey_west_trend",  # same grid expand + bounded lag joins
     "hill_tail_index",  # (k+1)-row TakeOrdered frame x 1-row xmin scalar
+    "mondrian_conformal_audit",  # 1-row residual-bounds scalar crossJoin
+    "fairness_selection_audit",  # 1-row totals scalar crossJoin
 }
 
 
