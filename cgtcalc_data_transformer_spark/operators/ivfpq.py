@@ -328,10 +328,18 @@ def emb_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(
         127.0
     )
+    # zero guard (ADVICE r12): an all-zero vector has scale 0; without
+    # the guard x/scale yields NaN codes whose ordering semantics
+    # diverge between Spark and DuckDB. Emit all-zero codes instead
+    # (the SQL twin carries the same CASE) — a no-op on the real
+    # corpus, which has no zero vectors.
     quantized = emb.select(
         "vec_id",
         F.transform(
-            F.col("v"), lambda x: F.floor(x / scale + F.lit(0.5))
+            F.col("v"),
+            lambda x: F.when(
+                scale > 0, F.floor(x / scale + F.lit(0.5))
+            ).otherwise(F.lit(0).cast("bigint")),
         ).alias("q"),
     )
     iq = quantized.select(
@@ -356,14 +364,20 @@ def emb_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    cos_q = F.round(
-        idot.cast("double")
-        / (
-            F.sqrt(F.col("qn2").cast("double"))
-            * F.sqrt(F.col("cn2").cast("double"))
+    # zero-norm pairs score -2.0 (below any real cosine) so a
+    # hypothetical all-zero vector ranks last deterministically in
+    # both engines instead of via NaN ordering.
+    cos_q = F.when(
+        (F.col("qn2") > 0) & (F.col("cn2") > 0),
+        F.round(
+            idot.cast("double")
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+            6,
         ),
-        6,
-    )
+    ).otherwise(F.lit(-2.0))
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cos_q"), F.asc("cand_id")
     )
@@ -438,13 +452,17 @@ def emb_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivfpq_codes_path() -> str:
-    """Per-process scratch dir for the cell-partitioned code table
-    (sources/partitioned.py hygiene)."""
+    """Fixed scratch dir for the cell-partitioned code table, reused
+    with overwrite semantics across runs and processes — the per-PID
+    variant accumulated one orphan codes_by_cell tree per bench/test
+    session in tempdir (ADVICE r12). Single-process test/bench usage
+    makes the shared path safe; concurrent writers would need a real
+    warehouse path anyway."""
     import os
     import tempfile
 
     return os.path.join(
-        tempfile.gettempdir(), f"spark_ivfpq_{os.getpid()}", "codes_by_cell"
+        tempfile.gettempdir(), "spark_ivfpq_scratch", "codes_by_cell"
     )
 
 
@@ -708,8 +726,10 @@ WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), quantized AS (
   SELECT vec_id,
-         list_transform(v, x -> floor(
-           x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5)) AS q
+         CASE WHEN list_max(list_transform(v, y -> abs(y))) > 0
+              THEN list_transform(v, x -> floor(
+                x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5))
+              ELSE list_transform(v, x -> 0.0) END AS q
   FROM emb
 ), iq AS (
   SELECT vec_id, q,
@@ -720,9 +740,11 @@ WITH emb AS (
     SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
            ROW_NUMBER() OVER (
              PARTITION BY a.vec_id
-             ORDER BY ROUND(CAST(list_dot_product(a.q, b.q) AS DOUBLE)
-                            / (sqrt(CAST(a.n2 AS DOUBLE))
-                               * sqrt(CAST(b.n2 AS DOUBLE))), 6) DESC,
+             ORDER BY CASE WHEN a.n2 > 0 AND b.n2 > 0
+                           THEN ROUND(CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+                                      / (sqrt(CAST(a.n2 AS DOUBLE))
+                                         * sqrt(CAST(b.n2 AS DOUBLE))), 6)
+                           ELSE -2.0 END DESC,
                       b.vec_id ASC) AS rank
     FROM iq a JOIN iq b
       ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id)

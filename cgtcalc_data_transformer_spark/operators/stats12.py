@@ -506,6 +506,12 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("x"), F.asc("o_orderkey"))
         .limit(HILL_K + 1)
+        # shared lineage: both the xmin aggregate and the terms join
+        # consume this (k+1)-row frame — cache it so the orders
+        # TakeOrdered scan executes once per run, not twice (ADVICE
+        # r12; the bounded-frame persist discipline of the r12 union
+        # audit). 201 rows — trivially bounded.
+        .cache()
     )
     xmin = top.agg(F.min("x").alias("xmin"))
     terms = top.crossJoin(F.broadcast(xmin)).select(

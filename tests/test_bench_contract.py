@@ -70,22 +70,49 @@ def test_no_silent_bench_regression_vs_baseline():
     and the current BENCH_DETAIL.json. Sub-0.5 s queries live inside
     the shared-host noise band (frequent_pairs' 1.5x move in r6) and
     are exempt; anything bigger moving 2.5x is a plan change, not
-    noise."""
+    noise.
+
+    Current times are divided by the detail's host_factor before the
+    comparison (VERDICT r12 item 1: the r12 driver re-benched on a
+    1.564x-slower host and the RAW comparison turned the suite red on
+    three queries whose normalized times were all inside band — a
+    guard that reddens on host speed trains everyone to ignore it).
+    The factor is sane-bounded: a reading ≥3x means the session was
+    too contended for ANY adjudication and the detail should not be
+    committed at all.
+
+    Cache-fronted queries (min-of-3 served by the CacheManager — see
+    bench.build_payload) are compared on cold_first_run on BOTH sides:
+    their min3 times a cache hit, not the operator (VERDICT r12 item
+    7, the simjoin_prefix_summary 0.44 s-vs-9.94 s gap)."""
     root = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(root, "BENCH_BASELINE.json")) as fh:
-        base = json.load(fh)["queries"]
+        base_detail = json.load(fh)
     with open(os.path.join(root, "BENCH_DETAIL.json")) as fh:
-        cur = json.load(fh)["queries"]
+        cur_detail = json.load(fh)
+    hf = cur_detail.get("host_factor") or 1.0
+    assert 0.3 < hf < 3.0, f"host_factor {hf} outside sane band"
+    fronted = set(cur_detail.get("cache_fronted") or [])
+
+    def eff(detail, name):
+        if name in fronted:
+            return detail.get("cold_first_run", {}).get(
+                name, detail["queries"][name]
+            )
+        return detail["queries"][name]
+
+    base_q, cur_q = base_detail["queries"], cur_detail["queries"]
     # Two tiers (VERDICT r7 item 2: 2.5x was too loose to see a 33%
     # move on a 2 s query): expensive queries get a tighter band —
     # their timings are stable enough that 1.6x is a plan change.
-    offenders = {
-        n: (base[n], cur[n])
-        for n in base.keys() & cur.keys()
-        if (base[n] > 0.5 and cur[n] > base[n] * 2.5)
-        or (base[n] > 1.5 and cur[n] > base[n] * 1.6)
-    }
-    assert not offenders, f"bench regressions vs baseline: {offenders}"
+    offenders = {}
+    for n in base_q.keys() & cur_q.keys():
+        b, c = eff(base_detail, n), eff(cur_detail, n) / hf
+        if (b > 0.5 and c > b * 2.5) or (b > 1.5 and c > b * 1.6):
+            offenders[n] = (b, round(c, 3), cur_q[n])
+    assert not offenders, (
+        f"bench regressions vs baseline (host_factor {hf}): {offenders}"
+    )
 
 
 def test_bench_line_floor_keep_zero_fits():
