@@ -210,13 +210,21 @@ def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
         stateful as sst,
     )
 
+    # r13: every streaming engine run carries a DuckDB oracle — on
+    # bounded input the final table is a deterministic closed form
+    # (batch aggregate + watermark-emission filter + mismatch-0); see
+    # the "driver oracles (r13)" blocks in streaming/events.py and
+    # streaming/joins.py for the emission-predicate derivation.
     return {
-        "streaming_tumbling": (sev.streaming_tumbling, None),
-        "streaming_sliding": (sev.streaming_sliding, None),
-        "streaming_session": (sev.streaming_session, None),
-        "streaming_stateful": (sst.streaming_stateful_totals, None),
-        "streaming_dedup": (sev.streaming_dedup, None),
-        "streaming_join": (sjoin.streaming_click_attribution, None),
+        "streaming_tumbling": (sev.streaming_tumbling, sev.STREAMING_TUMBLING_SQL),
+        "streaming_sliding": (sev.streaming_sliding, sev.STREAMING_SLIDING_SQL),
+        "streaming_session": (sev.streaming_session, sev.STREAMING_SESSION_SQL),
+        "streaming_stateful": (
+            sst.streaming_stateful_totals,
+            sst.STREAMING_STATEFUL_SQL,
+        ),
+        "streaming_dedup": (sev.streaming_dedup, sev.STREAMING_DEDUP_SQL),
+        "streaming_join": (sjoin.streaming_click_attribution, sjoin.STREAMING_JOIN_SQL),
         "events_attribution": (sjoin.attribution_batch, sjoin.ATTRIBUTION_SQL),
     }
 
@@ -227,7 +235,10 @@ def _stream_static_entries() -> dict[str, tuple[QueryFn, str | None]]:
     from cgtcalc_data_transformer_spark.streaming import joins as sjoin
 
     return {
-        "streaming_static_enrich": (sjoin.streaming_static_enrich, None),
+        "streaming_static_enrich": (
+            sjoin.streaming_static_enrich,
+            sjoin.STREAMING_STATIC_ENRICH_SQL,
+        ),
         "events_static_enrich": (sjoin.static_enrich_batch, sjoin.STATIC_ENRICH_SQL),
     }
 
@@ -238,9 +249,15 @@ def _complete_mode_entries() -> dict[str, tuple[QueryFn, str | None]]:
     from cgtcalc_data_transformer_spark.streaming import events as sev
 
     return {
-        "streaming_complete_totals": (sev.streaming_complete_totals, None),
+        "streaming_complete_totals": (
+            sev.streaming_complete_totals,
+            sev.STREAMING_COMPLETE_TOTALS_SQL,
+        ),
         "events_type_totals": (sev.events_type_totals, sev.EVENTS_TYPE_TOTALS_SQL),
-        "streaming_python_source": (sev.streaming_python_source, None),
+        "streaming_python_source": (
+            sev.streaming_python_source,
+            sev.STREAMING_PYTHON_SOURCE_SQL,
+        ),
         "ticker_totals": (sev.ticker_totals, sev.TICKER_TOTALS_SQL),
     }
 
@@ -251,7 +268,10 @@ def _outer_join_entries() -> dict[str, tuple[QueryFn, str | None]]:
     from cgtcalc_data_transformer_spark.streaming import joins as sjoin
 
     return {
-        "streaming_join_outer": (sjoin.streaming_click_attribution_outer, None),
+        "streaming_join_outer": (
+            sjoin.streaming_click_attribution_outer,
+            sjoin.STREAMING_JOIN_OUTER_SQL,
+        ),
         "events_attribution_outer": (
             sjoin.attribution_outer_batch,
             sjoin.ATTRIBUTION_OUTER_SQL,
@@ -1634,9 +1654,16 @@ _ROUND_NEW = _ROUND12_NEW
 _ROUND_RECHECKS = _ROUND12_RECHECKS
 _ROUND_WINDOW = _ROUND12_WINDOW
 
-# Rows-only streaming engine runs (all carry an r5 record; kept out of
-# the round-6 window — oracled slots are stronger):
-_STREAMING_ROWS_ONLY = [
+# Rows-only streaming engine runs: EMPTY since r13 — every
+# streaming_* query now carries a DuckDB oracle (the bounded-input
+# final table is a deterministic closed form; VERDICT r12 item 3).
+_STREAMING_ROWS_ONLY: list[str] = []
+
+# Streaming ENGINE RUNS (oracled, but each drives the full Structured
+# Streaming trigger machinery — ~30-60 s per execution): named so
+# spot-check loops and the bench exclusion list can skip the engine
+# cost without implying they are unchecked.
+_STREAMING_ENGINE_RUNS = [
     "streaming_tumbling",
     "streaming_sliding",
     "streaming_session",

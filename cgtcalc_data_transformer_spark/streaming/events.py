@@ -115,10 +115,21 @@ def _batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the two sides differ only in execution engine — exactly what the
 # batch_mismatch pin is meant to isolate.
 def _tumbling_agg(ev: DataFrame) -> DataFrame:
+    # value summed as DECIMAL(28,6) then cast back to double (the
+    # events_type_totals recipe): decimal addition is exact and
+    # order-independent, so the stream (micro-batch arrival order),
+    # the batch twin (partition order), and the DuckDB oracle all
+    # produce bit-identical doubles — a plain double sum's last bits
+    # depend on accumulation order and can never be driver-hashed.
     return (
         ev.withWatermark("ts_ts", "2 hours")
         .groupBy(F.window("ts_ts", "1 hour"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("value_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
             "event_type",
@@ -182,7 +193,7 @@ def with_batch_mismatch(stream_out: DataFrame, batch_twin: DataFrame) -> DataFra
     the pytest twins assert it is 0.
     """
     mismatch = stream_out.exceptAll(batch_twin.select(*stream_out.columns)).count()
-    return stream_out.withColumn("batch_mismatch", F.lit(mismatch))
+    return stream_out.withColumn("batch_mismatch", F.lit(mismatch).cast("long"))
 
 
 def _num_input_rows(progress: object) -> int:
@@ -451,6 +462,130 @@ TICKER_TOTALS_SQL = """
 SELECT i % 8 AS bucket,
        COUNT(*) AS n_ticks,
        CAST(SUM(CAST((i * 37 % 1000) / 10.0 AS DECIMAL(28,6))) AS DOUBLE) AS value_total
+FROM range(0, 1000) t(i)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ------------------------------------------- driver oracles (r13)
+# The 10 streaming_* queries burned as rows-only driver records from
+# r5 through r12 (VERDICT r12 item 3). On BOUNDED input their final
+# tables ARE deterministic closed forms: the single-file source
+# delivers all rows in one micro-batch, the trailing no-data batch
+# advances the event-time watermark to floor_ms(max event time) - 2h
+# exactly once, and the append-mode stateful operators then emit
+# precisely the windows/rows whose event-time bound lies at or below
+# that watermark (verified empirically: the emitted/withheld boundary
+# at sf0.001 and sf0.01 sits exactly at window_end <= wm). Each
+# oracle replays that closed form in DuckDB — the batch aggregate
+# filtered by the watermark predicate — plus the constant
+# batch_mismatch = 0 column (the stream-vs-batch invariant the
+# pytest pins assert). The <= vs < distinction at EXACT equality is
+# unobservable on these corpora (the watermark carries the max ts's
+# milliseconds and never lands on a window boundary); the boundary
+# semantics themselves are pinned by the synthetic late-data tests.
+_WM_US = (
+    "(SELECT ((MAX(epoch_ns(ts) // 1000) // 1000) - 7200000) * 1000 "
+    "FROM events)"
+)
+
+STREAMING_TUMBLING_SQL = f"""
+WITH agg AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_epoch,
+         event_type,
+         COUNT(*) AS event_cnt,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type, event_cnt, value_sum,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM agg
+WHERE (window_start_epoch + 3600) * 1000000 <= {_WM_US}
+ORDER BY window_start_epoch, event_type
+"""
+
+STREAMING_SLIDING_SQL = f"""
+WITH agg AS (
+  SELECT ((epoch_ns(ts) // 1800000000000) - k) * 1800 AS window_start_epoch,
+         event_type,
+         COUNT(*) AS event_cnt
+  FROM events, unnest([0, 1]) AS t(k)
+  WHERE ((epoch_ns(ts) // 1800000000000) - k) * 1800 >= 0
+  GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type, event_cnt,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM agg
+WHERE (window_start_epoch + 3600) * 1000000 <= {_WM_US}
+ORDER BY window_start_epoch, event_type
+"""
+
+# session_window semantics: an event EXTENDS the session while its ts
+# is strictly inside [start, last + gap); a gap of exactly 30 min
+# starts a new session (half-open window). Session end = last + gap;
+# emitted once the watermark passes it.
+STREAMING_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), numbered AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), sess AS (
+  SELECT MIN(us) // 1000000 AS session_start_epoch,
+         user_id,
+         COUNT(*) AS n_events,
+         MAX(us) AS last_us
+  FROM numbered
+  GROUP BY user_id, sid
+)
+SELECT session_start_epoch, user_id, n_events,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM sess
+WHERE last_us + 1800000000 <= {_WM_US}
+ORDER BY session_start_epoch, user_id
+"""
+
+# Perfect dedup of the doubled source: per-type row count equals the
+# distinct-event count of the original table (event_id is globally
+# unique, so COUNT(DISTINCT event_id) = the deduped cardinality).
+STREAMING_DEDUP_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT event_id) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# Complete mode re-emits the full aggregate every trigger — the final
+# table equals the batch aggregate with no watermark withholding.
+STREAMING_COMPLETE_TOTALS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+STREAMING_PYTHON_SOURCE_SQL = """
+SELECT i % 8 AS bucket,
+       COUNT(*) AS n_ticks,
+       CAST(SUM(CAST((i * 37 % 1000) / 10.0 AS DECIMAL(28,6))) AS DOUBLE) AS value_total,
+       CAST(0 AS BIGINT) AS batch_mismatch
 FROM range(0, 1000) t(i)
 GROUP BY 1
 ORDER BY 1

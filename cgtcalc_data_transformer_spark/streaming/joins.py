@@ -249,3 +249,77 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id
                   AND p_us >= c_us AND p_us <= c_us + 3600000000
 ORDER BY click_id, purchase_id
 """
+
+
+# ------------------------------------------- driver oracles (r13)
+# Inner stream-stream interval join on bounded input: every matched
+# pair is emitted in the micro-batch where both sides are present
+# (no watermark withholding on the MATCH side), so the final table
+# equals the batch join exactly — the oracle is ATTRIBUTION_SQL plus
+# the constant mismatch column.
+STREAMING_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, purchase_id, c.user_id AS user_id,
+       c_us // 1000000 AS click_epoch,
+       p_us // 1000000 AS purchase_epoch,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p_us >= c_us AND p_us <= c_us + 3600000000
+ORDER BY click_id, purchase_id
+"""
+
+# LEFT OUTER: a click's NULL-purchase row is a negative claim the
+# engine asserts only at state eviction — when the JOINT watermark
+# (the MIN over both sides' per-operator watermarks, each
+# floor_ms(max side event time) - 2h; an empty or lagging side HOLDS
+# THE WATERMARK BACK — verified with a synthetic no-purchase corpus
+# where nothing ever evicts) has passed click_ts + 1h. The boundary
+# is strict (click_ts < wm - 1h emits; = does not), pinned by a
+# synthetic fixture with clicks at exact 100 s offsets.
+STREAMING_JOIN_OUTER_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT LEAST(
+    (SELECT ((MAX(c_us) // 1000) - 7200000) * 1000 FROM c),
+    (SELECT ((MAX(p_us) // 1000) - 7200000) * 1000 FROM p)
+  ) AS wm_us
+)
+SELECT click_id, purchase_id, c.user_id AS user_id,
+       c_us // 1000000 AS click_epoch,
+       p_us // 1000000 AS purchase_epoch,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+                  AND p_us >= c_us AND p_us <= c_us + 3600000000
+WHERE purchase_id IS NOT NULL
+   OR c_us + 3600000000 < (SELECT wm_us FROM wm)
+ORDER BY click_id, purchase_id
+"""
+
+# Stream-static join: stateless per-micro-batch enrichment — every
+# event emits, the final table equals the batch twin exactly.
+STREAMING_STATIC_ENRICH_SQL = """
+WITH dim AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 3 = 0 THEN 'gold'
+              WHEN user_id % 3 = 1 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       d.tier AS user_tier,
+       epoch_ns(e.ts) // 1000 // 1000000 AS event_epoch,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM events e JOIN dim d ON e.user_id = d.user_id
+ORDER BY e.event_id
+"""

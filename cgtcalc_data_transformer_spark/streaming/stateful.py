@@ -21,7 +21,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -31,7 +30,7 @@ OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("total_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_value_micros", LongType()),
         StructField("last_ts", LongType()),
     ]
 )
@@ -39,10 +38,30 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("cnt", LongType()),
-        StructField("val", DoubleType()),
+        StructField("val_micros", LongType()),
         StructField("last_ts", LongType()),
     ]
 )
+
+
+def _sum_micros(values) -> int:
+    """Σ of per-row micro-quantized values, exactly Spark's
+    ``CAST(value AS DECIMAL(28,6))`` rule: shortest round-trip
+    decimal repr of the double (``repr`` ≡ Java
+    ``BigDecimal.valueOf``), then HALF_UP at 6 places. Quantizing
+    PER ROW before an integer sum makes the total independent of
+    micro-batch arrival order AND bit-identical to the DuckDB
+    oracle's ``SUM(CAST(value AS DECIMAL(28,6)))`` — a float
+    accumulator's last bits depend on addition order and can never
+    be driver-hashed (the r13 gotcha that kept this query rows-only
+    through r12)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    six = Decimal("0.000001")
+    return sum(
+        int(Decimal(repr(float(v))).quantize(six, ROUND_HALF_UP).scaleb(6))
+        for v in values
+    )
 
 
 def _make_update_fn(evict_after_ms: int):
@@ -53,22 +72,22 @@ def _make_update_fn(evict_after_ms: int):
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            cnt, val, last_ts = state.get
+            cnt, val_micros, last_ts = state.get
         else:
-            cnt, val, last_ts = 0, 0.0, 0
+            cnt, val_micros, last_ts = 0, 0, 0
         for pdf in pdfs:
             cnt += len(pdf)
-            val += float(pdf["value"].sum())
+            val_micros += _sum_micros(pdf["value"])
             if len(pdf):
                 last_ts = max(last_ts, int(pdf["ts"].max()))
-        state.update((cnt, val, last_ts))
+        state.update((cnt, val_micros, last_ts))
         if evict_after_ms > 0:
             state.setTimeoutDuration(evict_after_ms)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "total_events": [cnt],
-                "total_value": [round(val, 6)],
+                "total_value_micros": [val_micros],
                 "last_ts": [last_ts],
             }
         )
@@ -112,13 +131,12 @@ def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
     result = (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "total_events", "total_value", "last_ts")
+        .select("user_id", "total_events", "total_value_micros", "last_ts")
     )
 
-    # Batch-twin pin (VERDICT r1 #6). Counts and last_ts must match
-    # exactly; total_value within 1e-6 — the stream accumulates the
-    # double sum in micro-batch arrival order, the batch twin in
-    # partition order, so the final bits can legitimately differ.
+    # Batch-twin pin (VERDICT r1 #6) — now EXACT on every column: the
+    # per-row micro-quantization (see _sum_micros) makes the stream's
+    # integer total equal the batch DECIMAL(28,6) sum bit-for-bit.
     from cgtcalc_data_transformer_spark.streaming.events import _batch_events
 
     twin = (
@@ -126,7 +144,9 @@ def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("b_events"),
-            F.round(F.sum("value"), 6).alias("b_value"),
+            (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("b_micros"),
             F.max("ts").alias("b_ts"),
         )
     )
@@ -136,9 +156,29 @@ def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
         | F.col("b_events").isNull()
         | (F.col("total_events") != F.col("b_events"))
         | (F.col("last_ts") != F.col("b_ts"))
-        | (F.abs(F.col("total_value") - F.col("b_value")) > 1e-6)
+        | (F.col("total_value_micros") != F.col("b_micros"))
     ).count()
-    return result.withColumn("batch_mismatch", F.lit(mismatch)).orderBy("user_id")
+    return (
+        result.withColumn("batch_mismatch", F.lit(mismatch).cast("long"))
+        .orderBy("user_id")
+    )
+
+
+# Final per-user state of the bounded stream = the batch aggregate
+# (update mode withholds nothing; the last update per user IS the
+# total). The integer-micros column replays Spark's double→DECIMAL
+# cast rule exactly (see _sum_micros).
+STREAMING_STATEFUL_SQL = """
+SELECT user_id,
+       COUNT(*) AS total_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+         AS total_value_micros,
+       MAX(epoch_ns(ts)) AS last_ts,
+       CAST(0 AS BIGINT) AS batch_mismatch
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
 
 
 # ----------------------------- transformWithStateInPandas (Spark 4)
@@ -164,25 +204,25 @@ def _tws_processor():
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
-                "totals", "cnt BIGINT, val DOUBLE, last_ts BIGINT"
+                "totals", "cnt BIGINT, val_micros BIGINT, last_ts BIGINT"
             )
 
         def handleInputRows(self, key, rows, timerValues):
             if self._totals.exists():
-                cnt, val, last_ts = self._totals.get()
+                cnt, val_micros, last_ts = self._totals.get()
             else:
-                cnt, val, last_ts = 0, 0.0, 0
+                cnt, val_micros, last_ts = 0, 0, 0
             for pdf in rows:
                 cnt += len(pdf)
-                val += float(pdf["value"].sum())
+                val_micros += _sum_micros(pdf["value"])
                 if len(pdf):
                     last_ts = max(last_ts, int(pdf["ts"].max()))
-            self._totals.update((cnt, val, last_ts))
+            self._totals.update((cnt, val_micros, last_ts))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "total_events": [cnt],
-                    "total_value": [round(val, 6)],
+                    "total_value_micros": [val_micros],
                     "last_ts": [last_ts],
                 }
             )
@@ -257,14 +297,16 @@ def streaming_tws_totals(spark, sf_dir: str) -> DataFrame:
     result = (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "total_events", "total_value", "last_ts")
+        .select("user_id", "total_events", "total_value_micros", "last_ts")
     )
     twin = (
         _batch_events(spark, sf_dir)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("b_events"),
-            F.round(F.sum("value"), 6).alias("b_value"),
+            (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("b_micros"),
             F.max("ts").alias("b_ts"),
         )
     )
@@ -274,6 +316,9 @@ def streaming_tws_totals(spark, sf_dir: str) -> DataFrame:
         | F.col("b_events").isNull()
         | (F.col("total_events") != F.col("b_events"))
         | (F.col("last_ts") != F.col("b_ts"))
-        | (F.abs(F.col("total_value") - F.col("b_value")) > 1e-6)
+        | (F.col("total_value_micros") != F.col("b_micros"))
     ).count()
-    return result.withColumn("batch_mismatch", F.lit(mismatch)).orderBy("user_id")
+    return (
+        result.withColumn("batch_mismatch", F.lit(mismatch).cast("long"))
+        .orderBy("user_id")
+    )

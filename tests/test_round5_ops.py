@@ -38,7 +38,7 @@ def test_no_other_registry_query_empty_at_its_scale(spark):
     Streaming entries are exercised by their own tests."""
     from cgtcalc_data_transformer_spark import registry
 
-    slow_or_streaming = set(registry._STREAMING_ROWS_ONLY) | {
+    slow_or_streaming = set(registry._STREAMING_ENGINE_RUNS) | {
         # quadratic calibration composition — minutes at sf0.01;
         # its non-emptiness is pinned by test_dedup_lsh_quality
         "dedup_lsh_quality",

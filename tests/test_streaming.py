@@ -71,8 +71,11 @@ def test_stream_stream_join_matches_batch(spark):
 
 
 def test_streaming_stateful_matches_batch_totals(spark):
+    """r13: the stream accumulates per-row micro-quantized integers
+    (stateful._sum_micros replays Spark's double→DECIMAL(28,6) cast),
+    so the totals are EXACTLY the batch decimal sum — no tolerance."""
     got = {
-        r.user_id: (r.total_events, r.total_value)
+        r.user_id: (r.total_events, r.total_value_micros)
         for r in streaming_stateful_totals(spark, SF).collect()
     }
     want = {
@@ -81,14 +84,13 @@ def test_streaming_stateful_matches_batch_totals(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias("val"),
+            (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("val"),
         )
         .collect()
     }
-    assert set(got) == set(want)
-    for uid, (cnt, _val) in want.items():
-        assert got[uid][0] == cnt
-        assert abs(got[uid][1] - _val) < 1e-6
+    assert got == want
 
 
 def test_batch_mismatch_pins_are_zero(spark):
