@@ -474,10 +474,17 @@ _COMPACT_KEYS = (
 # host drift from code cost (tools/scaling_notes_r10/r11.md). The
 # trio spans the stack: scan+agg (q1), shuffle-join chain (minhash
 # LSH), expression-heavy sketch (CMS).
+# Pins rotated with BENCH_BASELINE at r13 (VERDICT r12 item 4): the
+# baseline is now the r13 quiet-host run on THIS host generation
+# (tools/scaling_notes_r13.md: the previous generation executed
+# expression-heavy codegen ~2x faster relative to scans, so the trio
+# deliberately spans the classes and the start/mid/end band shows the
+# spread). Values are the baseline session's HEADLINE-loop readings
+# (deep-session steady state), matching the per-mode methodology.
 CALIBRATORS = {
-    "q1_pricing_summary": 0.833,
-    "dedup_minhash_lsh": 0.474,
-    "cms_heavy_hitters": 0.588,
+    "q1_pricing_summary": 0.871,
+    "dedup_minhash_lsh": 0.604,
+    "cms_heavy_hitters": 1.216,
 }
 
 # Operators whose heavy work (iterative training collects, index
