@@ -157,6 +157,45 @@ def test_bench_errors_default_zero():
     assert parsed["n_errors"] == 0
 
 
+def test_drift_band_from_start_mid_end_readings():
+    """host_factor_band = [min, max] of the per-phase geomean factors
+    — the width is the intra-session (and workload-class) spread the
+    r12 verdict showed a single start-of-session factor cannot
+    represent."""
+    bench = _load_bench()
+    pins = bench.CALIBRATORS
+    drift = {
+        "start": {n: v * 2.0 for n, v in pins.items()},  # factor 2.0
+        "mid": {n: v * 1.0 for n, v in pins.items()},    # factor 1.0
+        "end": {n: v * 1.5 for n, v in pins.items()},    # factor 1.5
+    }
+    payload = bench.build_payload(
+        {"q1": 1.0}, {}, 0.1, {"q1": 1.0}, calibrator_drift=drift
+    )
+    assert payload["host_factor_band"] == [1.0, 2.0]
+    # an incomplete phase reading contributes nothing (never a crash)
+    drift["mid"] = {"q1_pricing_summary": 1.0}
+    payload = bench.build_payload(
+        {"q1": 1.0}, {}, 0.1, {"q1": 1.0}, calibrator_drift=drift
+    )
+    assert payload["host_factor_band"] == [1.5, 2.0]
+    payload = bench.build_payload({"q1": 1.0}, {}, 0.1, {"q1": 1.0})
+    assert payload["host_factor_band"] is None
+
+
+def test_cache_fronted_rides_detail_not_line():
+    """The cache-fronted list is a detail-file field (it can be 50+
+    names); the compact line must not carry it."""
+    bench = _load_bench()
+    timings = {"q1": 1.0}
+    payload = bench.build_payload(
+        timings, {}, 0.1, {"q1": 9.0}, cache_fronted=["q1"]
+    )
+    assert payload["cache_fronted"] == ["q1"]
+    line = bench.compact_line(payload, timings)
+    assert "cache_fronted" not in json.loads(line)
+
+
 def test_calibrators_pinned_to_frozen_baseline():
     """The calibrator trio's reference times must BE the frozen
     BENCH_BASELINE values (host_factor is measured/baseline — a
