@@ -109,25 +109,60 @@ ORDER BY keep_doc_id
 # ----------------------------------------------- exact n-gram Jaccard
 def _pair_overlap(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """(doc_a, doc_b, inter, n_a, n_b) exact integer overlap stats
-    for given pairs via exploded-row intersection counts (no arrays;
-    zero-overlap pairs get inter = 0)."""
-    sizes = shingle_sizes(shingles)
-    inter = (
-        pairs.join(
-            shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    for given pairs via per-doc shingle SETS and ``array_intersect``
+    (zero-overlap pairs get inter = 0 from the empty intersection).
+
+    Shape (r14 rewrite — VERDICT r13 item 1): the old formulation
+    joined ``pairs`` against the exploded shingle rows and hash-
+    aggregated the intersections, shuffling |pairs| × avg_shingles
+    rows (measured 211M rows for 3.1M sf1 candidates → the one
+    super-linear sweep entry, 9.4× wall at 10× data, spilling through
+    any partition count). This plan instead aggregates shingles once
+    into one bounded set-valued row per doc (set size ≤ doc token
+    count by construction, ~52 here) and equality-joins ``pairs`` to
+    those rows twice; the intersection is computed per pair row
+    JVM-side with no re-shuffle or re-aggregation. Shuffle volume is
+    |pairs| + 2·|docs| rows — linear in candidates, not candidates ×
+    shingles. Arrays never reach driver output (driver-output rule).
+
+    Exactness: shingle rows are DISTINCT per doc (shingle_rows), so
+    size(collect_set) == the old count(*) and size(array_intersect)
+    is the exact set-intersection cardinality.
+    """
+    sets = (
+        shingles.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+        .withColumn("n_sh", F.size("sh_set"))
     )
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .withColumn("inter", F.coalesce("inter", F.lit(0)))
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        pairs.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh_set").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh_set").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            # cast to long: the pre-r14 formulation produced count(*)
+            # longs and downstream integer expressions must not change
+            # type (driver schema hash, `div` semantics)
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
     )
 
 
@@ -266,8 +301,12 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: shingles → df counts (one agg) → per-doc rank window
     (partitioned by doc_id) → prefix filter → equality join on
-    shingle → distinct pairs → exploded-intersection verify. No
-    doc×doc product anywhere; every join is an equality join.
+    shingle → pair dedup + PPJoin positional filter (one agg) →
+    set-array verify (_pair_overlap: two equality joins against
+    per-doc shingle sets, per-row array_intersect). No doc×doc
+    product anywhere; every join is an equality join, and the r13
+    super-linear verify explode (|cands| × avg_shingles shuffled
+    rows) is gone — verify shuffles |cands| + 2·|docs| rows.
     """
     cands, shingles = _prefix_candidates(spark, sf_dir)
     return _jaccard_for_pairs(
@@ -300,7 +339,7 @@ def _prefix_candidates(
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "shingle", "df", "rnk", "n_sh")
     # length filter (also lossless): jaccard(A,B) >= t requires
     # t*|A| <= |B| <= |A|/t, so size-mismatched prefix collisions are
     # dropped BEFORE the distinct/verify stages (the other half of the
@@ -321,9 +360,48 @@ def _prefix_candidates(
             ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.struct(
+                F.col("a.df").alias("df"),
+                F.col("a.shingle").alias("shingle"),
+                F.col("a.rnk").alias("rnk_a"),
+                F.col("b.rnk").alias("rnk_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            ).alias("tok"),
         )
-        .distinct()
+        # PPJoin positional filter (Xiao et al., WWW'08 §3.2), folded
+        # into the dedup that used to be a plain .distinct() — same
+        # shuffle, vastly fewer survivors. min(struct) under the
+        # (df, shingle) rank order picks each pair's globally FIRST
+        # common shingle s*; every common shingle of the pair sorts
+        # >= s*, so inter <= min(n_a - rnk_a + 1, n_b - rnk_b + 1).
+        # jaccard >= t forces inter >= t/(1+t)·(n_a+n_b), so pairs
+        # whose positional upper bound misses that overlap floor can
+        # be dropped LOSSLESSLY before verification. s* is provably
+        # visible to this prefix-only join for every qualifying pair:
+        # AllPairs guarantees SOME common shingle inside both
+        # prefixes, and s* sorts <= it, hence sits inside both
+        # prefixes too. Multiply form keeps the predicate exact for
+        # t = 0.5 (power of two, integer operands < 2^53) — same
+        # discipline as _jaccard_for_pairs. Measured at sf1: 3.10M
+        # candidate pairs -> 1.25M verified inputs (and the count
+        # still scales exactly 10.0x vs sf0.1's 125k, so the filter
+        # stays scale-correct); with the set-array verify this takes
+        # the sweep row from 9.4x wall at 10x data to ~3.6x
+        # (tools/scaling_notes_r14.md).
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("tok").alias("m"))
+        .filter(
+            (F.lit(1.0) + F.lit(JACCARD_THRESHOLD))
+            * F.least(
+                F.col("m.n_a") - F.col("m.rnk_a") + 1,
+                F.col("m.n_b") - F.col("m.rnk_b") + 1,
+            )
+            >= F.lit(JACCARD_THRESHOLD) * (F.col("m.n_a") + F.col("m.n_b"))
+        )
+        .select("doc_a", "doc_b")
     )
     return cands, shingles
 
