@@ -481,11 +481,40 @@ _COMPACT_KEYS = (
 # deliberately spans the classes and the start/mid/end band shows the
 # spread). Values are the baseline session's HEADLINE-loop readings
 # (deep-session steady state), matching the per-mode methodology.
+# r14 pin rotation: the shuffle-class calibrator was
+# dedup_minhash_lsh, whose verify path (_pair_overlap) was rewritten
+# in r14 — a frozen pin over changed code would bias host_factor, so
+# the slot moved to q18_large_orders (join+groupBy chain, code
+# untouched since the baseline run; value = the baseline session's
+# headline reading).
 CALIBRATORS = {
     "q1_pricing_summary": 0.871,
-    "dedup_minhash_lsh": 0.604,
+    "q18_large_orders": 0.679,
     "cms_heavy_hitters": 1.216,
 }
+
+# Workload class each calibrator represents (VERDICT r13 item 2: host
+# drift is class-shaped — scan ~1.0x vs expression ~2.1x across VM
+# generations — so the regression contract normalizes each query by
+# ITS class's calibrator factor, not the scalar geomean). Per-query
+# classes are assigned empirically from cross-generation drift by
+# tools/assign_query_classes.py into bench_query_classes.json.
+CALIBRATOR_CLASS = {
+    "q1_pricing_summary": "scan",
+    "q18_large_orders": "shuffle",
+    "cms_heavy_hitters": "expression",
+}
+
+
+def load_query_classes() -> dict[str, str]:
+    """Committed per-query class map (empty if not generated)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_query_classes.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)["classes"]
+    except Exception:  # noqa: BLE001 — classes are an overlay
+        return {}
 
 # Operators whose heavy work (iterative training collects, index
 # builds, partitioned-layout writes) runs at PLAN-BUILD time, so the
@@ -644,6 +673,22 @@ def build_payload(timings: dict[str, float], skew: dict[str, float],
         # the session-start geomean (VERDICT r12 item 2).
         "calibrator_drift": calibrator_drift or {},
         "host_factor_band": band,
+        # per-CLASS host factors (VERDICT r13 item 2): measured /
+        # pinned-baseline per calibrator, keyed by its workload class.
+        # The regression contract divides each query by ITS class's
+        # factor (query_class below; scalar host_factor is the
+        # fallback for unassigned queries) so a scan-class regression
+        # can't hide behind an expression-class-inflated geomean.
+        "host_factor_by_class": (
+            {
+                CALIBRATOR_CLASS[c]: round(t / CALIBRATORS[c], 3)
+                for c, t in (calibrators or {}).items()
+                if c in CALIBRATOR_CLASS and CALIBRATORS.get(c)
+            }
+            if host_factor is not None
+            else {}
+        ),
+        "query_class": load_query_classes(),
         # queries whose min-of-3 reran against a CacheManager-served
         # InMemoryTableScan (fresh plans match the cached logical
         # plan): their honest first-ever cost is cold_first_run, and

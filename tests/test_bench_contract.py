@@ -90,8 +90,24 @@ def test_no_silent_bench_regression_vs_baseline():
         base_detail = json.load(fh)
     with open(os.path.join(root, "BENCH_DETAIL.json")) as fh:
         cur_detail = json.load(fh)
+    offenders = _regression_offenders(base_detail, cur_detail)
+    assert not offenders, f"bench regressions vs baseline: {offenders}"
+
+
+def _regression_offenders(base_detail, cur_detail):
+    """Shared contract core, also exercised by the synthetic red-case
+    test below. Normalization is PER WORKLOAD CLASS (VERDICT r13 item
+    2): host drift is class-shaped (scan ~1.0x vs expression ~2.1x
+    across VM generations), so each query divides by ITS class's
+    calibrator factor (host_factor_by_class + query_class in the
+    detail, emitted by bench.build_payload); queries without a class
+    assignment fall back to the scalar geomean host_factor."""
     hf = cur_detail.get("host_factor") or 1.0
     assert 0.3 < hf < 3.0, f"host_factor {hf} outside sane band"
+    by_class = cur_detail.get("host_factor_by_class") or {}
+    qclass = cur_detail.get("query_class") or {}
+    for c, f in by_class.items():
+        assert 0.3 < f < 3.0, f"class factor {c}={f} outside sane band"
     fronted = set(cur_detail.get("cache_fronted") or [])
 
     def eff(detail, name):
@@ -107,12 +123,37 @@ def test_no_silent_bench_regression_vs_baseline():
     # their timings are stable enough that 1.6x is a plan change.
     offenders = {}
     for n in base_q.keys() & cur_q.keys():
-        b, c = eff(base_detail, n), eff(cur_detail, n) / hf
+        hf_n = by_class.get(qclass.get(n), hf)
+        b, c = eff(base_detail, n), eff(cur_detail, n) / hf_n
         if (b > 0.5 and c > b * 2.5) or (b > 1.5 and c > b * 1.6):
-            offenders[n] = (b, round(c, 3), cur_q[n])
-    assert not offenders, (
-        f"bench regressions vs baseline (host_factor {hf}): {offenders}"
-    )
+            offenders[n] = (b, round(c, 3), cur_q[n], qclass.get(n))
+    return offenders
+
+
+def test_per_class_normalization_catches_masked_regression():
+    """Synthetic red case (VERDICT r13 item 2): on a host whose
+    expression class runs 2x slow, the scalar geomean factor (~1.26)
+    would normalize a genuinely-2x-regressed scan query back to 1.6x
+    and let the 2.5x tier pass it; the per-class factor (scan = 1.0)
+    must flag it. Also asserts the healthy expression query does NOT
+    flag under its own class factor (no false positive from the same
+    detail)."""
+    base = {"queries": {"scan_q": 1.0, "expr_q": 1.0}}
+    cur = {
+        "queries": {"scan_q": 2.6, "expr_q": 2.0},
+        # geomean(1.0, 2.0) ~ 1.414 -> scan_q normalizes to 1.84x
+        # (passes 2.5x) under the scalar; expr_q to 1.41x.
+        "host_factor": 1.414,
+        "host_factor_by_class": {"scan": 1.0, "expression": 2.0},
+        "query_class": {"scan_q": "scan", "expr_q": "expression"},
+    }
+    # scalar-only view (strip the class fields): masked
+    scalar_cur = {k: v for k, v in cur.items()
+                  if k not in ("host_factor_by_class", "query_class")}
+    assert _regression_offenders(base, scalar_cur) == {}
+    # per-class view: the scan regression is caught, expr stays green
+    offenders = _regression_offenders(base, cur)
+    assert set(offenders) == {"scan_q"}, offenders
 
 
 def test_bench_line_floor_keep_zero_fits():
