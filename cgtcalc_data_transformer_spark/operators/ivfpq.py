@@ -624,19 +624,48 @@ def ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODES_LOCK_FH = None  # module-held: the flock lives as long as we do
+_CODES_PATH: str | None = None  # memoized — must not change mid-process
+
+
 def ivfpq_codes_path() -> str:
-    """Fixed scratch dir for the cell-partitioned code table, reused
-    with overwrite semantics across runs and processes — the per-PID
-    variant accumulated one orphan codes_by_cell tree per bench/test
-    session in tempdir (ADVICE r12). Single-process test/bench usage
-    makes the shared path safe; concurrent writers would need a real
-    warehouse path anyway."""
+    """Scratch dir for the cell-partitioned code table, reused with
+    overwrite semantics across runs (the per-PID variant accumulated
+    one orphan codes_by_cell tree per session in tempdir, ADVICE r12).
+    The fixed path is guarded against CONCURRENT writers (ADVICE r13:
+    a bench run racing a pytest run would corrupt the overwrite): the
+    first caller in a process takes a non-blocking flock on a
+    uid-keyed lockfile and keeps it for the process lifetime; if
+    another live process holds it, this process falls back to a
+    private per-PID dir registered for atexit cleanup — no orphans,
+    no shared-overwrite race. The decision is memoized so the path
+    never flips between writes and reads within one process."""
+    global _CODES_LOCK_FH, _CODES_PATH
+    if _CODES_PATH is not None:
+        return _CODES_PATH
     import os
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(), "spark_ivfpq_scratch", "codes_by_cell"
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_ivfpq_scratch_uid{os.getuid()}"
     )
+    os.makedirs(base, exist_ok=True)
+    import fcntl
+
+    fh = open(os.path.join(base, ".writer.lock"), "w")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        _CODES_LOCK_FH = fh  # hold for process lifetime
+        _CODES_PATH = os.path.join(base, "codes_by_cell")
+    except OSError:  # another live process owns the shared dir
+        fh.close()
+        import atexit
+        import shutil
+
+        private = os.path.join(base, f"pid{os.getpid()}")
+        atexit.register(shutil.rmtree, private, ignore_errors=True)
+        _CODES_PATH = os.path.join(private, "codes_by_cell")
+    return _CODES_PATH
 
 
 def ivfpq_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -908,6 +908,15 @@ def _fs_em(counts: list[tuple[int, int, int, int]]) -> tuple[int, list[int], lis
             for j in range(3):
                 tg[j] += t * gs[j]
                 sg[j] += s * gs[j]
+        # degenerate-input guard (ADVICE r13): if every per-pattern
+        # weight rounds to 0 (or to the full n·1e6), t_sum/s_sum hits
+        # 0 and the division raises — clamp to 1 here AND in the
+        # unrolled SQL twin (GREATEST(..., 1) in agg{it}) so both
+        # engines degrade identically instead of ZeroDivisionError
+        # vs inf/NaN. The pinned corpus never triggers it (both sums
+        # >= 1 at every iteration), so green rows are unaffected.
+        t_sum = max(1, t_sum)
+        s_sum = max(1, s_sum)
         p_n = clamp(math.floor(t_sum / (n_total * 1e6) * 1e9 + 0.5))
         m_n = [clamp(math.floor(tg[j] / t_sum * 1e9 + 0.5)) for j in range(3)]
         u_n = [clamp(math.floor(sg[j] / s_sum * 1e9 + 0.5)) for j in range(3)]
@@ -1028,8 +1037,8 @@ WITH dirty AS (
            * 1e6 + 0.5) AS BIGINT) AS t
   FROM pat CROSS JOIN {prev} q
 ), agg{it} AS (
-  SELECT CAST(SUM(t) AS BIGINT) AS t_sum,
-         CAST(SUM(n_pairs * 1000000 - t) AS BIGINT) AS s_sum,
+  SELECT GREATEST(CAST(SUM(t) AS BIGINT), 1) AS t_sum,
+         GREATEST(CAST(SUM(n_pairs * 1000000 - t) AS BIGINT), 1) AS s_sum,
          CAST(SUM(t * g_lev) AS BIGINT) AS tg1,
          CAST(SUM(t * g_suffix) AS BIGINT) AS tg2,
          CAST(SUM(t * g_len) AS BIGINT) AS tg3,

@@ -43,8 +43,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
+        # integer `div`: /1000 in double loses ulps above 2^53 and can
+        # floor 1 µs low — the streaming watermark oracles read ts_ts
+        # at ms precision, so the derivation must be exact integer
+        # arithmetic (ADVICE r13; same fix in streaming/events.py).
         df = df.withColumn(
-            "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts_ts", F.expr("timestamp_micros(ts div 1000)")
         )
     else:  # future-proof: data regenerated with micros
         df = df.withColumn("ts_ts", F.col("ts").cast("timestamp")).withColumn(

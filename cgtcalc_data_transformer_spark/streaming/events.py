@@ -86,8 +86,14 @@ def _event_stream(spark: SparkSession, source: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(path)
         )
+        # integer `div`, NOT `/1000` + cast: the double division on
+        # ~1.7e18 ns values (above 2^53) can floor 1 µs low, and the
+        # r13 watermark oracles consume ts_ts at ms precision — a max
+        # event time on an exact ms boundary would shift the floor-ms
+        # watermark 1 ms below the oracle's exact integer epoch_ns//
+        # 1000 and flip boundary emissions (ADVICE r13).
         return raw.withColumn(
-            "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts_ts", F.expr("timestamp_micros(ts div 1000)")
         )
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA_TS)

@@ -290,10 +290,24 @@ WITH c AS (
   SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
   FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  SELECT LEAST(
-    (SELECT ((MAX(c_us) // 1000) - 7200000) * 1000 FROM c),
-    (SELECT ((MAX(p_us) // 1000) - 7200000) * 1000 FROM p)
-  ) AS wm_us
+  -- DuckDB LEAST IGNORES NULLs (unlike the joint-watermark MIN it
+  -- models): on a corpus where one side is EMPTY, that side's MAX is
+  -- NULL and a bare LEAST would fall through to the other side's
+  -- watermark and emit null-purchase rows — but Spark's joint
+  -- watermark stays pinned at 0 by the empty side and emits NOTHING
+  -- (tests/test_streaming_watermark_boundary.py:
+  -- test_empty_purchase_side_holds_watermark_at_zero). Guard the
+  -- empty-side case to NULL explicitly; the null-emission predicate
+  -- below is then NULL -> false, matching the hold-back semantics
+  -- (ADVICE r13).
+  SELECT CASE
+    WHEN (SELECT COUNT(*) FROM c) = 0 OR (SELECT COUNT(*) FROM p) = 0
+    THEN NULL
+    ELSE LEAST(
+      (SELECT ((MAX(c_us) // 1000) - 7200000) * 1000 FROM c),
+      (SELECT ((MAX(p_us) // 1000) - 7200000) * 1000 FROM p)
+    )
+  END AS wm_us
 )
 SELECT click_id, purchase_id, c.user_id AS user_id,
        c_us // 1000000 AS click_epoch,

@@ -84,3 +84,45 @@ def test_null_emission_boundary_is_strict_wm_minus_interval(spark):
     # joint wm = min(T−7000s, T) − 2h = T−14200s; boundary = wm−1h = T−17800s
     assert emitted == set(range(17_900, 20_001, 100)), sorted(emitted)[:5]
     assert 17_800 not in emitted  # exactly at the boundary: withheld
+
+
+def test_oracle_sql_matches_empty_side_holdback():
+    """ADVICE r13: DuckDB's LEAST ignores NULLs, so the pre-guard
+    oracle emitted null-purchase rows on a no-purchase corpus while
+    the engine (pinned above) holds the joint watermark at 0 and
+    emits nothing. The guarded STREAMING_JOIN_OUTER_SQL must return
+    ZERO rows on the same degenerate corpus — and stay non-degenerate
+    (emitting the boundary rows) when a purchase exists."""
+    import duckdb
+
+    from cgtcalc_data_transformer_spark.streaming.joins import (
+        STREAMING_JOIN_OUTER_SQL,
+    )
+
+    def run(rows):
+        d = _write_events(rows, "oracle_guard")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{os.path.join(d, 'events.parquet')}')"
+        )
+        return con.execute(STREAMING_JOIN_OUTER_SQL).df()
+
+    no_purchase = [
+        (i + 1, T_US - off * 1_000_000, i + 1, "click", 1.0, "{}")
+        for i, off in enumerate(range(7_000, 20_001, 1_000))
+    ]
+    no_purchase.append((99, T_US, 9_999, "view", 1.0, "{}"))
+    assert len(run(no_purchase)) == 0
+
+    with_purchase = list(no_purchase)
+    with_purchase.append((100, T_US, 500_000, "purchase", 1.0, "{}"))
+    out = run(with_purchase)
+    # joint wm = min(T-7000s, T) - 2h = T-14200s; nulls iff
+    # click_ts < wm - 1h = T-17800s (strict)
+    emitted = {
+        T_US // 1_000_000 - int(r.click_epoch)
+        for r in out.itertuples()
+        if pd.isna(r.purchase_id)
+    }
+    assert emitted == {18_000, 19_000, 20_000}, emitted
