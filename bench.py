@@ -550,6 +550,12 @@ BUILD_TIME_NOTES = {
         "timed = pair generation + pattern aggregation + literal-"
         "param posterior projection."
     ),
+    "tokenizer_fertility_audit": (
+        "BPE merge learning (the _learn_bpe_rules top-1 collects) "
+        "runs at plan-build (r14: fertility now measures the learned "
+        "tokenizer); timed = the word-stream merge application + "
+        "per-language rollup."
+    ),
 }
 
 

@@ -565,8 +565,12 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_sql() -> str:
-    # learning prefix: identical recurrence to BPE_MERGES_SQL
+def bpe_learn_prefix_ctes() -> str:
+    """The shared DuckDB learning prefix (words → sym0 → top1..topR):
+    every oracle that consumes the LEARNED merges (bpe_apply, the r14
+    tokenizer_fertility_audit) re-derives the identical top{r} rule
+    tables from this one recurrence instead of smuggling literals —
+    the hash match then covers learning AND application end-to-end."""
     sql = r"""
 WITH words AS MATERIALIZED (
   SELECT w, COUNT(*) AS cnt
@@ -596,6 +600,12 @@ WITH words AS MATERIALIZED (
   FROM {prev} CROSS JOIN top{r} t
 )"""
         prev = f"sym{r}"
+    return sql
+
+
+def _bpe_apply_sql() -> str:
+    # learning prefix: identical recurrence to BPE_MERGES_SQL
+    sql = bpe_learn_prefix_ctes()
     # application: per-document word stream through the same rules
     sql += r"""
 , dw AS (

@@ -123,25 +123,60 @@ def test_confident_learning_matches_naive(spark):
 
 
 # --------------------------------------------- tokenizer fertility
+def _naive_bpe_tokens(word: str, rules) -> int:
+    """Textbook greedy BPE application: per rule in learned order,
+    merge leftmost non-overlapping adjacent (a, b) occurrences."""
+    syms = list(word)
+    for _, a, b, merged, _ in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
 def test_tokenizer_fertility_matches_naive(spark):
+    """r14: fertility now measures the repo's own LEARNED BPE
+    tokenizer (VERDICT r13 item 4) over the tokens_col-normalized
+    word stream; the old fixed-chunk stand-in survives as the
+    explicitly labelled fertility_chunk_micro column. The naive twin
+    re-applies the learned rules with the textbook per-word greedy
+    merge loop — independent of the regex formulation."""
+    import re
+
+    from cgtcalc_data_transformer_spark.operators.corpus_lm import (
+        _learn_bpe_rules,
+    )
+
+    rules = _learn_bpe_rules(spark, SF)
     docs = load_table(spark, SF, "documents").select("lang", "text").collect()
-    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, chars, tokens
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs,words,chars,bpe,chunk
     for r in docs:
-        words = [w for w in r.text.split(" ") if w]
+        norm = re.sub(r"[^a-zA-Z0-9 ]", " ", r.text).lower()
+        words = [w for w in re.split(r"\s+", norm) if w]
         a = agg[r.lang]
         a[0] += 1
         a[1] += len(words)
         a[2] += sum(len(w) for w in words)
-        a[3] += sum(
+        a[3] += sum(_naive_bpe_tokens(w, rules) for w in words)
+        a[4] += sum(
             (len(w) + s13.SUBWORD_LEN - 1) // s13.SUBWORD_LEN for w in words
         )
     got = {r.lang: r for r in s13.tokenizer_fertility_audit(spark, SF).collect()}
     assert set(got) == set(agg)
-    for lang, (nd, nw, nc, nt) in agg.items():
+    for lang, (nd, nw, nc, nt, nchunk) in agg.items():
         r = got[lang]
         assert (r.n_docs, r.n_words, r.n_tokens) == (nd, nw, nt)
-        assert r.fertility_micro == nt * MICRO // nw
-        assert r.chars_per_token_micro == nc * MICRO // nt
+        assert r.fertility_micro == nt * MICRO // max(nw, 1)
+        assert r.chars_per_token_micro == nc * MICRO // max(nt, 1)
+        assert r.fertility_chunk_micro == nchunk * MICRO // max(nw, 1)
+        # the learned tokenizer must actually compress vs characters
+        assert nt < nc
 
 
 # --------------------------------------------------- daily grid
