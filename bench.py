@@ -370,6 +370,7 @@ HEADLINE: dict[str, str] = {
     # join + per-query top-k (resp. + the exact-baseline audit join).
     "pq_ann": "collect",
     "pq_recall_audit": "collect",
+    "pq_m_sweep": "collect",
     "weighted_sample_per_group": "collect",
     "simjoin_prefix_summary": "collect",
     # round-11 stats/graph/corpus panel — all bounded-row results
@@ -539,6 +540,10 @@ BUILD_TIME_NOTES = {
     "pq_ann": "PQ training collects at plan-build; timed = serving path.",
     "pq_recall_audit": (
         "PQ training collects at plan-build; timed = serving + audit."
+    ),
+    "pq_m_sweep": (
+        "three per-m Lloyd trainings collect at plan-build; timed = "
+        "the three encode+ADC scans + shared exact baseline + rollup."
     ),
     "platt_scaling": "bin-stats collect at plan-build.",
     "ivfpq_nprobe_sweep": (

@@ -34,7 +34,11 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cgtcalc_data_transformer_spark.operators.similarity import _as_double, dot_expr
+from cgtcalc_data_transformer_spark.operators.similarity import (
+    _as_double,
+    dot_expr,
+    lit_double_array,
+)
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
 KMEANS_K = 8
@@ -58,7 +62,7 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
             F.struct(
                 F.round(
                     vv
-                    - 2.0 * dot_expr(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                    - 2.0 * dot_expr(F.col("v"), lit_double_array(c))
                     + F.lit(sum(x * x for x in c)),
                     6,
                 ).alias("d2"),
@@ -311,7 +315,7 @@ def semdedup_embedding(
         *[
             F.struct(
                 dot_expr(
-                    F.col("v"), F.array(*[F.lit(x) for x in chat])
+                    F.col("v"), lit_double_array(chat)
                 ).alias("cos"),
                 F.lit(-i).alias("ni"),
             )
@@ -327,7 +331,7 @@ def semdedup_embedding(
     subkey = F.lit(0).cast("long")
     for h, p in enumerate(planes):
         subkey = subkey + (
-            dot_expr(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0
+            dot_expr(F.col("v"), lit_double_array(p)) > 0
         ).cast("long") * F.lit(1 << h)
     assigned = emb.select(
         "vec_id",

@@ -1096,8 +1096,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     was the one scale-killer in the repo — replaced per VERDICT r1.
     """
     from cgtcalc_data_transformer_spark.operators.similarity import (
-        cosine_expr,
+        cosine_expr_unrolled,
         dot_expr,
+        lit_double_array,
     )
 
     planes = _emb_hyperplanes()
@@ -1105,16 +1106,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
 
+    # r14 plan shape (same values, adjudication of the 6.2x sf1 sweep
+    # row): (1) the bucket self-join and pair dedup carry IDS ONLY —
+    # the 64-double vectors rejoin for the exact-cosine verify (the
+    # _pair_overlap discipline), whose cosine is UNROLLED codegen
+    # (bit-identical summation order — similarity.dot_expr_unrolled).
+    # The 96 bucket projections deliberately STAY in the compact HOF
+    # form: unrolling them too was measured 2x faster per stage in
+    # isolation, but the ~12k-node tree duplicated across the
+    # self-join branches sent Catalyst optimization time to minutes —
+    # driver-side plan cost is part of the scale budget too.
     def bucket_expr(v, table_planes):
         b = F.lit(0)
         for i, p in enumerate(table_planes):
-            proj = dot_expr(v, F.array(*[F.lit(x) for x in p]))
+            proj = dot_expr(v, lit_double_array(p))
             b = b + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
         return b
 
     bucketed = emb.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -1126,14 +1136,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "v", "tb.table_idx", "tb.bucket")
+    ).select("vec_id", "tb.table_idx", "tb.bucket")
 
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "table_idx", "bucket"
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "table_idx", "bucket"
-    )
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "table_idx", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "table_idx", "bucket")
     pairs = (
         a.join(b, ["table_idx", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -1141,8 +1147,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact cosine so each candidate is scored once
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    verify = pairs.join(
+        emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+        "vec_a",
+    ).join(
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+        "vec_b",
+    )
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        verify.withColumn(
+            "cosine", F.round(cosine_expr_unrolled(F.col("va"), F.col("vb")), 6)
+        )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cgtcalc_data_transformer_spark.operators.similarity import (
     _as_double,
     dot_expr,
+    lit_double_array,
     norm_expr,
 )
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
@@ -767,7 +768,7 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dp2 = None
     for row in JL_SIGNS:
-        r = F.array(*[F.lit(x) for x in row])
+        r = lit_double_array(row)
         term = dot_expr(F.col("va"), r) - dot_expr(F.col("vb"), r)
         term2 = term * term
         dp2 = term2 if dp2 is None else dp2 + term2

@@ -78,6 +78,7 @@ from cgtcalc_data_transformer_spark.operators.similarity import (
     _ivf_centroids,
     _sql_array,
     dot_expr,
+    lit_double_array,
 )
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
@@ -108,7 +109,7 @@ def _ivfpq_init() -> Codebook:
 
 def _nc_lit():
     return F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in _norm_centroids()]
+        *[lit_double_array(c) for c in _norm_centroids()]
     )
 
 

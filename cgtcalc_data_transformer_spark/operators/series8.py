@@ -20,6 +20,9 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from cgtcalc_data_transformer_spark.operators.similarity import (
+    lit_double_array,
+)
 from cgtcalc_data_transformer_spark.operators.timeseries import (
     _GRID_SQL,
     _daily_grid,
@@ -182,8 +185,8 @@ def periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = _daily_grid(spark, sf_dir).cache()
     out = None
     for p in PG_PERIODS:
-        wc = F.array(*[F.lit(v) for v in _PG_COS[p]])
-        ws = F.array(*[F.lit(v) for v in _PG_SIN[p]])
+        wc = lit_double_array(_PG_COS[p])
+        ws = lit_double_array(_PG_SIN[p])
         idx = (F.col("d") % p + 1).cast("int")
         agg = grid.groupBy("event_type").agg(
             F.sum(F.col("y") * F.element_at(wc, idx)).alias("c"),

@@ -29,6 +29,9 @@ from cgtcalc_data_transformer_spark.operators.embedding_ops import (
     _nearest_centroid_scores,
 )
 from cgtcalc_data_transformer_spark.operators.events import SESSION_GAP_NS
+from cgtcalc_data_transformer_spark.operators.similarity import (
+    lit_double_array,
+)
 from cgtcalc_data_transformer_spark.operators.timeseries import (
     _EWMA_B,
     _EWMA_W,
@@ -1773,8 +1776,8 @@ def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = _daily_grid(spark, sf_dir)
     aggs = []
     for p in PG_PERIODS:
-        wc = F.array(*[F.lit(v) for v in _PG_COS[p]])
-        ws = F.array(*[F.lit(v) for v in _PG_SIN[p]])
+        wc = lit_double_array(_PG_COS[p])
+        ws = lit_double_array(_PG_SIN[p])
         idx = (F.col("d") % p + 1).cast("int")
         aggs.append(F.sum(F.col("y") * F.element_at(wc, idx)).alias(f"c{p}"))
         aggs.append(F.sum(F.col("y") * F.element_at(ws, idx)).alias(f"s{p}"))

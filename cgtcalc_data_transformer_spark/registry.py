@@ -909,6 +909,10 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-11 additions -----------------------------------------
     "pq_ann": (pq_mod.pq_ann, pq_mod.PQ_ANN_SQL),
     "pq_recall_audit": (pq_mod.pq_recall_audit, pq_mod.PQ_RECALL_SQL),
+    # r14: the PQ-resolution companion to ivfpq_nprobe_sweep (VERDICT
+    # r13 item 6) — recall@k vs subquantizer count; moves the
+    # quantization floor the nprobe curve proved binding
+    "pq_m_sweep": (pq_mod.pq_m_sweep, pq_mod.PQ_M_SWEEP_SQL),
     "weighted_sample_per_group": (
         sampling.weighted_sample_per_group,
         sampling.WEIGHTED_GROUP_WOR_SQL,
