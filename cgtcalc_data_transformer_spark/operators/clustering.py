@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cgtcalc_data_transformer_spark.operators.similarity import (
     _as_double,
     dot_expr,
-    lit_double_array,
+    dot_lit_sql,
 )
 from cgtcalc_data_transformer_spark.sources.tpch import load_table
 
@@ -62,7 +62,7 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
             F.struct(
                 F.round(
                     vv
-                    - 2.0 * dot_expr(F.col("v"), lit_double_array(c))
+                    - 2.0 * dot_lit_sql("v", c)
                     + F.lit(sum(x * x for x in c)),
                     6,
                 ).alias("d2"),
@@ -314,9 +314,7 @@ def semdedup_embedding(
     scored = F.array(
         *[
             F.struct(
-                dot_expr(
-                    F.col("v"), lit_double_array(chat)
-                ).alias("cos"),
+                dot_lit_sql("v", chat).alias("cos"),
                 F.lit(-i).alias("ni"),
             )
             for i, chat in enumerate(chats)
@@ -331,7 +329,7 @@ def semdedup_embedding(
     subkey = F.lit(0).cast("long")
     for h, p in enumerate(planes):
         subkey = subkey + (
-            dot_expr(F.col("v"), lit_double_array(p)) > 0
+            dot_lit_sql("v", p) > 0
         ).cast("long") * F.lit(1 << h)
     assigned = emb.select(
         "vec_id",

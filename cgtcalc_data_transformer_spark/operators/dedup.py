@@ -1096,9 +1096,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     was the one scale-killer in the repo — replaced per VERDICT r1.
     """
     from cgtcalc_data_transformer_spark.operators.similarity import (
-        cosine_expr_unrolled,
-        dot_expr,
-        lit_double_array,
+        dot_sql_text,
+        dot_unrolled_sql_text,
+        lit_array_sql_text,
     )
 
     planes = _emb_hyperplanes()
@@ -1116,12 +1116,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isolation, but the ~12k-node tree duplicated across the
     # self-join branches sent Catalyst optimization time to minutes —
     # driver-side plan cost is part of the scale budget too.
-    def bucket_expr(v, table_planes):
-        b = F.lit(0)
-        for i, p in enumerate(table_planes):
-            proj = dot_expr(v, lit_double_array(p))
-            b = b + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return b
+    def bucket_expr(table_planes):
+        # ONE parsed expression for the whole 12-bit bucket: each py4j
+        # round-trip is ~4 ms and fresh-plan bench runs re-pay plan
+        # construction every time (tools/scaling_notes_r14.md). The
+        # compact HOF dot text keeps the Catalyst tree small (the
+        # unrolled variant duplicated across the self-join branches
+        # sent optimization time to minutes).
+        terms = " + ".join(
+            f"(CASE WHEN {dot_sql_text('v', lit_array_sql_text(p))} > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(table_planes)
+        )
+        return F.expr(f"0 + {terms}")
 
     bucketed = emb.select(
         "vec_id",
@@ -1130,7 +1137,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("table_idx"),
-                        bucket_expr(F.col("v"), planes[t]).alias("bucket"),
+                        bucket_expr(planes[t]).alias("bucket"),
                     )
                     for t in range(EMB_LSH_TABLES)
                 ]
@@ -1154,10 +1161,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
         "vec_b",
     )
+    cosine_text = (
+        f"round(({dot_unrolled_sql_text('va', 'vb')}) / "
+        f"(sqrt({dot_unrolled_sql_text('va', 'va')}) * "
+        f"sqrt({dot_unrolled_sql_text('vb', 'vb')})), 6)"
+    )
     return (
-        verify.withColumn(
-            "cosine", F.round(cosine_expr_unrolled(F.col("va"), F.col("vb")), 6)
-        )
+        verify.withColumn("cosine", F.expr(cosine_text))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

@@ -117,7 +117,7 @@ def _cells(emb: DataFrame) -> DataFrame:
     """(vec_id, v, cell): ann_ivf's exact assignment — nearest coarse
     cell by cosine vs the raw directions, ties to the larger id
     (array_sort-last)."""
-    scores = _centroid_scores(F.col("v"), _ivf_centroids())
+    scores = _centroid_scores("v", _ivf_centroids())
     return emb.select(
         "vec_id",
         "v",
@@ -171,7 +171,7 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-query probe list: ann_ivf's exact rule (top-NPROBE cells by
     # raw-direction cosine, descending, ties to the larger id)
-    scores = _centroid_scores(F.col("v"), _ivf_centroids())
+    scores = _centroid_scores("v", _ivf_centroids())
     probes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -490,7 +490,7 @@ def ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", "code")
         .join(cells.select("vec_id", "cell"), "vec_id")
     )
-    scores = _centroid_scores(F.col("v"), _ivf_centroids())
+    scores = _centroid_scores("v", _ivf_centroids())
     probes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -697,7 +697,7 @@ def ivfpq_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ivfpq_codes_path()
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
 
-    scores = _centroid_scores(F.col("v"), _ivf_centroids())
+    scores = _centroid_scores("v", _ivf_centroids())
     probes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(

@@ -77,6 +77,47 @@ def dot_expr_unrolled(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     return expr
 
 
+def lit_array_sql_text(vals) -> str:
+    """SQL text of an array<double> literal (lit_double_array's rule)."""
+    return "array(" + ", ".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals
+    ) + ")"
+
+
+def dot_sql_text(a_sql: str, b_sql: str) -> str:
+    """SQL text of dot_expr(a, b) — the identical HOF expression
+    (same lambdas, same CAST(0.0 AS DOUBLE) seed), for composing
+    several dots into ONE F.expr call (each py4j round-trip is ~4 ms
+    on this driver; a 96-projection plan pays seconds in pure calls
+    — tools/scaling_notes_r14.md)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def dot_unrolled_sql_text(a_sql: str, b_sql: str, dim: int = EMB_DIM) -> str:
+    """SQL text of dot_expr_unrolled(a, b): left-assoc codegen
+    arithmetic, bit-identical summation order to the HOF form."""
+    terms = "".join(
+        f" + element_at({a_sql}, {i + 1}) * element_at({b_sql}, {i + 1})"
+        for i in range(dim)
+    )
+    return f"CAST(0.0 AS DOUBLE){terms}"
+
+
+def dot_lit_sql(col_sql: str, vals) -> Column:
+    """``dot_expr(F.col(col_sql), <literal array>)`` as ONE parsed
+    expression. The HOF builders (``zip_with``/``aggregate``) cost
+    ~20 ms of py4j lambda plumbing PER CALL at plan-build — 3.8 s for
+    dedup_embedding_cosine's 96 projections (r14 profile); this emits
+    the identical expression tree (same lambdas, same CAST(0.0 AS
+    DOUBLE) seed, literals via the lit_double_array round-trip rule)
+    through one driver call. ``col_sql`` is the column's SQL name —
+    the caller guarantees it resolves in the consuming select."""
+    return F.expr(dot_sql_text(col_sql, lit_array_sql_text(vals)))
+
+
 def dot_lit_unrolled(v: Column, p: list[float]) -> Column:
     """``dot_expr(v, F.array(*lits))`` unrolled for a LITERAL plane
     vector (LSH hyperplanes, fixed rotations): same order and seed as
@@ -160,10 +201,10 @@ def _hyperplanes(dim: int = 64) -> list[list[list[float]]]:
     return rng.standard_normal((LSH_TABLES, LSH_BITS, dim)).round(6).tolist()
 
 
-def _table_bucket_expr(v: Column, table_planes: list[list[float]]) -> Column:
+def _table_bucket_expr(v_sql: str, table_planes: list[list[float]]) -> Column:
     bucket = F.lit(0)
     for i, p in enumerate(table_planes):
-        proj = dot_expr(v, lit_double_array(p))
+        proj = dot_lit_sql(v_sql, p)
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -186,14 +227,16 @@ def _ivf_centroids(dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((IVF_NLIST, dim)).round(6).tolist()
 
 
-def _centroid_scores(v: Column, centroids: list[list[float]]) -> Column:
+def _centroid_scores(v_sql: str, centroids: list[list[float]]) -> Column:
     """array<struct<c: double, i: int>> of cosine-vs-centroid, ascending
-    sortable (struct compares field-by-field)."""
+    sortable (struct compares field-by-field). ``v_sql`` is the vector
+    column's SQL name (dot_lit_sql: one parsed expression per centroid
+    instead of ~20 ms of py4j HOF plumbing each)."""
     return F.array(
         *[
             F.struct(
                 (
-                    dot_expr(v, lit_double_array(c))
+                    dot_lit_sql(v_sql, c)
                     / F.sqrt(F.lit(sum(x * x for x in c)))
                 ).alias("c"),
                 F.lit(i).alias("i"),
@@ -217,7 +260,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     centroids = _ivf_centroids()
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
-    scores = _centroid_scores(F.col("v"), centroids)
+    scores = _centroid_scores("v", centroids)
     # nearest cell = last element after ascending struct sort
     assigned = emb.select(
         "vec_id",
@@ -281,7 +324,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("table_idx"),
-                        _table_bucket_expr(F.col("v"), planes[t]).alias("bucket"),
+                        _table_bucket_expr("v", planes[t]).alias("bucket"),
                     )
                     for t in range(LSH_TABLES)
                 ]
