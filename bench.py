@@ -165,7 +165,10 @@ HEADLINE: dict[str, str] = {
     "multimodal_metadata": "collect",
     "multimodal_resize": "exec",
     "events_attribution": "collect",
-    "events_static_enrich": "collect",
+    # exec, not collect: the query returns EVERY enriched event (1M
+    # rows at sf1) — collect timed driver materialization, which is
+    # what made it the sweep's 7.0x row (tools/scaling_notes_r14.md)
+    "events_static_enrich": "exec",
     "q7_volume_shipping": "collect",
     "q15_top_supplier": "collect",
     "q19_discounted_revenue": "collect",
