@@ -374,6 +374,14 @@ HEADLINE: dict[str, str] = {
     "pq_ann": "collect",
     "pq_recall_audit": "collect",
     "pq_m_sweep": "collect",
+    # round-14 batch
+    "cusum_drift_detector": "collect",
+    "kendall_tau_daily": "collect",
+    "wilcoxon_signed_rank_daily": "collect",
+    "lorenz_curve_tokens": "collect",
+    "ngram_novelty_score": "exec",
+    "minhash_estimate_audit": "exec",
+    "dup_cluster_size_histogram": "collect",
     "weighted_sample_per_group": "collect",
     "simjoin_prefix_summary": "collect",
     # round-11 stats/graph/corpus panel — all bounded-row results

@@ -52,6 +52,7 @@ from cgtcalc_data_transformer_spark.operators import (
     stats11,
     stats12,
     stats13,
+    stats14,
     profiling,
     sketch8,
     series8,
@@ -1043,6 +1044,32 @@ _ALL: dict[str, tuple[QueryFn, str | None]] = {
         stats13.TOKENIZER_FERTILITY_SQL,
     ),
     "theil_u_forecast": (stats13.theil_u_forecast, stats13.THEIL_U_SQL),
+    # ---- round-14 batch (stats14.py) ----
+    "cusum_drift_detector": (
+        stats14.cusum_drift_detector,
+        stats14.CUSUM_SQL,
+    ),
+    "kendall_tau_daily": (stats14.kendall_tau_daily, stats14.KENDALL_SQL),
+    "wilcoxon_signed_rank_daily": (
+        stats14.wilcoxon_signed_rank_daily,
+        stats14.WILCOXON_SQL,
+    ),
+    "lorenz_curve_tokens": (
+        stats14.lorenz_curve_tokens,
+        stats14.LORENZ_SQL,
+    ),
+    "ngram_novelty_score": (
+        stats14.ngram_novelty_score,
+        stats14.NOVELTY_SQL,
+    ),
+    "minhash_estimate_audit": (
+        stats14.minhash_estimate_audit,
+        stats14.MINHASH_EST_SQL,
+    ),
+    "dup_cluster_size_histogram": (
+        stats14.dup_cluster_size_histogram,
+        stats14.DUP_HISTOGRAM_SQL,
+    ),
     "seasonal_mann_kendall": (
         stats13.seasonal_mann_kendall,
         stats13.SEASONAL_MK_SQL,
@@ -1085,11 +1112,92 @@ if avro_src.avro_available():  # pragma: no cover — jar absent here
 # on disk mid-round and must not count — VERDICT r5 item 1) and
 # asserts every already-green window slot is a declared recheck.
 
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 # Operators added this round (never driver-checked by construction).
 # Adding a name here automatically drops the last recheck below —
 # the window stays exactly 50 slots.
+_ROUND14_NEW: list[str] = [
+    "pq_m_sweep",
+    "streaming_stateful_rocksdb",
+    "cusum_drift_detector",
+    "kendall_tau_daily",
+    "wilcoxon_signed_rank_daily",
+    "lorenz_curve_tokens",
+    "ngram_novelty_score",
+    "minhash_estimate_audit",
+    "dup_cluster_size_histogram",
+]
+
+# Priority-ordered recheck pool: code-changed-this-round FIRST, then
+# the flagship, then the streaming set (the r14 exact-integer ts_ts
+# derivation touches every stream twin), then the oldest green rows
+# (r4 carryover resumes at orc_roundtrip).
+_ROUND14_RECHECK_POOL = [
+    # -- code changed this round --
+    # dedup.py: positional filter + set-array verify (_pair_overlap
+    # feeds minhash/ngram/embedding paths); id-only cosine restructure
+    "simjoin_prefix",
+    "simjoin_prefix_summary",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "containment_dedup",
+    "dedup_lsh_quality",
+    "substring_dedup",
+    "winnow_fingerprints",
+    "dedup_clusters",
+    # similarity/clustering/embedding_ops/ivfpq/pq: lit_double_array /
+    # dot_lit_sql plan-construction rewrite (bit-identical values)
+    "ann_lsh",
+    "ann_ivf",
+    "knn_bruteforce",
+    "retrieval_recall_audit",
+    "kmeans_embeddings",
+    "semdedup_embedding",
+    "jl_projection_audit",
+    "ivfpq_ann",
+    "ivfpq_recall_audit",
+    "ivfpq_partitioned_probe",
+    "ivfpq_nprobe_sweep",
+    "emb_quantize_recall",
+    "pq_ann",
+    "pq_recall_audit",
+    # series8/stats10 periodogram weights via lit_double_array
+    "periodogram_fixed",
+    "spectral_entropy_daily",
+    # stats13: learned-BPE fertility; _fs_em degenerate clamp
+    "tokenizer_fertility_audit",
+    "fellegi_sunter_em",
+    # flagship entry() twin — keep a fresh row every round
+    "canonical_orders",
+    # streaming: exact-integer ts_ts derivation (events.py/tpch.py)
+    # touches every stream + twin; join_outer also got the oracle
+    # empty-side watermark guard
+    "streaming_join_outer",
+    "streaming_tumbling",
+    "streaming_sliding",
+    "streaming_session",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_static_enrich",
+    "streaming_complete_totals",
+    "streaming_python_source",
+    "streaming_stateful",
+    # -- oldest rows (r4 carryover, registry order) --
+    "orc_roundtrip",
+    "split_assign",
+    "text_repetition",
+    "length_outliers",
+    "events_user_sequences",
+]
+
+_ROUND14_RECHECKS = _ROUND14_RECHECK_POOL[: 50 - len(_ROUND14_NEW)]
+_ROUND14_WINDOW = [*_ROUND14_NEW, *_ROUND14_RECHECKS]
+
+# ---- round-13 window (historical; artifact CORRECTNESS_r13.json) -----
 _ROUND13_NEW: list[str] = [
     "ivfpq_nprobe_sweep",
     "permutation_test_revenue",
@@ -1775,9 +1883,9 @@ _ROUND8_WINDOW = [*_ROUND8_NEW, *_ROUND8_RECHECKS]
 
 # Generic aliases — tests and tooling reference these so a future
 # rotation only touches this module.
-_ROUND_NEW = _ROUND13_NEW
-_ROUND_RECHECKS = _ROUND13_RECHECKS
-_ROUND_WINDOW = _ROUND13_WINDOW
+_ROUND_NEW = _ROUND14_NEW
+_ROUND_RECHECKS = _ROUND14_RECHECKS
+_ROUND_WINDOW = _ROUND14_WINDOW
 
 # Rows-only streaming engine runs: EMPTY since r13 — every
 # streaming_* query now carries a DuckDB oracle (the bounded-input

@@ -68,6 +68,11 @@ BNLJ_OK = {
     "rank_eval_bm25",  # 1-row n_relevant/mrr scalars crossJoined onto the 3-row per-k frame
     "collocations_pmi",  # 1-row total-bigram scalar crossJoin onto the filtered pair table
     "exact_median_2pass",  # 1-row (min,max) bounds aggregate crossJoin
+    # round 14:
+    "cusum_drift_detector",  # _daily_grid types x broadcast-days expand
+    "kendall_tau_daily",  # _daily_grid expand; day-pair self-join is type-keyed
+    "wilcoxon_signed_rank_daily",  # _daily_grid expand (same as kendall)
+    "lorenz_curve_tokens",  # 1-row (n, T, wsum) totals aggregate crossJoin
     "bfs_reach",  # 1-row unreached-count scalar over the bounded hop table
     "frequent_pairs",  # 1-row basket-count scalar crossJoin
     "drift_ks_binned",  # 1-row bounds/totals scalars + 256-row bin-table prefix self-join
