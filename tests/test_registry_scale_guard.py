@@ -69,6 +69,7 @@ BNLJ_OK = {
     "collocations_pmi",  # 1-row total-bigram scalar crossJoin onto the filtered pair table
     "exact_median_2pass",  # 1-row (min,max) bounds aggregate crossJoin
     # round 14:
+    "pq_m_sweep",  # exact-baseline side inherits knn's N_QUERIES=8 broadcast, != cond
     "cusum_drift_detector",  # _daily_grid types x broadcast-days expand
     "kendall_tau_daily",  # _daily_grid expand; day-pair self-join is type-keyed
     "wilcoxon_signed_rank_daily",  # _daily_grid expand (same as kendall)
