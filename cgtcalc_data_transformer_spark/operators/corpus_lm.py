@@ -997,53 +997,79 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     `contamination_check`/`contamination_minhash` detect *injected*
     eval text, this quantifies *organic* overlap).
 
-    Scale shape: the trigram stream reuses `dedup.shingle_rows`
-    (codegen posexplode+lead, doc_id-partitioned window); each split
-    collapses to distinct (lang, shingle) with map-side partial
-    dedup, and novelty is ONE left-anti equality join on
-    (lang, shingle) plus a lang-sized rollup. All counts integer;
-    the rate is one int/int division, correctly rounded on both
-    engines.
+    Scale shape (r14 rewrite — guide §2.4 "remove shuffles
+    outright"): the per-(lang, shingle) membership flags and the
+    per-lang counts are ONE aggregation each. The r13 formulation
+    built per-split distinct frames and anti-joined them, which (a)
+    recomputed the whole trigram subtree once per split branch — the
+    two `.filter(...)` lineages share no exchange — and (b) paid two
+    (lang, shingle) distinct shuffles, an anti-join shuffle and three
+    lang rollups. Here the trigram stream is scanned ONCE
+    (posexplode + doc_id-window lead, the shingle_rows shape with
+    lang/is_train carried through), collapsed by ONE map-side-
+    combinable groupBy(lang, shingle) into boolean split-membership
+    flags, and rolled up per lang. Plan: 8 Exchange → 3 (window +
+    fused agg + lang rollup), 2 trigram subtrees → 1, anti-join
+    gone — plans/r14/ngram_novelty_{before,after}.txt.
+
+    Result-identical by set algebra: distinct-(lang, shingle)-per-
+    split == the membership flags (max(is_train), max(NOT is_train))
+    over occurrence rows; "novel" == has_held AND NOT has_train;
+    langs appear iff they have ≥1 held gram (the held_counts base in
+    the r13 join tree == the n_held_grams > 0 filter here). All
+    counts stay BIGINT; the rate is the same int/int division.
     """
-    from cgtcalc_data_transformer_spark.operators.dedup import shingle_rows
+    from pyspark.sql import Window
+
+    from cgtcalc_data_transformer_spark.operators.dedup import (
+        SHINGLE_N,
+        tokens_col,
+    )
     from cgtcalc_data_transformer_spark.operators.sampling import hash_bucket
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    split = docs.select(
+    tok = docs.select(
         "doc_id",
         "lang",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, SHINGLE_N)
+    ]
+    grams = tok.select(
+        "lang",
         (hash_bucket(F.col("doc_id")) < NOVELTY_TRAIN_PCT).alias("is_train"),
-    )
-    grams = shingle_rows(docs).join(split, "doc_id")
-    train_g = (
-        grams.filter(F.col("is_train")).select("lang", "shingle").distinct()
-    )
-    held_g = (
-        grams.filter(~F.col("is_train")).select("lang", "shingle").distinct()
-    )
-    novel = held_g.join(train_g, ["lang", "shingle"], "left_anti")
-    held_counts = held_g.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_held_grams")
-    )
-    train_counts = train_g.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_train_grams")
-    )
-    novel_counts = novel.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_novel")
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
+            "shingle"
+        ),
+    ).filter(F.col("shingle").isNotNull())
+    membership = grams.groupBy("lang", "shingle").agg(
+        F.max("is_train").alias("has_train"),
+        F.max(~F.col("is_train")).alias("has_held"),
     )
     return (
-        held_counts.join(train_counts, "lang", "left")
-        .join(novel_counts, "lang", "left")
+        membership.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("has_train"), 1).otherwise(0)).alias(
+                "n_train_grams"
+            ),
+            F.sum(F.when(F.col("has_held"), 1).otherwise(0)).alias(
+                "n_held_grams"
+            ),
+            F.sum(
+                F.when(F.col("has_held") & ~F.col("has_train"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .filter(F.col("n_held_grams") > 0)
         .select(
             "lang",
-            F.coalesce(F.col("n_train_grams"), F.lit(0)).alias("n_train_grams"),
+            "n_train_grams",
             "n_held_grams",
-            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
-            F.round(
-                F.coalesce(F.col("n_novel"), F.lit(0))
-                / F.col("n_held_grams"),
-                6,
-            ).alias("novelty_rate"),
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_held_grams"), 6).alias(
+                "novelty_rate"
+            ),
         )
         .orderBy("lang")
     )
@@ -1128,7 +1154,11 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = scatter(load_table(spark, sf_dir, "documents"))
     b = _lang_bigrams(docs)
-    c12 = b.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c12"))
+    # CACHED (r14 plan audit): c1/cont/ntypes and the model join all
+    # derive from c12 (4 refs) — uncached, each re-ran the bigram
+    # explode over documents (plans/r14/kneser_ney_bigram_before.txt).
+    # The frame is |bigram types| rows — model-sized (guide §2.4).
+    c12 = b.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c12")).cache()
     w1 = F.substring_index(F.col("bg"), " ", 1)
     w2 = F.substring_index(F.col("bg"), " ", -1)
     c1 = c12.groupBy(F.col("lang").alias("lang1"), w1.alias("w1")).agg(
@@ -1481,13 +1511,23 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = _lang_trigrams(train).groupBy("lang", "tg").agg(
         F.count(F.lit(1)).alias("c3")
     )
-    b2 = _lang_bigrams(train).groupBy("lang", "bg").agg(
-        F.count(F.lit(1)).alias("c2")
+    # CACHED (r14 plan audit): b2 backs two join branches (ab / bc)
+    # and u1 three (b / c / ntot); uncached, every branch re-ran the
+    # train-split explode+count — 7 documents scans in the physical
+    # plan (plans/r14/stupid_backoff_score_before.txt). Both frames
+    # are model tables (bigram-type / vocab sized), the standard
+    # materialize-the-LM-once shape (guide §2.4).
+    b2 = (
+        _lang_bigrams(train)
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .cache()
     )
     u1 = (
         train.select("lang", F.explode(tokens_col(F.col("text"))).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .cache()
     )
     ntot = u1.groupBy("lang").agg(F.sum("c1").alias("n_tok"))
     held_t = _lang_trigrams(held).groupBy("lang", "tg").agg(

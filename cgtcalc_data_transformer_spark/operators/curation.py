@@ -740,16 +740,22 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = toks.select(
         "doc_id", "source", hash_bucket(F.col("tok"), DSIR_BUCKETS).alias("b")
     )
+    # CACHED (r14 plan audit): corpus, target and the scored rollup
+    # reference doc_counts 3x, and corpus/target each feed both λ and
+    # their scalar totals — the old comment said "cache" but no cache
+    # was applied, so the plan re-ran the tokenize+explode pass 4x
+    # (plans/r14/dsir_importance_resample_before.txt; guide §2.4).
     doc_counts = feat.groupBy("doc_id", "source", "b").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    # corpus + target bucket distributions (B rows; cache — feeds the
-    # per-bucket counts AND is re-derived for the scalar totals)
-    corpus = doc_counts.groupBy("b").agg(F.sum("c").alias("cs"))
+    ).cache()
+    # corpus + target bucket distributions (B rows; cached — each
+    # feeds the λ join AND its scalar total)
+    corpus = doc_counts.groupBy("b").agg(F.sum("c").alias("cs")).cache()
     target = (
         doc_counts.filter(F.col("source") == DSIR_TARGET_SOURCE)
         .groupBy("b")
         .agg(F.sum("c").alias("ct"))
+        .cache()
     )
     n_s = corpus.agg(F.sum("cs").alias("ns"))
     n_t = target.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
@@ -942,7 +948,19 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     train x bench into equality joins on (band, hash); only the
     candidate pairs — bounded by actual signature agreement — pay
     the exact verify. The bench side is eval-sized (~5%), so its
-    postings broadcast in practice.
+    postings broadcast in practice. Verify stage (r14, the
+    `_pair_overlap` discipline from operators/dedup.py — guide §2.3
+    "shuffle fewer bytes"): shingles aggregate ONCE into a bounded
+    per-doc set per side and candidates equality-join to those rows;
+    the containment numerator is `size(array_intersect(...))` per
+    pair JVM-side. The pre-r14 shape joined candidates against the
+    EXPLODED shingle rows — |cands| x avg_shingles shuffled rows, the
+    exact pattern that made simjoin_prefix super-linear at sf1 —
+    now it is |cands| + |docs| rows. Exactness: shingle_rows is
+    DISTINCT per doc, so set cardinalities equal the old join-count
+    aggregates; zero-overlap pairs get 0 from the empty intersection
+    (the old LEFT join + coalesce). Plans:
+    plans/r14/contamination_minhash_{before,after}.txt.
     """
     from cgtcalc_data_transformer_spark.operators.dedup import shingle_rows
 
@@ -987,22 +1005,35 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    train_sh = sh.filter(~F.col("is_bench")).select("doc_id", "shingle")
-    bench_sh = sh.filter(F.col("is_bench")).select(
-        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    train_sets = (
+        sh.filter(~F.col("is_bench"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("t_set"))
+        .select(
+            "doc_id",
+            "t_set",
+            # cast to long: the pre-r14 shape produced count(*) longs
+            F.size("t_set").cast("long").alias("n_sh"),
+        )
     )
-    inter = (
-        cands.join(train_sh, "doc_id")
-        .join(bench_sh, ["bench_doc_id", "shingle"])
-        .groupBy("doc_id", "bench_doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    bench_sets = (
+        sh.filter(F.col("is_bench"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("b_set"))
+        .select(F.col("doc_id").alias("bench_doc_id"), "b_set")
     )
-    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ratio = F.round(F.col("n_overlap") / F.col("n_sh"), 6)
     return (
-        cands.join(inter, ["doc_id", "bench_doc_id"], "left")
-        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
-        .join(sizes, "doc_id")
+        cands.join(train_sets, "doc_id")
+        .join(bench_sets, "bench_doc_id")
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            "n_sh",
+            F.size(F.array_intersect("t_set", "b_set"))
+            .cast("long")
+            .alias("n_overlap"),
+        )
         .select(
             "doc_id",
             "bench_doc_id",

@@ -235,9 +235,17 @@ def _centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "vec_id", "label", F.posexplode(F.col("v")).alias("idx", "x")
     )
+    # CACHED (r14 plan audit): the centroid table is |labels| x dim
+    # rows, but uncached every evaluation of this helper scanned
+    # embeddings TWICE (once for the centroid branch, once for the
+    # scoring join) — and the stats10/11/13 consumers that reference
+    # their downstream frames 2-4x multiplied that into 3-7 scans per
+    # query (plans/r14/isotonic_calibration_before.txt,
+    # .../classifier_quality_panel_before.txt). Guide §2.4.
     cent = (
         exploded.groupBy(F.col("label").alias("clabel"), "idx")
         .agg(F.round(F.avg("x"), 6).alias("c"))
+        .cache()
     )
 
     def _q(expr):
@@ -326,10 +334,17 @@ def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("conf_i") * F.lit(ECE_BINS) / F.lit(ECE_SC)),
         ),
     )
-    bins = per_vec.groupBy(bin_col.alias("bin")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("correct").alias("n_correct"),
-        F.sum("conf_i").alias("sum_conf_i"),
+    # CACHED (r14 plan audit): totals + the crossJoin branch reference
+    # bins 2x and each re-ran the per-vector scoring; the frame is
+    # ≤ ECE_BINS rows (guide §2.4).
+    bins = (
+        per_vec.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("correct").alias("n_correct"),
+            F.sum("conf_i").alias("sum_conf_i"),
+        )
+        .cache()
     )
     totals = bins.agg(
         F.sum("n").alias("n_total"),
@@ -551,9 +566,12 @@ def gains_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("conf_i") * F.lit(ECE_BINS) / F.lit(ECE_SC)),
         ),
     )
+    # CACHED (r14 plan audit): tot + both sides of the prefix theta
+    # join read bins 3x, each re-running the per-vector scoring;
+    # ≤ ECE_BINS rows (guide §2.4).
     bins = per_vec.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("nk"), F.sum("correct").alias("ck")
-    )
+    ).cache()
     tot = bins.agg(F.sum("nk").alias("n"), F.sum("ck").alias("c"))
     cum = (
         bins.alias("a")

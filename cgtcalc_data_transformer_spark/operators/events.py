@@ -1614,9 +1614,14 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported cusum value is one final division, rounded.
     """
     events = load_events(spark, sf_dir)
+    # CACHED (r14 plan audit): daily backs totals + the scaled frame,
+    # and cum backs both sides of the prefix-min theta join —
+    # uncached, the expansion scanned events 8x
+    # (plans/r14/cusum_changepoint_before.txt). Both frames are
+    # |days| rows (guide §2.4).
     daily = events.groupBy(F.expr(f"ts div {DAY_NS}").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
-    )
+    ).cache()
     totals = daily.agg(
         F.sum("x").alias("s_tot"), F.count(F.lit(1)).alias("n_days")
     )
@@ -1643,6 +1648,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_days").alias("n_days"),
         )
         .agg(F.sum("b.e").alias("cum"))
+        .cache()
     )
     smax = (
         cum.alias("a")
@@ -1874,10 +1880,15 @@ def _risk_table(activity: DataFrame) -> DataFrame:
             .alias("event"),
         )
     )
+    # CACHED (r14 plan audit): per_t backs both sides of the at-risk
+    # theta join and the returned table backs both sides of each
+    # consumer's prefix-sum join — uncached, KM/NA/Weibull each
+    # scanned events 8x (plans/r14/kaplan_meier_churn_before.txt).
+    # Both frames are duration-domain rows (guide §2.4).
     per_t = users.groupBy("t").agg(
         F.sum("event").alias("d"),
         F.sum(F.lit(1) - F.col("event")).alias("c"),
-    )
+    ).cache()
     # n_at_risk(t) = users with duration >= t  (bounded theta join)
     return (
         per_t.alias("a")
@@ -1886,6 +1897,7 @@ def _risk_table(activity: DataFrame) -> DataFrame:
         )
         .groupBy(F.col("a.t").alias("t"), F.col("a.d").alias("d"), F.col("a.c").alias("c"))
         .agg(F.sum(F.col("b.d") + F.col("b.c")).alias("n_risk"))
+        .cache()
     )
 
 

@@ -636,6 +636,12 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("nord"))
         .filter(F.col("nord") >= AA_MIN_ORDERS)
         .select("c", "s")
+        # CACHED (r14 plan audit): deg + the two self-join branches of
+        # mids reference this frame 4x, and the countDistinct expand
+        # defeats exchange reuse — uncached, the plan scans lineitem/
+        # orders 4x each (plans/r14/adamic_adar_links_before.txt).
+        # Materialize the ~2% repeat projection once (guide §2.4).
+        .cache()
     )
     deg = repeat.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     w = F.floor(
@@ -1048,6 +1054,13 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("nord"))
         .filter(F.col("nord") >= AA_MIN_ORDERS)
         .select("c", "s")
+        # CACHED (r14 plan audit): degs, degc and the two self-join
+        # branches of mids reference this frame 6x; the countDistinct
+        # expand defeats exchange reuse, so uncached the plan scans
+        # lineitem/orders 6x each
+        # (plans/r14/jaccard_link_prediction_before.txt). Materialize
+        # the repeat projection once (guide §2.4).
+        .cache()
     )
     degs = repeat.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     degc = repeat.groupBy("c").agg(F.count(F.lit(1)).alias("cdeg"))

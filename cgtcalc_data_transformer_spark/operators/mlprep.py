@@ -905,6 +905,11 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("o_totalprice") - F.col("lo")) / width),
         )
     )
+    # CACHED (r14 plan audit): totals + the WOE join read per_bin 2x
+    # and binned backs both the IV rollup and the output join —
+    # uncached, the expansion scanned orders 8x
+    # (plans/r14/woe_iv_binning_before.txt). WOE_BINS rows
+    # (guide §2.4).
     per_bin = (
         orders.crossJoin(F.broadcast(bounds))
         .select(bin_col.alias("bin"), "o_orderstatus")
@@ -915,6 +920,7 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nonevent"
             ),
         )
+        .cache()
     )
     totals = per_bin.agg(
         F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")

@@ -50,10 +50,17 @@ def fk_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = None
     for label, ct, cc, pt, pc in FK_CANDIDATES:
+        # CACHED (r14 plan audit): the semi-join branch and the
+        # d_child count both read the distinct child keys — uncached,
+        # every candidate scanned+deduped its child table twice (10
+        # scans across the 5 candidates,
+        # plans/r14/fk_containment_audit_before.txt). Key-domain
+        # bounded (guide §2.4).
         child = (
             load_table(spark, sf_dir, ct)
             .select(F.col(cc).alias("k"))
             .distinct()
+            .cache()
         )
         parent = load_table(spark, sf_dir, pt).select(
             F.col(pc).alias("k")

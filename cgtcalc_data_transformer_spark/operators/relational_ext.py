@@ -771,7 +771,13 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(_dec(F.col(a) * F.col(b))).alias(f"sp_{a}_{b}"))
     stats = li.agg(*aggs)
 
-    rows = []
+    # ONE projection over the single stats row, exploded to the 6
+    # pair rows (r14 plan audit): the pre-r14 union of 6 per-pair
+    # projections re-executed the whole aggregation per branch — the
+    # physical plan scanned lineitem 6x, contradicting the "no second
+    # scan" contract above (plans/r14/corr_matrix_lineitem_before.txt;
+    # guide §2.4). Same expressions per pair, identical values.
+    pair_structs = []
     for a, b in pairs:
         n = F.col("n").cast("double")
         sa = F.col(f"s_{a}").cast("double")
@@ -782,18 +788,19 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr = (n * sab - sa * sb) / F.sqrt(
             (n * ssa - sa * sa) * (n * ssb - sb * sb)
         )
-        rows.append(
-            stats.select(
+        pair_structs.append(
+            F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.col("n"),
+                F.col("n").alias("n"),
                 F.round(corr, 6).alias("corr"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("col_a", "col_b")
+    return (
+        stats.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.col_a", "p.col_b", "p.n", "p.corr")
+        .orderBy("col_a", "col_b")
+    )
 
 
 def _corr_sql() -> str:

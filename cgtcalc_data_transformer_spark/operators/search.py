@@ -225,11 +225,18 @@ def rank_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     ).filter(F.col("tok").isin(QUERY_TERMS))
+    # CACHED (r14 plan audit): rel backs n_rel AND the flags join,
+    # flags backs the MRR aggregate AND the per-k rollup — uncached,
+    # each reference re-ran the posting explode / BM25 chain (7
+    # documents scans, plans/r14/rank_eval_bm25_before.txt). rel is
+    # the conjunctive match set, flags ≤ SEARCH_TOP_K rows
+    # (guide §2.4).
     rel = (
         postings.groupBy("doc_id")
         .agg(F.count_distinct("tok").alias("matched"))
         .filter(F.col("matched") == len(QUERY_TERMS))
         .select("doc_id")
+        .cache()
     )
     n_rel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
 
@@ -242,6 +249,7 @@ def rank_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.withColumn("r", F.row_number().over(w))
         .join(F.broadcast(rel.withColumn("is_rel", F.lit(1))), "doc_id", "left")
         .select("r", F.coalesce("is_rel", F.lit(0)).alias("is_rel"))
+        .cache()
     )
     dcg_lit = F.array(*[F.lit(d) for d in _DCG_INT])
     idcg_lit = F.array(*[F.lit(p) for p in _IDCG_PREFIX[1:]])

@@ -112,9 +112,18 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("conf_i") * F.lit(ECE_BINS) / F.lit(ECE_SC)),
         ),
     )
-    bins = per_vec.groupBy(bin_col.alias("bin")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("correct").alias("c"),
+    # CACHED (r14 plan audit): the j/k/m interval branches and the
+    # inner minimax branch reference bins 4x, and each reference
+    # re-ran the whole per-vector centroid scoring (7 embeddings
+    # scans, plans/r14/isotonic_calibration_before.txt). The frame is
+    # ≤ ECE_BINS rows (guide §2.4).
+    bins = (
+        per_vec.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("correct").alias("c"),
+        )
+        .cache()
     )
     # interval table: (j, k, N_jk, C_jk) for every occupied j ≤ k
     jk = (

@@ -812,9 +812,15 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(s).cast("long") for s in HURST_SIZES])
         ).alias("s")
     )
+    # CACHED (r14 plan audit): blocks + both sides of the in-block
+    # prefix-sum theta-join reference sized 3x, and pts is re-read by
+    # the slope aggregate and the output join — uncached the lineage
+    # expansion scanned events 18x
+    # (plans/r14/hurst_rescaled_range_before.txt). sized is
+    # |days| x |HURST_SIZES| rows, pts is 4 (guide §2.4).
     sized = grid.crossJoin(F.broadcast(sizes)).select(
         "s", "d", "y", F.expr("d div s").alias("b")
-    )
+    ).cache()
     blocks = (
         sized.groupBy("s", "b")
         .agg(
@@ -886,7 +892,7 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = per_s.select(
         "s", "n_blocks", x_nano.alias("xq"), y_nano.alias("yq")
-    )
+    ).cache()
     reg = pts.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("xq").alias("sx"),
@@ -1623,6 +1629,13 @@ def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("d", F.coalesce("y", F.lit(0)).alias("y"))
+        # CACHED (r14 plan audit): grid feeds tot AND the demeaned
+        # series; e below feeds the partial-sum theta-join (2 refs),
+        # γ₀ and every one of the KPSS_LAGS lag joins (2 refs each) —
+        # uncached, the lineage expansion scanned events 66x with 264
+        # exchanges (plans/r14/kpss_stationarity_before.txt). Both
+        # frames are calendar-days-sized (guide §2.4).
+        .cache()
     )
     tot = grid.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
     e = grid.crossJoin(F.broadcast(tot)).select(
@@ -1632,7 +1645,7 @@ def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast(_D19) * F.col("y").cast(_D19)
             - F.col("sy").cast(_D19)
         ).alias("e"),
-    )
+    ).cache()
     ss = (
         e.alias("a")
         .join(F.broadcast(e.alias("b")), F.col("b.d") <= F.col("a.d"))
@@ -2135,7 +2148,17 @@ def classifier_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pred = _nearest_centroid_pred(spark, sf_dir)
-    cells = pred.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("c"))
+    # CACHED (r14 plan audit): t_m / p_m / diag reference this frame
+    # 3x and each reference re-executed the whole per-vector centroid
+    # scoring (5 embeddings scans in the physical plan,
+    # plans/r14/classifier_quality_panel_before.txt). The frame is
+    # bounded (|labels| x |preds| rows), so materializing it once is
+    # the guide §2.4 shuffle/pass removal at near-zero memory cost.
+    cells = (
+        pred.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
     t_m = cells.groupBy("label").agg(F.sum("c").alias("t"))
     p_m = cells.groupBy("pred").agg(F.sum("c").alias("p"))
     diag = cells.filter(F.col("label") == F.col("pred")).select(

@@ -366,7 +366,12 @@ def newey_west_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(w * w * F.lit(float(MICRO)) + F.lit(0.5))
         .cast(_D38)
         .alias("wq"),
-    )
+    # CACHED (r14 plan audit): g0 references v once and every one of
+    # the NW_LAGS lag joins references it twice — uncached the plan
+    # re-ran the daily-grid/moment lineage ~2L+1 times (199 exchanges,
+    # plans/r14/newey_west_trend_before.txt). The frame is
+    # (event_type x days)-sized (guide §2.4).
+    ).cache()
     g0 = v.groupBy("event_type", "n", "sy", "bn", "bd").agg(
         F.sum(F.col("vq") * F.col("vq")).alias("g0"),
         F.sum("wq").alias("sw2"),
@@ -623,10 +628,16 @@ def mondrian_conformal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(float(MICRO))
         + F.lit(0.5)
     ).cast("long")
+    # CACHED (r14 plan audit): cal backs the bin bounds, the
+    # histogram branch AND the in-bin rank branch; uncached, the
+    # lineage expansion scanned orders 19x
+    # (plans/r14/mondrian_conformal_audit_before.txt). Three narrow
+    # columns of the 25% calibration split (guide §2.4).
     cal = (
         orders.filter((F.col("b") >= 50) & (F.col("b") < 75))
         .join(F.broadcast(tr), "grp")
         .select("grp", "o_orderkey", rq.alias("rq"))
+        .cache()
     )
     bounds = cal.agg(F.min("rq").alias("lo"), F.max("rq").alias("hi"))
     width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(

@@ -334,9 +334,19 @@ def confident_learning_noise_audit(
         .agg(F.max("s").alias("m"))
         .select("vec_id", "label", (-F.col("m.nl")).alias("pred"))
     )
-    mat = pred.groupBy(
-        F.col("label").alias("noisy_label"), F.col("pred").alias("pred_label")
-    ).agg(F.count(F.lit(1)).alias("n_confident"))
+    # CACHED (r14 plan audit): tot + the crossJoin branch reference
+    # mat 2x and each re-ran the whole eligibility/argmax scoring
+    # chain (7 embeddings scans,
+    # plans/r14/confident_learning_noise_audit_before.txt); the frame
+    # is the bounded |labels|² matrix (guide §2.4).
+    mat = (
+        pred.groupBy(
+            F.col("label").alias("noisy_label"),
+            F.col("pred").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_confident"))
+        .cache()
+    )
     tot = mat.agg(F.sum("n_confident").alias("n_total"))
     return (
         mat.crossJoin(F.broadcast(tot))

@@ -546,11 +546,16 @@ FROM s
 
 # ------------------------------------------- nominal association panel
 def _seg_nation_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CACHED (r14 plan audit): the four consumers each read this
+    # frame 3-5x (marginals, total, scored join) and uncached every
+    # reference re-scanned customer (8 scans in
+    # plans/r14/mutual_information_nominal_before.txt at r14-pre).
+    # ≤ |segments|x|nations| = 125 cells (guide §2.4).
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy(
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nat"),
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).cache()
 
 
 _SEG_NATION_CELLS_SQL = """

@@ -172,8 +172,13 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.expr(_DK).alias("y"),
     )
-    mx = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
-    my = li.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    # CACHED (r14 plan audit): each marginal backs both sides of its
+    # rank theta-join + the total (3 refs) — uncached, each ref
+    # re-scanned lineitem (7 scans,
+    # plans/r14/spearman_rank_corr_before.txt). ≤ 50 / 11 rows
+    # (guide §2.4).
+    mx = li.groupBy("x").agg(F.count(F.lit(1)).alias("c")).cache()
+    my = li.groupBy("y").agg(F.count(F.lit(1)).alias("c")).cache()
 
     def centered(marg: DataFrame, key: str) -> DataFrame:
         cum = (
@@ -473,9 +478,14 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for table, rc, cc in _CRAMER_PAIRS:
         t = load_table(spark, sf_dir, table)
+        # CACHED (r14 plan audit): rows/cols/tot/dims and the scored
+        # join all read cells (5 refs per pair) — uncached, each ref
+        # re-scanned the base table (8 scans across the two pairs,
+        # plans/r14/cramers_v_matrix_before.txt). ≤ 15 cells
+        # (guide §2.4).
         cells = t.groupBy(
             F.col(rc).alias("r"), F.col(cc).alias("c")
-        ).agg(F.count(F.lit(1)).alias("o"))
+        ).agg(F.count(F.lit(1)).alias("o")).cache()
         rows = cells.groupBy("r").agg(F.sum("o").alias("rn"))
         cols = cells.groupBy("c").agg(F.sum("o").alias("cn"))
         tot = cells.agg(F.sum("o").alias("n"))
@@ -575,7 +585,11 @@ def mutual_information_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xb"),
         F.col("l_returnflag").alias("yb"),
     )
-    cells = li.groupBy("xb", "yb").agg(F.count(F.lit(1)).alias("c"))
+    # CACHED (r14 plan audit): mx/my/tot and the scored join read
+    # cells 4x — uncached, each ref re-scanned lineitem (8 scans,
+    # plans/r14/mutual_information_binned_before.txt). ≤ 15 cells
+    # (guide §2.4).
+    cells = li.groupBy("xb", "yb").agg(F.count(F.lit(1)).alias("c")).cache()
     mx = cells.groupBy("xb").agg(F.sum("c").alias("rx"))
     my = cells.groupBy("yb").agg(F.sum("c").alias("cy"))
     tot = cells.agg(F.sum("c").alias("n"))
@@ -766,10 +780,20 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain; the fence is the pure-integer cross-multiply
     10⁴·2·dev2 > 44478·mad4. One more broadcast join back to the
     value table counts outliers — no row-level second pass.
+
+    CACHED frames (r14 plan audit): vals/devs back the rank-straddle
+    theta-join (2 refs each), the totals, the dev re-count and the
+    fence; med/mad are re-read by three consumers. Uncached, the
+    lineage expansion scanned documents 31x
+    (plans/r14/mad_outliers_before.txt). Every cached frame is
+    value-domain bounded (per-(source, length) counts or |sources|
+    rows), so this is the guide §2.4 pass removal at bounded memory.
     """
     docs = load_table(spark, sf_dir, "documents")
-    vals = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    vals = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
 
     def med2_of(frame: DataFrame, out: str) -> DataFrame:
@@ -803,7 +827,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pick(F.floor(lo)) + pick(F.floor(hi))).alias(out)
         )
 
-    med = med2_of(vals, "med2")
+    med = med2_of(vals, "med2").cache()
     devs = (
         vals.join(F.broadcast(med.select("source", "med2")), "source")
         .select(
@@ -813,10 +837,11 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "v")
         .agg(F.sum("c").alias("c"))
+        .cache()
     )
     mad = med2_of(devs, "mad4").select(
         "source", F.col("mad4")
-    )
+    ).cache()
     fence = vals.join(F.broadcast(med.select("source", "med2")), "source").join(
         F.broadcast(mad), "source"
     )
@@ -1470,7 +1495,12 @@ def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("v"), "l_returnflag"
     )
-    tv = li.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    # CACHED (r14 plan audit): tv backs the rank-straddle theta-join
+    # (2 refs) + the total; med/cells are each read twice — uncached
+    # the lineage expansion scanned lineitem 11x
+    # (plans/r14/moods_median_test_before.txt). All cached frames are
+    # value-domain / k-group sized (guide §2.4).
+    tv = li.groupBy("v").agg(F.count(F.lit(1)).alias("t")).cache()
     cum = (
         tv.alias("a")
         .join(tv.alias("b"), F.col("b.v") < F.col("a.v"), "left")
@@ -1494,11 +1524,12 @@ def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0))
             ).alias("med")
         )
+        .cache()
     )
     cells = li.crossJoin(F.broadcast(med)).groupBy("l_returnflag").agg(
         F.sum((F.col("v") > F.col("med")).cast("long")).alias("above"),
         F.sum((F.col("v") <= F.col("med")).cast("long")).alias("notabove"),
-    )
+    ).cache()
     marg = cells.agg(
         F.sum("above").alias("ta"),
         F.sum("notabove").alias("tn"),

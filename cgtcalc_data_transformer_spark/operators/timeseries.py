@@ -33,7 +33,15 @@ DAY_NS = 86400 * 1_000_000_000
 def _daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, d, y): per-type daily counts on the full
     [0 .. dmax−dmin] index grid, zeros filled. One count aggregation
-    over events + a types × days expand from two bounded frames."""
+    over events + a types × days expand from two bounded frames.
+
+    The returned frame is CACHED (r14 plan audit): one evaluation
+    scans events 2x (counts + bounds), and the ~20 daily-series
+    consumers reference their grid 2-15x (lag joins, pairwise
+    self-joins, rank windows) — uncached, kendall_tau_daily expanded
+    to 16 events scans and hurst_rescaled_range to 18
+    (plans/r14/kendall_tau_daily_before.txt). The frame is
+    |types| x |days| rows — bounded by the calendar (guide §2.4)."""
     ev = load_events(spark, sf_dir).select(
         "event_type", F.expr(f"ts div {DAY_NS}").alias("day")
     )
@@ -61,6 +69,7 @@ def _daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "d", F.coalesce("y", F.lit(0)).alias("y")
         )
+        .cache()
     )
 
 
@@ -511,10 +520,16 @@ def rate_change_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day") <= F.expr("(dmin + dmax) div 2"), F.lit(1)
         ).otherwise(F.lit(2)).alias("h"),
     )
+    # CACHED (r14 plan audit): tot + the crossJoin branch reference
+    # per 2x, the rank theta-join references scored 2x, and the
+    # bh/holm step scans reference the returned frame 2x — uncached
+    # the multiplications compounded to 16 events scans per panel
+    # query (plans/r14/holm_bonferroni_panel_before.txt). Both cached
+    # frames are m = |event types| rows (guide §2.4).
     per = halves.groupBy("event_type").agg(
         F.sum((F.col("h") == 1).cast("long")).alias("c1"),
         F.sum((F.col("h") == 2).cast("long")).alias("c2"),
-    )
+    ).cache()
     tot = per.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
@@ -568,7 +583,7 @@ def rate_change_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.count(F.col("b.p")) + 1).alias("rank"))
     )
-    return ranked
+    return ranked.cache()
 
 
 def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
