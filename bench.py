@@ -600,9 +600,17 @@ def _run_calibrators(spark, qs, sf_dir: str) -> dict[str, float]:
                     )
                 return df
 
+            # clearCache before EVERY calibrator sample (r15 policy):
+            # the cache-class calibrator (mad_outliers) materializes
+            # in-query caches, so each sample must include that
+            # materialization for measured/pin to be apples-to-apples
+            # with its cold-run pin; for the non-caching trio this is
+            # a no-op.
+            spark.catalog.clearCache()
             cal_build().collect()  # warm run (JIT/codegen/page cache)
             samples = []
             for _ in range(3):
+                spark.catalog.clearCache()
                 df = cal_build()
                 t0 = time.time()
                 df.collect()
@@ -721,10 +729,14 @@ def build_payload(timings: dict[str, float], skew: dict[str, float],
         "sf": sf,
         "methodology": "min-of-3 fresh-plan full executions "
         "(r1/r2 re-collected memoized plans; 10-20x under-reported); "
-        "cold_first_run = first execution incl. cache materialization; "
-        "cache_fronted queries' min3 is cache-served — read cold for "
-        "their total cost; build_time_notes ops do training/index "
-        "builds at plan-build, so their timing is the serving path",
+        "spark.catalog.clearCache() before every query's cold run "
+        "(r15: no cross-query cache freeloading; numbers before r15 "
+        "were measured without it) and before every calibrator "
+        "sample; cold_first_run = first execution incl. cache "
+        "materialization; cache_fronted queries' min3 is served by "
+        "their OWN warm-run caches — read cold for their total cost; "
+        "build_time_notes ops do training/index builds at plan-build, "
+        "so their timing is the serving path",
         "build_time_notes": BUILD_TIME_NOTES,
         "cold_first_run": cold,
         "errors": errors or {},
@@ -803,6 +815,19 @@ def main() -> None:
         # partial artifact beats BENCH_r08's rc=1/parsed:null, where a
         # single LOCATION_ALREADY_EXISTS zeroed the whole battery.
         try:
+            # Cache-honest battery (VERDICT r14 item 1): drop every
+            # cached frame left by the PREVIOUS query before this
+            # query's first (cold) run. Without this, lineage-sharing
+            # neighbors freeload on resident caches (measured ~3x both
+            # directions in r14: contamination_minhash ~3 s in-battery
+            # vs ~9-14 s isolated; simjoin_prefix the reverse via
+            # eviction contention), and 100/370 headline rows were
+            # CacheManager-served. A query's OWN warm-run caches still
+            # serve its min-of-3 (unchanged semantics — such queries
+            # are flagged cache_fronted and the regression contract
+            # compares their cold runs). BENCH_BASELINE.json was
+            # re-pinned under this policy in the same commit.
+            spark.catalog.clearCache()
             # The warm-up run is also the COLD number: for operators
             # that .cache() (semdedup, the iterative graph family,
             # _doc_ppl consumers) the min-of-3 below reruns against a

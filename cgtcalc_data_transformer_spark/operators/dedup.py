@@ -1105,6 +1105,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scatter(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # r15 (VERDICT r14 item 2 trim): the two verify re-attach sides
+    # only need (vec_id, v) for a broadcast build — the scatter()
+    # round-robin repartition is justified ONLY ahead of the
+    # CPU-heavy 96-dot-product bucket projections, so rebuilding it
+    # under each re-attach branch paid two extra Exchanges + scans
+    # for nothing (guide §2.4 "remove shuffles outright"; plan pair
+    # plans/r15/dedup_embedding_cosine_{before,after}.txt).
+    emb_raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
 
     # r14 plan shape (same values, adjudication of the 6.2x sf1 sweep
     # row): (1) the bucket self-join and pair dedup carry IDS ONLY —
@@ -1155,10 +1165,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_a", "vec_b"])
     )
     verify = pairs.join(
-        emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+        emb_raw.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
         "vec_a",
     ).join(
-        emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+        emb_raw.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
         "vec_b",
     )
     cosine_text = (

@@ -155,18 +155,34 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is order-local (within l_orderkey, bounded by
     lines-per-order); callers reuse the ONE cached frame for
     degrees, wedges, and the closing semi-join."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # r15 (guide §2.4 "remove shuffles outright"): the pair expansion
+    # is ORDER-LOCAL, so it needs no join at all — one groupBy
+    # collects each order's distinct part set (collect_set dedups the
+    # per-order repeats the old pre-join .distinct() shuffle existed
+    # for) and the canonical pairs expand in-task from the array
+    # (positional i<j over the set, least/greatest canonicalization).
+    # Drops the distinct Exchange + the self-join Exchange + the join
+    # itself; only the groupBy and the cross-order distinct shuffles
+    # remain. Arrays are bounded by lines-per-order, so the expansion
+    # is O(1) per order at any scale. Same edge set: all unordered
+    # {u,v} part pairs sharing an order, deduped.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v")
         .distinct()
         .cache()
     )
@@ -196,22 +212,7 @@ def oriented_wedges_centered(edges: DataFrame, deg: DataFrame) -> DataFrame:
     (x < y, centered at s); closing them against `edges` counts each
     triangle exactly once, from its unique minimum-(degree, id)
     corner s."""
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-            .alias("e")
-        )
-        .select("e.s", "e.d")
-    )
+    oriented = _oriented(edges, deg)
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     return (
         w1.join(w2, F.col("w1.s") == F.col("w2.s"))
@@ -229,6 +230,81 @@ def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
     column, the shape triangle_count_parts / transitivity_parts
     consume (their closing semi-join only needs the endpoints)."""
     return oriented_wedges_centered(edges, deg).select("x", "y")
+
+
+def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented edges (s, d): every undirected edge pointed
+    from its lower-(degree, id) endpoint to the higher one (the
+    compact-forward orientation — see oriented_wedges_centered)."""
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    return (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+
+
+def oriented_out_adjacency(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """(s, nbrs) out-neighbor ARRAYS of the degree-oriented graph,
+    cached — the r15 triangle machinery (guide §2.3/§2.4 "shuffle
+    fewer bytes / remove shuffles outright").
+
+    The r14 shape materialized every open wedge as a ROW (O(E^1.5)
+    rows through a 2-column exchange) and closed them with a
+    sort-merge semi-join against the edge set — at sf0.1 that is
+    ~10M wedge rows shuffled and sorted per query. Folding the
+    out-neighborhood into ONE array per node keeps the same
+    information in |V| rows (total payload |E| ids, each oriented
+    edge appears in exactly one array); triangles close by
+    intersecting two arrays per EDGE (array_intersect, JVM hash-set
+    per row) instead of shuffling wedge rows. Orientation still
+    bounds every array by O(sqrt(2E)), so no single row explodes —
+    the same compact-forward guarantee, carried by the data layout
+    instead of a row explosion.
+
+    Bounded within-query materialization: |V| rows, |E| total
+    elements — strictly smaller than the cached edge frame feeding
+    it; built and dropped inside one query invocation."""
+    return (
+        _oriented(edges, deg)
+        .groupBy("s")
+        .agg(F.collect_list("d").alias("nbrs"))
+        .cache()
+    )
+
+
+def triangle_commons(adj: DataFrame) -> DataFrame:
+    """One row per degree-oriented edge (s, d) with the array of
+    common out-neighbors N+(s) ∩ N+(d). Each triangle of the
+    undirected graph appears exactly once, as (s, d, w): its unique
+    acyclic orientation s→d, s→w, d→w has one source s whose two
+    out-edges close — w ∈ N+(s)∩N+(d) holds only for the (s, d)
+    edge of that orientation (w ∉ N+(sink); checked against the
+    id-ordered DuckDB oracle enumeration).
+
+    The oriented edge stream is re-derived by EXPLODING the cached
+    adjacency (no second pass over the edge build), which also
+    carries N+(s) for free — one equality join on d attaches N+(d),
+    and nodes without out-neighbors drop from that inner join
+    because their intersections are empty anyway."""
+    st = adj.select(
+        "s", F.col("nbrs").alias("nbrs_s"), F.explode("nbrs").alias("d")
+    )
+    return st.join(
+        adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nbrs_d")), "d"
+    ).select(
+        "s", "d", F.array_intersect("nbrs_s", "nbrs_d").alias("common")
+    )
 
 
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,21 +327,30 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle closes a<b<c id-ordered paths directly —
     a different enumeration of the same invariant, so the match
     proves the oriented rewrite counts every triangle once.
+
+    r15: wedges are no longer materialized as rows — the out-
+    neighborhoods fold into per-node arrays (oriented_out_adjacency)
+    and each oriented edge counts |N+(s) ∩ N+(d)| common neighbors
+    in one array_intersect; the O(E^1.5) wedge exchange and its
+    closing sort-merge semi-join are gone (guide §2.3/§2.4; plan
+    pair plans/r15/triangle_count_parts_{before,after}.txt).
     """
     edges = copurchase_edges(spark, sf_dir)
-    deg = node_degrees(edges)
-    wedges = oriented_wedges(edges, deg)
-    closed = wedges.join(
-        edges,
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-        "left_semi",
-    )
+    # cached: feeds the two orientation joins inside the adjacency
+    # build AND the n_nodes aggregate (V rows — value-domain bounded)
+    deg = node_degrees(edges).cache()
+    adj = oriented_out_adjacency(edges, deg)
+    closed = triangle_commons(adj)
     # counts stay lazy 1-row aggregates (no driver-side .count() at
     # plan build — the whole operator is ONE submitted plan)
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        closed.agg(
+            F.coalesce(
+                F.sum(F.size("common").cast("long")), F.lit(0).cast("long")
+            ).alias("n_triangles")
+        )
         .crossJoin(F.broadcast(n_nodes))
         .crossJoin(F.broadcast(n_edges))
         .select("n_nodes", "n_edges", "n_triangles")
@@ -1143,20 +1228,21 @@ def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no windows, no driver state.
     """
     edges = copurchase_edges(spark, sf_dir)
-    deg = node_degrees(edges)
-    wedges = oriented_wedges_centered(edges, deg)
-    closed = wedges.join(
-        edges,
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-    ).select("s", "x", "y")
-    # ONE pass over the closed-wedge frame: the 3-way union of
-    # single-column selects executed the O(E^1.5) wedge enumeration +
-    # closing join once per branch (VERDICT r11: confirmed 3x, 19
-    # SortMergeJoins vs triangle_count_parts' 6); exploding the
-    # corner array credits all three corners in a single execution,
-    # no cache needed.
+    # cached: feeds the orientation joins AND the deg>=2 scoring join
+    deg = node_degrees(edges).cache()
+    # r15: same adjacency-intersection machinery as
+    # triangle_count_parts — each triangle surfaces once as
+    # (s, d, w) from one array_intersect per oriented edge, replacing
+    # the O(E^1.5) wedge-row exchange + closing join (guide
+    # §2.3/§2.4). Exploding the common-neighbor array yields one row
+    # per triangle; exploding the corner triple credits all three
+    # corners in a single execution, no extra pass.
+    adj = oriented_out_adjacency(edges, deg)
+    closed = triangle_commons(adj).select(
+        "s", "d", F.explode("common").alias("w")
+    )
     corners = closed.select(
-        F.explode(F.array("s", "x", "y")).alias("node")
+        F.explode(F.array("s", "d", "w")).alias("node")
     )
     tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
     scored = (

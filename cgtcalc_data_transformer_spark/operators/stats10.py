@@ -953,20 +953,25 @@ def transitivity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cgtcalc_data_transformer_spark.operators.graph import (
         copurchase_edges,
         node_degrees,
-        oriented_wedges,
+        oriented_out_adjacency,
+        triangle_commons,
     )
 
-    # ONE cached edge build feeds degrees, the wedge sum, the oriented
-    # wedge join AND the closing semi-join
+    # ONE cached edge build feeds degrees, the wedge sum and the
+    # adjacency build; triangles come from the r15 adjacency-
+    # intersection machinery (one array_intersect per oriented edge
+    # instead of the O(E^1.5) wedge-row exchange + closing semi-join
+    # — see oriented_out_adjacency; guide §2.3/§2.4)
     edges = copurchase_edges(spark, sf_dir)
     deg = node_degrees(edges).cache()
-    closed = oriented_wedges(edges, deg).join(
-        edges,
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-        "left_semi",
-    )
+    closed = triangle_commons(oriented_out_adjacency(edges, deg))
     tri = (
-        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        closed.agg(
+            F.coalesce(
+                F.sum(F.size(F.col("common")).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_triangles")
+        )
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
     )

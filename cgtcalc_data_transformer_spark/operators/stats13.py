@@ -434,11 +434,22 @@ def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _learn_bpe_rules(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
     lw = docs.select("lang", F.explode(tokens_col(F.col("text"))).alias("w"))
+    # r15 (guide §1.2 "per-task work", §2.3 "aggregate before you
+    # shuffle"): the merge regexes ran on EVERY word OCCURRENCE —
+    # 3 chained regexp_replace + split over the full token stream.
+    # Token/char/chunk counts depend only on the WORD, so aggregate
+    # to the (lang, word) vocabulary first (map-side-combinable
+    # count) and run the regex chain once per distinct word per
+    # language; the per-language sums weight each distinct word by
+    # its multiplicity k. Exact: all terms are int64 sums regrouped
+    # by word — associative integer arithmetic, same totals.
+    lwc = lw.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("k"))
     sym = F.concat(F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  "))
     for _, a, b, _, _ in rules:
         sym = F.regexp_replace(sym, f" {a}  {b} ", f" {a + b} ")
-    per_word = lw.select(
+    per_word = lwc.select(
         "lang",
+        F.col("k"),
         F.length("w").cast("long").alias("c"),
         F.size(F.split(F.trim(sym), "  ")).cast("long").alias("t"),
         F.floor(
@@ -449,10 +460,10 @@ def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tc"),
     )
     wagg = per_word.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum("c").alias("n_chars"),
-        F.sum("t").alias("n_tokens"),
-        F.sum("tc").alias("n_chunk"),
+        F.sum("k").alias("n_words"),
+        F.sum(F.col("c") * F.col("k")).alias("n_chars"),
+        F.sum(F.col("t") * F.col("k")).alias("n_tokens"),
+        F.sum(F.col("tc") * F.col("k")).alias("n_chunk"),
     )
     dl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     agg = dl.join(wagg, "lang", "left").select(

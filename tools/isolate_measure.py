@@ -54,6 +54,14 @@ def main() -> None:
                 df.collect()
 
         spark.sparkContext.setJobDescription(f"isolate:{name}")
+        # ADVICE r14: clearCache before EVERY timed sample — otherwise
+        # the min3 samples are served by the warm run's in-query
+        # caches and the "isolated reading" measures cache hits, not
+        # fresh execution. min3_s here is therefore a CACHE-COLD
+        # min-of-3 (each sample includes cache materialization);
+        # min3_warm_s keeps the old cache-served reading for
+        # comparability with pre-r15 notes.
+        spark.catalog.clearCache()
         t0 = time.time()
         tb0 = time.time()
         df = build()
@@ -62,15 +70,23 @@ def main() -> None:
         cold = time.time() - t0
         samples = []
         for _ in range(3):
+            spark.catalog.clearCache()
             df = build()
             t0 = time.time()
             run(df)
             samples.append(time.time() - t0)
+        warm_samples = []
+        for _ in range(3):
+            df = build()
+            t0 = time.time()
+            run(df)
+            warm_samples.append(time.time() - t0)
         print(json.dumps({
             "query": name, "sf_dir": sf_dir, "mode": mode,
             "plan_build_s": round(build_s, 3), "cold_s": round(cold, 3),
             "min3_s": round(min(samples), 3),
             "samples": [round(s, 3) for s in samples],
+            "min3_warm_s": round(min(warm_samples), 3),
         }), flush=True)
     spark.stop()
 
